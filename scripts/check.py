@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run DuckDB oracle SQL
+against the testdata parquet and compare with the Verify parquet dumps.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for stable compare, normalizing float formatting
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(round(v, 9))
+        return str(v)
+    out = df.applymap(cell)
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        act = pd.read_parquet(f"{out_dir}/{name}")
+        ce, ca = canon(exp), canon(act)
+        if list(ce.columns) != list(ca.columns):
+            print(f"FAIL {name}: columns oracle={list(ce.columns)} spark={list(ca.columns)}")
+            n_fail += 1
+            continue
+        if len(ce) != len(ca):
+            print(f"FAIL {name}: rows oracle={len(ce)} spark={len(ca)}")
+            n_fail += 1
+            continue
+        if ce.equals(ca):
+            print(f"PASS {name} ({len(ce)} rows)")
+            n_pass += 1
+        else:
+            diff = (ce != ca).any(axis=1)
+            idx = diff[diff].index[:3]
+            print(f"FAIL {name}: {int(diff.sum())}/{len(ce)} rows differ; first diffs:")
+            for i in idx:
+                print(f"  oracle: {ce.loc[i].to_dict()}")
+                print(f"  spark : {ca.loc[i].to_dict()}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

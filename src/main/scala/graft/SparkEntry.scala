@@ -1,13 +1,76 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.Relational
+import graft.ops.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (present + extension) registers
+  * here: a Spark implementation in `queries` and, when
+  * ANSI-SQL-expressible, a DuckDB oracle in `oracleSql` with matching
+  * column aliases (the driver hash-compares column-name-sorted
+  * values). Queries without an oracle get a rows-only check and are
+  * covered by ScalaTest instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.docChunkStats(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Core pipeline (reference semantics, SURVEY §2.1-2.5/§7.2)
+    "doc_chunk_stats" -> (CoreQueries.docChunkStats(_, _)),
+    "doc_chunks" -> (CoreQueries.docChunks(_, _)),
+    "chunk_fixed" -> (CoreQueries.chunkFixed(_, _)),
+    "doc_stats_fixed" -> (CoreQueries.docStatsFixed(_, _)),
+    "doc_normalize" -> (CoreQueries.docNormalize(_, _)),
+    // Aggregations (§2.5)
+    "q1_agg" -> (Relational.q1Agg(_, _)),
+    "agg_rollup" -> (Relational.aggRollup(_, _)),
+    "agg_cube" -> (Relational.aggCube(_, _)),
+    "agg_distinct" -> (Relational.aggDistinct(_, _)),
+    "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
+    // Joins (§2.6)
+    "join_broadcast" -> (Relational.joinBroadcast(_, _)),
+    "join_sortmerge" -> (Relational.joinSortMerge(_, _)),
+    "join_semi" -> (Relational.joinSemi(_, _)),
+    "join_anti" -> (Relational.joinAnti(_, _)),
+    "join_range" -> (Relational.joinRange(_, _)),
+    // Windows (§2.7)
+    "window_lag" -> (Relational.windowLag(_, _)),
+    "window_topk" -> (Relational.windowTopk(_, _)),
+    "window_running" -> (Relational.windowRunning(_, _)),
+    // Set ops (§2.8)
+    "set_ops" -> (Relational.setOps(_, _)),
+    // JSON / date scalars (§2.2)
+    "json_extract" -> (Relational.jsonExtract(_, _)),
+    "date_trunc" -> (Relational.dateTrunc(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "chunk_fixed" -> CoreQueries.chunkFixedSql,
+    "doc_stats_fixed" -> CoreQueries.docStatsFixedSql,
+    "doc_normalize" -> CoreQueries.docNormalizeSql,
+    "q1_agg" -> Relational.q1AggSql,
+    "agg_rollup" -> Relational.aggRollupSql,
+    "agg_cube" -> Relational.aggCubeSql,
+    "agg_distinct" -> Relational.aggDistinctSql,
+    "join_broadcast" -> Relational.joinBroadcastSql,
+    "join_sortmerge" -> Relational.joinSortMergeSql,
+    "join_semi" -> Relational.joinSemiSql,
+    "join_anti" -> Relational.joinAntiSql,
+    "join_range" -> Relational.joinRangeSql,
+    "window_lag" -> Relational.windowLagSql,
+    "window_topk" -> Relational.windowTopkSql,
+    "window_running" -> Relational.windowRunningSql,
+    "set_ops" -> Relational.setOpsSql,
+    "json_extract" -> Relational.jsonExtractSql,
+    "date_trunc" -> Relational.dateTruncSql,
+  )
 }

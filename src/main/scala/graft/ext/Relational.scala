@@ -1,0 +1,382 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Extension operator surface: the relational categories the reference
+  * lacks (SURVEY.md §2.5-§2.8 "absent" rows), built purely from Spark
+  * built-ins over the TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Determinism discipline (driver hash-compares values):
+  *   - money arithmetic in DECIMAL(18,2) (exact, order-independent
+  *     sums), surfaced as DOUBLE via a final cast both sides;
+  *   - `l_quantity` is integral-valued double -> plain sum is exact;
+  *   - every result fully ordered; ints surfaced as BIGINT.
+  *
+  * Scale notes are on each operator: broadcast the dimension tables
+  * (nation/region/customer at TPC-H proportions), shuffle-hash/sort-
+  * merge the fact-fact joins, let AQE handle skew.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ----------------------------------------------------------------
+  // Aggregations (§2.5 extensions)
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q1 pricing summary: the canonical partial+final hash-agg
+    * (map-side combine -> single shuffle on the 6-row group key).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val price = dec(col("l_extendedprice"))
+    val disc = dec(col("l_discount"))
+    val tax = dec(col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** ROLLUP over (orderstatus, orderpriority): hierarchical totals in
+    * one pass (grouping-sets expansion, still a single shuffle).
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  val aggRollupSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** CUBE over (returnflag, linestatus). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("rf", "ls")
+
+  val aggCubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS n, sum(l_quantity) AS qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Exact distinct counting (the oracle-able twin of the HLL sketch
+    * query, which estimates and therefore cannot hash-match DuckDB).
+    */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val aggDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL++ approximate distinct — sketch-based, scale path for
+    * count-distinct at 100 TB (no shuffle of raw values, fixed-size
+    * sketch merge). Estimator differs from DuckDB's -> rows-only check.
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  // ----------------------------------------------------------------
+  // Joins (§2.6 — absent in the reference)
+  // ----------------------------------------------------------------
+
+  /** Dimension join chain customer⋈nation⋈region with explicit
+    * broadcast of the small sides: zero shuffle of the fact table.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val joinBroadcastSql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Fact-fact equi-join orders⋈lineitem (shuffle join on orderkey;
+    * at scale both sides hash-partition on the key, AQE picks
+    * shuffle-hash vs sort-merge and handles skew).
+    */
+  def joinSortMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinSortMergeSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi: customers having at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_mktsegment, count(*) AS n_with_orders
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti: customers with no orders (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Range (theta) join: parts priced within a band per size class —
+    * a broadcast-able non-equi join (small build side broadcast, the
+    * predicate evaluated stream-side; at scale, banding keys would
+    * turn this into an equi-join on band id).
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val bands = p.sparkSession.range(0, 5).toDF("band")
+      .withColumn("lo", col("band") * 500.0)
+      .withColumn("hi", (col("band") + 1) * 500.0)
+    p.join(broadcast(bands),
+        p("p_retailprice") >= col("lo") && p("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("p_size").cast("long")).as("sum_size"))
+      .orderBy("band")
+  }
+
+  val joinRangeSql: String =
+    """SELECT band, count(*) AS n_parts, CAST(sum(p_size) AS BIGINT) AS sum_size
+      |FROM part
+      |JOIN (SELECT i AS band, i*500.0 AS lo, (i+1)*500.0 AS hi
+      |      FROM generate_series(0, 4) s(i)) b
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Windows (§2.7 extensions)
+  // ----------------------------------------------------------------
+
+  /** lag/lead analytics per user over the event stream: seconds since
+    * the user's previous event. Timestamps surface as epoch seconds
+    * (BIGINT) — parquet ns timestamps truncate to µs in Spark, so raw
+    * timestamp output would diverge from DuckDB's ns view.
+    */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .withColumn("epoch_s", floor(unix_timestamp(col("ts"))).cast("long"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("epoch_s"),
+        (col("epoch_s") - lag(col("epoch_s"), 1).over(w)).as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  val windowLagSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  CAST(floor(epoch(ts)) AS BIGINT)
+      |    - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+      |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s,
+      |  lead(event_type, 1)
+      |    OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Top-k per group via rank(): 3 priciest parts per brand
+    * (deterministic tiebreak on partkey).
+    */
+  def windowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    t(spark, dir, "part")
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_brand", "rk")
+  }
+
+  val windowTopkSql: String =
+    """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |         rank() OVER (PARTITION BY p_brand
+      |                      ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+      |  FROM part) WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** Running (prefix) sum of order totals per customer — the same
+    * window shape as the chunk pipeline's offset_in_file (C3).
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Set operations (§2.8 extensions)
+  // ----------------------------------------------------------------
+
+  /** UNION / INTERSECT / EXCEPT over key sets in one result (tagged). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = t(spark, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val custs = t(spark, dir, "customer").select(col("c_custkey").as("k")).distinct()
+    val union = custs.union(buyers).distinct().withColumn("op", lit("union"))
+    val inter = custs.intersect(buyers).withColumn("op", lit("intersect"))
+    val exc = custs.except(buyers).withColumn("op", lit("except"))
+    union.unionByName(inter).unionByName(exc)
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .orderBy("op")
+  }
+
+  val setOpsSql: String =
+    """WITH custs AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      |     buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |     tagged AS (
+      |  SELECT 'union' AS op, k FROM (SELECT k FROM custs UNION SELECT k FROM buyers)
+      |  UNION ALL
+      |  SELECT 'intersect' AS op, k FROM (SELECT k FROM custs INTERSECT SELECT k FROM buyers)
+      |  UNION ALL
+      |  SELECT 'except' AS op, k FROM (SELECT k FROM custs EXCEPT SELECT k FROM buyers))
+      |SELECT op, count(*) AS n FROM tagged GROUP BY op ORDER BY op""".stripMargin
+
+  // ----------------------------------------------------------------
+  // JSON / date scalar functions (§2.2 extensions)
+  // ----------------------------------------------------------------
+
+  /** JSON field extraction over `events.props` + per-type stats. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k,
+      |       min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Date extraction/truncation over order dates: monthly order
+    * volume. Months surface as (year, month) BIGINT pairs.
+    */
+  def dateTrunc(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("p")).cast("double").as("total"))
+      .orderBy("y", "m")
+
+  val dateTruncSql: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+      |       CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin
+}

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.split.SplitConfig
+
+/** Core-pipeline query surface registered in `SparkEntry` (SURVEY.md
+  * §7.2). Each `..Sql` constant is the DuckDB oracle for the
+  * same-named query; column names/aliases match exactly (driver
+  * compares column-name-sorted value hashes).
+  *
+  * The recursive splitter itself is not SQL-expressible, so the
+  * oracle strategy (SURVEY.md §5.1) is: (a) the full pipeline runs
+  * with the real splitter as `doc_chunk_stats` (rows-only check +
+  * ScalaTest golden/property coverage), and (b) a fixed-width chunker
+  * variant exercises the identical downstream dataflow
+  * (explode/normalize/measure/window/agg/rollup) with a
+  * `generate_series`+`substr` DuckDB oracle.
+  */
+object CoreQueries {
+
+  private val W = 100 // fixed chunk width for the oracle-able variant
+
+  /** Flagship: real recursive splitter at chunk_size=100 over
+    * `documents` (doc texts are 47-558 chars — size 100 exercises
+    * splitting and merging; the reference default 1200 would yield one
+    * chunk per doc).
+    */
+  def docChunkStats(spark: SparkSession, dir: String): DataFrame =
+    ChunkPipeline.docChunkStats(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0))
+
+  /** Per-chunk detail of the real splitter (rows-only check). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = SplitConfig(chunkSize = 100, chunkOverlap = 0)
+    ChunkPipeline.chunkMetrics(ChunkPipeline.chunk(ChunkPipeline.pagesFromDocuments(spark, dir), cfg))
+      .select(
+        col("path").cast("long").as("doc_id"),
+        col("chunkIdx").cast("long").as("chunk_idx"),
+        col("offsetInPage").cast("long").as("offset_in_page"),
+        col("chunk_len"), col("offset_in_file"), col("norm_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---------------------------------------------------------------
+  // Fixed-width variant: identical downstream pipeline, SQL oracle.
+  // ---------------------------------------------------------------
+
+  private def fixedChunksImpl(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), ((length(col("text")) - 1) / W).cast("long"))))
+      .withColumn("chunk", col("text").substr((col("chunk_idx") * W + 1).cast("int"), lit(W)))
+  }
+
+  /** Fixed-width chunk exploder — every chunk with its in-file offset
+    * and normalized length. Oracle: `chunkFixedSql`.
+    */
+  def chunkFixed(spark: SparkSession, dir: String): DataFrame =
+    fixedChunksImpl(spark, dir)
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * W).cast("long").as("offset_in_file"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        Normalize.normalizeCol(col("chunk")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkFixedSql: String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, (length(text)-1)//$W)) AS i
+       |  FROM documents WHERE length(text) > 0
+       |), c AS (
+       |  SELECT doc_id, i, substr(text, CAST(i*$W+1 AS INT), $W) AS chunk
+       |  FROM idx
+       |)
+       |SELECT doc_id, i AS chunk_idx, i*$W AS offset_in_file,
+       |  length(chunk) AS chunk_len,
+       |  lower(regexp_replace(regexp_replace(regexp_replace(chunk,
+       |    '\\n{2,}', chr(10), 'g'), '\\n+', ' ', 'g'),
+       |    '\\\\u[0-9a-fA-F]{4}', '', 'g')) AS norm_text,
+       |  length(lower(regexp_replace(regexp_replace(regexp_replace(chunk,
+       |    '\\n{2,}', chr(10), 'g'), '\\n+', ' ', 'g'),
+       |    '\\\\u[0-9a-fA-F]{4}', '', 'g'))) AS norm_len
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Per-doc stats + SUM TOTAL rollup over fixed-width chunks — the
+    * reference's A1+A2+U1 report shape with a full SQL oracle.
+    * `ratio` = file_size/text_size (ratio of sums for the total row,
+    * `pdf_reader.py:148`).
+    */
+  def docStatsFixed(spark: SparkSession, dir: String): DataFrame =
+    fixedChunksImpl(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(col("chunk_len")).as("text_size"),
+        max(col("n_chars")).as("file_size"))
+      .rollup(col("doc_id"))
+      .agg(
+        sum(col("chunks")).as("chunks"),
+        sum(col("text_size")).as("text_size"),
+        sum(col("file_size")).as("file_size"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        coalesce(col("doc_id").cast("string"), lit("SUM TOTAL")).as("file"),
+        col("chunks"), col("text_size"), col("file_size"), col("n_docs"),
+        when(col("text_size") === 0, lit(null).cast("double"))
+          .otherwise(col("file_size").cast("double") / col("text_size")).as("ratio"))
+      .orderBy("file")
+
+  val docStatsFixedSql: String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, n_chars,
+       |         length(substr(text, CAST(i*$W+1 AS INT), $W)) AS chunk_len
+       |  FROM (SELECT doc_id, text, n_chars,
+       |          unnest(generate_series(0, (length(text)-1)//$W)) AS i
+       |        FROM documents WHERE length(text) > 0)
+       |), per_doc AS (
+       |  SELECT doc_id, count(*) AS chunks, sum(chunk_len) AS text_size,
+       |         max(n_chars) AS file_size
+       |  FROM chunks GROUP BY doc_id
+       |)
+       |SELECT coalesce(CAST(doc_id AS VARCHAR), 'SUM TOTAL') AS file,
+       |       CAST(sum(chunks) AS BIGINT) AS chunks,
+       |       CAST(sum(text_size) AS BIGINT) AS text_size,
+       |       CAST(sum(file_size) AS BIGINT) AS file_size, count(*) AS n_docs,
+       |       CASE WHEN sum(text_size) = 0 THEN NULL
+       |            ELSE CAST(sum(file_size) AS DOUBLE) / sum(text_size)
+       |       END AS ratio
+       |FROM per_doc GROUP BY ROLLUP(doc_id)
+       |ORDER BY file""".stripMargin
+
+  /** P3-P6 normalization as a pure projection. Oracle:
+    * `docNormalizeSql`.
+    */
+  def docNormalize(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        Normalize.normalizeCol(col("text")).as("norm_text"),
+        length(Normalize.normalizeCol(col("text"))).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+
+  val docNormalizeSql: String =
+    """SELECT doc_id,
+      |  lower(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '\n{2,}', chr(10), 'g'), '\n+', ' ', 'g'),
+      |    '\\u[0-9a-fA-F]{4}', '', 'g')) AS norm_text,
+      |  length(lower(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '\n{2,}', chr(10), 'g'), '\n+', ' ', 'g'),
+      |    '\\u[0-9a-fA-F]{4}', '', 'g'))) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import scala.util.Try
+
+/** Testdata table loaders (SURVEY.md §2.1 extension surface: parquet
+  * relational scans).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+  * Spark's TimestampType (µs) does not accept by default
+  * ([PARQUET_TYPE_ILLEGAL]). We read nanos as Long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a µs
+  * TimestampType column, keeping the raw nanos alongside.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Events with `ts` normalized to TimestampType (µs, truncated from
+    * ns) and `ts_ns` as raw nanos-since-epoch.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsField = raw.schema("ts")
+    if (tsField.dataType == LongType) {
+      raw
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    } else {
+      raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
+}
