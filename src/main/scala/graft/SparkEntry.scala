@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.Relational
+import graft.ext.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -49,6 +49,23 @@ object SparkEntry {
     // JSON / date scalars (§2.2)
     "json_extract" -> (Relational.jsonExtract(_, _)),
     "date_trunc" -> (Relational.dateTrunc(_, _)),
+    // Event-time: as-of join, sessionization, tumbling window
+    "asof_join" -> (Relational.asofJoin(_, _)),
+    "sessionize" -> (Relational.sessionize(_, _)),
+    "event_tumbling" -> (Relational.eventTumbling(_, _)),
+    // Text analysis (north star)
+    "text_quality" -> (TextAnalysis.textQuality(_, _)),
+    "text_langid" -> (TextAnalysis.textLangid(_, _)),
+    "text_tokens" -> (TextAnalysis.textTokens(_, _)),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
+    // Dedup (north star)
+    "dedup_exact" -> (Dedup.dedupExact(_, _)),
+    "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
+    "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
+    "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
+    // Similarity search (north star)
+    "sim_topk" -> (Similarity.simTopk(_, _)),
+    "sim_lsh" -> (Similarity.simLsh(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,5 +89,16 @@ object SparkEntry {
     "set_ops" -> Relational.setOpsSql,
     "json_extract" -> Relational.jsonExtractSql,
     "date_trunc" -> Relational.dateTruncSql,
+    "asof_join" -> Relational.asofJoinSql,
+    "sessionize" -> Relational.sessionizeSql,
+    "event_tumbling" -> Relational.eventTumblingSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "text_langid" -> TextAnalysis.textLangidSql,
+    "text_tokens" -> TextAnalysis.textTokensSql,
+    "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "sim_topk" -> Similarity.simTopkSql,
   )
 }

@@ -379,4 +379,117 @@ object Relational {
       |       count(*) AS n_orders,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Event-time operators: as-of join, sessionization, tumbling window
+  // ----------------------------------------------------------------
+
+  /** As-of join: for each purchase, the user's latest click at or
+    * before it. Spark lacks ASOF JOIN; the scalable formulation is a
+    * tagged union + running `max` window — one shuffle on user_id,
+    * no range self-join blowup (the classic trick for point-in-time
+    * correctness at scale). Nanosecond arithmetic throughout (ts_ns),
+    * so ordering matches the oracle's ns view exactly; epoch seconds
+    * at the output boundary.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+    // clicks sort before purchases at identical ts (<= semantics)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("last_click_ns",
+        max(when(col("is_click") === 1, col("ts_ns"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts_ns div 1000000000").as("purchase_s"),
+        expr("last_click_ns div 1000000000").as("click_s"))
+      .withColumn("gap_s", col("purchase_s") - col("click_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id, purchase_s, click_s,
+      |       purchase_s - click_s AS gap_s
+      |FROM (
+      |  SELECT p.event_id, p.user_id,
+      |    CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+      |    (SELECT CAST(floor(epoch(max(c.ts))) AS BIGINT) FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND c.ts <= p.ts) AS click_s
+      |  FROM events p WHERE p.event_type = 'purchase')
+      |ORDER BY event_id""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): the classic
+    * two-window formulation — lag to flag session starts, running sum
+    * to number them, then per-session aggregation. Single shuffle on
+    * user_id; the batch twin of Structured Streaming's
+    * `session_window` (graft.streaming).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val GapNs = 30L * 60 * 1000000000L
+    val order = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val running = order.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("min(ts_ns) div 1000000000").as("start_s"),
+        expr("max(ts_ns) div 1000000000").as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+      |    CASE WHEN lag(epoch_ns(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      |           IS NULL
+      |         OR epoch_ns(ts) - lag(epoch_ns(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      |           > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts_ns,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events,
+      |  min(ts_ns) // 1000000000 AS start_s,
+      |  max(ts_ns) // 1000000000 AS end_s,
+      |  max(ts_ns) // 1000000000 - min(ts_ns) // 1000000000 AS duration_s
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Hourly tumbling-window aggregation via Spark's `window()` — the
+    * exact construct Structured Streaming uses, here in batch.
+    */
+  def eventTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_s", "event_type")
+
+  val eventTumblingSql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY hour_s, event_type
+      |ORDER BY hour_s, event_type""".stripMargin
 }

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (builder prompt north star). Two tiers:
+  *
+  *   - [[simTopk]]: brute-force cosine top-k — the exact baseline.
+  *     Query side is tiny and broadcast; the candidate scan is a
+  *     single codegen'd pass, no shuffle until the per-query top-k
+  *     window (partitioned by query id). DuckDB-oracle-backed.
+  *   - [[simLsh]]: random-hyperplane LSH — the 100 TB scale path.
+  *     Each vector lands in a signature bucket; a query probes only
+  *     its own bucket and Hamming-distance-1 neighbors, turning the
+  *     all-pairs product into a bucket-equi-join. Approximate ->
+  *     rows-only driver check; recall vs. the brute-force baseline is
+  *     asserted in `SimilaritySpec`.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NumQueries = 5
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact top-k: cosine over all candidates, rounded to 6dp at the
+    * output boundary (cross-engine FP agreement), deterministic
+    * tie-break on candidate id.
+    */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  val simTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+       |r AS (
+       |  SELECT q_id, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |  FROM p)
+       |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // LSH-bucketed ANN (scale path)
+  // ----------------------------------------------------------------
+
+  private val NumPlanes = 12 // 12-bit signatures -> 4096 buckets
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (seeded). */
+  private[ext] val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** Signature = bit b set iff plane_b · v > 0, as a codegen'd
+    * expression (the plane constants are folded into the plan).
+    */
+  private[ext] def signature(v: Column): Column =
+    (0 until NumPlanes).map { b =>
+      val dot = planes(b).zipWithIndex.map { case (p, i) =>
+        element_at(v, i + 1).cast("double") * lit(p)
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k: candidates are vectors whose signature matches the
+    * query's bucket or any Hamming-1 neighbor bucket (multi-probe).
+    * The bucket join replaces the brute-force cross join — at 10⁹
+    * vectors this is the difference between a scan and a product.
+    */
+  def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"),
+        signature(col("embedding")).as("sig"))
+    // candidate side: exact bucket only
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("sig").as("bucket"))
+    // query side: explode exact + Hamming-1 probe buckets
+    val probes = array(
+      (col("sig") +: (0 until NumPlanes).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(probes).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6))
+      .select(col("q_id"), col("c_id"), col("cos_sim")).distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .orderBy("q_id", "rn")
+      .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
+  }
+}
