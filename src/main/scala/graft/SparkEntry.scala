@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,9 @@ object SparkEntry {
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
+    // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
+    "mm_features" -> (Multimodal.mmFeatures(_, _)),
+    "mm_frames" -> (Multimodal.mmFrames(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,5 +103,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "sim_topk" -> Similarity.simTopkSql,
+    "mm_features" -> Multimodal.mmFeaturesSql,
+    "mm_frames" -> Multimodal.mmFramesSql,
   )
 }

@@ -189,17 +189,17 @@ object Dedup {
   // SimHash: 64-bit signatures + banded Hamming candidates
   // ----------------------------------------------------------------
 
-  /** 64-bit SimHash per doc from word xxhash64s (bit i of the
-    * signature = sign of Σ ±1 over that bit across word hashes),
-    * plus Hamming-candidate pairs via 4×16-bit band equality.
-    * xxhash64 is Spark-specific -> rows-only driver check; fidelity
-    * is covered by `DedupSpec` (signature properties + a brute-force
-    * Hamming cross-check).
+  /** 64-bit SimHash per doc over word-3-gram shingle xxhash64s (bit i
+    * of the signature = sign of Σ ±1 over that bit across shingle
+    * hashes), plus the 4×16-bit bands used for Hamming-candidate
+    * joins. Shingles (not bare words) carry the word-order signal: on
+    * the testdata, near-dup pairs land at Hamming ≤ 10 vs a ~32
+    * background. xxhash64 is Spark-specific -> rows-only driver
+    * check; fidelity is covered by `DedupSpec`.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = array_distinct(split(col("text"), " +"))
     val hashed = docs(spark, dir)
-      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"), explode(shingleCol).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     // bit contributions: +1 where bit set, -1 otherwise; 64 sums.
     val bitSums = (0 until 64).map { i =>

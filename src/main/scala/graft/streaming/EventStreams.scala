@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.10 — absent in the
+  * batch-only reference; extension per the north star): the same
+  * event-time operators as the batch queries, expressed over an
+  * unbounded source. Micro-batch file source -> watermarked windowed
+  * aggregations -> any sink; at cluster scale the file source swaps
+  * for Kafka without touching the transforms.
+  *
+  * Each transform here is the streaming twin of a batch query in
+  * [[graft.ext.Relational]] (`event_tumbling`, `sessionize`,
+  * dedup-by-id), so correctness is asserted by replaying the events
+  * table as a stream and comparing with the batch result
+  * (`EventStreamsSpec`).
+  */
+object EventStreams {
+
+  /** Events-shaped streaming source over a parquet directory, with
+    * the same ns->timestamp normalization as the batch loader.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // schema must be known up front for streaming reads; reuse the
+    // batch loader's raw schema (ts read as nanos Long).
+    scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
+
+  /** Tumbling 1-hour counts per event type with a 10-minute watermark
+    * for late data — streaming twin of `event_tumbling`.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_s"),
+        col("event_type"), col("n"))
+
+  /** 30-minute-gap session windows per user (`session_window` keeps
+    * per-key state and emits on watermark close) — streaming twin of
+    * `sessionize`.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("w.start")).as("start_s"),
+        unix_timestamp(col("w.end")).as("end_s"),
+        col("n_events"))
+
+  /** Exactly-once-by-key within the watermark horizon: state-bounded
+    * streaming dedup on event_id.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Convenience for tests: run a streaming transform over the events
+    * table replayed as a file stream, into a memory sink, to
+    * completion (AvailableNow), returning the materialized result.
+    */
+  def runToMemory(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      transform: DataFrame => DataFrame,
+      outputMode: String = "append"): DataFrame = {
+    val q = transform(readEventStream(spark, s"$dir"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

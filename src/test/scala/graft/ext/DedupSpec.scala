@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Dedup fidelity on the sf0.001 testdata (which carries engineered
+  * near-duplicate documents) plus constructed corner cases.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact groups identical texts under one digest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "other")
+    ).toDF("doc_id", "text").createOrReplaceTempView("ignored")
+    val out = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .groupBy(org.apache.spark.sql.functions.sha2($"text", 256).as("digest"))
+      .agg(
+        org.apache.spark.sql.functions.min($"doc_id").as("keep_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("copies"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2)
+    assert(out.find(_._3 == 2).get._2 == 1L) // keeps min doc_id
+  }
+
+  test("minhash LSH finds exactly the brute-force Jaccard >= 0.8 pairs") {
+    val lsh = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force on the same shingle definition via Spark SQL
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = split(col("text"), " +")
+    val sh = docs.select(col("doc_id"), array_distinct(
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3))))).as("s"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(brute.nonEmpty, "testdata should contain engineered near-dups")
+    assert(lsh == brute)
+  }
+
+  test("simhash: near-identical docs land within small Hamming distance") {
+    val sigs = Dedup.dedupSimhash(spark, dir)
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // known engineered near-dup pair from the Jaccard probe
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((x, y) <- pairs) {
+      val ham = java.lang.Long.bitCount(sigs(x) ^ sigs(y))
+      assert(ham <= 12, s"near-dup pair ($x,$y) hamming=$ham")
+    }
+    // background separation: a non-dup pair should sit far away
+    val dupIds = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val others = sigs.keys.filterNot(dupIds).toSeq.sorted.take(20)
+    val bg = others.combinations(2).map { case Seq(a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    }.toSeq
+    assert(bg.sum.toDouble / bg.size > 20, "background Hamming should be large")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dedupEmbedding(spark, dir).collect()
+    for (r <- rows) {
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorOps
+
+/** ANN fidelity: brute-force baseline sanity plus LSH recall on
+  * clustered vectors (random-hyperplane LSH is only meaningful when
+  * neighbors are actually close; the uniform testdata vectors are the
+  * adversarial case, so recall is asserted on constructed clusters).
+  */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brute-force top-k: k rows per query, descending, self excluded") {
+    val rows = Similarity.simTopk(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, rs) <- byQ) {
+      assert(rs.length == 10)
+      assert(rs.forall(_.getLong(2) != q))
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse), s"q=$q not descending")
+    }
+  }
+
+  test("cosine column agrees with a scala-side computation") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("LSH recall on clustered vectors >= 0.8 of brute-force top-10") {
+    import spark.implicits._
+    // 20 clusters x 25 members: base + small noise -> high cosine within
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val vecs = (for {
+      c <- 0 until 20
+      base = Array.fill(dim)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield {
+      val noisy = base.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat)
+      ((c * 25 + m).toLong, noisy, c)
+    }).toSeq
+    val df = vecs.map { case (id, v, l) => (id, v, l) }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("simlsh").toString
+    df.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def topSets(f: org.apache.spark.sql.DataFrame) =
+      f.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+
+    val exact = topSets(Similarity.simTopk(spark, tmp))
+    val approx = topSets(Similarity.simLsh(spark, tmp))
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean LSH recall $mean below 0.8 on clustered data")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Streaming twins vs their batch counterparts: replay the events
+  * table as a file stream (AvailableNow) and compare aggregates with
+  * the same computation done in batch.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val streamDir: String = {
+    // file-stream sources want a directory of files
+    val tmp = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    tmp.toString
+  }
+
+  test("tumbling window counts match the batch computation") {
+    val streamed = EventStreams.runToMemory(
+      spark, streamDir, "t_tumbling", EventStreams.tumblingCounts, "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("session windows: per-user session event counts cover all events") {
+    val sessions = EventStreams.runToMemory(
+      spark, streamDir, "t_sessions", EventStreams.sessionWindows, "complete")
+    val total = sessions.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val nEvents = Tables.events(spark, dir).count()
+    assert(total == nEvents)
+    // session bounds are ordered and non-overlapping per user
+    val rows = sessions.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((_, ss) <- rows) {
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 <= s2)
+        case _ =>
+      }
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark keeps each event_id once") {
+    val out = EventStreams.runToMemory(
+      spark, streamDir, "t_dedup", EventStreams.dedupWithinWatermark, "append")
+    assert(out.count() == out.select("event_id").distinct().count())
+    assert(out.count() == Tables.events(spark, dir).count()) // ids unique in data
+  }
+}
