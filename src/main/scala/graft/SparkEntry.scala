@@ -28,6 +28,7 @@ object SparkEntry {
     "chunk_fixed" -> (CoreQueries.chunkFixed(_, _)),
     "doc_stats_fixed" -> (CoreQueries.docStatsFixed(_, _)),
     "doc_normalize" -> (CoreQueries.docNormalize(_, _)),
+    "multi_root" -> (CoreQueries.multiRoot(_, _)),
     // Aggregations (§2.5)
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "chunk_fixed" -> CoreQueries.chunkFixedSql,
     "doc_stats_fixed" -> CoreQueries.docStatsFixedSql,
     "doc_normalize" -> CoreQueries.docNormalizeSql,
+    "multi_root" -> CoreQueries.multiRootSql,
     "q1_agg" -> Relational.q1AggSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_cube" -> Relational.aggCubeSql,

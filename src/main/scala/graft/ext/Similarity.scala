@@ -82,16 +82,23 @@ object Similarity {
     Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
   }
 
-  /** Signature = bit b set iff plane_b · v > 0, as a codegen'd
-    * expression (the plane constants are folded into the plan).
+  /** Signature = bit b set iff plane_b · v > 0 (plain-Scala kernel —
+    * the equivalent per-plane Column expression tree evaluates
+    * interpreted and dominated the query's runtime).
     */
-  private[ext] def signature(v: Column): Column =
-    (0 until NumPlanes).map { b =>
-      val dot = planes(b).zipWithIndex.map { case (p, i) =>
-        element_at(v, i + 1).cast("double") * lit(p)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  private[ext] def signatureOf(v: Array[Float]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < NumPlanes) {
+      val p = planes(b)
+      var d = 0.0
+      var i = 0
+      while (i < v.length && i < p.length) { d += v(i) * p(i); i += 1 }
+      if (d > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
 
   /** ANN top-k: candidates are vectors whose signature matches the
     * query's bucket or any Hamming-1 neighbor bucket (multi-probe).
@@ -99,10 +106,17 @@ object Similarity {
     * vectors this is the difference between a scan and a product.
     */
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"),
-        signature(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          (id, v, math.sqrt(s), signatureOf(v))
+        }
+      }.toDF("vec_id", "embedding", "nrm", "sig")
     // candidate side: exact bucket only
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
       col("nrm").as("cn"), col("sig").as("bucket"))

@@ -157,4 +157,26 @@ object CoreQueries {
       |    '\n{2,}', chr(10), 'g'), '\n+', ' ', 'g'),
       |    '\\u[0-9a-fA-F]{4}', '', 'g'))) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** S4 multi-root shape: per-root (the `source` column plays the
+    * input folder) corpus stats with an ALL rollup row.
+    */
+  def multiRoot(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .rollup(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("root"),
+        col("n_docs"), col("total_chars"), col("max_chars"))
+      .orderBy("root")
+
+  val multiRootSql: String =
+    """SELECT coalesce(source, 'ALL') AS root, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       max(n_chars) AS max_chars
+      |FROM documents GROUP BY ROLLUP(source)
+      |ORDER BY root""".stripMargin
 }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Page
+
+/** Document -> pages decode boundary (SURVEY.md §2.1 S3).
+  *
+  * The reference delegates to `PyPDFLoader(file).load()` — one
+  * langchain `Document` per PDF page
+  * (`/root/reference/pdf_reader.py:442-443`). No PDF codec jar ships
+  * in this offline environment (SURVEY.md §7.4), so the trait
+  * isolates the codec: [[PlainTextExtractor]] is the buildable
+  * implementation (1 file = 1 page, UTF-8), and a pdfbox/tika-backed
+  * implementation would drop in without touching the pipeline.
+  */
+trait PageExtractor extends Serializable {
+
+  /** Decode one file's payload into (0-based page, raw page text). */
+  def extract(path: String, bytes: Array[Byte]): Seq[(Int, String)]
+}
+
+/** UTF-8 plain text: whole payload is a single page 0. Page breaks on
+  * form-feed (\f), the convention plain-text exports of PDFs use —
+  * so multi-page semantics stay exercisable without a codec.
+  */
+object PlainTextExtractor extends PageExtractor {
+  def extract(path: String, bytes: Array[Byte]): Seq[(Int, String)] = {
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    text.split("\f", -1).toSeq.zipWithIndex.map { case (t, i) => (i, t) }
+  }
+}
+
+object FileSources {
+
+  /** S1 + S2: recursive directory scan with extension filter pushed to
+    * the listing (the reference's `os.walk` + lowercase-endswith,
+    * `/root/reference/pdf_reader.py:327-359`), file size for free.
+    * `binaryFile` partitions the listing across tasks by size packing —
+    * the reference's LPT big-files-first heuristic (O1,
+    * `pdf_reader.py:361-388`) is subsumed by task scheduling.
+    */
+  def binaryFiles(spark: SparkSession, root: String, glob: String = "*.txt"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(root)
+
+  /** Files -> typed pages through a [[PageExtractor]] (typed flatMap:
+    * streams per-file, no driver materialization; a 10 GB file's pages
+    * iterate through the task, unlike the reference which holds the
+    * whole file's pages+chunks in worker memory, SURVEY.md §4).
+    */
+  def pages(
+      files: DataFrame,
+      extractor: PageExtractor = PlainTextExtractor): Dataset[Page] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .flatMap { case (path, length, content) =>
+        extractor.extract(path, content).map { case (pageNo, text) =>
+          Page(path, pageNo, text, length)
+        }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+import graft.split.SplitConfig
+
+/** End-to-end over the binaryFile source: real files on disk ->
+  * extension-filtered recursive listing -> pages -> chunks -> stats ->
+  * report -> CSV, mirroring the reference CLI flow (SURVEY.md §3.1).
+  */
+class EngineSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val root: String = {
+    val tmp = Files.createTempDirectory("enginesrc")
+    Files.createDirectories(tmp.resolve("sub"))
+    Files.writeString(tmp.resolve("a.txt"), "alpha beta gamma delta epsilon zeta")
+    Files.writeString(tmp.resolve("sub/b.txt"), "one two three\ffour five six seven")
+    Files.writeString(tmp.resolve("skip.dat"), "must not be read")
+    Files.writeString(tmp.resolve("empty.txt"), "")
+    tmp.toString
+  }
+
+  private val opts = Engine.Options(split = SplitConfig(chunkSize = 20, chunkOverlap = 0))
+
+  test("recursive listing honors the extension glob (S1/P1)") {
+    val paths = Engine.fileStats(spark, root, opts).collect().map(_.path)
+    assert(paths.exists(_.endsWith("a.txt")))
+    assert(paths.exists(_.endsWith("b.txt"))) // recursive into sub/
+    assert(!paths.exists(_.endsWith("skip.dat")))
+  }
+
+  test("form-feed page breaks yield multiple pages; sizes from the listing (S2/S3)") {
+    val stats = Engine.fileStats(spark, root, opts)
+      .collect().map(s => s.path.split('/').last -> s).toMap
+    assert(stats("b.txt").pages == 2)
+    assert(stats("a.txt").fileSize == 35) // byte length from binaryFile
+    assert(stats("a.txt").ratio.get == 35.0 / stats("a.txt").textSize)
+    assert(!stats.contains("empty.txt")) // no chunks -> no stats row
+  }
+
+  test("chunks retain content; column pruning replaces b_get_content (P12)") {
+    val ds = Engine.chunks(spark, root, opts)
+    assert(ds.collect().forall(_.rawText.nonEmpty))
+    // plan that never touches rawText must not read it
+    val pruned = ds.toDF().select("path", "page").queryExecution.optimizedPlan
+    assert(!pruned.toString.contains("rawText") ||
+      !pruned.output.map(_.name).contains("rawText"))
+  }
+
+  test("multi-root loop writes one sanitized CSV per root (S4/S5/S8)") {
+    val out = Files.createTempDirectory("enginecsv").toString
+    val written = Engine.processRoots(spark, Seq(root), out, opts)
+    val dir = written(root)
+    assert(dir.startsWith(s"$out/"))
+    val csv = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+    assert(csv.length == 1)
+    val lines = Files.readAllLines(Paths.get(csv.head))
+    assert(lines.get(0) == "Filename,Pages,Chunks,File Size,Text Size,Ratio")
+    assert(lines.get(lines.size - 1).startsWith("SUM TOTAL"))
+  }
+
+  test("path sanitization matches the reference docstring cases (P10)") {
+    assert(Engine.sanitizeFolderPath("/home/user/docs") == "home_user_docs")
+    assert(Engine.sanitizeFolderPath("C:\\Users\\docs") == "C__Users_docs")
+    assert(Engine.sanitizeFolderPath("./rel/path") == "rel_path")
+    assert(Engine.sanitizeFolderPath("---") == "folder")
+    assert(Engine.sanitizeFolderPath("") == "folder")
+  }
+}
