@@ -29,6 +29,7 @@ object SparkEntry {
     "doc_stats_fixed" -> (CoreQueries.docStatsFixed(_, _)),
     "doc_normalize" -> (CoreQueries.docNormalize(_, _)),
     "multi_root" -> (CoreQueries.multiRoot(_, _)),
+    "doc_report" -> (CoreQueries.docReport(_, _)),
     // Aggregations (§2.5)
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),

@@ -84,7 +84,9 @@ object ChunkPipeline {
     import spark.implicits._
     chunkMetrics.groupBy(col("path"))
       .agg(
-        countDistinct(col("page")).as("pages"),
+        // pages are 0-based consecutive ordinals, so max+1 == count —
+        // avoids the extra expand+exchange a count(DISTINCT) plans
+        (max(col("page")) + 1).cast("long").as("pages"),
         count(lit(1)).as("chunks"),
         max(col("fileSize")).as("fileSize"),
         sum(col("chunk_len")).as("textSize"))

@@ -179,4 +179,13 @@ object CoreQueries {
       |       max(n_chars) AS max_chars
       |FROM documents GROUP BY ROLLUP(source)
       |ORDER BY root""".stripMargin
+
+  /** The reference's formatted report (P8/P9 + SUM TOTAL last) over
+    * the real splitter pipeline — string-typed at the sink boundary
+    * only (rows-only driver check; formatting is golden-tested against
+    * the reference README sample in PipelineSpec).
+    */
+  def docReport(spark: SparkSession, dir: String): DataFrame =
+    ChunkPipeline.report(
+      ChunkPipeline.docChunkStats(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0)))
 }
