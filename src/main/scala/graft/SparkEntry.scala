@@ -30,6 +30,7 @@ object SparkEntry {
     "doc_normalize" -> (CoreQueries.docNormalize(_, _)),
     "multi_root" -> (CoreQueries.multiRoot(_, _)),
     "doc_report" -> (CoreQueries.docReport(_, _)),
+    "sql_chunk_split" -> (CoreQueries.sqlChunkSplit(_, _)),
     // Aggregations (§2.5)
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{NativeFunctions, VectorOps}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (builder prompt north star). Two tiers:
@@ -33,16 +33,16 @@ object Similarity {
     * tie-break on candidate id.
     */
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    // native codegen'd cosine (fused dot+norm loop) — bit-identical to
+    // the higher-order-function formulation and the DuckDB oracle
     c.join(broadcast(q), col("c_id") =!= col("q_id"))
       .withColumn("cos_sim",
-        round(VectorOps.cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6))
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)
       .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))

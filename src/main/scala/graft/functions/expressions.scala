@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.split.{RecursiveCharacterSplitter, SplitConfig}
+
+/** Native Catalyst expressions (SURVEY.md §2.11 extension surface):
+  * preference order is built-ins > native `Expression` > UDF — these
+  * are the two places the built-ins genuinely can't express the
+  * semantics efficiently.
+  */
+
+/** `cosine_sim(array<float>, array<float>) -> double` with full
+  * whole-stage codegen: a primitive fused loop (dot + both norms in
+  * one pass), replacing the interpreted higher-order
+  * `aggregate`/`zip_with` formulation. FP note: each accumulator
+  * folds left-to-right, so results are bit-identical to
+  * [[VectorOps.cosine]] and to the DuckDB `list_sum(list_transform)`
+  * oracle.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "cosine_sim: both arguments must be ARRAY<FLOAT>")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** The C1 recursive character splitter as a Catalyst `Generator`
+  * (UDTF): `chunk_split(text, chunk_size, overlap)` explodes a text
+  * column into `(chunk, start_index, chunk_idx)` rows — the SQL
+  * surface of the typed-flatMap chunker (same pure splitter
+  * underneath, so the two paths cannot diverge).
+  */
+case class ChunkSplit(child: Expression, chunkSize: Expression, overlap: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, chunkSize, overlap)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("chunk_split: first argument must be STRING")
+    else if (!chunkSize.foldable || !overlap.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "chunk_split: chunk_size and overlap must be constants")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val cfg = SplitConfig(
+    chunkSize = chunkSize.eval().asInstanceOf[Number].intValue(),
+    chunkOverlap = overlap.eval().asInstanceOf[Number].intValue())
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk", StringType, nullable = false),
+    StructField("start_index", IntegerType, nullable = false),
+    StructField("chunk_idx", IntegerType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      RecursiveCharacterSplitter
+        .splitWithStartIndex(t.asInstanceOf[UTF8String].toString, cfg)
+        .iterator.zipWithIndex.map { case ((chunk, start), idx) =>
+          InternalRow(UTF8String.fromString(chunk), start, idx)
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), chunkSize = newChildren(1), overlap = newChildren(2))
+}
+
+object NativeFunctions {
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def chunkSplit(text: Column, chunkSize: Int, overlap: Int): Column =
+    ColumnBridge.column(ChunkSplit(
+      ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(chunkSize),
+      org.apache.spark.sql.catalyst.expressions.Literal(overlap)))
+
+  /** Register both for SQL (`SELECT cosine_sim(a,b)`,
+    * `SELECT chunk_split(text, 100, 0) ...`). Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chunk_split", exprs => ChunkSplit(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+}

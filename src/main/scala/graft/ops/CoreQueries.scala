@@ -188,4 +188,19 @@ object CoreQueries {
   def docReport(spark: SparkSession, dir: String): DataFrame =
     ChunkPipeline.report(
       ChunkPipeline.docChunkStats(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0)))
+
+  /** The C1 splitter through its SQL surface — the `chunk_split`
+    * Generator (UDTF) registered in the session function registry.
+    * Rows-only driver check; `SqlSurfaceSpec` asserts equality with
+    * the typed-flatMap path (same pure splitter underneath).
+    */
+  def sqlChunkSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT doc_id, chunk_split(text, 100, 0)
+        |FROM graft_documents
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+  }
 }
