@@ -37,12 +37,16 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
+    "agg_percentile" -> (Relational.aggPercentile(_, _)),
+    "agg_typed_ratio" -> (TextAnalysis.aggTypedRatio(_, _)),
+    "array_ops" -> (TextAnalysis.arrayOps(_, _)),
     // Joins (§2.6)
     "join_broadcast" -> (Relational.joinBroadcast(_, _)),
     "join_sortmerge" -> (Relational.joinSortMerge(_, _)),
     "join_semi" -> (Relational.joinSemi(_, _)),
     "join_anti" -> (Relational.joinAnti(_, _)),
     "join_range" -> (Relational.joinRange(_, _)),
+    "join_salted" -> (Relational.joinSalted(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -90,6 +94,10 @@ object SparkEntry {
     "join_semi" -> Relational.joinSemiSql,
     "join_anti" -> Relational.joinAntiSql,
     "join_range" -> Relational.joinRangeSql,
+    "join_salted" -> Relational.joinSaltedSql,
+    "agg_percentile" -> Relational.aggPercentileSql,
+    "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
+    "array_ops" -> TextAnalysis.arrayOpsSql,
     "window_lag" -> Relational.windowLagSql,
     "window_topk" -> Relational.windowTopkSql,
     "window_running" -> Relational.windowRunningSql,

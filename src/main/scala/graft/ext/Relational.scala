@@ -492,4 +492,62 @@ object Relational {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY hour_s, event_type
       |ORDER BY hour_s, event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Skew handling: salted join (scale technique, oracle = plain join)
+  // ----------------------------------------------------------------
+
+  /** Salted shuffle join: the dimension side is replicated once per
+    * salt bucket and the fact side picks a deterministic bucket, so a
+    * hot key's rows spread over `SaltBuckets` reducers instead of one
+    * straggler task. Result is identical to the unsalted join (the
+    * oracle) — this registers the *technique* behind AQE's skew-join
+    * for cases AQE can't see (e.g. pre-aggregation skew).
+    */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val SaltBuckets = 8
+    val fact = t(spark, dir, "orders")
+      .withColumn("salt", pmod(col("o_orderkey"), lit(SaltBuckets)).cast("int"))
+    val dim = t(spark, dir, "customer")
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    fact.join(dim,
+        fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Exact percentiles (interpolated) per group
+  // ----------------------------------------------------------------
+
+  /** Exact linear-interpolated quartiles of order totals per status —
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * interpolation rule, so values hash-match (integral cents input).
+    */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("round(percentile(o_totalprice, 0.25), 4)").as("p25"),
+        expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.75), 4)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val aggPercentileSql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

@@ -201,4 +201,66 @@ object TextAnalysis {
        |  length(text) AS n_chars
        |FROM (SELECT doc_id, text, substr(text, 1, 256) AS p FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Typed Aggregator (UDAF) + array higher-order function coverage
+  // ----------------------------------------------------------------
+
+  /** Price-per-unit ratio of sums per return flag through the typed
+    * [[graft.functions.RatioOfSums]] Aggregator (exact integer-cent
+    * buffer -> merge-order-independent). Oracle reproduces the cent
+    * arithmetic.
+    */
+  def aggTypedRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.RatioOfSums.toColumn.name("cents_per_unit"))
+      .toDF("l_returnflag", "cents_per_unit")
+      .withColumn("price_per_unit", col("cents_per_unit") / 100.0)
+      .orderBy("l_returnflag")
+  }
+
+  val aggTypedRatioSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / sum(CAST(l_quantity AS BIGINT)) AS cents_per_unit,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / sum(CAST(l_quantity AS BIGINT)) / 100.0 AS price_per_unit
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Array higher-order functions over the embedding column
+    * (`transform`/`filter`/`aggregate` — §2.2 extension surface):
+    * per-vector norm, positive-component count, mean, extrema.
+    */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)), 6).as("l2_norm"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, v) => acc + v.cast("double")) / size(col("embedding")), 6).as("mean"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_v"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_v"))
+      .orderBy("vec_id")
+
+  val arrayOpsSql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * x))), 6) AS l2_norm,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+      |    / len(embedding), 6) AS mean,
+      |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v
+      |FROM embeddings ORDER BY vec_id""".stripMargin
 }
