@@ -91,4 +91,52 @@ object EventStreams {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the surface for
+    * stateful logic `session_window`/aggregates can't express: a
+    * per-user running profile (event count, value sum, distinct event
+    * types seen) emitted on every update, with event-time timeout
+    * clearing idle users' state. State is bounded per key; at cluster
+    * scale this is RocksDB-backed keyed state behind one shuffle on
+    * user_id.
+    */
+  def userProfiles(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // watermark applied on a retained event-time column — projecting
+    // it away before the stateful operator would drop the watermark
+    val typed = events
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserProfileState, (Long, Long, Double, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Double)],
+         state: GroupState[UserProfileState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((userId, s.n, s.sum, s.types.size))
+          } else {
+            var s = state.getOption.getOrElse(UserProfileState(0L, 0.0, Set.empty))
+            var maxTs = 0L
+            rows.foreach { case (_, ts, tpe, v) =>
+              s = UserProfileState(s.n + 1, s.sum + v, s.types + tpe)
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(maxTs + 30 * 60 * 1000L) // 30 min idle
+            Iterator((userId, s.n, s.sum, s.types.size))
+          }
+      }
+      .toDF("user_id", "n_events", "sum_value", "n_types")
+  }
 }
+
+/** Keyed state for [[EventStreams.userProfiles]]. */
+final case class UserProfileState(n: Long, sum: Double, types: Set[String])

@@ -62,4 +62,23 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == out.select("event_id").distinct().count())
     assert(out.count() == Tables.events(spark, dir).count()) // ids unique in data
   }
+
+  test("flatMapGroupsWithState profiles converge to batch per-user totals") {
+    val out = EventStreams.runToMemory(
+      spark, streamDir, "t_profiles",
+      EventStreams.userProfiles, "append")
+    // last emitted row per user (highest n_events) == batch totals
+    val streamed = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((u, (_, n, sv)) <- streamed) {
+      assert(n == batch(u)._1, s"user $u count")
+      assert(math.abs(sv - batch(u)._2) < 1e-6, s"user $u sum")
+    }
+  }
 }
