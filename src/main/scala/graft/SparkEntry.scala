@@ -50,6 +50,7 @@ object SparkEntry {
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
+    "topk_custom" -> (Relational.topkCustom(_, _)),
     "window_running" -> (Relational.windowRunning(_, _)),
     // Set ops (§2.8)
     "set_ops" -> (Relational.setOps(_, _)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "array_ops" -> TextAnalysis.arrayOpsSql,
     "window_lag" -> Relational.windowLagSql,
     "window_topk" -> Relational.windowTopkSql,
+    "topk_custom" -> Relational.topkCustomSql,
     "window_running" -> Relational.windowRunningSql,
     "set_ops" -> Relational.setOpsSql,
     "json_extract" -> Relational.jsonExtractSql,

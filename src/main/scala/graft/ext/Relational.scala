@@ -550,4 +550,28 @@ object Relational {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Top-3 priciest parts per brand through the custom
+    * [[graft.plans.TopKPerKey]] physical operator (map-side bounded
+    * heaps -> shuffle only survivors) — same result set as the
+    * window-rank formulation `window_topk` minus rank ties (row_number
+    * semantics with a partkey tiebreak), which is what the oracle
+    * expresses.
+    */
+  def topkCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerKey(
+      t(spark, dir, "part").select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice")),
+      keyNames = Seq("p_brand"),
+      orderSpec = Seq("p_retailprice" -> true, "p_partkey" -> false),
+      k = 3)
+      .orderBy("p_brand", "p_partkey")
+
+  val topkCustomSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |  FROM part) WHERE rn <= 3
+      |ORDER BY p_brand, p_partkey""".stripMargin
 }
