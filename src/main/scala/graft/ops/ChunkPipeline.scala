@@ -129,7 +129,10 @@ object ChunkPipeline {
     */
   def report(statsWithTotal: DataFrame): DataFrame = {
     statsWithTotal.select(
-      col("path").as("Filename"),
+      // P2: basename projection for display (`os.path.basename`,
+      // pdf_reader.py:73); the SUM TOTAL label has no '/' and passes
+      // through unchanged
+      element_at(split(col("path"), "/"), -1).as("Filename"),
       format_number(col("pages"), 0).as("Pages"),
       format_number(col("chunks"), 0).as("Chunks"),
       format_number(col("file_size"), 0).as("File Size"),
@@ -143,6 +146,13 @@ object ChunkPipeline {
     */
   def writeCsv(report: DataFrame, out: String): Unit =
     report.coalesce(1).write.option("header", "true").mode("overwrite").csv(out)
+
+  /** S7: JSON metadata sink (the reference's `--print_metadata`
+    * `json.dumps`, `pdf_reader.py:136-138`) — one JSON object per
+    * file-stats row.
+    */
+  def writeJson(stats: Dataset[graft.FileStats], out: String): Unit =
+    stats.coalesce(1).write.mode("overwrite").json(out)
 
   /** End-to-end convenience: documents dir -> per-file stats + total. */
   def docChunkStats(

@@ -69,4 +69,39 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(Engine.sanitizeFolderPath("---") == "folder")
     assert(Engine.sanitizeFolderPath("") == "folder")
   }
+
+  test("JSON metadata sink round-trips file stats (S7)") {
+    val out = java.nio.file.Files.createTempDirectory("enginejson").toString
+    val stats = Engine.fileStats(spark, root, opts)
+    graft.ops.ChunkPipeline.writeJson(stats, s"$out/meta")
+    val back = spark.read.json(s"$out/meta")
+    assert(back.count() == stats.count())
+    assert(back.columns.sorted.toSeq ==
+      Seq("chunks", "fileSize", "pages", "path", "ratio", "textSize"))
+  }
+
+  test("report shows basenames, not full paths (P2)") {
+    val names = Engine.report(spark, root, opts)
+      .collect().map(_.getString(0))
+    assert(names.contains("a.txt") && names.contains("b.txt"))
+    assert(!names.exists(_.contains("/")))
+    assert(names.last == "SUM TOTAL")
+  }
+
+  test("unicode: Spark length() counts code points like Python len (documented)") {
+    // SURVEY.md §7.4 flagged a possible Python-len vs JVM-length
+    // mismatch for astral-plane chars. Measured: Spark's length() on
+    // UTF8String counts CODE POINTS — identical to Python len — so
+    // chunk_len/text_size match the reference even for emoji. The only
+    // UTF-16 surface is the pure-Scala splitter's chunkSize budget
+    // (String.length), where an astral char costs 2 budget units —
+    // a conservative, documented deviation (never over-fills a chunk).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length => sqlLength, col}
+    val emoji = "\ud83d\udc4d" // U+1F44D
+    assert(emoji.length == 2) // JVM: UTF-16 units
+    val got = Seq(emoji).toDF("s").select(sqlLength(col("s"))).collect()(0).getInt(0)
+    assert(got == 1) // Spark: code points, same as Python len
+    assert(emoji.codePointCount(0, emoji.length) == 1)
+  }
 }
