@@ -15,6 +15,18 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh in-memory catalog does not know about files a previous
+    // JVM's managed tables left behind — clear the locations too
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val loc = wh.resolve(t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
 
     spark.read.parquet(s"$dir/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
