@@ -38,6 +38,9 @@ object SparkEntry {
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_percentile" -> (Relational.aggPercentile(_, _)),
+    "agg_pivot" -> (Relational.aggPivot(_, _)),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets(_, _)),
+    "scalar_subquery" -> (Relational.scalarSubquery(_, _)),
     "agg_typed_ratio" -> (TextAnalysis.aggTypedRatio(_, _)),
     "array_ops" -> (TextAnalysis.arrayOps(_, _)),
     // Joins (§2.6)
@@ -97,6 +100,9 @@ object SparkEntry {
     "join_range" -> Relational.joinRangeSql,
     "join_salted" -> Relational.joinSaltedSql,
     "agg_percentile" -> Relational.aggPercentileSql,
+    "agg_pivot" -> Relational.aggPivotSql,
+    "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
+    "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
     "window_lag" -> Relational.windowLagSql,

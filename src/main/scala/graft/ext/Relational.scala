@@ -574,4 +574,78 @@ object Relational {
       |                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
       |  FROM part) WHERE rn <= 3
       |ORDER BY p_brand, p_partkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Pivot, scalar subquery, grouping sets (SQL-surface coverage)
+  // ----------------------------------------------------------------
+
+  /** Pivot event types into columns per user (relational pivot; the
+    * oracle expresses the same thing with portable CASE aggregation).
+    */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click"), col("view"), col("purchase"),
+        col("signup"), col("error"))
+      .orderBy("user_id")
+
+  val aggPivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Scalar + correlated subqueries (Catalyst de-correlates to joins):
+    * customers whose balance exceeds their nation's average.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal
+        |FROM graft_customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer
+        |                   WHERE c_nationkey = c.c_nationkey)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_nationkey = c.c_nationkey)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Arbitrary GROUPING SETS (beyond rollup/cube): totals by status,
+    * by priority, and overall — one shuffle via Expand.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
 }
