@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.SparkTestBase
+
+/** Plan-shape guards: pushdown, broadcast, and the rank-filter ->
+  * TopKPerKey optimizer rewrite.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val plan = graft.ext.Relational.q1Agg(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+    assert(!plan.contains("l_comment")) // never read
+  }
+
+  test("dimension chain plans as broadcast joins") {
+    val plan = graft.ext.Relational.joinBroadcast(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("optimizer rewrites rank<=k filter to TopKPerKey when rank is projected away") {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val df = spark.read.parquet(s"$dir/part.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice") // rn dropped
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKey"), optimized)
+    assert(!optimized.contains("Window"), optimized)
+    // and execution works + matches the unrewritten semantics
+    val viaRule = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = TopK.topKPerKey(
+      spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+      Seq("p_brand"), Seq("p_retailprice" -> true, "p_partkey" -> false), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaRule == direct)
+  }
+
+  test("rewrite does NOT fire when the rank column is observed") {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    val df = spark.read.parquet(s"$dir/part.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "rn") // rn kept -> Window must stay
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Window"), optimized)
+    assert(!optimized.contains("TopKPerKey"), optimized)
+  }
+}
