@@ -77,6 +77,7 @@ object SparkEntry {
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
+    "sim_ivf" -> (Similarity.simIvf(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),

@@ -137,4 +137,124 @@ object Similarity {
       .orderBy("q_id", "rn")
       .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
   }
+
+  // ----------------------------------------------------------------
+  // IVF-bucketed ANN (the clustered-data scale path)
+  // ----------------------------------------------------------------
+
+  private val IvfK = 16      // centroids (inverted lists)
+  private val IvfIters = 3   // Lloyd iterations
+  private val IvfProbes = 4  // lists probed per query
+
+  private def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length && i < cv.length) {
+        val diff = v(i) - cv(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def probeList(cs: Array[Array[Double]], v: Array[Float], n: Int): Seq[Int] = {
+    cs.indices.map { c =>
+      val cv = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length && i < cv.length) {
+        val diff = v(i) - cv(i); d += diff * diff; i += 1
+      }
+      (d, c)
+    }.sortBy(identity).take(n).map(_._2)
+  }
+
+  /** Deterministic mini-k-means: init = first K vectors by id, then
+    * `IvfIters` Lloyd steps. Each step is one distributed pass
+    * emitting per-partition (sum, count) partials; the K x dim model
+    * merges on the driver (tiny), the classic centroid-training grid
+    * shape. Empty clusters keep their previous centroid.
+    */
+  private[ext] def trainCentroids(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])]): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.head()._2.length
+    // strided deterministic init: one seed per id-range, so the seeds
+    // spread across the dataset instead of clumping in low ids
+    val n = vecs.count()
+    val stride = math.max(1L, n / IvfK)
+    var centroids: Array[Array[Double]] = vecs
+      .filter(v => v._1 % stride == 0)
+      .orderBy("vec_id").limit(IvfK).collect()
+      .map(_._2.map(_.toDouble))
+    for (_ <- 0 until IvfIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val c = nearestCentroid(cs, v)
+          counts(c) += 1
+          var i = 0
+          while (i < dim && i < v.length) { sums(c)(i) += v(i); i += 1 }
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      centroids = centroids.indices.map { c =>
+        val total = partials.map(_._2(c)).sum
+        if (total == 0) centroids(c)
+        else {
+          val acc = new Array[Double](dim)
+          partials.foreach { case (sums, _) =>
+            var i = 0
+            while (i < dim) { acc(i) += sums(c)(i); i += 1 }
+          }
+          acc.map(_ / total)
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k: vectors assigned to their nearest centroid's
+    * inverted list; each query scans only its `IvfProbes` nearest
+    * lists. Complements [[simLsh]]: IVF adapts to the data's cluster
+    * structure (k-means cells), where fixed random hyperplanes cannot.
+    */
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val centroids = trainCentroids(vecs)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) => (id, v, nearestCentroid(cs, v)) }
+    }.toDF("c_id", "ce", "bucket")
+    val q = vecs.filter(_._1 < NumQueries)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          probeList(cs, v, IvfProbes).iterator.map(b => (id, v, b))
+        }
+      }.toDF("q_id", "qe", "bucket")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    assigned.join(broadcast(q), Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .select(col("q_id"), col("c_id"), col("cos_sim")).distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .orderBy("q_id", "rn")
+      .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
+  }
 }

@@ -69,4 +69,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean LSH recall $mean below 0.8 on clustered data")
   }
+
+  test("IVF recall on clustered vectors >= 0.9 of brute-force top-10") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val vecs = (for {
+      c <- 0 until 16
+      base = Array.fill(dim)(rnd.nextGaussian())
+      m <- 0 until 30
+    } yield ((c * 30 + m).toLong, base.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat), c)).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("simivf").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def topSets(f: org.apache.spark.sql.DataFrame) =
+      f.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+
+    val exact = topSets(Similarity.simTopk(spark, tmp))
+    val approx = topSets(Similarity.simIvf(spark, tmp))
+    val recalls = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean IVF recall $mean below 0.9 on clustered data")
+  }
 }
