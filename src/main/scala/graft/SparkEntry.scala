@@ -33,6 +33,8 @@ object SparkEntry {
     "sql_chunk_split" -> (CoreQueries.sqlChunkSplit(_, _)),
     // Aggregations (§2.5)
     "q1_agg" -> (Relational.q1Agg(_, _)),
+    "q3_shipping" -> (Relational.q3Shipping(_, _)),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
@@ -91,6 +93,8 @@ object SparkEntry {
     "doc_normalize" -> CoreQueries.docNormalizeSql,
     "multi_root" -> CoreQueries.multiRootSql,
     "q1_agg" -> Relational.q1AggSql,
+    "q3_shipping" -> Relational.q3ShippingSql,
+    "q5_local_supplier" -> Relational.q5LocalSupplierSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_cube" -> Relational.aggCubeSql,
     "agg_distinct" -> Relational.aggDistinctSql,
