@@ -73,7 +73,11 @@ object Similarity {
   // LSH-bucketed ANN (scale path)
   // ----------------------------------------------------------------
 
-  private val NumPlanes = 12 // 12-bit signatures -> 4096 buckets
+  // 8-bit signatures -> 256 buckets: sized so verification-scale runs
+  // (500-5000 vectors) keep several candidates per probed bucket; at
+  // billion-vector scale this widens with the corpus (buckets should
+  // hold ~1e3-1e4 vectors each)
+  private val NumPlanes = 8
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (seeded). */
