@@ -33,9 +33,17 @@ object Engine {
       FileSources.pages(FileSources.binaryFiles(spark, root, opts.glob), opts.extractor),
       opts.split)
 
-  /** Per-file statistics (pages, chunks, sizes, ratio). */
-  def fileStats(spark: SparkSession, root: String, opts: Options = Options()): Dataset[FileStats] =
-    ChunkPipeline.fileStats(ChunkPipeline.chunkMetrics(chunks(spark, root, opts)))
+  /** Per-file statistics (pages, chunks, sizes, ratio). Pages are
+    * counted from the page source, not from chunks, so chunkless pages
+    * and files are represented (reference semantics: `pages =
+    * len(documents)`, `pdf_reader.py:498`).
+    */
+  def fileStats(spark: SparkSession, root: String, opts: Options = Options()): Dataset[FileStats] = {
+    val pages = FileSources.pages(
+      FileSources.binaryFiles(spark, root, opts.glob), opts.extractor)
+    ChunkPipeline.fileStats(pages,
+      ChunkPipeline.chunkMetrics(ChunkPipeline.chunk(pages, opts.split)))
+  }
 
   /** Formatted report with the SUM TOTAL row last
     * (`pdf_reader.py:151-171`).

@@ -85,7 +85,8 @@ object Main {
       split = SplitConfig(chunkSize = args.chunkSize, chunkOverlap = args.chunkOverlap))
     val t0 = System.nanoTime()
     for (root <- args.roots) {
-      val report = Engine.report(spark, root, opts)
+      // one pipeline execution feeds all three sinks
+      val report = Engine.report(spark, root, opts).cache()
       report.show(1000, truncate = false) // S6 console sink
       if (args.printMetadata) {
         import org.apache.spark.sql.functions.{struct, to_json, col}
@@ -95,6 +96,7 @@ object Main {
       }
       val out = s"${args.outputDir}/${Engine.sanitizeFolderPath(root)}"
       graft.ops.ChunkPipeline.writeCsv(report, out)
+      report.unpersist()
       println(s"[graft] wrote $out")
     }
     println(f"[graft] total ${(System.nanoTime() - t0) / 1e9}%.2f s " +

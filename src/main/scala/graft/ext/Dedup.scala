@@ -25,7 +25,7 @@ import graft.functions.VectorOps
 object Dedup {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
 
   // ----------------------------------------------------------------
   // Exact dedup: SHA-256 content digest
@@ -208,7 +208,7 @@ object Dedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vecs = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val build = vecs.collect().sortBy(_._1) // one block at this scale

@@ -54,7 +54,7 @@ object Multimodal {
     * typed metadata struct.
     */
   def assets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .select(
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -106,7 +106,7 @@ object Multimodal {
     * frame-sampler would fan out per-frame rows before a decode UDF.
     */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 2 && length(col("text")) > 0)
       .select(
         col("doc_id").as("asset_id"), col("text"),

@@ -25,7 +25,7 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.table(spark, dir, name)
 
   // ----------------------------------------------------------------
   // Aggregations (§2.5 extensions)

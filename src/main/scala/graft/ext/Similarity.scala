@@ -26,7 +26,7 @@ object Similarity {
   private val NumQueries = 5
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Tables.table(spark, dir, "embeddings")
 
   /** Exact top-k: cosine over all candidates, rounded to 6dp at the
     * output boundary (cross-engine FP agreement), deterministic

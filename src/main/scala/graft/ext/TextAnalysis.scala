@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
 
   /** Whitespace tokens: matches Java/RE2 `' +'` split on both engines. */
   private val wordsCol: Column = split(col("text"), " +")
@@ -213,7 +213,7 @@ object TextAnalysis {
     */
   def aggTypedRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.table(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("qty"))
@@ -239,7 +239,7 @@ object TextAnalysis {
     * per-vector norm, positive-component count, mean, extrema.
     */
   def arrayOps(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Tables.table(spark, dir, "embeddings")
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),

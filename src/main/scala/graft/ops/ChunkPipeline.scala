@@ -35,7 +35,7 @@ object ChunkPipeline {
     */
   def pagesFromDocuments(spark: SparkSession, dir: String): Dataset[Page] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .select(
         col("doc_id").cast("string").as("path"),
         lit(0).as("page"),
@@ -153,6 +153,37 @@ object ChunkPipeline {
     */
   def writeJson(stats: Dataset[graft.FileStats], out: String): Unit =
     stats.coalesce(1).write.mode("overwrite").json(out)
+
+  /** A1 with page-truth: pages counted from the page source — the
+    * reference's `pages = len(documents)` (`pdf_reader.py:498,503`) —
+    * so trailing pages that yield no chunks still count, and a file
+    * whose pages yield no chunks at all (empty/whitespace text) gets a
+    * row with `chunks = 0` and a null ratio (the documented deviation
+    * from the reference's ZeroDivisionError, SURVEY.md §7.4). The
+    * chunk-only overload above remains for sources where every page
+    * chunks (e.g. the documents table).
+    */
+  def fileStats(pages: Dataset[Page], chunkMetrics: DataFrame): Dataset[FileStats] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val pageStats = pages.toDF().groupBy(col("path"))
+      .agg(
+        (max(col("page")) + 1).cast("long").as("pages"),
+        max(col("fileSize")).as("fileSize"))
+    val chunkAgg = chunkMetrics.groupBy(col("path"))
+      .agg(
+        count(lit(1)).as("chunks"),
+        sum(col("chunk_len")).as("textSize"))
+    pageStats.join(chunkAgg, Seq("path"), "left")
+      .na.fill(0L, Seq("chunks", "textSize"))
+      .withColumn("ratio",
+        when(col("textSize") === 0, lit(null).cast("double"))
+          .otherwise(col("fileSize").cast("double") / col("textSize")))
+      .select(
+        col("path"), col("pages"), col("chunks"),
+        col("fileSize"), col("textSize"), col("ratio"))
+      .as[FileStats]
+  }
 
   /** End-to-end convenience: documents dir -> per-file stats + total. */
   def docChunkStats(

@@ -47,7 +47,7 @@ object CoreQueries {
   // ---------------------------------------------------------------
 
   private def fixedChunksImpl(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .filter(length(col("text")) > 0)
       .withColumn("chunk_idx",
         explode(sequence(lit(0L), ((length(col("text")) - 1) / W).cast("long"))))
@@ -141,7 +141,7 @@ object CoreQueries {
     * `docNormalizeSql`.
     */
   def docNormalize(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .select(
         col("doc_id"),
         Normalize.normalizeCol(col("text")).as("norm_text"),
@@ -162,7 +162,7 @@ object CoreQueries {
     * input folder) corpus stats with an ALL rollup row.
     */
   def multiRoot(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .rollup(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -196,7 +196,7 @@ object CoreQueries {
     */
   def sqlChunkSplit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.table(spark, dir, "documents")
       .createOrReplaceTempView("graft_documents")
     spark.sql(
       """SELECT doc_id, chunk_split(text, 100, 0)

@@ -35,7 +35,8 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
         Filter(RankLimit(rnAttr, k),
           Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
             partSpec, orderSpec, child, _)))
-        if k > 0 &&
+        if k > 0 && partSpec.nonEmpty && // global top-k must keep the
+          // Window path: ClusteredDistribution(Nil) is rejected by Spark
           rnAttr.semanticEquals(alias.toAttribute) &&
           projList.forall(_.references.subsetOf(child.outputSet)) =>
       Project(projList, TopKPerKey(partSpec, orderSpec, k, child))

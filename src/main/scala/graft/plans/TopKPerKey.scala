@@ -112,6 +112,8 @@ object TopK {
       keyNames: Seq[String],
       orderSpec: Seq[(String, Boolean)], // (column, descending?)
       k: Int): DataFrame = {
+    require(k > 0, s"topKPerKey: k must be positive, got $k")
+    require(keyNames.nonEmpty, "topKPerKey: at least one key column required")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

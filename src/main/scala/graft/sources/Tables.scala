@@ -30,7 +30,7 @@ object Tables {
     if (tsField.dataType == LongType) {
       raw
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     } else {
       raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }

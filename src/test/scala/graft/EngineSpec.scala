@@ -18,7 +18,11 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     Files.writeString(tmp.resolve("a.txt"), "alpha beta gamma delta epsilon zeta")
     Files.writeString(tmp.resolve("sub/b.txt"), "one two three\ffour five six seven")
     Files.writeString(tmp.resolve("skip.dat"), "must not be read")
-    Files.writeString(tmp.resolve("empty.txt"), "")
+    // NOTE: zero-byte files are invisible to the binaryFile source
+    // (no partitions emitted) — whitespace-only exercises the
+    // no-chunks path instead
+    Files.writeString(tmp.resolve("blank.txt"), "   ")
+    Files.writeString(tmp.resolve("tail.txt"), "tail page\f")
     tmp.toString
   }
 
@@ -37,7 +41,14 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(stats("b.txt").pages == 2)
     assert(stats("a.txt").fileSize == 35) // byte length from binaryFile
     assert(stats("a.txt").ratio.get == 35.0 / stats("a.txt").textSize)
-    assert(!stats.contains("empty.txt")) // no chunks -> no stats row
+    // a chunkless file still gets a row: pages from the page source,
+    // zero chunks, null ratio (reference would ZeroDivisionError)
+    assert(stats("blank.txt").pages == 1)
+    assert(stats("blank.txt").chunks == 0)
+    assert(stats("blank.txt").ratio.isEmpty)
+    // trailing form-feed: the empty trailing page still counts
+    assert(stats("tail.txt").pages == 2)
+    assert(stats("tail.txt").chunks == 1)
   }
 
   test("chunks retain content; column pruning replaces b_get_content (P12)") {
