@@ -71,6 +71,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
+    "text_edit_distance" -> (TextAnalysis.textEditDistance(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
+    "text_edit_distance" -> TextAnalysis.textEditDistanceSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,

@@ -263,4 +263,34 @@ object TextAnalysis {
       |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
       |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Edit-distance near-dup scoring over adjacent doc-id pairs (the
+    * O(n²) all-pairs form is what MinHash avoids; the adjacent-pair
+    * form exercises the operator deterministically). Both engines
+    * implement the same Levenshtein definition, so values hash-match.
+    */
+  def textEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("text").substr(lit(1), lit(64)).as("prefix"))
+    val a = d.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+    val b = d.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+      col("prefix").as("pb"))
+    a.join(b, Seq("doc_a"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        (lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+          greatest(length(col("pa")), length(col("pb")))).as("edit_sim"))
+      .orderBy("doc_a")
+  }
+
+  val textEditDistanceSql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT)
+      |    AS edit_dist,
+      |  1.0 - CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS DOUBLE)
+      |    / greatest(length(substr(a.text, 1, 64)), length(substr(b.text, 1, 64)))
+      |    AS edit_sim
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
 }
