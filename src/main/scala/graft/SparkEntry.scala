@@ -59,6 +59,7 @@ object SparkEntry {
     "window_running" -> (Relational.windowRunning(_, _)),
     // Set ops (§2.8)
     "set_ops" -> (Relational.setOps(_, _)),
+    "set_ops_all" -> (Relational.setOpsAll(_, _)),
     // JSON / date scalars (§2.2)
     "json_extract" -> (Relational.jsonExtract(_, _)),
     "date_trunc" -> (Relational.dateTrunc(_, _)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "topk_custom" -> Relational.topkCustomSql,
     "window_running" -> Relational.windowRunningSql,
     "set_ops" -> Relational.setOpsSql,
+    "set_ops_all" -> Relational.setOpsAllSql,
     "json_extract" -> Relational.jsonExtractSql,
     "date_trunc" -> Relational.dateTruncSql,
     "asof_join" -> Relational.asofJoinSql,

@@ -728,4 +728,36 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** Multiset set-ops (ALL variants): duplicate-preserving intersect
+    * and except over per-order line counts.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+      .filter(col("l_orderkey") % 2 === 0)
+    val b = t(spark, dir, "lineitem").select(col("l_orderkey").as("k"))
+      .filter(col("l_orderkey") % 3 === 0)
+    val inter = a.intersectAll(b).groupBy().agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val exc = a.exceptAll(b).groupBy().agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val union = a.unionAll(b).groupBy().agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("union_all"))
+    inter.unionByName(exc).unionByName(union)
+      .select(col("op"), col("n")).orderBy("op")
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+      |     b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 3 = 0),
+      |     tagged AS (
+      |  SELECT 'intersect_all' AS op, count(*) AS n
+      |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'except_all' AS op, count(*) AS n
+      |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'union_all' AS op, count(*) AS n
+      |  FROM (SELECT k FROM a UNION ALL SELECT k FROM b))
+      |SELECT op, n FROM tagged ORDER BY op""".stripMargin
 }
