@@ -57,6 +57,7 @@ object SparkEntry {
     "window_topk" -> (Relational.windowTopk(_, _)),
     "topk_custom" -> (Relational.topkCustom(_, _)),
     "window_running" -> (Relational.windowRunning(_, _)),
+    "window_rank_family" -> (Relational.windowRankFamily(_, _)),
     // Set ops (§2.8)
     "set_ops" -> (Relational.setOps(_, _)),
     "set_ops_all" -> (Relational.setOpsAll(_, _)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "window_topk" -> Relational.windowTopkSql,
     "topk_custom" -> Relational.topkCustomSql,
     "window_running" -> Relational.windowRunningSql,
+    "window_rank_family" -> Relational.windowRankFamilySql,
     "set_ops" -> Relational.setOpsSql,
     "set_ops_all" -> Relational.setOpsAllSql,
     "json_extract" -> Relational.jsonExtractSql,

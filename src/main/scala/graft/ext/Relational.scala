@@ -760,4 +760,36 @@ object Relational {
       |  SELECT 'union_all' AS op, count(*) AS n
       |  FROM (SELECT k FROM a UNION ALL SELECT k FROM b))
       |SELECT op, n FROM tagged ORDER BY op""".stripMargin
+
+  /** Ranking-function family: dense_rank / percent_rank / cume_dist /
+    * ntile per market segment (fully deterministic ordering via the
+    * custkey tiebreak).
+    */
+  def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("c_custkey") % 10 === 0) // sample to keep output small
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val windowRankFamilySql: String =
+    """SELECT c_mktsegment, c_custkey, drank, prank, cdist, quartile
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |    percent_rank() OVER w AS prank,
+      |    cume_dist() OVER w AS cdist,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment
+      |               ORDER BY c_acctbal DESC, c_custkey ASC))
+      |WHERE c_custkey % 10 = 0
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
 }
