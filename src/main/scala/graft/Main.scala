@@ -50,7 +50,11 @@ object Main {
     require(positional.length >= 2,
       "usage: graft.Main <dir> [<dir>…] <parallelism> [--file_type EXT] " +
         "[--chunk_size N] [--chunk_overlap N] [--print_metadata] [--output_dir DIR]")
-    val parallelism = positional.last.toInt
+    val parallelism = try positional.last.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"last positional argument must be the parallelism count, " +
+          s"got '${positional.last}'")
+    }
     require(parallelism > 0, "parallelism must be positive")
     val roots = positional.init
     roots.foreach { r =>
@@ -85,18 +89,21 @@ object Main {
       split = SplitConfig(chunkSize = args.chunkSize, chunkOverlap = args.chunkOverlap))
     val t0 = System.nanoTime()
     for (root <- args.roots) {
-      // one pipeline execution feeds all three sinks
-      val report = Engine.report(spark, root, opts).cache()
-      report.show(1000, truncate = false) // S6 console sink
+      // one pipeline execution feeds all sinks: stats are cached and
+      // the report/CSV/JSON all derive from them
+      val stats = Engine.fileStats(spark, root, opts).cache()
+      val report = graft.ops.ChunkPipeline.report(
+        graft.ops.ChunkPipeline.statsWithTotal(stats))
+      val nRows = stats.count().toInt + 1 // + SUM TOTAL
+      report.show(nRows, truncate = false) // S6 console sink, untruncated
       if (args.printMetadata) {
         import org.apache.spark.sql.functions.{struct, to_json, col}
-        Engine.fileStats(spark, root, opts)
-          .select(to_json(struct(col("*"))))
+        stats.toDF().select(to_json(struct(col("*"))))
           .collect().foreach(r => println(r.getString(0)))
       }
       val out = s"${args.outputDir}/${Engine.sanitizeFolderPath(root)}"
       graft.ops.ChunkPipeline.writeCsv(report, out)
-      report.unpersist()
+      stats.unpersist()
       println(s"[graft] wrote $out")
     }
     println(f"[graft] total ${(System.nanoTime() - t0) / 1e9}%.2f s " +

@@ -233,11 +233,16 @@ object Dedup {
         }
         (lo until cand.length).iterator.flatMap { j =>
           val vb = cand(j)._2
-          var d = 0.0; var k = 0
-          while (k < va.length) { d += va(k).toDouble * vb(k).toDouble; k += 1 }
-          val cos = java.math.BigDecimal.valueOf(d / (na * cnorm(j)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= threshold) Some((ida, cand(j)._1, cos)) else None
+          // zero-norm vectors have no defined cosine: skip the pair
+          // (the oracle's NULL division result is likewise filtered)
+          if (na == 0.0 || cnorm(j) == 0.0) None
+          else {
+            var d = 0.0; var k = 0
+            while (k < va.length) { d += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val cos = java.math.BigDecimal.valueOf(d / (na * cnorm(j)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) Some((ida, cand(j)._1, cos)) else None
+          }
         }
       }
     }.toDF("vec_a", "vec_b", "cos_sim")

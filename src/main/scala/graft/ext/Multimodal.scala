@@ -110,28 +110,31 @@ object Multimodal {
       .filter(pmod(col("doc_id"), lit(3)) === 2 && length(col("text")) > 0)
       .select(
         col("doc_id").as("asset_id"), col("text"),
-        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-      .withColumn("stride", greatest(lit(1L), expr("n_bytes div 8")))
+        // stride over CHARACTERS, not bytes: substr indexes chars, so
+        // byte-based offsets would drift (or fall off the end) on
+        // multi-byte payloads
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("stride", greatest(lit(1L), expr("n_chars div 8")))
       .withColumn("frame_idx",
-        explode(sequence(lit(0L), least(lit(7L), expr("(n_bytes - 1) div stride")))))
-      .withColumn("byte_off", col("frame_idx") * col("stride"))
+        explode(sequence(lit(0L), least(lit(7L), expr("(n_chars - 1) div stride")))))
+      .withColumn("char_off", col("frame_idx") * col("stride"))
       .select(
-        col("asset_id"), col("frame_idx"), col("byte_off"),
-        ascii(col("text").substr((col("byte_off") + 1).cast("int"), lit(1)))
+        col("asset_id"), col("frame_idx"), col("char_off"),
+        ascii(col("text").substr((col("char_off") + 1).cast("int"), lit(1)))
           .cast("long").as("lead_cp"))
       .orderBy("asset_id", "frame_idx")
 
   val mmFramesSql: String =
     """WITH v AS (
       |  SELECT doc_id AS asset_id, text,
-      |         octet_length(encode(text)) AS n_bytes,
-      |         greatest(1, octet_length(encode(text)) // 8) AS stride
+      |         length(text) AS n_chars,
+      |         greatest(1, length(text) // 8) AS stride
       |  FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
       |f AS (
       |  SELECT asset_id, text, stride,
-      |         unnest(generate_series(0, least(7, (n_bytes - 1) // stride))) AS frame_idx
+      |         unnest(generate_series(0, least(7, (n_chars - 1) // stride))) AS frame_idx
       |  FROM v)
-      |SELECT asset_id, frame_idx, frame_idx * stride AS byte_off,
+      |SELECT asset_id, frame_idx, frame_idx * stride AS char_off,
       |       CAST(unicode(substr(text, CAST(frame_idx * stride + 1 AS INT), 1)) AS BIGINT) AS lead_cp
       |FROM f ORDER BY asset_id, frame_idx""".stripMargin
 }

@@ -52,22 +52,38 @@ final case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupKeys))
 
+  /** Max distinct keys held per partial-phase task before flushing.
+    * Flushing emits the current heaps and starts fresh — safe for the
+    * partial phase because the union of segment-wise top-k supersets
+    * the partition top-k (the final phase re-selects exactly); it
+    * bounds memory at ~MaxKeys * k rows where the Window formulation
+    * would instead full-sort. The final phase never flushes (its
+    * per-key input is already <= numPartitions * k rows).
+    */
+  private val MaxPartialKeys = 1 << 17
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keys = groupKeys
     val sortOrder = order
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       // ascending "rank" ordering; the heap keeps the k smallest with
       // the current worst on top
       val ord = RowOrdering.create(sortOrder, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val flushed = mutable.ArrayBuffer.empty[Iterator[InternalRow]]
       it.foreach { row =>
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            if (isPartial && heaps.size >= MaxPartialKeys) {
+              flushed += heaps.valuesIterator.flatMap(_.iterator)
+              heaps = mutable.LinkedHashMap.empty
+            }
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             heaps.put(key.copy(), h)
             h
@@ -78,7 +94,7 @@ final case class TopKPerKeyExec(
           heap += row.copy()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      flushed.iterator.flatten ++ heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

@@ -13,19 +13,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   test("dedup_exact groups identical texts under one digest") {
     import spark.implicits._
-    val df = Seq(
-      (1L, "same text"), (2L, "same text"), (3L, "other")
-    ).toDF("doc_id", "text").createOrReplaceTempView("ignored")
-    val out = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+    // drive the real production function on a constructed table
+    val tmp = java.nio.file.Files.createTempDirectory("dedupexact").toString
+    Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
-      .groupBy(org.apache.spark.sql.functions.sha2($"text", 256).as("digest"))
-      .agg(
-        org.apache.spark.sql.functions.min($"doc_id").as("keep_id"),
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("copies"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupExact(spark, tmp)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.length == 2)
     assert(out.find(_._3 == 2).get._2 == 1L) // keeps min doc_id
+    assert(out.map(_._1).distinct.length == 2) // distinct digests
   }
 
   test("minhash LSH finds exactly the brute-force Jaccard >= 0.8 pairs") {

@@ -55,4 +55,13 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     val msg = err.getMessage.toLowerCase
     assert(msg.contains("constant") || msg.contains("foldable") || msg.contains("mismatch"))
   }
+
+  test("cosine_sim yields null for mismatched dimensions (matches HOF nulling)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val native = df.select(NativeFunctions.cosineSim(col("a"), col("b"))).collect()(0)
+    assert(native.isNullAt(0))
+    val hof = df.select(VectorOps.cosine(col("a"), col("b"))).collect()(0)
+    assert(hof.isNullAt(0))
+  }
 }
