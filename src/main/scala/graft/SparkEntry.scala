@@ -35,6 +35,7 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_shipping" -> (Relational.q3Shipping(_, _)),
     "q5_local_supplier" -> (Relational.q5LocalSupplier(_, _)),
+    "q6_forecast" -> (Relational.q6Forecast(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
@@ -58,6 +59,7 @@ object SparkEntry {
     "topk_custom" -> (Relational.topkCustom(_, _)),
     "window_running" -> (Relational.windowRunning(_, _)),
     "window_rank_family" -> (Relational.windowRankFamily(_, _)),
+    "window_range_frame" -> (Relational.windowRangeFrame(_, _)),
     // Set ops (§2.8)
     "set_ops" -> (Relational.setOps(_, _)),
     "set_ops_all" -> (Relational.setOpsAll(_, _)),
@@ -98,6 +100,7 @@ object SparkEntry {
     "q1_agg" -> Relational.q1AggSql,
     "q3_shipping" -> Relational.q3ShippingSql,
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,
+    "q6_forecast" -> Relational.q6ForecastSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_cube" -> Relational.aggCubeSql,
     "agg_distinct" -> Relational.aggDistinctSql,
@@ -118,6 +121,7 @@ object SparkEntry {
     "topk_custom" -> Relational.topkCustomSql,
     "window_running" -> Relational.windowRunningSql,
     "window_rank_family" -> Relational.windowRankFamilySql,
+    "window_range_frame" -> Relational.windowRangeFrameSql,
     "set_ops" -> Relational.setOpsSql,
     "set_ops_all" -> Relational.setOpsAllSql,
     "json_extract" -> Relational.jsonExtractSql,

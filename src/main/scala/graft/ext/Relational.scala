@@ -792,4 +792,57 @@ object Relational {
       |               ORDER BY c_acctbal DESC, c_custkey ASC))
       |WHERE c_custkey % 10 = 0
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** TPC-H Q6 shape: the forecast-revenue-change scan-heavy filter
+    * aggregate — predicate pushdown plus a single global agg.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** RANGE-frame window: per part type, each part's price vs the
+    * average over parts within +/-5 size units (value-range frame, the
+    * ROWS-frame complement of window_running).
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_type").orderBy(col("p_size").cast("long"))
+      .rangeBetween(-5L, 5L)
+    t(spark, dir, "part")
+      .select(
+        col("p_type"), col("p_partkey"), col("p_size").cast("long").as("p_size"),
+        dec(col("p_retailprice")).as("price"))
+      .withColumn("n_near", count(lit(1)).over(w))
+      .withColumn("sum_near", sum(col("price")).over(w).cast("double"))
+      .select(col("p_type"), col("p_partkey"), col("p_size"),
+        col("n_near"), col("sum_near"))
+      .orderBy("p_type", "p_partkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT p_type, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+      |  count(*) OVER w AS n_near,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_near
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_type ORDER BY CAST(p_size AS BIGINT)
+      |             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+      |ORDER BY p_type, p_partkey""".stripMargin
 }
