@@ -65,6 +65,7 @@ object SparkEntry {
     "set_ops_all" -> (Relational.setOpsAll(_, _)),
     // JSON / date scalars (§2.2)
     "json_extract" -> (Relational.jsonExtract(_, _)),
+    "json_struct" -> (Relational.jsonStruct(_, _)),
     "date_trunc" -> (Relational.dateTrunc(_, _)),
     // Event-time: as-of join, sessionization, tumbling window
     "asof_join" -> (Relational.asofJoin(_, _)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "set_ops" -> Relational.setOpsSql,
     "set_ops_all" -> Relational.setOpsAllSql,
     "json_extract" -> Relational.jsonExtractSql,
+    "json_struct" -> Relational.jsonStructSql,
     "date_trunc" -> Relational.dateTruncSql,
     "asof_join" -> Relational.asofJoinSql,
     "sessionize" -> Relational.sessionizeSql,

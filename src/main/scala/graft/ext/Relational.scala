@@ -845,4 +845,27 @@ object Relational {
       |WINDOW w AS (PARTITION BY p_type ORDER BY CAST(p_size AS BIGINT)
       |             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
       |ORDER BY p_type, p_partkey""".stripMargin
+
+  /** Schema-typed JSON parsing (`from_json` -> struct), the typed
+    * complement of `get_json_object`: malformed/missing fields become
+    * nulls, counted per event type.
+    */
+  def jsonStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("parsed", from_json(col("props"), lit("k INT")))
+      .select(col("event_type"),
+        col("parsed.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  val jsonStructSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       count(k) AS n_parsed,
+      |       CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }
