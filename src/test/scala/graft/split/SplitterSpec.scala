@@ -156,4 +156,20 @@ class SplitterSpec extends AnyFunSuite {
       assert(pieces.mkString("") == t)
     }
   }
+
+  test("perf canary: 1 MB inputs split in linear-ish time") {
+    val words = ("lorem ipsum dolor sit amet " * 40000).trim // ~1 MB
+    val t0 = System.nanoTime()
+    val out = RecursiveCharacterSplitter.splitText(words, SplitConfig(1200, 0))
+    val wordsSec = (System.nanoTime() - t0) / 1e9
+    assert(out.nonEmpty && wordsSec < 10.0, f"word-split took $wordsSec%.1f s")
+
+    // worst case: one unsplittable run char-explodes then re-merges
+    val run = "x" * 1000000
+    val t1 = System.nanoTime()
+    val out2 = RecursiveCharacterSplitter.splitText(run, SplitConfig(1200, 0))
+    val runSec = (System.nanoTime() - t1) / 1e9
+    assert(out2.map(_.length).sum == run.length && runSec < 20.0,
+      f"char-explode took $runSec%.1f s")
+  }
 }
