@@ -26,6 +26,7 @@ object SparkEntry {
     "doc_chunk_stats" -> (CoreQueries.docChunkStats(_, _)),
     "doc_chunks" -> (CoreQueries.docChunks(_, _)),
     "chunk_fixed" -> (CoreQueries.chunkFixed(_, _)),
+    "chunk_multipage" -> (CoreQueries.chunkMultipage(_, _)),
     "doc_stats_fixed" -> (CoreQueries.docStatsFixed(_, _)),
     "doc_normalize" -> (CoreQueries.docNormalize(_, _)),
     "multi_root" -> (CoreQueries.multiRoot(_, _)),
@@ -41,6 +42,7 @@ object SparkEntry {
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_percentile" -> (Relational.aggPercentile(_, _)),
+    "agg_variance" -> (Relational.aggVariance(_, _)),
     "agg_pivot" -> (Relational.aggPivot(_, _)),
     "agg_grouping_sets" -> (Relational.aggGroupingSets(_, _)),
     "scalar_subquery" -> (Relational.scalarSubquery(_, _)),
@@ -95,6 +97,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "chunk_fixed" -> CoreQueries.chunkFixedSql,
+    "chunk_multipage" -> CoreQueries.chunkMultipageSql,
     "doc_stats_fixed" -> CoreQueries.docStatsFixedSql,
     "doc_normalize" -> CoreQueries.docNormalizeSql,
     "multi_root" -> CoreQueries.multiRootSql,
@@ -112,6 +115,7 @@ object SparkEntry {
     "join_range" -> Relational.joinRangeSql,
     "join_salted" -> Relational.joinSaltedSql,
     "agg_percentile" -> Relational.aggPercentileSql,
+    "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,

@@ -868,4 +868,35 @@ object Relational {
       |       CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sample variance/stddev from exact moments: quantities are
+    * integral doubles, so Σx and Σx² are exact and the closed form
+    * (nΣx² − (Σx)²) / (n(n−1)) is bit-deterministic on both engines —
+    * unlike the built-in streaming stddev implementations, which
+    * accumulate differently.
+    */
+  def aggVariance(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"))
+      .withColumn("variance",
+        (col("n") * col("s2") - col("s1") * col("s1")) /
+          (col("n") * (col("n") - 1)))
+      .withColumn("stddev", sqrt(col("variance")))
+      .orderBy("l_returnflag")
+
+  val aggVarianceSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       sum(l_quantity) AS s1,
+      |       sum(l_quantity * l_quantity) AS s2,
+      |       (count(*) * sum(l_quantity * l_quantity)
+      |         - sum(l_quantity) * sum(l_quantity))
+      |         / (count(*) * (count(*) - 1)) AS variance,
+      |       sqrt((count(*) * sum(l_quantity * l_quantity)
+      |         - sum(l_quantity) * sum(l_quantity))
+      |         / (count(*) * (count(*) - 1))) AS stddev
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

@@ -203,4 +203,47 @@ object CoreQueries {
         |FROM graft_documents
         |ORDER BY doc_id, chunk_idx""".stripMargin)
   }
+
+  /** C3 across pages in the driver gate: documents grouped into
+    * multi-page files (file = doc_id mod 100, page = doc_id div 100),
+    * fixed-width chunks per page, and `offset_in_file` accumulating
+    * across page boundaries in (page, chunk) order — the reference's
+    * cross-page running offset (`pdf_reader.py:483-485`) with a full
+    * SQL oracle (the real-splitter twin is covered by PipelineSpec).
+    */
+  def chunkMultipage(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file_id").orderBy("page", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    graft.sources.Tables.table(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(
+        pmod(col("doc_id"), lit(100)).as("file_id"),
+        (col("doc_id") / 100).cast("long").as("page"),
+        col("text"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), ((length(col("text")) - 1) / W).cast("long"))))
+      .withColumn("chunk_len",
+        length(col("text").substr((col("chunk_idx") * W + 1).cast("int"), lit(W)))
+          .cast("long"))
+      .withColumn("offset_in_file",
+        coalesce(sum(col("chunk_len")).over(w), lit(0L)))
+      .select("file_id", "page", "chunk_idx", "chunk_len", "offset_in_file")
+      .orderBy("file_id", "page", "chunk_idx")
+  }
+
+  val chunkMultipageSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id % 100 AS file_id, doc_id // 100 AS page,
+       |         i AS chunk_idx,
+       |         length(substr(text, CAST(i*$W+1 AS INT), $W)) AS chunk_len
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(0, (length(text)-1)//$W)) AS i
+       |        FROM documents WHERE length(text) > 0))
+       |SELECT file_id, page, chunk_idx, chunk_len,
+       |  CAST(coalesce(sum(chunk_len) OVER (
+       |    PARTITION BY file_id ORDER BY page, chunk_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS offset_in_file
+       |FROM c ORDER BY file_id, page, chunk_idx""".stripMargin
 }
