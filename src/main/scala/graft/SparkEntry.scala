@@ -69,6 +69,7 @@ object SparkEntry {
     "json_extract" -> (Relational.jsonExtract(_, _)),
     "json_struct" -> (Relational.jsonStruct(_, _)),
     "date_trunc" -> (Relational.dateTrunc(_, _)),
+    "date_arith" -> (Relational.dateArith(_, _)),
     // Event-time: as-of join, sessionization, tumbling window
     "asof_join" -> (Relational.asofJoin(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "json_extract" -> Relational.jsonExtractSql,
     "json_struct" -> Relational.jsonStructSql,
     "date_trunc" -> Relational.dateTruncSql,
+    "date_arith" -> Relational.dateArithSql,
     "asof_join" -> Relational.asofJoinSql,
     "sessionize" -> Relational.sessionizeSql,
     "event_tumbling" -> Relational.eventTumblingSql,

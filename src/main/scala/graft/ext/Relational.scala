@@ -899,4 +899,37 @@ object Relational {
       |         - sum(l_quantity) * sum(l_quantity))
       |         / (count(*) * (count(*) - 1))) AS stddev
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Date arithmetic: shipping latency in days (datediff) bucketed per
+    * order priority — exact integer day counts, averaged as exact
+    * sum/count.
+    */
+  def dateArith(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .withColumn("lat_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("lat_days")).as("sum_days"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"))
+      .withColumn("avg_days", col("sum_days").cast("double") / col("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val dateArithSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |       CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+      |         AS sum_days,
+      |       CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+      |         AS min_days,
+      |       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+      |         AS max_days,
+      |       CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+      |         / count(*) AS avg_days
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }
