@@ -98,8 +98,11 @@ object Main {
       report.show(nRows, truncate = false) // S6 console sink, untruncated
       if (args.printMetadata) {
         import org.apache.spark.sql.functions.{struct, to_json, col}
+        // streamed partition-by-partition: the driver holds one
+        // partition of one-line JSON rows at a time, not the corpus
+        // (millions of files would OOM a collect() here)
         stats.toDF().select(to_json(struct(col("*"))))
-          .collect().foreach(r => println(r.getString(0)))
+          .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
       }
       val out = s"${args.outputDir}/${Engine.sanitizeFolderPath(root)}"
       graft.ops.ChunkPipeline.writeCsv(report, out)

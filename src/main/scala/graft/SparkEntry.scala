@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
     "sim_topk" -> Similarity.simTopkSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,

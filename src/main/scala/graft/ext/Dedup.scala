@@ -19,8 +19,8 @@ import graft.functions.VectorOps
   *     of LSH missing a Jaccard ≥ 0.8 pair is < 1e-3 per pair and
   *     < 1e-14 for the ≥ 0.97 pairs present in the data);
   *   - near-duplicate embeddings: cosine threshold over vector pairs
-  *     (brute force here; the LSH-bucketed scale path lives in
-  *     [[Similarity]]).
+  *     (exact, via a distributed block-grid self-join; the sublinear
+  *     LSH-bucketed candidate path lives in [[Similarity]]).
   */
 object Dedup {
 
@@ -191,61 +191,72 @@ object Dedup {
 
   private val CosineThreshold = 0.45
 
+  /** Rows per grid block. Sized so one grid cell (two blocks of
+    * vectors) stays well under task memory: 2 × 1024 × dim × 4 B ≈
+    * 0.5 MB at dim=64. At cluster scale this rises to ~64k rows/block
+    * so cell count (and thus shuffle key count) grows as n/64k.
+    */
+  private val GridBlockRows = 1024L
+
   /** Embedding-cosine near-dup pairs over ALL pairs (the verified-
-    * threshold contract; the sublinear bucketed path is
-    * [[Similarity.simLsh]]).
+    * threshold contract; the *sublinear candidate-generation* tier for
+    * corpora too large for O(n²) is [[Similarity.simLsh]] — compose it
+    * upstream and keep this as the exact verify step, mirroring the
+    * MinHash -> exact-Jaccard two-phase shape above).
     *
-    * Implemented as a broadcast block-nested-loop: the build side
-    * (id, vector, norm) is broadcast as primitive arrays and each
-    * partition streams its rows against it — a tight double-loop
-    * instead of per-pair codegen'd array lambdas (40× faster at
-    * sf0.1: 27s -> sub-second). At cluster scale the build side
-    * becomes a grid of vector blocks (broadcast one block at a time);
-    * the per-block kernel below is unchanged. FP note: dot and norm
-    * accumulate left-to-right in doubles and round HALF_UP at 6dp —
-    * bit-identical to both the Column formulation and the DuckDB
-    * oracle.
+    * Implemented as a distributed block-grid self-join: vectors are
+    * assigned to id-range blocks, the tiny (bi ≤ bj) block-pair
+    * relation is broadcast to replicate each side into its grid
+    * cells, and the equi-join on the cell key materializes each
+    * cell's cross product stream-wise. No vector ever reaches the
+    * driver — the only driver traffic is one 3-long statistics row
+    * (min/max/count) fixing the grid geometry. Each cell buffers at
+    * most one block per side, so task memory is bounded by
+    * [[GridBlockRows]] regardless of n. The per-pair cosine is the
+    * fused codegen'd [[graft.functions.CosineSimilarity]] kernel.
+    *
+    * FP note: dot and norms accumulate left-to-right in doubles and
+    * round HALF_UP at 6dp — bit-identical to the previous kernel and
+    * the DuckDB oracle. Zero-norm vectors yield NaN cosine (Spark
+    * sorts NaN above every threshold), so NaN is filtered explicitly,
+    * matching the oracle's NULL-division drop.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vecs = graft.sources.Tables.table(spark, dir, "embeddings")
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val build = vecs.collect().sortBy(_._1) // one block at this scale
-    val norms = build.map { case (_, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(s)
+    // Grid geometry from one metadata-scale aggregate.
+    val stats = emb.agg(
+      min(col("vec_id")), max(col("vec_id")), count(lit(1))).head()
+    if (stats.isNullAt(0)) return emb
+      .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        lit(0.0).as("cos_sim")).limit(0)
+    val (minId, maxId, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val numBlocks = (((n - 1) / GridBlockRows) + 1).toInt
+    val blockSpan = math.max(1L, (maxId - minId) / numBlocks + 1)
+    // block(id) is monotone in id, so ida < idb ⟹ blk(a) ≤ blk(b):
+    // every unordered pair lands in exactly one (bi ≤ bj) cell with
+    // the smaller id on the a-side, and the vec_a < vec_b join
+    // predicate stays complete (it only prunes diagonal-cell dupes).
+    val cells = {
+      import spark.implicits._
+      (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
+        .toDF("bi", "bj")
     }
-    val bc = spark.sparkContext.broadcast((build, norms))
-    val threshold = CosineThreshold
-    vecs.mapPartitions { it =>
-      val (cand, cnorm) = bc.value
-      it.flatMap { case (ida, va) =>
-        var s = 0.0; var i = 0
-        while (i < va.length) { s += va(i).toDouble * va(i).toDouble; i += 1 }
-        val na = math.sqrt(s)
-        // only pairs with idb > ida; binary search the start offset
-        var lo = 0; var hi = cand.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (cand(mid)._1 <= ida) lo = mid + 1 else hi = mid
-        }
-        (lo until cand.length).iterator.flatMap { j =>
-          val vb = cand(j)._2
-          // zero-norm vectors have no defined cosine: skip the pair
-          // (the oracle's NULL division result is likewise filtered)
-          if (na == 0.0 || cnorm(j) == 0.0) None
-          else {
-            var d = 0.0; var k = 0
-            while (k < va.length) { d += va(k).toDouble * vb(k).toDouble; k += 1 }
-            val cos = java.math.BigDecimal.valueOf(d / (na * cnorm(j)))
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (cos >= threshold) Some((ida, cand(j)._1, cos)) else None
-          }
-        }
-      }
-    }.toDF("vec_a", "vec_b", "cos_sim")
+    val e = emb.withColumn("blk",
+      expr(s"cast((vec_id - $minId) div $blockSpan as int)"))
+    val a = e.join(broadcast(cells), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.join(broadcast(cells), col("blk") === col("bj"))
+      .select(col("bi").as("ci"), col("bj").as("cj"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b,
+        col("bi") === col("ci") && col("bj") === col("cj") &&
+          col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -269,13 +280,28 @@ object Dedup {
   // SimHash: 64-bit signatures + banded Hamming candidates
   // ----------------------------------------------------------------
 
-  /** 64-bit SimHash per doc over word-3-gram shingle xxhash64s (bit i
+  /** Portable 64-bit shingle hash: base-31 polynomial over UTF-16
+    * chars, mod 2⁶⁴ (JVM `Long` wraparound IS the mod — two's
+    * complement). The same hash family as `text_fingerprint`'s
+    * (`TextAnalysis.scala`), widened from mod 1e9+7 to the full 64
+    * bits SimHash needs; the DuckDB oracle reproduces it bit-for-bit
+    * with a HUGEINT `list_reduce` fold mod 2⁶⁴.
+    */
+  private[ext] def polyHash64(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i).toInt; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash per doc over word-3-gram shingle hashes (bit i
     * of the signature = sign of Σ ±1 over that bit across shingle
     * hashes), plus the 4×16-bit bands used for Hamming-candidate
     * joins. Shingles (not bare words) carry the word-order signal: on
-    * the testdata, near-dup pairs land at Hamming ≤ 10 vs a ~32
-    * background. xxhash64 is Spark-specific -> rows-only driver
-    * check; fidelity is covered by `DedupSpec`.
+    * the testdata, near-dup pairs land at small Hamming distance vs a
+    * ~32 background (`DedupSpec`). The shingle hash is the portable
+    * [[polyHash64]], so the DuckDB oracle recomputes the identical
+    * signatures (hash-match driver check).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -288,7 +314,7 @@ object Dedup {
         it.map { case (id, text) =>
           val bits = new Array[Int](64)
           for (s <- shingleSet(text)) {
-            val h = hashShingle(s)
+            val h = polyHash64(s)
             var i = 0
             while (i < 64) {
               if (((h >>> i) & 1L) == 1L) bits(i) += 1 else bits(i) -= 1
@@ -307,4 +333,48 @@ object Dedup {
       .withColumn("band3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
       .orderBy("doc_id")
   }
+
+  /** Oracle: identical shingling (the minhash oracle's builder),
+    * identical polynomial hash via a HUGEINT fold mod 2⁶⁴, bit-sums
+    * via a 64-row bit-index cross join, and the unsigned→signed
+    * bridge (u − 2⁶⁴ when u ≥ 2⁶³) to match the JVM's two's-complement
+    * `Long` signature.
+    */
+  val dedupSimhashSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [concat_ws(' ', w[i], w[i+1], w[i+2])
+      |            for i in generate_series(1, len(w)-2)]
+      |      ELSE [text] END) AS s
+      |  FROM (SELECT doc_id, text, string_split_regex(text, ' +') AS w
+      |        FROM documents)
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        [CAST(unicode(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT)
+      |         for i in generate_series(1, length(shingle))]),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616) AS hv
+      |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+      |), bits AS (
+      |  SELECT doc_id, b.i AS bit,
+      |    sum(CASE WHEN (hv // CAST(2**b.i AS HUGEINT)) % 2 = 1
+      |             THEN 1 ELSE -1 END) AS score
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+      |  GROUP BY doc_id, b.i
+      |), sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN score > 0 THEN CAST(2**bit AS HUGEINT)
+      |             ELSE CAST(0 AS HUGEINT) END) AS u
+      |  FROM bits GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |  CAST(u - CASE WHEN u >= 9223372036854775808 THEN 18446744073709551616
+      |                ELSE 0 END AS BIGINT) AS simhash,
+      |  CAST((u // 1) % 65536 AS BIGINT) AS band0,
+      |  CAST((u // 65536) % 65536 AS BIGINT) AS band1,
+      |  CAST((u // 4294967296) % 65536 AS BIGINT) AS band2,
+      |  CAST((u // 281474976710656) % 65536 AS BIGINT) AS band3
+      |FROM sig ORDER BY doc_id""".stripMargin
 }

@@ -342,10 +342,14 @@ object Relational {
   // JSON / date scalar functions (§2.2 extensions)
   // ----------------------------------------------------------------
 
-  /** JSON field extraction over `events.props` + per-type stats. */
+  /** JSON field extraction over `events.props` + per-type stats.
+    * `try_cast` on both engines: a non-numeric `props.k` nulls out
+    * instead of throwing (Spark ANSI cast) or erroring the oracle
+    * (DuckDB strict CAST).
+    */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("k")).as("sum_k"),
@@ -357,7 +361,7 @@ object Relational {
   val jsonExtractSql: String =
     """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k,
       |       min(k) AS min_k, max(k) AS max_k
-      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |FROM (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Date extraction/truncation over order dates: monthly order
@@ -866,7 +870,7 @@ object Relational {
     """SELECT event_type, count(*) AS n,
       |       count(k) AS n_parsed,
       |       CAST(sum(k) AS BIGINT) AS sum_k
-      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |FROM (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Sample variance/stddev from exact moments: quantities are

@@ -101,8 +101,15 @@ case class ChunkSplit(child: Expression, chunkSize: Expression, overlap: Express
   override def children: Seq[Expression] = Seq(child, chunkSize, overlap)
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(e: Expression): Boolean = e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure("chunk_split: first argument must be STRING")
+    else if (!integral(chunkSize) || !integral(overlap))
+      TypeCheckResult.TypeCheckFailure(
+        "chunk_split: chunk_size and overlap must be integral types")
     else if (!chunkSize.foldable || !overlap.foldable)
       TypeCheckResult.TypeCheckFailure(
         "chunk_split: chunk_size and overlap must be constants")

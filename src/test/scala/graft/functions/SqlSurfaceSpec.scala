@@ -56,6 +56,14 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(msg.contains("constant") || msg.contains("foldable") || msg.contains("mismatch"))
   }
 
+  test("chunk_split rejects non-integral size arguments at analysis time") {
+    NativeFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT chunk_split('abc def', '100', 0)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("integral"))
+  }
+
   test("cosine_sim yields null for mismatched dimensions (matches HOF nulling)") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")

@@ -48,6 +48,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(viaRule == direct)
   }
 
+  test("dedup_embedding pair generation is a distributed self-join, not a driver collect") {
+    val df = graft.ext.Dedup.dedupEmbedding(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // both pair sides must come from distributed scans of the
+    // embeddings parquet (the old shape collected one side to the
+    // driver, leaving a single scan and no join in the plan)
+    assert("embeddings\\.parquet".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Join"), plan)
+    // and the result still matches the exact brute-force contract
+    val viaGrid = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val brute = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= 0.45)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGrid == brute)
+  }
+
   test("rewrite does NOT fire when the rank column is observed") {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
     val df = spark.read.parquet(s"$dir/part.parquet")
