@@ -97,6 +97,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "doc_chunks" -> CoreQueries.docChunksSql,
+    "doc_chunk_stats" -> CoreQueries.docChunkStatsSql,
+    "doc_report" -> CoreQueries.docReportSql,
+    "sql_chunk_split" -> CoreQueries.sqlChunkSplitSql,
     "chunk_fixed" -> CoreQueries.chunkFixedSql,
     "chunk_multipage" -> CoreQueries.chunkMultipageSql,
     "doc_stats_fixed" -> CoreQueries.docStatsFixedSql,

@@ -30,7 +30,7 @@ object CoreQueries {
   def docChunkStats(spark: SparkSession, dir: String): DataFrame =
     ChunkPipeline.docChunkStats(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0))
 
-  /** Per-chunk detail of the real splitter (rows-only check). */
+  /** Per-chunk detail of the real splitter (golden-fixture oracle). */
   def docChunks(spark: SparkSession, dir: String): DataFrame = {
     val cfg = SplitConfig(chunkSize = 100, chunkOverlap = 0)
     ChunkPipeline.chunkMetrics(ChunkPipeline.chunk(ChunkPipeline.pagesFromDocuments(spark, dir), cfg))
@@ -41,6 +41,74 @@ object CoreQueries {
         col("chunk_len"), col("offset_in_file"), col("norm_text"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  // ---------------------------------------------------------------
+  // Golden-fixture oracles for the real-splitter queries.
+  //
+  // The recursive splitter is not SQL-expressible, so these oracles
+  // read `fixtures/golden_chunks.parquet` — the splitter's own output,
+  // materialized once by `graft.tools.GoldenChunks` (cross-validated
+  // against an independent reimplementation; freshness enforced by
+  // `GoldenFixtureSpec`) — and recompute each query's downstream
+  // aggregation/formatting in pure SQL on top of it. The slice whose
+  // (doc count, total chars) key matches the live `documents` table
+  // keeps the oracle scale-agnostic.
+  // ---------------------------------------------------------------
+
+  private def fixtureSlice: String =
+    s"""SELECT * FROM read_parquet('${graft.tools.GoldenChunks.FixturePath}')
+       |  WHERE corpus_docs = (SELECT count(*) FROM documents)
+       |    AND corpus_chars = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)""".stripMargin
+
+  val docChunksSql: String =
+    s"""WITH f AS ($fixtureSlice)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(start_index AS BIGINT) AS offset_in_page,
+       |       chunk_len, offset_in_file, norm_text
+       |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private def fixturePerDocSql: String =
+    s"""WITH f AS ($fixtureSlice),
+       |per_doc AS (
+       |  SELECT doc_id, 1 AS pages, count(*) AS chunks,
+       |         max(file_size) AS file_size, sum(chunk_len) AS text_size
+       |  FROM f GROUP BY doc_id),
+       |stats AS (
+       |  SELECT coalesce(CAST(doc_id AS VARCHAR), 'SUM TOTAL') AS path,
+       |         CAST(sum(pages) AS BIGINT) AS pages,
+       |         CAST(sum(chunks) AS BIGINT) AS chunks,
+       |         CAST(sum(file_size) AS BIGINT) AS file_size,
+       |         CAST(sum(text_size) AS BIGINT) AS text_size,
+       |         CASE WHEN sum(text_size) = 0 THEN NULL
+       |              ELSE CAST(sum(file_size) AS DOUBLE) / sum(text_size)
+       |         END AS ratio
+       |  FROM per_doc GROUP BY ROLLUP(doc_id))""".stripMargin
+
+  val docChunkStatsSql: String =
+    s"""$fixturePerDocSql
+       |SELECT path, pages, chunks, file_size, text_size, ratio
+       |FROM stats ORDER BY path""".stripMargin
+
+  /** The reference's formatted report: thousands-separated counts
+    * (`format` {:,} == Spark `format_number`) and 2-dp ratio
+    * (`printf %.2f` == Java `format_string` — HALF_UP agreement
+    * verified across every ratio value in the fixture).
+    */
+  val docReportSql: String =
+    s"""$fixturePerDocSql
+       |SELECT path AS "Filename",
+       |       format('{:,}', pages) AS "Pages",
+       |       format('{:,}', chunks) AS "Chunks",
+       |       format('{:,}', file_size) AS "File Size",
+       |       format('{:,}', text_size) AS "Text Size",
+       |       CASE WHEN ratio IS NULL THEN 'N/A'
+       |            ELSE printf('%.2f', ratio) END AS "Ratio"
+       |FROM stats ORDER BY "Filename"""".stripMargin
+
+  val sqlChunkSplitSql: String =
+    s"""WITH f AS ($fixtureSlice)
+       |SELECT doc_id, raw_text AS chunk, start_index, chunk_idx
+       |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ---------------------------------------------------------------
   // Fixed-width variant: identical downstream pipeline, SQL oracle.
@@ -182,8 +250,9 @@ object CoreQueries {
 
   /** The reference's formatted report (P8/P9 + SUM TOTAL last) over
     * the real splitter pipeline — string-typed at the sink boundary
-    * only (rows-only driver check; formatting is golden-tested against
-    * the reference README sample in PipelineSpec).
+    * only (golden-fixture oracle `docReportSql`; formatting is also
+    * golden-tested against the reference README sample in
+    * PipelineSpec).
     */
   def docReport(spark: SparkSession, dir: String): DataFrame =
     ChunkPipeline.report(
@@ -191,8 +260,9 @@ object CoreQueries {
 
   /** The C1 splitter through its SQL surface — the `chunk_split`
     * Generator (UDTF) registered in the session function registry.
-    * Rows-only driver check; `SqlSurfaceSpec` asserts equality with
-    * the typed-flatMap path (same pure splitter underneath).
+    * Golden-fixture oracle `sqlChunkSplitSql`; `SqlSurfaceSpec`
+    * additionally asserts equality with the typed-flatMap path (same
+    * pure splitter underneath).
     */
   def sqlChunkSplit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.NativeFunctions.register(spark)

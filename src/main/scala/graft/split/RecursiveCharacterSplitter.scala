@@ -169,9 +169,11 @@ object RecursiveCharacterSplitter {
         if (current.nonEmpty) {
           joinDocs(current, separator, cfg).foreach(docs += _)
           // Slide: drop leading pieces until within overlap budget and
-          // the next piece fits.
+          // the next piece fits. The separator term counts only when
+          // a join will actually happen (>1 pieces remain) — matters
+          // solely for keepSeparator=false, where mergeSep is non-empty.
           while (total > cfg.chunkOverlap ||
-              (total + len + (if (current.nonEmpty) sepLen else 0) > cfg.chunkSize &&
+              (total + len + (if (current.length > 1) sepLen else 0) > cfg.chunkSize &&
                 total > 0)) {
             total -= current.head.length + (if (current.length > 1) sepLen else 0)
             current = current.tail

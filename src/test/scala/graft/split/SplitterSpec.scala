@@ -94,6 +94,42 @@ class SplitterSpec extends AnyFunSuite {
     })
   }
 
+  // ---- overlap>0 goldens (values from the independent Python
+  // reimplementation of langchain 0.3.0; the bulk cross-check —
+  // 78k chunks over sf0.001+sf0.01 at 4 overlap configs, exact
+  // match — is runnable via graft.tools.SplitterCrossCheck) ----
+
+  test("golden: overlap window-slide with word pieces") {
+    assert(splitIdx("aa bb cc dd ee", SplitConfig(chunkSize = 8, chunkOverlap = 4)) ==
+      List(("aa bb cc", 0), ("cc dd", 6), ("dd ee", 9)))
+    assert(splitIdx("one two three four five six seven",
+        SplitConfig(chunkSize = 10, chunkOverlap = 5)) ==
+      List(("one two", 0), ("two three", 4), ("four five", 14),
+        ("five six", 19), ("six seven", 24)))
+  }
+
+  test("golden: overlap across separator tiers (blank line, newline, space)") {
+    assert(splitIdx("para one alpha\n\npara two beta gamma\ndelta eps",
+        SplitConfig(chunkSize = 20, chunkOverlap = 8)) ==
+      List(("para one alpha", 0), ("para two beta gamma", 16), ("delta eps", 36)))
+  }
+
+  test("golden: overlap on an unsplittable run strides by size - overlap") {
+    assert(splitIdx("x" * 25, SplitConfig(chunkSize = 10, chunkOverlap = 5)) ==
+      List(("x" * 10, 0), ("x" * 10, 5), ("x" * 10, 10), ("x" * 10, 15)))
+  }
+
+  test("property: overlap>0 keeps full coverage (no content gaps)") {
+    forAll(textGen, cfgGen) { (t: String, cfg: SplitConfig) =>
+      val out = RecursiveCharacterSplitter.splitWithStartIndex(t, cfg)
+      // every non-whitespace char position is covered by some chunk
+      val covered = new Array[Boolean](t.length)
+      for ((chunk, idx) <- out; i <- idx until (idx + chunk.length)) covered(i) = true
+      for (i <- 0 until t.length if !t.charAt(i).isWhitespace)
+        assert(covered(i), s"gap at $i in ${t.take(80)} with $cfg")
+    }
+  }
+
   test("start_index points into the raw text") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
     for ((chunk, idx) <- splitIdx(t, SplitConfig(chunkSize = 20, chunkOverlap = 0))) {
