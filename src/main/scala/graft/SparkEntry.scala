@@ -74,6 +74,9 @@ object SparkEntry {
     "asof_join" -> (Relational.asofJoin(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
+    // Structured Streaming under the hard gate: micro-batch replay of
+    // the events table, watermarked tumbling agg, memory sink (§2.10)
+    "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -141,6 +144,8 @@ object SparkEntry {
     "asof_join" -> Relational.asofJoinSql,
     "sessionize" -> Relational.sessionizeSql,
     "event_tumbling" -> Relational.eventTumblingSql,
+    // converged streaming result == the batch twin's relation
+    "stream_tumbling" -> Relational.eventTumblingSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_tokens" -> TextAnalysis.textTokensSql,

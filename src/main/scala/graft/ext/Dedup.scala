@@ -204,24 +204,26 @@ object Dedup {
     * upstream and keep this as the exact verify step, mirroring the
     * MinHash -> exact-Jaccard two-phase shape above).
     *
-    * Implemented as a distributed block-grid self-join: vectors are
-    * assigned to id-range blocks, the tiny (bi ≤ bj) block-pair
-    * relation is broadcast to replicate each side into its grid
-    * cells, and the equi-join on the cell key materializes each
-    * cell's cross product stream-wise. No vector ever reaches the
-    * driver — the only driver traffic is one 3-long statistics row
-    * (min/max/count) fixing the grid geometry. Each cell buffers at
-    * most one block per side, so task memory is bounded by
-    * [[GridBlockRows]] regardless of n. The per-pair cosine is the
-    * fused codegen'd [[graft.functions.CosineSimilarity]] kernel.
+    * Implemented as a distributed block-grid: vectors are assigned to
+    * id-range blocks; each vector is replicated into its row and
+    * column of the (bi ≤ bj) grid-cell triangle (B replicas — a few
+    * MB of shuffle per thousand rows); one shuffle groups each cell,
+    * whose pairs are then scored in a tight primitive double-loop
+    * (the same kernel shape that beat the per-pair join/SMJ
+    * formulation by 5× — join machinery copies both 64-float arrays
+    * through UnsafeRow per pair, the loop touches each block once).
+    * No vector ever reaches the driver — the only driver traffic is
+    * one 3-long statistics row (min/max/count) fixing the grid
+    * geometry. Task memory is bounded by two blocks
+    * (2 × [[GridBlockRows]] × dim floats) regardless of n.
     *
     * FP note: dot and norms accumulate left-to-right in doubles and
-    * round HALF_UP at 6dp — bit-identical to the previous kernel and
-    * the DuckDB oracle. Zero-norm vectors yield NaN cosine (Spark
-    * sorts NaN above every threshold), so NaN is filtered explicitly,
-    * matching the oracle's NULL-division drop.
+    * round HALF_UP at 6dp — bit-identical to the DuckDB oracle.
+    * Zero-norm vectors have no defined cosine: skipped, matching the
+    * oracle's NULL-division drop.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     // Grid geometry from one metadata-scale aggregate.
@@ -233,30 +235,53 @@ object Dedup {
     val (minId, maxId, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val numBlocks = (((n - 1) / GridBlockRows) + 1).toInt
     val blockSpan = math.max(1L, (maxId - minId) / numBlocks + 1)
+    val threshold = CosineThreshold
+
     // block(id) is monotone in id, so ida < idb ⟹ blk(a) ≤ blk(b):
-    // every unordered pair lands in exactly one (bi ≤ bj) cell with
-    // the smaller id on the a-side, and the vec_a < vec_b join
-    // predicate stays complete (it only prunes diagonal-cell dupes).
-    val cells = {
-      import spark.implicits._
-      (for { i <- 0 until numBlocks; j <- i until numBlocks } yield (i, j))
-        .toDF("bi", "bj")
+    // every unordered pair lands in exactly one (bi ≤ bj) cell, with
+    // the a-side holding the smaller id for off-diagonal cells and
+    // the diagonal iterating its own i < j triangle.
+    val replicated = emb.as[(Long, Array[Float])].flatMap { case (id, v) =>
+      val k = ((id - minId) / blockSpan).toInt
+      val asRow = (k until numBlocks).iterator
+        .map(j => (k.toLong * numBlocks + j, 0, id, v))
+      val asCol = (0 until k).iterator
+        .map(i => (i.toLong * numBlocks + k, 1, id, v))
+      asRow ++ asCol
     }
-    val e = emb.withColumn("blk",
-      expr(s"cast((vec_id - $minId) div $blockSpan as int)"))
-    val a = e.join(broadcast(cells), col("blk") === col("bi"))
-      .select(col("bi"), col("bj"),
-        col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.join(broadcast(cells), col("blk") === col("bj"))
-      .select(col("bi").as("ci"), col("bj").as("cj"),
-        col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b,
-        col("bi") === col("ci") && col("bj") === col("cj") &&
-          col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim",
-        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
-      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= CosineThreshold)
-      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+
+    replicated.groupByKey(_._1).flatMapGroups { (cell, rows) =>
+      val diag = (cell / numBlocks) == (cell % numBlocks)
+      val a = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      rows.foreach { case (_, side, id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        (if (side == 0) a else b) += ((id, v, math.sqrt(s)))
+      }
+      def score(x: (Long, Array[Float], Double), y: (Long, Array[Float], Double)) = {
+        val (ida, va, na) = x
+        val (idb, vb, nb) = y
+        // zero-norm vectors have no defined cosine: skip the pair
+        // (the oracle's NULL division result is likewise filtered)
+        if (na == 0.0 || nb == 0.0) None
+        else {
+          var d = 0.0; var i = 0
+          while (i < va.length) { d += va(i).toDouble * vb(i).toDouble; i += 1 }
+          val cos = java.math.BigDecimal.valueOf(d / (na * nb))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= threshold) Some((math.min(ida, idb), math.max(ida, idb), cos))
+          else None
+        }
+      }
+      if (diag) {
+        val s = a.sortBy(_._1)
+        for { i <- s.indices.iterator; j <- (i + 1) until s.length
+              p <- score(s(i), s(j)) } yield p
+      } else {
+        for { x <- a.iterator; y <- b.iterator; p <- score(x, y) } yield p
+      }
+    }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }
 

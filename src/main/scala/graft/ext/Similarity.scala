@@ -73,28 +73,42 @@ object Similarity {
   // LSH-bucketed ANN (scale path)
   // ----------------------------------------------------------------
 
-  // 8-bit signatures -> 256 buckets: sized so verification-scale runs
-  // (500-5000 vectors) keep several candidates per probed bucket; at
-  // billion-vector scale this widens with the corpus (buckets should
-  // hold ~1e3-1e4 vectors each)
-  private val NumPlanes = 8
   private val Dim = 64
+  private val TargetPerBucket = 1000L
 
-  /** Deterministic pseudo-random hyperplanes (seeded). */
-  private[ext] val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
+  /** Signature width as a function of corpus size: enough hyperplanes
+    * that the expected bucket occupancy is ~[[TargetPerBucket]]
+    * (width = ⌈log₂(n / target)⌉), clamped to [4, 24]. 5k vectors ->
+    * 4 planes (16 buckets); 10⁹ vectors -> 20 planes (~1M buckets,
+    * ~1k vectors each) — the probe cost stays flat as the corpus
+    * grows, instead of degrading to a near-scan at a fixed width.
+    */
+  private[ext] def planesFor(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / TargetPerBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
   }
+
+  /** Deterministic pseudo-random hyperplanes. Each plane is seeded
+    * independently (seed = 42 + plane index), so a width-w signature
+    * is a prefix of every wider signature — recall comparisons across
+    * widths stay apples-to-apples.
+    */
+  private[ext] def planes(numPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { b =>
+      val rnd = new scala.util.Random(42L + b)
+      Array.fill(Dim)(rnd.nextGaussian())
+    }
 
   /** Signature = bit b set iff plane_b · v > 0 (plain-Scala kernel —
     * the equivalent per-plane Column expression tree evaluates
     * interpreted and dominated the query's runtime).
     */
-  private[ext] def signatureOf(v: Array[Float]): Long = {
+  private[ext] def signatureOf(v: Array[Float], ps: Array[Array[Double]]): Long = {
     var sig = 0L
     var b = 0
-    while (b < NumPlanes) {
-      val p = planes(b)
+    while (b < ps.length) {
+      val p = ps(b)
       var d = 0.0
       var i = 0
       while (i < v.length && i < p.length) { d += v(i) * p(i); i += 1 }
@@ -108,17 +122,26 @@ object Similarity {
     * query's bucket or any Hamming-1 neighbor bucket (multi-probe).
     * The bucket join replaces the brute-force cross join — at 10⁹
     * vectors this is the difference between a scan and a product.
+    * Signature width defaults to [[planesFor]] (corpus-scaled); recall
+    * at two explicit widths is asserted in `SimilaritySpec`.
     */
-  def simLsh(spark: SparkSession, dir: String): DataFrame = {
+  def simLsh(spark: SparkSession, dir: String): DataFrame =
+    simLsh(spark, dir, numPlanes = 0)
+
+  def simLsh(spark: SparkSession, dir: String, numPlanes: Int): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val width =
+      if (numPlanes > 0) numPlanes
+      else planesFor(base.count()) // metadata-scale count fixes the width
+    val ps = planes(width)
+    val e = base.as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
           var s = 0.0
           var i = 0
           while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-          (id, v, math.sqrt(s), signatureOf(v))
+          (id, v, math.sqrt(s), signatureOf(v, ps))
         }
       }.toDF("vec_id", "embedding", "nrm", "sig")
     // candidate side: exact bucket only
@@ -126,7 +149,7 @@ object Similarity {
       col("nrm").as("cn"), col("sig").as("bucket"))
     // query side: explode exact + Hamming-1 probe buckets
     val probes = array(
-      (col("sig") +: (0 until NumPlanes).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)
+      (col("sig") +: (0 until width).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), explode(probes).as("bucket"))

@@ -40,7 +40,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(2) - math.sqrt(0.5)) < 1e-12)
   }
 
-  test("LSH recall on clustered vectors >= 0.8 of brute-force top-10") {
+  test("LSH recall >= 0.9 on clustered vectors at two signature widths") {
     import spark.implicits._
     // 20 clusters x 25 members: base + small noise -> high cosine within
     val rnd = new scala.util.Random(7)
@@ -62,12 +62,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
 
     val exact = topSets(Similarity.simTopk(spark, tmp))
-    val approx = topSets(Similarity.simLsh(spark, tmp))
-    val recalls = exact.map { case (q, ex) =>
-      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    for (width <- Seq(4, 8)) {
+      val approx = topSets(Similarity.simLsh(spark, tmp, width))
+      val recalls = exact.map { case (q, ex) =>
+        approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      val mean = recalls.sum / recalls.size
+      info(f"width=$width mean recall $mean%.3f")
+      assert(mean >= 0.9, s"mean LSH recall $mean below 0.9 at width $width")
     }
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.8, s"mean LSH recall $mean below 0.8 on clustered data")
+  }
+
+  test("LSH signature width scales with corpus size, bounded") {
+    assert(Similarity.planesFor(500) == 4)
+    assert(Similarity.planesFor(5000) == 4)
+    assert(Similarity.planesFor(1000000) == 10)       // ~1k/bucket
+    assert(Similarity.planesFor(1000000000L) == 20)   // 1M buckets
+    assert(Similarity.planesFor(Long.MaxValue) == 24) // clamp
+    // prefix stability: widening the signature preserves earlier planes
+    val p8 = Similarity.planes(8)
+    val p12 = Similarity.planes(12)
+    assert(p8.zip(p12.take(8)).forall { case (a, b) => a.sameElements(b) })
   }
 
   test("IVF recall on clustered vectors >= 0.9 of brute-force top-10") {

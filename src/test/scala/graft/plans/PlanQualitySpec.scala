@@ -48,14 +48,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(viaRule == direct)
   }
 
-  test("dedup_embedding pair generation is a distributed self-join, not a driver collect") {
+  test("dedup_embedding pair generation is a distributed grid shuffle, not a driver collect") {
     val df = graft.ext.Dedup.dedupEmbedding(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    // both pair sides must come from distributed scans of the
-    // embeddings parquet (the old shape collected one side to the
-    // driver, leaving a single scan and no join in the plan)
-    assert("embeddings\\.parquet".r.findAllIn(plan).size >= 2, plan)
-    assert(plan.contains("Join"), plan)
+    // pair generation must run through a hash-partitioned exchange
+    // into a grouped per-cell kernel (the old shape collected the
+    // whole table to the driver and broadcast it back: a bare scan ->
+    // mapPartitions with NO exchange before the final sort)
+    assert(plan.contains("MapGroups"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).nonEmpty, plan)
     // and the result still matches the exact brute-force contract
     val viaGrid = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
