@@ -84,9 +84,15 @@ object Main {
 
   private def run(spark: SparkSession, args: Args): Unit = {
     val ext = if (args.fileType.startsWith(".")) args.fileType else "." + args.fileType
+    // .pdf routes through the pure-JVM PDF codec (the reference's
+    // primary file type); anything else is read as plain text
+    val extractor: graft.sources.PageExtractor =
+      if (ext.equalsIgnoreCase(".pdf")) graft.sources.pdf.PdfTextExtractor
+      else graft.sources.PlainTextExtractor
     val opts = Engine.Options(
       glob = s"*$ext",
-      split = SplitConfig(chunkSize = args.chunkSize, chunkOverlap = args.chunkOverlap))
+      split = SplitConfig(chunkSize = args.chunkSize, chunkOverlap = args.chunkOverlap),
+      extractor = extractor)
     val t0 = System.nanoTime()
     for (root <- args.roots) {
       // one pipeline execution feeds all sinks: stats are cached and

@@ -9,11 +9,14 @@ import graft.Page
   *
   * The reference delegates to `PyPDFLoader(file).load()` — one
   * langchain `Document` per PDF page
-  * (`/root/reference/pdf_reader.py:442-443`). No PDF codec jar ships
-  * in this offline environment (SURVEY.md §7.4), so the trait
-  * isolates the codec: [[PlainTextExtractor]] is the buildable
-  * implementation (1 file = 1 page, UTF-8), and a pdfbox/tika-backed
-  * implementation would drop in without touching the pipeline.
+  * (`/root/reference/pdf_reader.py:442-443`). The trait isolates the
+  * codec: [[graft.sources.pdf.PdfTextExtractor]] is a minimal
+  * pure-JVM PDF codec (classic xref + xref/object streams,
+  * FlateDecode via `java.util.zip.Inflater`, text operators), and
+  * [[PlainTextExtractor]] handles plain-text exports (1 file = 1
+  * page, UTF-8, form-feed page breaks). A pdfbox/tika-backed
+  * implementation would likewise drop in without touching the
+  * pipeline.
   */
 trait PageExtractor extends Serializable {
 
