@@ -213,9 +213,10 @@ object Dedup {
     * formulation by 5× — join machinery copies both 64-float arrays
     * through UnsafeRow per pair, the loop touches each block once).
     * No vector ever reaches the driver — the only driver traffic is
-    * one 3-long statistics row (min/max/count) fixing the grid
-    * geometry. Task memory is bounded by two blocks
-    * (2 × [[GridBlockRows]] × dim floats) regardless of n.
+    * the row count and B−1 approximate id-quantile cut points fixing
+    * the grid geometry (statistics, not data). Task memory is bounded
+    * by two blocks (2 × [[GridBlockRows]] × dim floats) regardless of
+    * n or the id distribution.
     *
     * FP note: dot and norms accumulate left-to-right in doubles and
     * round HALF_UP at 6dp — bit-identical to the DuckDB oracle.
@@ -227,22 +228,31 @@ object Dedup {
     val emb = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     // Grid geometry from one metadata-scale aggregate.
-    val stats = emb.agg(
-      min(col("vec_id")), max(col("vec_id")), count(lit(1))).head()
-    if (stats.isNullAt(0)) return emb
+    val n = emb.agg(count(lit(1))).head().getLong(0)
+    if (n == 0) return emb
       .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
         lit(0.0).as("cos_sim")).limit(0)
-    val (minId, maxId, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val numBlocks = (((n - 1) / GridBlockRows) + 1).toInt
-    val blockSpan = math.max(1L, (maxId - minId) / numBlocks + 1)
     val threshold = CosineThreshold
+
+    // Block boundaries from approximate id quantiles (numBlocks-1
+    // longs to the driver — statistics, not data), so blocks stay
+    // ~equal-sized under ANY id distribution; a range-span split
+    // would pack all rows into one block when ids are skewed (dense
+    // ids plus one far outlier), voiding the task-memory bound.
+    val cuts: Array[Long] =
+      if (numBlocks <= 1) Array.empty
+      else emb.stat.approxQuantile("vec_id",
+        (1 until numBlocks).map(_.toDouble / numBlocks).toArray,
+        0.1 / numBlocks).map(_.toLong)
 
     // block(id) is monotone in id, so ida < idb ⟹ blk(a) ≤ blk(b):
     // every unordered pair lands in exactly one (bi ≤ bj) cell, with
     // the a-side holding the smaller id for off-diagonal cells and
     // the diagonal iterating its own i < j triangle.
     val replicated = emb.as[(Long, Array[Float])].flatMap { case (id, v) =>
-      val k = ((id - minId) / blockSpan).toInt
+      var k = java.util.Arrays.binarySearch(cuts, id)
+      if (k < 0) k = -k - 1 else k += 1 // first cut > id
       val asRow = (k until numBlocks).iterator
         .map(j => (k.toLong * numBlocks + j, 0, id, v))
       val asCol = (0 until k).iterator
@@ -305,17 +315,23 @@ object Dedup {
   // SimHash: 64-bit signatures + banded Hamming candidates
   // ----------------------------------------------------------------
 
-  /** Portable 64-bit shingle hash: base-31 polynomial over UTF-16
-    * chars, mod 2⁶⁴ (JVM `Long` wraparound IS the mod — two's
-    * complement). The same hash family as `text_fingerprint`'s
-    * (`TextAnalysis.scala`), widened from mod 1e9+7 to the full 64
-    * bits SimHash needs; the DuckDB oracle reproduces it bit-for-bit
-    * with a HUGEINT `list_reduce` fold mod 2⁶⁴.
+  /** Portable 64-bit shingle hash: base-31 polynomial over Unicode
+    * CODE POINTS (not UTF-16 code units — DuckDB's `unicode()`
+    * iterates code points, and surrogate pairs would silently break
+    * cross-engine parity on astral-plane text), mod 2⁶⁴ (JVM `Long`
+    * wraparound IS the mod — two's complement). The same hash family
+    * as `text_fingerprint`'s (`TextAnalysis.scala`), widened from mod
+    * 1e9+7 to the full 64 bits SimHash needs; the DuckDB oracle
+    * reproduces it bit-for-bit with a HUGEINT `list_reduce` fold.
     */
   private[ext] def polyHash64(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = h * 31L + s.charAt(i).toInt; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = h * 31L + cp
+      i += Character.charCount(cp)
+    }
     h
   }
 

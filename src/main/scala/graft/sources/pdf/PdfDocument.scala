@@ -207,11 +207,19 @@ final class PdfDocument(data: Array[Byte]) {
     new PdfLexer(payload, first + rel).parseValue()
   }
 
-  /** Follow references (and cache) until a direct object. */
-  @annotation.tailrec
-  def resolve(obj: PdfObj): PdfObj = obj match {
-    case PRef(num, _) => resolve(fetch(num))
-    case other => other
+  /** Follow references (and cache) until a direct object. Hop-limited
+    * so a self-referential or cyclic indirect chain in a corrupt file
+    * fails the parse instead of livelocking the task.
+    */
+  def resolve(obj: PdfObj): PdfObj = {
+    var cur = obj
+    var hops = 0
+    while (cur.isInstanceOf[PRef]) {
+      if (hops > 64) throw new PdfParseException("indirect reference cycle")
+      cur = fetch(cur.asInstanceOf[PRef].num)
+      hops += 1
+    }
+    cur
   }
 
   def resolveDict(obj: PdfObj): Option[PDict] = resolve(obj) match {
@@ -249,17 +257,24 @@ final class PdfDocument(data: Array[Byte]) {
   private def inflate(bytes: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(bytes)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
     val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n == 0 && !inf.finished()) {
-        if (inf.needsDictionary()) throw new PdfParseException("flate needs dictionary")
-        if (inf.needsInput()) throw new PdfParseException("truncated flate stream")
+    try {
+      // loop until the zlib stream reports FINISHED; running out of
+      // input first means the payload was truncated — that must fail
+      // the parse, never return silently shortened bytes
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (!inf.finished()) {
+          if (inf.needsDictionary()) throw new PdfParseException("flate needs dictionary")
+          else throw new PdfParseException("truncated flate stream")
+        }
       }
-      out.write(buf, 0, n)
-    }
-    inf.end()
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new PdfParseException(s"corrupt flate stream: ${e.getMessage}")
+    } finally inf.end()
     out.toByteArray
   }
 
@@ -322,22 +337,36 @@ final class PdfDocument(data: Array[Byte]) {
   // Page tree
   // ------------------------------------------------------------------
 
-  /** Page dicts in depth-first /Kids order (document page order). */
+  /** Page dicts in depth-first /Kids order (document page order).
+    * Cycle-guarded: revisited kid references and over-deep trees fail
+    * the parse instead of overflowing the stack on a corrupt file.
+    */
   def pages: Seq[PDict] = {
     val root = resolveDict(trailerDict.getOrElse("Root", PNull))
       .getOrElse(throw new PdfParseException("no /Root catalog"))
-    val top = resolveDict(root.get("Pages").getOrElse(PNull))
+    val top = root.get("Pages")
       .getOrElse(throw new PdfParseException("no /Pages tree"))
     val out = Vector.newBuilder[PDict]
-    def walk(node: PDict): Unit = resolve(node.get("Type").getOrElse(PNull)) match {
-      case PName("Page") => out += node
-      case _ => // Pages (or untyped intermediate): recurse kids
-        resolve(node.get("Kids").getOrElse(PNull)) match {
-          case PArr(kids) => kids.foreach(k => resolveDict(k).foreach(walk))
-          case _ => ()
+    val seen = mutable.Set.empty[Int]
+    def walk(nodeObj: PdfObj, depth: Int): Unit = {
+      if (depth > 64) throw new PdfParseException("page tree too deep")
+      nodeObj match {
+        case PRef(num, _) if !seen.add(num) =>
+          throw new PdfParseException("page tree cycle")
+        case _ => ()
+      }
+      resolveDict(nodeObj).foreach { node =>
+        resolve(node.get("Type").getOrElse(PNull)) match {
+          case PName("Page") => out += node
+          case _ => // Pages (or untyped intermediate): recurse kids
+            resolve(node.get("Kids").getOrElse(PNull)) match {
+              case PArr(kids) => kids.foreach(k => walk(k, depth + 1))
+              case _ => ()
+            }
         }
+      }
     }
-    walk(top)
+    walk(top, 0)
     out.result()
   }
 

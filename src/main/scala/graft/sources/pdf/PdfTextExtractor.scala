@@ -25,14 +25,14 @@ object PdfTextExtractor extends PageExtractor {
       val doc = new PdfDocument(bytes)
       doc.pages.zipWithIndex.map { case (page, i) =>
         val text = try extractText(doc.pageContent(page)) catch {
-          case _: PdfParseException => ""
+          case scala.util.control.NonFatal(_) => ""
         }
         (i, text)
       }
     } catch {
-      case _: PdfParseException => Nil
-      case _: NumberFormatException => Nil
-      case _: ArrayIndexOutOfBoundsException => Nil
+      // any malformation (parse errors, corrupt flate data, bad
+      // lengths/indices) skips the file — never fails the scan task
+      case scala.util.control.NonFatal(_) => Nil
     }
 
   /** Walk one decoded content stream, collecting shown text. */

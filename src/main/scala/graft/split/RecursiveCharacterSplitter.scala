@@ -169,11 +169,13 @@ object RecursiveCharacterSplitter {
         if (current.nonEmpty) {
           joinDocs(current, separator, cfg).foreach(docs += _)
           // Slide: drop leading pieces until within overlap budget and
-          // the next piece fits. The separator term counts only when
-          // a join will actually happen (>1 pieces remain) — matters
-          // solely for keepSeparator=false, where mergeSep is non-empty.
+          // the next piece fits. The would-overflow test reuses the
+          // same separator term as the outer if (any pieces present =>
+          // appending d costs one joiner) — upstream's exact form;
+          // only the POP below uses the >1 form (removing the head
+          // removes a joiner only when two or more pieces remain).
           while (total > cfg.chunkOverlap ||
-              (total + len + (if (current.length > 1) sepLen else 0) > cfg.chunkSize &&
+              (total + len + (if (current.nonEmpty) sepLen else 0) > cfg.chunkSize &&
                 total > 0)) {
             total -= current.head.length + (if (current.length > 1) sepLen else 0)
             current = current.tail

@@ -59,17 +59,28 @@ object EventStreams {
     * `event_tumbling` — whose DuckDB oracle it shares in the driver's
     * correctness gate (VERDICT r1 task 6).
     */
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    // the file-stream source wants a directory; stage the single
-    // events file into a fresh one (driver-side metadata work only)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events.parquet"))
-    runToMemory(spark, tmp.toString, "graft_stream_tumbling",
+  // staged stream-source dirs, one per source dir per JVM (repeated
+  // bench/verify invocations must not accumulate copies in /tmp)
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stage `dir`'s events file into a directory usable as a
+    * file-stream source (the source wants a directory of files).
+    * Reused across invocations; cleaned up on JVM exit.
+    */
+  private def stagedEventsDir(dir: String): String =
+    stagedDirs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      val file = tmp.resolve("events.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), file)
+      tmp.toFile.deleteOnExit()
+      file.toFile.deleteOnExit()
+      tmp.toString
+    })
+
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, stagedEventsDir(dir), "graft_stream_tumbling",
         tumblingCounts, "complete")
       .orderBy("hour_s", "event_type")
-  }
 
   /** 30-minute-gap session windows per user (`session_window` keeps
     * per-key state and emits on watermark close) — streaming twin of

@@ -11,11 +11,15 @@ import graft.split.{RecursiveCharacterSplitter, SplitConfig}
   * `/root/reference/requirements.txt:20`; generator pattern documented
   * in `.claude/skills/verify/SKILL.md`). Round 2 ran it over both
   * sf0.001 and sf0.01 documents at four chunk_overlap > 0 configs
-  * (78k chunks, exact match) — the overlap window-slide is the
-  * fiddliest splitter branch.
+  * plus four keep_separator=false configs (107k chunks, exact
+  * match) — the overlap window-slide (with its separator-length
+  * terms) is the fiddliest splitter branch.
   *
-  * TSV columns: corpus, doc_id, chunk_size, overlap, chunk_idx,
-  * start_index, chunk (\\n/\\t/\\\\-escaped).
+  * TSV columns: corpus, doc_id, chunk_size, overlap, keep(1/0),
+  * chunk_idx, start_index, chunk (\\n/\\t/\\\\-escaped). For
+  * keep=0 rows start_index is -1 and only chunk text is compared
+  * (upstream's find-based indexing is only contractual with kept
+  * separators).
   *
   * Usage: `runMain graft.tools.SplitterCrossCheck <expected.tsv> <docsParquetDir>...`
   */
@@ -52,21 +56,24 @@ object SplitterCrossCheck {
 
     // expected chunks grouped per (corpus, doc, config)
     val expected = Source.fromFile(tsv).getLines().map { line =>
-      val Array(corpus, did, cs, ov, idx, start, chunk) = line.split("\t", -1)
-      ((corpus, did.toLong, cs.toInt, ov.toInt), (idx.toInt, unescape(chunk), start.toInt))
+      val Array(corpus, did, cs, ov, keep, idx, start, chunk) = line.split("\t", -1)
+      ((corpus, did.toLong, cs.toInt, ov.toInt, keep == "1"),
+        (idx.toInt, unescape(chunk), start.toInt))
     }.toSeq.groupBy(_._1).view
       .mapValues(_.map(_._2).sortBy(_._1).map(t => (t._2, t._3)).toList).toMap
 
     var checked = 0
     var failed = 0
-    for (((corpus, did, cs, ov), exp) <- expected) {
-      val actual = RecursiveCharacterSplitter.splitWithStartIndex(
-        texts((corpus, did)), SplitConfig(chunkSize = cs, chunkOverlap = ov))
+    for (((corpus, did, cs, ov, keep), exp) <- expected) {
+      val cfg = SplitConfig(chunkSize = cs, chunkOverlap = ov, keepSeparator = keep)
+      val actual: List[(String, Int)] =
+        if (keep) RecursiveCharacterSplitter.splitWithStartIndex(texts((corpus, did)), cfg)
+        else RecursiveCharacterSplitter.splitText(texts((corpus, did)), cfg).map((_, -1))
       checked += exp.length
       if (actual != exp) {
         failed += 1
         if (failed <= 5)
-          println(s"MISMATCH $corpus/$did cs=$cs ov=$ov\n  exp=${exp.take(3)}\n  got=${actual.take(3)}")
+          println(s"MISMATCH $corpus/$did cs=$cs ov=$ov keep=$keep\n  exp=${exp.take(3)}\n  got=${actual.take(3)}")
       }
     }
     println(s"[crosscheck] $checked chunks over ${expected.size} (doc, config) cases; " +
