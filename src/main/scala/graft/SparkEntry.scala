@@ -83,9 +83,12 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_edit_distance" -> (TextAnalysis.textEditDistance(_, _)),
+    "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
+    "text_pii_scrub" -> (TextAnalysis.textPiiScrub(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
+    "dedup_ngram" -> (Dedup.dedupNgram(_, _)),
     "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
     // Similarity search (north star)
@@ -151,8 +154,13 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_edit_distance" -> TextAnalysis.textEditDistanceSql,
+    "text_tfidf" -> TextAnalysis.textTfidfSql,
+    "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
+    // exact postings-join Jaccard computes the same relation the
+    // brute-force minhash oracle does
+    "dedup_ngram" -> Dedup.dedupMinhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "sim_topk" -> Similarity.simTopkSql,

@@ -185,6 +185,39 @@ object Dedup {
        |WHERE jaccard >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact n-gram Jaccard similarity join via an inverted-index
+    * (postings) self-join — the deterministic dedup tier between
+    * exact-digest and MinHash: explode each doc's distinct shingle
+    * set, equi-join postings on the shingle, count shared shingles
+    * per candidate pair (only pairs sharing ≥ 1 shingle ever
+    * materialize — no all-pairs product), and compute Jaccard from
+    * |A|, |B|, |A∩B|. Same shingles, threshold, and result relation
+    * as [[dedupMinhash]], so the two tiers cross-check each other:
+    * MinHash trades this join's hot-shingle skew for probabilistic
+    * banding. Skew note: at corpus scale a ubiquitous shingle makes a
+    * quadratic postings bucket; the standard mitigation (prefix
+    * filtering — join only each doc's k rarest shingles, which is
+    * exact for any threshold via the pigeonhole bound) composes on
+    * top of this shape.
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), shingleCol.as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+    val posts = base.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+    val a = posts.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("shingle"))
+    val b = posts.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ----------------------------------------------------------------
   // Near-dup embeddings: cosine threshold
   // ----------------------------------------------------------------

@@ -203,6 +203,116 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // TF-IDF: corpus-weighted term importance, top-k terms per doc
+  // ----------------------------------------------------------------
+
+  /** Per-doc top-3 terms by tf·idf (idf = ln(N/df)). Plan shape: one
+    * explode + two hash aggregations (term frequency per doc,
+    * document frequency per term), an equi-join on the term, and the
+    * per-doc top-k window — every stage partial-aggregates map-side
+    * before its shuffle, the 100 TB-friendly shape. Ranking uses the
+    * 6-dp-ROUNDED score (word as tie-break) so cross-engine
+    * last-ulp `ln` differences cannot flip ranks.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " +")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val textTfidfSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, word, tf, df, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf DESC, word ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, rn, word, tf, df, tfidf FROM ranked
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // PII scrubbing: detect + redact emails / URLs / phone numbers
+  // ----------------------------------------------------------------
+
+  /** PII detection + redaction over a deterministic synthetic PII
+    * suffix (the corpus itself is clean, so each doc gets an email,
+    * a URL, and a phone derived from its id — both engines build the
+    * identical string, making redaction real work with a full
+    * oracle). Patterns stay in the Java-regex ∩ RE2 common subset.
+    * Pure per-row projection: zero shuffle at any scale.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val phoneRe = "\\+[0-9][0-9 ]{5,}[0-9]"
+    val synth = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call +1 555 010 "),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" see https://data.example.org/doc/"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("raw", synth)
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(urlRe)).cast("long").as("n_urls"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+            urlRe, "[URL]"),
+          phoneRe, "[PHONE]").as("scrubbed"))
+      .withColumn("n_phones",
+        regexp_count(col("scrubbed"), lit("\\[PHONE\\]")).cast("long"))
+      .withColumn("scrubbed_len", length(col("scrubbed")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com or call +1 555 010 ' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR) AS raw
+      |  FROM documents),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(raw, 'https?://[^ ]+')) AS n_urls,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(raw,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        'https?://[^ ]+', '[URL]', 'g'),
+      |      '\+[0-9][0-9 ]{5,}[0-9]', '[PHONE]', 'g') AS scrubbed
+      |  FROM s)
+      |SELECT doc_id, n_emails, n_urls, scrubbed,
+      |       len(regexp_extract_all(scrubbed, '\[PHONE\]')) AS n_phones,
+      |       length(scrubbed) AS scrubbed_len
+      |FROM scrub ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // Typed Aggregator (UDAF) + array higher-order function coverage
   // ----------------------------------------------------------------
 

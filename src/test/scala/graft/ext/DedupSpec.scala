@@ -25,6 +25,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._1).distinct.length == 2) // distinct digests
   }
 
+  test("exact postings-join Jaccard (dedup_ngram) equals the MinHash+verify tier") {
+    val ngram = Dedup.dedupNgram(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val minhash = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ngram.nonEmpty)
+    assert(ngram == minhash)
+  }
+
   test("minhash LSH finds exactly the brute-force Jaccard >= 0.8 pairs") {
     val lsh = Dedup.dedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
