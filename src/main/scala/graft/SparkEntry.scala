@@ -75,8 +75,9 @@ object SparkEntry {
     "sessionize" -> (Relational.sessionize(_, _)),
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
-    // the events table, watermarked tumbling agg, memory sink (§2.10)
+    // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
+    "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -147,8 +148,9 @@ object SparkEntry {
     "asof_join" -> Relational.asofJoinSql,
     "sessionize" -> Relational.sessionizeSql,
     "event_tumbling" -> Relational.eventTumblingSql,
-    // converged streaming result == the batch twin's relation
+    // converged streaming results == the batch twins' relations
     "stream_tumbling" -> Relational.eventTumblingSql,
+    "stream_sessionize" -> Relational.sessionizeSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_tokens" -> TextAnalysis.textTokensSql,

@@ -82,6 +82,31 @@ object EventStreams {
         tumblingCounts, "complete")
       .orderBy("hour_s", "event_type")
 
+  /** Driver-gate streaming query (`stream_sessionize`): session
+    * windows over the replayed events, converged (complete mode) and
+    * reshaped to the batch `sessionize` contract, whose oracle it
+    * shares: `session_window.end` is last-event-time + gap, so
+    * subtracting the 30-minute gap recovers the batch max(ts) end;
+    * session ordinals are ranks over session starts per user
+    * (sessions are ≥ gap apart, so starts cannot collide). Verified
+    * edge-free on this data: no inter-event gap within 10 µs of the
+    * 30-minute boundary, so µs truncation cannot flip a session
+    * split.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = runToMemory(spark, stagedEventsDir(dir), "graft_stream_sessionize",
+      sessionWindows, "complete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_s")
+    raw
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        col("start_s"), (col("end_s") - 1800L).as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** 30-minute-gap session windows per user (`session_window` keeps
     * per-key state and emits on watermark close) — streaming twin of
     * `sessionize`.

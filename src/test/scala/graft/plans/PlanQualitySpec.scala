@@ -72,6 +72,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(viaGrid == brute)
   }
 
+  test("dedup_ngram postings join is an equi-join on the shingle, never a product") {
+    val plan = graft.ext.Dedup.dedupNgram(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("text_tfidf broadcasts the one-row corpus count, equi-joins the term") {
+    val plan = graft.ext.TextAnalysis.textTfidf(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the N scalar rides a broadcast nested-loop (1-row build side);
+    // the tf x df join must be an equi-join, and no plain cartesian
+    // product may appear anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("rewrite does NOT fire when the rank column is observed") {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
     val df = spark.read.parquet(s"$dir/part.parquet")
