@@ -357,7 +357,7 @@ object Dedup {
     * 1e9+7 to the full 64 bits SimHash needs; the DuckDB oracle
     * reproduces it bit-for-bit with a HUGEINT `list_reduce` fold.
     */
-  private[ext] def polyHash64(s: String): Long = {
+  private[graft] def polyHash64(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {

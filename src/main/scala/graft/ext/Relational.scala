@@ -133,6 +133,76 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy("event_type")
 
+  /** Distinct-count sketch that IS gate-verifiable: the
+    * [[graft.functions.KmvSketch]] bottom-k estimator over the
+    * portable polynomial hash, alongside the exact distinct count for
+    * context. Unlike HLL++ (engine-specific, rows-only above), every
+    * intermediate here — hash, k-th order statistic, integer-division
+    * estimate — is reproduced bit-for-bit by the DuckDB oracle.
+    */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val kmv = events
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .map { case (t, u) => (t, graft.functions.KmvSketch.hash(u.toString)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.KmvSketch.toColumn.name("kmv_users"))
+      .toDF("event_type", "kmv_users")
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    kmv.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("kmv_users"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle: identical hash (HUGEINT fold mod 2⁶⁴ over the id's
+    * decimal digits, then the same multiply/shift-add finalizer via a
+    * 32-bit-split multiply — products stay under 2⁹⁸ < HUGEINT max),
+    * k-th smallest distinct hash via a window, and the same
+    * (K−1)·2⁶⁴ // kth integer estimate (255·2⁶⁴ < 2¹²⁷).
+    */
+  val aggKmvDistinctSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+      |h0 AS (
+      |  SELECT event_type,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      [CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT)
+      |       for i in generate_series(1, length(s))]),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616) AS x
+      |  FROM u),
+      |m1 AS (SELECT event_type,
+      |  ((x % 4294967296) * (18397679294719823053 % 4294967296)
+      |   + 4294967296 * ((x % 4294967296) * (18397679294719823053 // 4294967296)
+      |                 + (x // 4294967296) * (18397679294719823053 % 4294967296))
+      |  ) % 18446744073709551616 AS x FROM h0),
+      |a1 AS (SELECT event_type,
+      |  (x + (x // 8589934592)) % 18446744073709551616 AS x FROM m1),
+      |m2 AS (SELECT event_type,
+      |  ((x % 4294967296) * (14181476777654086739 % 4294967296)
+      |   + 4294967296 * ((x % 4294967296) * (14181476777654086739 // 4294967296)
+      |                 + (x // 4294967296) * (14181476777654086739 % 4294967296))
+      |  ) % 18446744073709551616 AS x FROM a1),
+      |h AS (SELECT event_type,
+      |  (x + (x // 8589934592)) % 18446744073709551616 AS hu FROM m2),
+      |hd AS (SELECT DISTINCT event_type, hu FROM h),
+      |r AS (SELECT event_type, hu,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+      |      FROM hd),
+      |k AS (SELECT event_type, count(*) AS seen,
+      |        max(hu) FILTER (WHERE rn <= 256) AS kth
+      |      FROM r GROUP BY event_type),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      |      FROM events GROUP BY event_type)
+      |SELECT k.event_type, CAST(x.exact_users AS BIGINT) AS exact_users,
+      |  CASE WHEN k.seen < 256 THEN CAST(k.seen AS BIGINT)
+      |       ELSE CAST((CAST(255 AS HUGEINT) * 18446744073709551616) // k.kth
+      |            AS BIGINT)
+      |  END AS kmv_users
+      |FROM k JOIN x ON k.event_type = x.event_type
+      |ORDER BY k.event_type""".stripMargin
+
   // ----------------------------------------------------------------
   // Joins (§2.6 — absent in the reference)
   // ----------------------------------------------------------------
