@@ -34,6 +34,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ngram == minhash)
   }
 
+  test("embedding grid stays correct and balanced under skewed ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dense ids plus one far outlier: a range-span block split would
+    // put every dense row in one block; quantile cuts must not
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L until 2500L).map { i =>
+        (i, base.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+      } :+ (1000000000000L, base.clone())
+    val tmp = java.nio.file.Files.createTempDirectory("skewgrid").toString
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+
+    val grid = Dedup.dedupEmbedding(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val brute = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b"))
+      .withColumn("cs",
+        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(!isnan(col("cs")) && col("cs") >= 0.45)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid == brute)
+    assert(grid.nonEmpty) // clustered fixture: plenty of pairs
+  }
+
   test("minhash LSH finds exactly the brute-force Jaccard >= 0.8 pairs") {
     val lsh = Dedup.dedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -63,6 +63,24 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(PdfTextExtractor.extract("x.pdf", truncated) == Nil)
   }
 
+  test("fuzz: random printable text round-trips through build + extract") {
+    val rnd = new scala.util.Random(19)
+    val alphabet = (' ' to '~').mkString + "\n" // printable ASCII + newline
+    for (trial <- 0 until 50) {
+      val text = (0 until (1 + rnd.nextInt(200)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        // the builder shows one Tj per line; blank edge lines and CRs
+        // are legitimate PDF-level losses, so normalize the expectation
+        .replace("\r", "")
+      val pdf = PdfFixtures.classicPdf(Seq(text), compress = trial % 2 == 0)
+      val out = PdfTextExtractor.extract("f.pdf", pdf)
+      assert(out.size == 1, s"trial $trial")
+      // per-line comparison: extraction joins shown lines with \n
+      val expected = text.split("\n", -1).mkString("\n")
+      assert(out.head._2 == expected, s"trial $trial text=${text.take(60)}")
+    }
+  }
+
   test("corrupt flate payload yields empty page text, not a crash") {
     val pdf = PdfFixtures.classicPdf(Seq("some words here"), compress = true)
     val lx = new PdfLexer(pdf)
