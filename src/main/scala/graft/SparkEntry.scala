@@ -168,6 +168,8 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "sim_topk" -> Similarity.simTopkSql,
+    // deterministic hash-derived planes make the ANN query exact-reproducible
+    "sim_lsh" -> Similarity.simLshSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
   )

@@ -89,15 +89,19 @@ object Similarity {
     math.min(24, math.max(4, needed))
   }
 
-  /** Deterministic pseudo-random hyperplanes. Each plane is seeded
-    * independently (seed = 42 + plane index), so a width-w signature
-    * is a prefix of every wider signature — recall comparisons across
-    * widths stay apples-to-apples.
+  /** Deterministic discrete-Gaussian hyperplanes from the portable
+    * hash: entry (b, i) = popcount(low 4 bits of hash("b:i")) − 2,
+    * i.e. a centered Binomial(4, ½) ∈ {−2..2} — a 5-level
+    * approximation of a Gaussian coordinate (plain ±1 signs cost
+    * ~5-10% recall on clustered data; 5 levels recover it). Being
+    * hash-derived, the DuckDB oracle regenerates the identical
+    * planes, signatures, probes, and top-k, so the whole ANN query is
+    * gate-verifiable. Entry depends only on (b, i), so a width-w
+    * signature is a prefix of every wider one.
     */
   private[ext] def planes(numPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(numPlanes) { b =>
-      val rnd = new scala.util.Random(42L + b)
-      Array.fill(Dim)(rnd.nextGaussian())
+    Array.tabulate(numPlanes, Dim) { (b, i) =>
+      (java.lang.Long.bitCount(graft.functions.KmvSketch.hash(s"$b:$i") & 0xFL) - 2).toDouble
     }
 
   /** Signature = bit b set iff plane_b · v > 0 (plain-Scala kernel —
@@ -118,12 +122,14 @@ object Similarity {
     sig
   }
 
-  /** ANN top-k: candidates are vectors whose signature matches the
-    * query's bucket or any Hamming-1 neighbor bucket (multi-probe).
-    * The bucket join replaces the brute-force cross join — at 10⁹
-    * vectors this is the difference between a scan and a product.
-    * Signature width defaults to [[planesFor]] (corpus-scaled); recall
-    * at two explicit widths is asserted in `SimilaritySpec`.
+  /** ANN top-k: candidates are vectors whose signature lands within
+    * Hamming distance 2 of the query's bucket (multi-probe LSH —
+    * 1 + w + w(w−1)/2 probed buckets). The bucket join replaces the
+    * brute-force cross join: at 10⁹ vectors / width 20 that is ~211
+    * probes × ~1k vectors per bucket ≈ 200k candidates per query
+    * instead of a 10⁹-row scan. Signature width defaults to
+    * [[planesFor]] (corpus-scaled); recall at two explicit widths is
+    * asserted in `SimilaritySpec`.
     */
   def simLsh(spark: SparkSession, dir: String): DataFrame =
     simLsh(spark, dir, numPlanes = 0)
@@ -147,9 +153,12 @@ object Similarity {
     // candidate side: exact bucket only
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
       col("nrm").as("cn"), col("sig").as("bucket"))
-    // query side: explode exact + Hamming-1 probe buckets
-    val probes = array(
-      (col("sig") +: (0 until width).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)
+    // query side: explode exact + Hamming-<=2 probe buckets
+    val masks: Seq[Long] = 0L +:
+      (0 until width).map(b => 1L << b) ++:
+      (for { b1 <- 0 until width; b2 <- (b1 + 1) until width }
+        yield (1L << b1) | (1L << b2))
+    val probes = array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), explode(probes).as("bucket"))
@@ -164,6 +173,87 @@ object Similarity {
       .orderBy("q_id", "rn")
       .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
   }
+
+  /** Oracle: regenerates the identical hash-derived planes (the
+    * polynomial+mixer chain from the KMV oracle, then
+    * bit_count(low 4 bits) − 2), signatures (left-to-right list_sum
+    * folds match the kernel's accumulation order), corpus-scaled
+    * width, Hamming-≤2 probe masks, and the same rounded cosine
+    * top-k. The whole approximate query is deterministic, so it
+    * hash-matches.
+    */
+  val simLshSql: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |wdt AS (SELECT GREATEST(4, LEAST(24,
+       |  CAST(ceil(ln(GREATEST(1.0, CAST(n AS DOUBLE)/1000))/ln(2)) AS INT))) AS w
+       |  FROM n),
+       |bi AS (SELECT b, i,
+       |  CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+       |  FROM (SELECT unnest(generate_series(0, (SELECT w FROM wdt)-1)) AS b)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+       |ph0 AS (SELECT b, i,
+       |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    [CAST(unicode(substr(s, CAST(k AS INT), 1)) AS HUGEINT)
+       |     for k in generate_series(1, length(s))]),
+       |    (a, c) -> (a*31 + c) % 18446744073709551616) AS x
+       |  FROM bi),
+       |phm1 AS (SELECT b, i,
+       |  ((x % 4294967296) * (18397679294719823053 % 4294967296)
+       |   + 4294967296 * ((x % 4294967296) * (18397679294719823053 // 4294967296)
+       |                 + (x // 4294967296) * (18397679294719823053 % 4294967296))
+       |  ) % 18446744073709551616 AS x FROM ph0),
+       |pha1 AS (SELECT b, i,
+       |  (x + (x // 8589934592)) % 18446744073709551616 AS x FROM phm1),
+       |phm2 AS (SELECT b, i,
+       |  ((x % 4294967296) * (14181476777654086739 % 4294967296)
+       |   + 4294967296 * ((x % 4294967296) * (14181476777654086739 // 4294967296)
+       |                 + (x // 4294967296) * (14181476777654086739 % 4294967296))
+       |  ) % 18446744073709551616 AS x FROM pha1),
+       |signs AS (SELECT b, i,
+       |  CAST(bit_count(CAST(((x + (x // 8589934592)) % 18446744073709551616) % 16
+       |    AS BIGINT)) - 2 AS DOUBLE) AS sgn
+       |  FROM phm2),
+       |sgarr AS (SELECT b, list(sgn ORDER BY i) AS sg FROM signs GROUP BY b),
+       |e AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |    i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |proj AS (SELECT e.vec_id, sa.b,
+       |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |    i -> sa.sg[i] * CAST(e.embedding[i] AS DOUBLE))) AS d
+       |  FROM e CROSS JOIN sgarr sa),
+       |sig AS (SELECT vec_id,
+       |  CAST(sum(CASE WHEN d > 0 THEN CAST(2**b AS BIGINT) ELSE 0 END) AS BIGINT)
+       |    AS sig
+       |  FROM proj GROUP BY vec_id),
+       |masks AS (
+       |  SELECT 0 AS m
+       |  UNION ALL
+       |  SELECT CAST(2**b AS BIGINT)
+       |  FROM (SELECT unnest(generate_series(0, (SELECT w FROM wdt)-1)) AS b)
+       |  UNION ALL
+       |  SELECT CAST(2**b1 AS BIGINT) + CAST(2**b2 AS BIGINT)
+       |  FROM (SELECT unnest(generate_series(0, (SELECT w FROM wdt)-1)) AS b1)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT w FROM wdt)-1)) AS b2)
+       |  WHERE b1 < b2),
+       |q AS (SELECT s.vec_id AS q_id, xor(s.sig, m.m) AS bucket
+       |      FROM sig s CROSS JOIN masks m WHERE s.vec_id < $NumQueries),
+       |pairs AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id
+       |          FROM q JOIN sig c ON c.sig = q.bucket
+       |          WHERE c.vec_id != q.q_id),
+       |scored AS (SELECT p.q_id, p.c_id,
+       |  round(list_sum(list_transform(generate_series(1, len(eq.embedding)),
+       |    i -> CAST(eq.embedding[i] AS DOUBLE) * ec.embedding[i]))
+       |    / (eq.nrm * ec.nrm), 6) AS cos_sim
+       |  FROM pairs p
+       |  JOIN e eq ON eq.vec_id = p.q_id
+       |  JOIN e ec ON ec.vec_id = p.c_id),
+       |r AS (SELECT q_id, c_id, cos_sim,
+       |  row_number() OVER (PARTITION BY q_id
+       |                     ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
 
   // ----------------------------------------------------------------
   // IVF-bucketed ANN (the clustered-data scale path)
