@@ -157,7 +157,14 @@ object Dedup {
     */
   private def verifyJaccardPairs(
       spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
-    val posts = shinglePosts(spark, dir)
+    // shingle only candidate docs: the semi-join must happen BELOW
+    // the kernel (mapPartitions is an optimizer barrier, so a filter
+    // above it cannot prune the shingling) — verify stays
+    // O(|candidate docs|), not O(corpus), per the 100 TB posture
+    val cdocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val posts = shinglePosts(spark, dir, Some(cdocs))
     val pa = posts.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("shingle"))
     val pb = posts.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("shingle"))
     candidates.join(pa, "doc_a")
@@ -173,11 +180,16 @@ object Dedup {
   }
 
   /** Shingle postings through the fast kernel: one row per
-    * (doc, |shingles|, shingle). */
-  private def shinglePosts(spark: SparkSession, dir: String): DataFrame = {
+    * (doc, |shingles|, shingle). `onlyDocs` semi-joins the doc table
+    * BEFORE the kernel so callers can bound the shingling work.
+    */
+  private def shinglePosts(
+      spark: SparkSession, dir: String,
+      onlyDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    onlyDocs.fold(base)(ids => base.join(ids, Seq("doc_id"), "left_semi"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, t) =>
           val sh = shingleSet(t)

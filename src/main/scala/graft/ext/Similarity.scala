@@ -143,16 +143,11 @@ object Similarity {
     val ps = planes(width)
     val e = base.as[(Long, Array[Float])]
       .mapPartitions { it =>
-        it.map { case (id, v) =>
-          var s = 0.0
-          var i = 0
-          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-          (id, v, math.sqrt(s), signatureOf(v, ps))
-        }
-      }.toDF("vec_id", "embedding", "nrm", "sig")
+        it.map { case (id, v) => (id, v, signatureOf(v, ps)) }
+      }.toDF("vec_id", "embedding", "sig")
     // candidate side: exact bucket only
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("sig").as("bucket"))
+      col("sig").as("bucket"))
     // query side: explode exact + Hamming-<=2 probe buckets
     val masks: Seq[Long] = 0L +:
       (0 until width).map(b => 1L << b) ++:
@@ -161,12 +156,15 @@ object Similarity {
     val probes = array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), explode(probes).as("bucket"))
+        explode(probes).as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    // fused codegen'd cosine: Hamming-<=2 probing multiplies candidate
+    // volume ~10x, which would make the interpreted higher-order
+    // cosineWithNorms the hot loop (the 5-20x interpreted penalty)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cos_sim",
-        round(VectorOps.cosineWithNorms(col("qe"), col("ce"), col("qn"), col("cn")), 6))
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
       .select(col("q_id"), col("c_id"), col("cos_sim")).distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)

@@ -37,6 +37,20 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(ab.toSeq == single.toSeq)
   }
 
+  test("estimate branch: independently computed kth-order-statistic estimate matches") {
+    // the gate's sf0.01 corpus has <256 distinct users per type, so
+    // the >=K estimate branch must be pinned here: full sort of all
+    // hashes (no sketch code) -> same (K-1)*2^64 // kth arithmetic
+    val n = 10000
+    val hashes = (1 to n).map(v => KmvSketch.hash(v.toString))
+    val sorted = hashes.sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+    val mask = (BigInt(1) << 64) - 1
+    val expected = ((BigInt(KmvSketch.K - 1) << 64) / (BigInt(sorted(KmvSketch.K - 1)) & mask)).toLong
+    val viaSketch = KmvSketch.finish(hashes.foldLeft(KmvSketch.zero)(KmvSketch.reduce))
+    assert(viaSketch == expected)
+    assert(math.abs(viaSketch.toDouble - n) / n < 0.15)
+  }
+
   test("buffer stays sorted in unsigned order") {
     val s = sketchOf(1L to 5000L)
     s.sliding(2).foreach {

@@ -69,15 +69,13 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     for (trial <- 0 until 50) {
       val text = (0 until (1 + rnd.nextInt(200)))
         .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-        // the builder shows one Tj per line; blank edge lines and CRs
-        // are legitimate PDF-level losses, so normalize the expectation
-        .replace("\r", "")
       val pdf = PdfFixtures.classicPdf(Seq(text), compress = trial % 2 == 0)
       val out = PdfTextExtractor.extract("f.pdf", pdf)
       assert(out.size == 1, s"trial $trial")
-      // per-line comparison: extraction joins shown lines with \n
-      val expected = text.split("\n", -1).mkString("\n")
-      assert(out.head._2 == expected, s"trial $trial text=${text.take(60)}")
+      // exact round-trip, including leading/trailing newlines (an
+      // empty shown line still flips the line state, so the following
+      // line-move emits its newline)
+      assert(out.head._2 == text, s"trial $trial text=${text.take(60)}")
     }
   }
 

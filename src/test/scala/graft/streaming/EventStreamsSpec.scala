@@ -56,6 +56,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fixture guard: no inter-event gap sits near the 30-minute session boundary") {
+    // stream_sessionize (session_window, half-open at µs precision)
+    // and batch sessionize (strict > gap at ns precision) agree only
+    // when no gap lands within the truncation window of exactly 30
+    // minutes. This must hold for every corpus the gate runs on — a
+    // regenerated fixture that violates it should fail HERE, loudly,
+    // not as a silent oracle mismatch.
+    import org.apache.spark.sql.expressions.Window
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val gapW = Window.partitionBy("user_id").orderBy("ts_ns")
+      val offending = Tables.events(spark, sf)
+        .withColumn("gap", col("ts_ns") - lag(col("ts_ns"), 1).over(gapW))
+        .filter(abs(col("gap") - lit(1800L * 1000000000L)) < lit(1000000L)) // within 1 ms
+        .count()
+      assert(offending == 0, s"$sf has $offending near-boundary gaps")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark keeps each event_id once") {
     val out = EventStreams.runToMemory(
       spark, streamDir, "t_dedup", EventStreams.dedupWithinWatermark, "append")
