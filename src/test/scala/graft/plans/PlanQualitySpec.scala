@@ -92,6 +92,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("chunk pipeline: window and per-file agg share one path partition") {
+    val df = graft.ops.ChunkPipeline.docChunkStats(spark, dir,
+      graft.split.SplitConfig(chunkSize = 100, chunkOverlap = 0))
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly two hash exchanges: one hash-partition on path feeding
+    // BOTH the offset window and the per-file aggregate (a third
+    // would mean the agg re-shuffled), plus the rollup's re-agg;
+    // the only other exchange is the final presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("rewrite does NOT fire when the rank column is observed") {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
     val df = spark.read.parquet(s"$dir/part.parquet")
