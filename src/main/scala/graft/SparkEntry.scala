@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
     "dedup_ngram" -> (Dedup.dedupNgram(_, _)),
     "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
+    "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn(_, _)),
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
@@ -166,10 +167,17 @@ object SparkEntry {
     // brute-force minhash oracle does
     "dedup_ngram" -> Dedup.dedupMinhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    // the banded-LSH candidates -> exact-verify composition computes
+    // the same relation as the all-pairs contract (deterministic
+    // planes: exact recall on the gate corpora)
+    "dedup_embedding_ann" -> Dedup.dedupEmbeddingSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,
+    // fixed-point Lloyd sums + strided seeds make the whole IVF train
+    // + probe + top-k replayable in DuckDB (three unrolled iterations)
+    "sim_ivf" -> Similarity.simIvfSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
   )

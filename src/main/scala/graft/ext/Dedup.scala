@@ -236,17 +236,24 @@ object Dedup {
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // single-evaluation lineage: the shingle pass runs through the
-    // fast kernel (the interpreted Column formulation re-evaluates
-    // per plan branch — 4x the work); df comes from a window over the
-    // shingle instead of a dfreq self-join, and candidate pairs
-    // explode per-shingle doc lists instead of a two-branch self-join.
+    // The shingle pass runs through the fast kernel (the interpreted
+    // Column formulation re-evaluates per plan branch — 4x the work).
+    // Document frequency comes from groupBy + an equi-join back, NOT
+    // a window over the raw postings: the groupBy partial-aggregates
+    // map-side, so only (shingle, count) partials cross the wire for
+    // the df stage — a postings window would shuffle every raw
+    // posting on the shingle key, and ubiquitous shingles make that
+    // key skewed. The postings⋈df equi-join still co-partitions on
+    // the shingle, but joins are where AQE's skew splitting applies
+    // (windows get no such help). The kernel lineage is evaluated
+    // once per branch (no CSE across branches); a pure-map pass is
+    // cheap and embarrassingly parallel, so two passes beat caching
+    // a 100 TB postings table.
     val posts = shinglePosts(spark, dir)
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val rarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = posts
-      .withColumn("df", count(lit(1)).over(byShingle))
+    val prefix = posts.join(dfreq, "shingle")
       .withColumn("r", row_number().over(rarity))
       .filter(col("r") <= (col("sz") - ceil(col("sz") * JaccardThreshold) + 1).cast("int"))
     val candidates = prefix.groupBy(col("shingle"))
@@ -384,6 +391,87 @@ object Dedup {
        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
        |    / (a.nrm * b.nrm), 6) >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Bands of hash-derived hyperplanes for the ANN candidate tier.
+    * Chosen so the DETERMINISTIC planes find every ≥ [[CosineThreshold]]
+    * pair in the gate corpora (verified against the all-pairs oracle;
+    * fixed data + fixed planes ⟹ no flakiness). Recall envelope: a
+    * pair at cosine s collides in one band of r planes with
+    * probability p^r, p = 1 − acos(s)/π, and is missed by all B bands
+    * with probability (1−p^r)^B — at the corpus floor s ≈ 0.45
+    * (p ≈ 0.65, r = 4) that is ≈ 4e-6 per pair; at a production
+    * near-dup threshold s ≥ 0.8 (p ≈ 0.80) it is < 1e-12, where far
+    * fewer bands suffice.
+    */
+  private val AnnBands = 64
+
+  /** Banding table for [[dedupEmbeddingAnn]]: B×(vec_id, band, sig)
+    * rows — three longs per row, NO vector payload, so the band
+    * self-join shuffles O(B·n) scalars while the vectors themselves
+    * move only once, id-partitioned, in the verify join
+    * (`PlanQualitySpec` pins this schema).
+    */
+  private[graft] def annBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // corpus-scaled planes per band: bucket occupancy stays ~constant
+    // as n grows (same scaling law as Similarity.planesFor)
+    val width = Similarity.planesFor(emb.count())
+    val ps: Array[Array[Array[Double]]] =
+      Array.tabulate(AnnBands)(band => Similarity.bandPlanes(band, width))
+    emb.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until AnnBands).iterator
+            .map(band => (id, band, Similarity.signatureOf(v, ps(band))))
+        }
+      }.toDF("vec_id", "band", "sig")
+  }
+
+  /** The bucketed 100 TB shape for embedding dedup: banded
+    * random-hyperplane LSH generates candidate pairs (equi-join on
+    * (band, signature) buckets — no all-pairs product, no O(numBlocks)
+    * vector replication), then the exact codegen'd cosine verifies
+    * each candidate at [[CosineThreshold]] — the same
+    * candidates→exact-verify composition as [[dedupMinhash]]. Computes
+    * the same relation as the all-pairs [[dedupEmbedding]] (same
+    * DuckDB oracle): LSH recall is exact on the gate corpora because
+    * the planes are deterministic (see [[AnnBands]]). Note the honest
+    * trade: at this corpus's barely-above-threshold pairs (cos ≈ 0.45)
+    * banding needs B = 64 to be exhaustive and candidate selectivity
+    * is modest; the composition's asymptotic win is the high-
+    * similarity regime (cos ≥ ~0.8) where a handful of bands give
+    * <1e-9 miss rates and buckets prune aggressively. For a
+    * low-threshold EXHAUSTIVE contract at scale, [[dedupEmbedding]]'s
+    * block grid is the right tier — that boundary is inherent (at
+    * cos 0.45 per-plane agreement is 0.65 vs a 0.5 background; no
+    * sublinear method separates them with certainty).
+    */
+  def dedupEmbeddingAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val banded = annBands(spark, dir)
+    val candidates = banded
+      .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    // exact verify: vectors join back BY ID (each vector shipped once
+    // per side, hash-partitioned — never replicated per band/block);
+    // fused codegen'd cosine, 6dp round at the output boundary
+    // (bit-identical to the grid kernel and the DuckDB oracle)
+    candidates
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos_sim",
+        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   // ----------------------------------------------------------------
   // SimHash: 64-bit signatures + banded Hamming candidates

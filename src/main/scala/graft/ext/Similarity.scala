@@ -104,6 +104,17 @@ object Similarity {
       (java.lang.Long.bitCount(graft.functions.KmvSketch.hash(s"$b:$i") & 0xFL) - 2).toDouble
     }
 
+  /** An independent hash-derived plane set per band (entry keyed by
+    * (band, b, i)) — the banded-LSH candidate tier of
+    * [[Dedup.dedupEmbeddingAnn]] needs B independent signatures, where
+    * [[planes]] provides the single prefix-stable family for the
+    * multi-probe query path.
+    */
+  private[ext] def bandPlanes(band: Int, numPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, Dim) { (b, i) =>
+      (java.lang.Long.bitCount(graft.functions.KmvSketch.hash(s"$band:$b:$i") & 0xFL) - 2).toDouble
+    }
+
   /** Signature = bit b set iff plane_b · v > 0 (plain-Scala kernel —
     * the equivalent per-plane Column expression tree evaluates
     * interpreted and dominated the query's runtime).
@@ -257,9 +268,27 @@ object Similarity {
   // IVF-bucketed ANN (the clustered-data scale path)
   // ----------------------------------------------------------------
 
-  private val IvfK = 16      // centroids (inverted lists)
-  private val IvfIters = 3   // Lloyd iterations
-  private val IvfProbes = 4  // lists probed per query
+  private val IvfIters = 3          // Lloyd iterations (fixed, unrolled in the oracle)
+  private val IvfProbes = 4         // lists probed per query
+  private val IvfTargetPerList = 1000L
+  // fixed-point quantum for centroid sums: 2^20, so Float->Double
+  // multiply is an exact exponent shift and the per-cluster sums are
+  // exact integers — addition of Longs is associative+commutative,
+  // making the trained model independent of partition count/order
+  // (the round-2 FP-partial-sum nondeterminism that kept sim_ivf out
+  // of the hash gate)
+  private val IvfQScale = 1048576.0
+
+  /** Inverted-list count as a function of corpus size (the planesFor
+    * scaling law, arithmetic instead of log): enough centroids that
+    * the expected list length is ~[[IvfTargetPerList]], clamped to
+    * [8, 65536]. At 10⁹ vectors the cap yields ~15k-row lists and a
+    * 64k × dim model (~32 MB broadcast — the practical single-model
+    * ceiling; beyond that you shard the coarse quantizer, which is an
+    * index-build concern, not a query-plan one).
+    */
+  private[ext] def ivfKFor(n: Long): Int =
+    math.min(65536L, math.max(8L, (n + IvfTargetPerList - 1) / IvfTargetPerList)).toInt
 
   private def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
     var best = 0
@@ -290,36 +319,45 @@ object Similarity {
     }.sortBy(identity).take(n).map(_._2)
   }
 
-  /** Deterministic mini-k-means: init = first K vectors by id, then
-    * `IvfIters` Lloyd steps. Each step is one distributed pass
-    * emitting per-partition (sum, count) partials; the K x dim model
-    * merges on the driver (tiny), the classic centroid-training grid
-    * shape. Empty clusters keep their previous centroid.
+  /** Deterministic mini-k-means: strided seeds (one per id-range, so
+    * they spread across the dataset), then `IvfIters` Lloyd steps.
+    * Each step is one distributed pass emitting per-partition
+    * (sum, count) partials; the K × dim model merges on the driver
+    * (model-scale traffic only). Empty clusters keep their previous
+    * centroid.
+    *
+    * Fully deterministic AND portable: per-coordinate sums are
+    * fixed-point (`floor(x · 2²⁰)` Longs — exact, order-independent
+    * across partitions), distances accumulate left-to-right in
+    * doubles (DuckDB's `list_sum` fold order), and ties pick the
+    * lowest centroid id — so the DuckDB oracle replays the identical
+    * training run and the whole approximate query hash-matches.
     */
   private[ext] def trainCentroids(
-      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])]): Array[Array[Double]] = {
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])], k: Int): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val dim = vecs.head()._2.length
-    // strided deterministic init: one seed per id-range, so the seeds
-    // spread across the dataset instead of clumping in low ids
     val n = vecs.count()
-    val stride = math.max(1L, n / IvfK)
+    val stride = math.max(1L, n / k)
     var centroids: Array[Array[Double]] = vecs
       .filter(v => v._1 % stride == 0)
-      .orderBy("vec_id").limit(IvfK).collect()
+      .orderBy("vec_id").limit(k).collect()
       .map(_._2.map(_.toDouble))
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until IvfIters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val partials = vecs.mapPartitions { it =>
         val cs = bc.value
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val sums = Array.fill(cs.length)(new Array[Long](dim))
         val counts = new Array[Long](cs.length)
         it.foreach { case (_, v) =>
           val c = nearestCentroid(cs, v)
           counts(c) += 1
           var i = 0
-          while (i < dim && i < v.length) { sums(c)(i) += v(i); i += 1 }
+          while (i < dim && i < v.length) {
+            sums(c)(i) += math.floor(v(i).toDouble * IvfQScale).toLong
+            i += 1
+          }
         }
         Iterator.single((sums, counts))
       }.collect()
@@ -327,28 +365,44 @@ object Similarity {
         val total = partials.map(_._2(c)).sum
         if (total == 0) centroids(c)
         else {
-          val acc = new Array[Double](dim)
+          val acc = new Array[Long](dim)
           partials.foreach { case (sums, _) =>
             var i = 0
             while (i < dim) { acc(i) += sums(c)(i); i += 1 }
           }
-          acc.map(_ / total)
+          acc.map(q => q.toDouble / (IvfQScale * total)): Array[Double]
         }
       }.toArray
     }
     centroids
   }
 
+  /** Train-once model memo keyed by (dir, corpus size): a query
+    * invocation must not re-pay the ≥ IvfIters full data passes the
+    * coarse quantizer costs — the index is built once per corpus and
+    * reused (the `EventStreams.stagedDirs` pattern). Test-observable
+    * via [[trainCount]].
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Array[Double]]]
+  private[ext] val trainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** IVF ANN top-k: vectors assigned to their nearest centroid's
     * inverted list; each query scans only its `IvfProbes` nearest
     * lists. Complements [[simLsh]]: IVF adapts to the data's cluster
     * structure (k-means cells), where fixed random hyperplanes cannot.
+    * List count is corpus-scaled ([[ivfKFor]]) and the model is
+    * trained once per corpus and cached.
     */
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = emb(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val centroids = trainCentroids(vecs)
+    val n = vecs.count()
+    val centroids = centroidCache.getOrElseUpdate((dir, n), {
+      trainCount.incrementAndGet()
+      trainCentroids(vecs, ivfKFor(n))
+    })
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = vecs.mapPartitions { it =>
       val cs = bc.value
@@ -362,14 +416,105 @@ object Similarity {
         }
       }.toDF("q_id", "qe", "bucket")
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    // no distinct: every vector lives in exactly one inverted list,
+    // so a (query, candidate) pair can only arise once
     assigned.join(broadcast(q), Seq("bucket"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cos_sim",
         round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
-      .select(col("q_id"), col("c_id"), col("cos_sim")).distinct()
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)
       .orderBy("q_id", "rn")
       .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
+  }
+
+  /** Oracle: replays the ENTIRE IVF query — strided seeds, three
+    * unrolled Lloyd iterations over fixed-point coordinate sums,
+    * final list assignment, the probe ranking, and the cosine
+    * top-k — in DuckDB. Exactness rests on three invariants
+    * shared with the Scala side: (1) quantized sums are exact
+    * integers, so aggregation order is irrelevant; (2) distances are
+    * left-to-right double folds (`list_sum` == the kernel loop);
+    * (3) argmin/probe ties break on the lowest centroid id.
+    */
+  val simIvfSql: String = {
+    def assignBlock(t: Int, prev: String): String =
+      s"""d$t AS (
+         |  SELECT e.vec_id, ct.c,
+         |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - ct.vals[i])
+         |         * (CAST(e.embedding[i] AS DOUBLE) - ct.vals[i]))) AS d
+         |  FROM embeddings e CROSS JOIN $prev ct),
+         |a$t AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+         |    FROM d$t) WHERE rn = 1)""".stripMargin
+    val iters = (1 to IvfIters).map { t =>
+      s"""${assignBlock(t, s"cent${t - 1}")},
+         |cnt$t AS (SELECT c, count(*) AS cnt FROM a$t GROUP BY c),
+         |sum$t AS (
+         |  SELECT a.c, co.i,
+         |    sum(CAST(floor(co.x * ${IvfQScale.toLong}.0) AS BIGINT)) AS q
+         |  FROM a$t a JOIN coord co USING (vec_id) GROUP BY a.c, co.i),
+         |new$t AS (
+         |  SELECT s.c,
+         |    list(CAST(s.q AS DOUBLE) / (${IvfQScale.toLong}.0 * ct.cnt) ORDER BY s.i)
+         |      AS vals
+         |  FROM sum$t s JOIN cnt$t ct USING (c) GROUP BY s.c),
+         |cent$t AS (
+         |  SELECT p.c, COALESCE(n.vals, p.vals) AS vals
+         |  FROM cent${t - 1} p LEFT JOIN new$t n USING (c))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prm AS (
+       |  SELECT count(*) AS n,
+       |    GREATEST(8, LEAST(65536,
+       |      CAST(ceil(count(*) / ${IvfTargetPerList}.0) AS BIGINT))) AS k
+       |  FROM embeddings),
+       |prm2 AS (SELECT n, k, GREATEST(1, n // k) AS stride FROM prm),
+       |coord AS (
+       |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+       |  FROM embeddings
+       |  WHERE vec_id % (SELECT stride FROM prm2) = 0
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM prm2)),
+       |cent0 AS (
+       |  SELECT c, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vals
+       |  FROM seeds),
+       |$iters,
+       |${assignBlock(IvfIters + 1, s"cent$IvfIters")},
+       |probes AS (
+       |  SELECT vec_id AS q_id, c FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+       |    FROM d${IvfIters + 1} WHERE vec_id < $NumQueries)
+       |  WHERE rn <= $IvfProbes),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN a${IvfIters + 1} a USING (c)
+       |  WHERE a.vec_id != p.q_id),
+       |scored AS (
+       |  SELECT cd.q_id, cd.c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(eq.embedding)),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE) * ec.embedding[i]))
+       |      / (eq.nrm * ec.nrm), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN e eq ON eq.vec_id = cd.q_id
+       |  JOIN e ec ON ec.vec_id = cd.c_id),
+       |r AS (
+       |  SELECT q_id, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
   }
 }

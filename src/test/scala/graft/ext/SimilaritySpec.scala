@@ -85,6 +85,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(p8.zip(p12.take(8)).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("IVF list count scales with corpus size, bounded; model trains once per corpus") {
+    assert(Similarity.ivfKFor(500) == 8)         // clamp floor
+    assert(Similarity.ivfKFor(50000) == 50)      // ~1k vectors per list
+    assert(Similarity.ivfKFor(50000000) == 50000)
+    assert(Similarity.ivfKFor(1000000000L) == 65536) // cap: ~32MB broadcast model
+    // train-once: a second invocation on the same corpus reuses the
+    // cached centroids instead of re-paying the Lloyd passes
+    Similarity.simIvf(spark, dir).collect()
+    val after = Similarity.trainCount.get()
+    Similarity.simIvf(spark, dir).collect()
+    assert(Similarity.trainCount.get() == after, "second invocation retrained")
+  }
+
   test("IVF recall on clustered vectors >= 0.9 of brute-force top-10") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -78,6 +78,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
+    // document frequency partial-aggregates map-side (groupBy+join):
+    // only (shingle, count) partials cross the df exchange — a window
+    // over raw postings would shuffle every posting on a skewed key
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("dedup_embedding_ann: banding ships no vectors, joins are equi-joins, result == exact grid") {
+    // the banding table is (vec_id, band, sig) triples — the vectors
+    // themselves are never replicated per band (nor per grid block)
+    assert(graft.ext.Dedup.annBands(spark, dir).schema.fieldNames.toSeq ==
+      Seq("vec_id", "band", "sig"))
+    val df = graft.ext.Dedup.dedupEmbeddingAnn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate generation is a bucket equi-join on (band, sig)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // the composition reproduces the exact all-pairs relation
+    val ann = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = graft.ext.Dedup.dedupEmbedding(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ann == exact)
+    assert(ann.nonEmpty)
   }
 
   test("text_tfidf broadcasts the one-row corpus count, equi-joins the term") {
