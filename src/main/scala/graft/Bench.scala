@@ -18,13 +18,14 @@ object Bench {
     // first timed query is not charged JVM/session initialization.
     spark.range(0, 1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Each query runs twice: the cold run carries one-time plan
-    // analysis + whole-stage codegen compilation (~0.5 s/query of JVM
-    // constant factor at this scale); the hot run re-plans but reuses
-    // compiled codegen and warmed JIT, so `hot_total` tracks actual
-    // compute — the number that scales with data — while `value`
-    // (cold total) stays comparable with earlier rounds.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Timing protocol (contention-hardened, VERDICT r2 task 6): the
+    // cold run carries one-time plan analysis + whole-stage codegen
+    // compilation; `hot` is the MEDIAN of three further runs, so a
+    // single interference spike (another process stealing the box, as
+    // happened to the r2 driver bench) cannot inflate a query's
+    // reported time. Run order is emitted so any residual
+    // interference is diagnosable against the sequence.
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -35,7 +36,9 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (cold, okCold) = timed()
-      val (hot, okHot) = if (okCold) timed() else (-1.0, false)
+      val hots = if (okCold) Seq.fill(3)(timed()) else Seq.empty
+      val okHot = okCold && hots.forall(_._2)
+      val hot = if (okHot) hots.map(_._1).sorted.apply(1) else -1.0
       (name, cold, hot, okCold && okHot)
     }
     // failed queries are reported as -1 and excluded from the totals —
@@ -48,8 +51,10 @@ object Bench {
     val hotTotal = results.collect { case (_, _, h, true) => h }.sum
     val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
+    val order = results.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","hot_total":$hotTotal,""" +
       s""""queries":${jsonMap(_._2)},"queries_hot":${jsonMap(_._3)},""" +
+      s""""hot_protocol":"median_of_3","order":$order,""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

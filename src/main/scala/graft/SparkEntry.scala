@@ -25,6 +25,7 @@ object SparkEntry {
     // Core pipeline (reference semantics, SURVEY §2.1-2.5/§7.2)
     "doc_chunk_stats" -> (CoreQueries.docChunkStats(_, _)),
     "doc_chunks" -> (CoreQueries.docChunks(_, _)),
+    "doc_chunks_overlap" -> (CoreQueries.docChunksOverlap(_, _)),
     "chunk_fixed" -> (CoreQueries.chunkFixed(_, _)),
     "chunk_multipage" -> (CoreQueries.chunkMultipage(_, _)),
     "doc_stats_fixed" -> (CoreQueries.docStatsFixed(_, _)),
@@ -107,6 +108,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "doc_chunks" -> CoreQueries.docChunksSql,
+    "doc_chunks_overlap" -> CoreQueries.docChunksOverlapSql,
     "doc_chunk_stats" -> CoreQueries.docChunkStatsSql,
     "doc_report" -> CoreQueries.docReportSql,
     "sql_chunk_split" -> CoreQueries.sqlChunkSplitSql,

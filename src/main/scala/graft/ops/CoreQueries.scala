@@ -31,8 +31,18 @@ object CoreQueries {
     ChunkPipeline.docChunkStats(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0))
 
   /** Per-chunk detail of the real splitter (golden-fixture oracle). */
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
-    val cfg = SplitConfig(chunkSize = 100, chunkOverlap = 0)
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunksAt(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0))
+
+  /** The overlap window-slide branch of the splitter under the hard
+    * gate: same per-chunk detail at chunk_overlap=20 (golden-fixture
+    * oracle `docChunksOverlapSql`; the fixture is cross-validated and
+    * freshness-enforced like the zero-overlap one).
+    */
+  def docChunksOverlap(spark: SparkSession, dir: String): DataFrame =
+    docChunksAt(spark, dir, graft.tools.GoldenChunks.OverlapCfg)
+
+  private def docChunksAt(spark: SparkSession, dir: String, cfg: SplitConfig): DataFrame =
     ChunkPipeline.chunkMetrics(ChunkPipeline.chunk(ChunkPipeline.pagesFromDocuments(spark, dir), cfg))
       .select(
         col("path").cast("long").as("doc_id"),
@@ -40,7 +50,6 @@ object CoreQueries {
         col("offsetInPage").cast("long").as("offset_in_page"),
         col("chunk_len"), col("offset_in_file"), col("norm_text"))
       .orderBy("doc_id", "chunk_idx")
-  }
 
   // ---------------------------------------------------------------
   // Golden-fixture oracles for the real-splitter queries.
@@ -62,6 +71,16 @@ object CoreQueries {
 
   val docChunksSql: String =
     s"""WITH f AS ($fixtureSlice)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(start_index AS BIGINT) AS offset_in_page,
+       |       chunk_len, offset_in_file, norm_text
+       |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val docChunksOverlapSql: String =
+    s"""WITH f AS (
+       |  SELECT * FROM read_parquet('${graft.tools.GoldenChunks.OverlapFixturePath}')
+       |  WHERE corpus_docs = (SELECT count(*) FROM documents)
+       |    AND corpus_chars = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents))
        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |       CAST(start_index AS BIGINT) AS offset_in_page,
        |       chunk_len, offset_in_file, norm_text

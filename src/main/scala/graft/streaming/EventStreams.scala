@@ -131,9 +131,13 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
-  /** Convenience for tests: run a streaming transform over the events
-    * table replayed as a file stream, into a memory sink, to
-    * completion (AvailableNow), returning the materialized result.
+  /** Convenience for tests and the driver gate: run a streaming
+    * transform over the events table replayed as a file stream, into
+    * a memory sink, to completion (AvailableNow), returning the
+    * materialized result. The memory sink materializes on the driver
+    * BY DESIGN (the gate harness compares the converged table);
+    * library callers at scale use [[runToParquet]], which keeps every
+    * row on the executors.
     */
   def runToMemory(
       spark: SparkSession,
@@ -150,6 +154,35 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Library-facing sink: the same transform surface writing each
+    * converged micro-batch as a DISTRIBUTED parquet overwrite via
+    * `foreachBatch` — no row ever reaches the driver (native file
+    * sinks only support append mode, and append+watermark holds back
+    * unclosed windows at end-of-replay; per-batch overwrite is the
+    * standard complete-mode file-sink shape). Swapping parquet for a
+    * Kafka/Delta writer inside the batch function is a one-line
+    * change; the transforms are untouched. Returns a reader over the
+    * written result for convenience.
+    */
+  def runToParquet(
+      spark: SparkSession,
+      dir: String,
+      outPath: String,
+      transform: DataFrame => DataFrame,
+      outputMode: String = "complete"): DataFrame = {
+    val q = transform(readEventStream(spark, s"$dir"))
+      .writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/result")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outPath/result")
   }
 
   /** Custom keyed state via `flatMapGroupsWithState` — the surface for

@@ -34,11 +34,22 @@ object GoldenChunks {
 
   val FixturePath = "/root/repo/fixtures/golden_chunks.parquet"
 
-  /** One fixture slice: per-chunk splitter output at chunk_size=100 /
-    * overlap=0 (the registered queries' config) plus the corpus key.
+  /** Second fixture at chunk_overlap=20: the overlap window-slide is
+    * the fiddliest splitter branch (separator-length terms in the
+    * while-condition) and deserves its own gate query
+    * (`doc_chunks_overlap`) rather than only dev-tool coverage.
     */
-  def slice(spark: SparkSession, dir: String): DataFrame = {
-    val cfg = SplitConfig(chunkSize = 100, chunkOverlap = 0)
+  val OverlapFixturePath = "/root/repo/fixtures/golden_chunks_o20.parquet"
+  val OverlapCfg = SplitConfig(chunkSize = 100, chunkOverlap = 20)
+
+  /** One fixture slice: per-chunk splitter output at the given config
+    * (default chunk_size=100 / overlap=0 — the main registered
+    * queries' config) plus the corpus key.
+    */
+  def slice(spark: SparkSession, dir: String): DataFrame =
+    slice(spark, dir, SplitConfig(chunkSize = 100, chunkOverlap = 0))
+
+  def slice(spark: SparkSession, dir: String, cfg: SplitConfig): DataFrame = {
     val key = graft.sources.Tables.table(spark, dir, "documents")
       .agg(count(lit(1)), sum(col("n_chars")).cast("long")).head()
     val (nDocs, nChars) = (key.getLong(0), key.getLong(1))
@@ -57,16 +68,9 @@ object GoldenChunks {
       .withColumn("corpus_chars", lit(nChars))
   }
 
-  def main(args: Array[String]): Unit = {
-    val out = args.head
-    val sfDirs = args.tail.toSeq
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val slices = sfDirs.map(slice(spark, _))
+  private def writeFixture(
+      spark: SparkSession, out: String, cfg: SplitConfig, sfDirs: Seq[String]): Unit = {
+    val slices = sfDirs.map(slice(spark, _, cfg))
     // the corpus key must uniquely identify each slice, or the oracle
     // would mix scales (sf0.001 and sf0.01 share a doc count)
     val keys = slices.map(_.select("corpus_docs", "corpus_chars").head())
@@ -80,6 +84,21 @@ object GoldenChunks {
     Files.createDirectories(Paths.get(out).getParent)
     Files.move(part, Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
     println(s"[golden] wrote $out (${keys.mkString(", ")})")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.head
+    val sfDirs = args.tail.toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeFixture(spark, out, SplitConfig(chunkSize = 100, chunkOverlap = 0), sfDirs)
+    // the overlap fixture rides along at its derived path
+    val o20 = out.stripSuffix(".parquet") + "_o20.parquet"
+    writeFixture(spark, o20, OverlapCfg, sfDirs)
     spark.stop()
   }
 }

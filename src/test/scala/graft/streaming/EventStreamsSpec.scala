@@ -37,6 +37,18 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("parquet sink: distributed foreachBatch overwrite converges to the memory-sink result") {
+    val out = java.nio.file.Files.createTempDirectory("evsink").toString
+    val viaParquet = EventStreams.runToParquet(
+      spark, streamDir, out, EventStreams.tumblingCounts, "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaMemory = EventStreams.runToMemory(
+      spark, streamDir, "t_tumbling_pq_ref", EventStreams.tumblingCounts, "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaParquet == viaMemory)
+    assert(viaParquet.nonEmpty)
+  }
+
   test("session windows: per-user session event counts cover all events") {
     val sessions = EventStreams.runToMemory(
       spark, streamDir, "t_sessions", EventStreams.sessionWindows, "complete")

@@ -16,13 +16,13 @@ class GoldenFixtureSpec extends AnyFunSuite with SparkTestBase {
   private val sfDirs =
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  test("committed fixture equals live splitter output at every scale") {
-    val fixture = spark.read.parquet(GoldenChunks.FixturePath).cache()
+  private def checkFixture(path: String, cfg: graft.split.SplitConfig): Unit = {
+    val fixture = spark.read.parquet(path).cache()
     val keys = fixture.select("corpus_docs", "corpus_chars").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keys.size == sfDirs.size, s"expected ${sfDirs.size} distinct slices, got $keys")
     for (dir <- sfDirs) {
-      val live = GoldenChunks.slice(spark, dir)
+      val live = GoldenChunks.slice(spark, dir, cfg)
       val key = live.select("corpus_docs", "corpus_chars").head()
       assert(keys.contains((key.getLong(0), key.getLong(1))), s"no slice for $dir")
       val committed = fixture
@@ -35,5 +35,14 @@ class GoldenFixtureSpec extends AnyFunSuite with SparkTestBase {
       assert(rows(committed) == rows(live), s"fixture drift at $dir")
     }
     fixture.unpersist()
+  }
+
+  test("committed fixture equals live splitter output at every scale") {
+    checkFixture(GoldenChunks.FixturePath,
+      graft.split.SplitConfig(chunkSize = 100, chunkOverlap = 0))
+  }
+
+  test("committed overlap=20 fixture equals live splitter output at every scale") {
+    checkFixture(GoldenChunks.OverlapFixturePath, GoldenChunks.OverlapCfg)
   }
 }
