@@ -244,9 +244,18 @@ final class PdfDocument(data: Array[Byte]) {
       case _ => Seq.fill(filters.length)(None)
     }
     filters.zipWithIndex.foldLeft(ps.raw) { case (bytes, (f, i)) =>
+      val parm = parms.lift(i).flatten
       f match {
         case "FlateDecode" | "Fl" =>
-          applyPredictor(inflate(bytes), parms.lift(i).flatten)
+          applyPredictor(inflate(bytes), parm)
+        case "ASCIIHexDecode" | "AHx" => PdfFilters.asciiHexDecode(bytes)
+        case "ASCII85Decode" | "A85" => PdfFilters.ascii85Decode(bytes)
+        case "LZWDecode" | "LZW" =>
+          val early = parm.flatMap(_.get("EarlyChange")).map(resolve) match {
+            case Some(PNum(v)) => v.toInt
+            case _ => 1
+          }
+          applyPredictor(PdfFilters.lzwDecode(bytes, early), parm)
         case "" => bytes
         case other =>
           throw new PdfParseException(s"unsupported filter $other")
@@ -341,14 +350,20 @@ final class PdfDocument(data: Array[Byte]) {
     * Cycle-guarded: revisited kid references and over-deep trees fail
     * the parse instead of overflowing the stack on a corrupt file.
     */
-  def pages: Seq[PDict] = {
+  def pages: Seq[PDict] = pagesWithResources.map(_._1)
+
+  /** Pages paired with their EFFECTIVE `/Resources`: an inheritable
+    * attribute (ISO 32000 §7.7.3.4) — a page without its own takes
+    * the nearest ancestor's, which is where font dicts commonly live.
+    */
+  def pagesWithResources: Seq[(PDict, Option[PDict])] = {
     val root = resolveDict(trailerDict.getOrElse("Root", PNull))
       .getOrElse(throw new PdfParseException("no /Root catalog"))
     val top = root.get("Pages")
       .getOrElse(throw new PdfParseException("no /Pages tree"))
-    val out = Vector.newBuilder[PDict]
+    val out = Vector.newBuilder[(PDict, Option[PDict])]
     val seen = mutable.Set.empty[Int]
-    def walk(nodeObj: PdfObj, depth: Int): Unit = {
+    def walk(nodeObj: PdfObj, inherited: Option[PDict], depth: Int): Unit = {
       if (depth > 64) throw new PdfParseException("page tree too deep")
       nodeObj match {
         case PRef(num, _) if !seen.add(num) =>
@@ -356,17 +371,18 @@ final class PdfDocument(data: Array[Byte]) {
         case _ => ()
       }
       resolveDict(nodeObj).foreach { node =>
+        val res = node.get("Resources").flatMap(resolveDict).orElse(inherited)
         resolve(node.get("Type").getOrElse(PNull)) match {
-          case PName("Page") => out += node
+          case PName("Page") => out += ((node, res))
           case _ => // Pages (or untyped intermediate): recurse kids
             resolve(node.get("Kids").getOrElse(PNull)) match {
-              case PArr(kids) => kids.foreach(k => walk(k, depth + 1))
+              case PArr(kids) => kids.foreach(k => walk(k, res, depth + 1))
               case _ => ()
             }
         }
       }
     }
-    walk(top, 0)
+    walk(top, None, 0)
     out.result()
   }
 

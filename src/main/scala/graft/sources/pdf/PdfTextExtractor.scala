@@ -4,15 +4,20 @@ import graft.sources.PageExtractor
 
 /** Content-stream text extraction: interpret the text-showing subset
   * of the PDF content operator language (BT/ET blocks; Tj, TJ, ' and
-  * " shows; the line-move operators Td, TD, "T star" and Tm become
-  * newlines) and decode string payloads (UTF-16BE when BOM-prefixed,
-  * Latin-1 otherwise — the simple-font case; CID/ToUnicode CMaps are
-  * out of scope for this minimal codec and documented as such).
+  * " shows; Tf font selection; the line-move operators Td, TD,
+  * "T star" and Tm become newlines) and decode string payloads
+  * through the selected font — ToUnicode CMaps for simple AND
+  * composite (Type0/CID, Identity-H) fonts via [[PdfFonts]], the
+  * UTF-16BE-BOM/Latin-1 heuristic when no CMap is present. A Type0
+  * font without ToUnicode yields no text rather than glyph-id noise
+  * (documented scope; so are font-program cmap tables).
   *
-  * This closes SURVEY.md §2.1 S3 for native `.pdf` bytes — the one
-  * capability round 1 stubbed (`/root/reference/pdf_reader.py:442-443`
-  * via pypdf; VERDICT r1 task 2) — with zero new dependencies:
-  * FlateDecode rides on `java.util.zip.Inflater`.
+  * This closes SURVEY.md §2.1 S3 for native `.pdf` bytes — the
+  * capability the reference gets from pypdf
+  * (`/root/reference/pdf_reader.py:442-443`; VERDICT r1 task 2,
+  * r2 task 2) — with zero new dependencies: FlateDecode rides on
+  * `java.util.zip.Inflater`; ASCIIHex/ASCII85/LZW are implemented
+  * from the public spec in [[PdfFilters]].
   */
 object PdfTextExtractor extends PageExtractor {
 
@@ -23,8 +28,11 @@ object PdfTextExtractor extends PageExtractor {
   def extract(path: String, bytes: Array[Byte]): Seq[(Int, String)] =
     try {
       val doc = new PdfDocument(bytes)
-      doc.pages.zipWithIndex.map { case (page, i) =>
-        val text = try extractText(doc.pageContent(page)) catch {
+      doc.pagesWithResources.zipWithIndex.map { case ((page, res), i) =>
+        val text = try {
+          val fonts = PdfFonts.forPage(doc, res)
+          extractText(doc.pageContent(page), fonts)
+        } catch {
           case scala.util.control.NonFatal(_) => ""
         }
         (i, text)
@@ -35,19 +43,29 @@ object PdfTextExtractor extends PageExtractor {
       case scala.util.control.NonFatal(_) => Nil
     }
 
-  /** Walk one decoded content stream, collecting shown text. */
-  private[pdf] def extractText(content: Array[Byte]): String = {
+  /** Font-blind variant (tests / contexts without resources). */
+  private[pdf] def extractText(content: Array[Byte]): String =
+    extractText(content, Map.empty)
+
+  /** Walk one decoded content stream, collecting shown text. String
+    * payloads decode through the font the `Tf` operator selected
+    * (ToUnicode CMaps for CID/composite fonts — see [[PdfFonts]]);
+    * with no font in scope, the BOM/Latin-1 heuristic applies.
+    */
+  private[pdf] def extractText(
+      content: Array[Byte], fonts: Map[String, GlyphDecoder]): String = {
     val lx = new PdfLexer(content)
     val sb = new StringBuilder
     var operands = List.empty[PdfObj]
     var shownOnLine = false
+    var decoder: GlyphDecoder = DefaultGlyphDecoder
 
     def newline(): Unit = {
       if (shownOnLine) { sb += '\n'; shownOnLine = false }
     }
     def show(obj: PdfObj): Unit = obj match {
       case PStr(b) =>
-        sb ++= decodeText(b)
+        sb ++= decoder.decode(b)
         shownOnLine = true
       case _ => ()
     }
@@ -69,6 +87,11 @@ object PdfTextExtractor extends PageExtractor {
             operands.headOption.foreach {
               case PArr(items) => items.foreach(show)
               case _ => ()
+            }
+          case "Tf" =>
+            // operands are pushed head-first: List(size, fontName)
+            operands.collectFirst { case PName(n) => n }.foreach { name =>
+              decoder = fonts.getOrElse(name, DefaultGlyphDecoder)
             }
           case "Td" | "TD" | "T*" | "Tm" => newline()
           case "BI" =>

@@ -56,6 +56,93 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(text == "kerned pair\nHi!\u0000\nABC\nXy")
   }
 
+  test("filter round-trips: ASCIIHex, ASCII85 (z runs, partial groups), LZW width boundaries") {
+    val rnd = new scala.util.Random(31)
+    val samples = Seq(
+      Array.emptyByteArray,
+      "a".getBytes,
+      "hello hex world".getBytes,
+      Array.fill(9)(0.toByte), // z-runs + partial group in A85
+      Array.tabulate(257)(_.toByte),
+      Array.fill(50000)(rnd.nextInt(256).toByte), // LZW: crosses 9->10->11->12 bit widths
+      ("the quick brown fox " * 4000).getBytes) // LZW: long repeats + table reset
+    for ((s, i) <- samples.zipWithIndex) {
+      assert(PdfFilters.asciiHexDecode(PdfFixtures.asciiHexEncode(s)).sameElements(s), s"hex $i")
+      assert(PdfFilters.ascii85Decode(PdfFixtures.ascii85Encode(s)).sameElements(s), s"a85 $i")
+      assert(PdfFilters.lzwDecode(PdfFixtures.lzwEncode(s)).sameElements(s), s"lzw $i")
+    }
+  }
+
+  test("ASCIIHex/ASCII85/LZW filtered content streams extract end-to-end") {
+    val text = "filtered stream text\nwith a second line"
+    for ((name, enc) <- Seq[(String, Array[Byte] => Array[Byte])](
+        "ASCIIHexDecode" -> PdfFixtures.asciiHexEncode,
+        "ASCII85Decode" -> PdfFixtures.ascii85Encode,
+        "LZWDecode" -> PdfFixtures.lzwEncode)) {
+      val out = PdfTextExtractor.extract("f.pdf", PdfFixtures.filteredPdf(text, Seq(name -> enc)))
+      assert(out.map(_._2) == Seq(text), name)
+    }
+  }
+
+  test("filter CHAIN: /Filter [ASCII85Decode FlateDecode] composes in decode order") {
+    val text = "chained filters"
+    val pdf = PdfFixtures.filteredPdf(text, Seq[(String, Array[Byte] => Array[Byte])](
+      "ASCII85Decode" -> PdfFixtures.ascii85Encode,
+      "FlateDecode" -> PdfFixtures.deflate))
+    assert(PdfTextExtractor.extract("c.pdf", pdf).map(_._2) == Seq(text))
+  }
+
+  test("Type0/Identity-H font: 2-byte codes map through the ToUnicode CMap") {
+    // 0001 0002 0010 0010 0003 = Hello (bfchar + bfrange run);
+    // 0020 0021 = World (bfrange array form, multi-char dst);
+    // 0004 = U+21A6 (non-Latin BMP)
+    val hex = Seq("00010002001000100003", "00200021", "0004")
+    for (compress <- Seq(false, true)) {
+      val out = PdfTextExtractor.extract("t0.pdf",
+        PdfFixtures.type0Pdf(hex, compressCMap = compress))
+      assert(out.map(_._2) == Seq("Hello\nWorld\n↦"), s"compressCMap=$compress")
+    }
+  }
+
+  test("Type0 font resources inherited from the Pages node still decode") {
+    val out = PdfTextExtractor.extract("t0i.pdf",
+      PdfFixtures.type0Pdf(Seq("00010002001000100003"), inheritResources = true))
+    assert(out.map(_._2) == Seq("Hello"))
+  }
+
+  test("Type0 WITHOUT ToUnicode yields empty text, not glyph-id noise") {
+    val out = PdfTextExtractor.extract("t0n.pdf",
+      PdfFixtures.type0Pdf(Seq("00010002001000100003"), includeToUnicode = false))
+    assert(out.map(_._2) == Seq(""))
+  }
+
+  test("parseToUnicode: codespace width, bfchar, bfrange increment with byte carry") {
+    val (w, m) = PdfFonts.parseToUnicode(
+      PdfFixtures.type0CMap.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(w == 2)
+    assert(m(0x0001) == "H" && m(0x0002) == "e" && m(0x0003) == "o")
+    assert(m(0x0010) == "l" && m(0x0011) == "m" && m(0x0012) == "n")
+    assert(m(0x0020) == "W" && m(0x0021) == "orld")
+    // carry across the low byte: <00FF> + 1 -> <0100>
+    val carry =
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange <0005> <0006> <00FF> endbfrange""".stripMargin
+    val (_, m2) = PdfFonts.parseToUnicode(
+      carry.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(m2(0x0005) == "ÿ" && m2(0x0006) == "Ā")
+  }
+
+  test("simple font WITH ToUnicode: 1-byte codes map, unmapped fall back to Latin-1") {
+    val cmap =
+      """1 begincodespacerange <00> <FF> endcodespacerange
+        |1 beginbfchar <41> <03B1> endbfchar""".stripMargin // 'A' -> α
+    val (w, m) = PdfFonts.parseToUnicode(
+      cmap.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(w == 1)
+    val dec = CMapGlyphDecoder(w, m)
+    assert(dec.decode("ABC".getBytes) == "αBC")
+  }
+
   test("damaged bytes yield no pages instead of throwing") {
     assert(PdfTextExtractor.extract("x.pdf", "not a pdf at all".getBytes) == Nil)
     assert(PdfTextExtractor.extract("x.pdf", Array.emptyByteArray) == Nil)
@@ -105,6 +192,11 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
       PdfFixtures.classicPdf(Seq("one two three four five", "six seven eight")))
     java.nio.file.Files.write(dir.resolve("b.pdf"),
       PdfFixtures.xrefStreamPdf(Seq("lorem ipsum dolor")))
+    java.nio.file.Files.write(dir.resolve("c.pdf"),
+      PdfFixtures.type0Pdf(Seq("00010002001000100003", "00200021")))
+    java.nio.file.Files.write(dir.resolve("d.pdf"),
+      PdfFixtures.filteredPdf("lzw payload words",
+        Seq[(String, Array[Byte] => Array[Byte])]("LZWDecode" -> PdfFixtures.lzwEncode)))
     java.nio.file.Files.write(dir.resolve("skip.txt"), "not scanned".getBytes)
 
     val opts = graft.Engine.Options(
@@ -114,7 +206,15 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     val stats = graft.Engine.fileStats(spark, dir.toString, opts)
       .collect().map(s => s.path.split('/').last -> s).toMap
 
-    assert(stats.keySet == Set("a.pdf", "b.pdf"))
+    assert(stats.keySet == Set("a.pdf", "b.pdf", "c.pdf", "d.pdf"))
+    // the CID-font page's decoded text feeds the pipeline like any other
+    val cChunks =
+      graft.split.RecursiveCharacterSplitter.splitText("Hello\nWorld", opts.split)
+    assert(stats("c.pdf").chunks == cChunks.length)
+    assert(stats("c.pdf").textSize == cChunks.map(_.length).sum)
+    val dChunks =
+      graft.split.RecursiveCharacterSplitter.splitText("lzw payload words", opts.split)
+    assert(stats("d.pdf").textSize == dChunks.map(_.length).sum)
     assert(stats("a.pdf").pages == 2)
     assert(stats("b.pdf").pages == 1)
     // chunk/text sizes match the splitter run directly on the page text

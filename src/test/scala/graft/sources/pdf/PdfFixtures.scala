@@ -14,7 +14,7 @@ object PdfFixtures {
 
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  private def deflate(b: Array[Byte]): Array[Byte] = {
+  def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(b); d.finish()
     val out = new ByteArrayOutputStream()
@@ -59,6 +59,97 @@ object PdfFixtures {
       }
   }
 
+  // ---- independent filter ENCODERS (the codec under test only
+  // decodes; encoding here keeps the fixtures library-free) ----
+
+  def asciiHexEncode(b: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    for ((x, i) <- b.zipWithIndex) {
+      sb.append(f"${x & 0xff}%02X")
+      if (i % 32 == 31) sb.append('\n') // exercise whitespace skipping
+    }
+    sb.append('>')
+    sb.toString.getBytes(Ascii)
+  }
+
+  def ascii85Encode(b: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(4, b.length - i)
+      var v = 0L
+      for (j <- 0 until 4) {
+        v = (v << 8) | (if (i + j < b.length) b(i + j) & 0xff else 0)
+      }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var acc = v
+        for (j <- 4 to 0 by -1) { cs(j) = ('!' + (acc % 85)).toChar; acc /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      if (i % 60 == 0 && i > 0) sb.append('\n')
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(Ascii)
+  }
+
+  /** PDF LZW (9..12-bit MSB-first codes, clear=256, EOD=257,
+    * EarlyChange=1): the encoder twin of the decoder under test,
+    * written against the same public spec clause.
+    */
+  def lzwEncode(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val table = mutable.Map.empty[Seq[Byte], Int]
+    var nextCode = 258
+    def reset(): Unit = {
+      table.clear()
+      for (i <- 0 until 256) table(Seq(i.toByte)) = i
+      nextCode = 258
+      width = 9
+    }
+    reset()
+    emit(256) // leading clear, as the spec recommends
+    var w = Vector.empty[Byte]
+    for (c <- b) {
+      val wc = w :+ c
+      if (table.contains(wc)) w = wc
+      else {
+        emit(table(w))
+        if (nextCode == 4096) { emit(256); reset() }
+        else {
+          table(wc) = nextCode
+          nextCode += 1
+          // early-change encoder rule, derived from the decoder's
+          // (nextCode + 1 >= 2^width after its add): the decoder's
+          // table add lags one READ behind the encoder's add, so the
+          // encoder widens when its own nextCode reaches 2^width —
+          // both sides then flip to the wider code at the same
+          // emit/read index (round-trip-pinned across the 511/1023/
+          // 2047 boundaries by the spec)
+          if (nextCode >= (1 << width) && width < 12) width += 1
+        }
+        w = Vector(c)
+      }
+    }
+    if (w.nonEmpty) emit(table(w))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Classic-xref PDF: one content stream per page, optionally
     * FlateDecode-compressed. Object layout: 1 catalog, 2 pages node,
     * 2i+1/2i+2 per page (page, content), last = font.
@@ -93,6 +184,114 @@ object PdfFixtures {
     o << "0000000000 65535 f \n"
     for (num <- 1 to maxNum) o << f"${o.offsets(num)}%010d 00000 n \n"
     o << s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    o.bytes.toByteArray
+  }
+
+  /** Classic-xref PDF whose content stream rides the given filter
+    * chain. `filters` maps raw→encoded in DECODE order, e.g.
+    * `Seq("ASCII85Decode" -> ascii85Encode)`; chains compose
+    * right-to-left on the encode side like the spec's /Filter array.
+    */
+  def filteredPdf(
+      text: String,
+      filters: Seq[(String, Array[Byte] => Array[Byte])],
+      parms: String = ""): Array[Byte] = {
+    val o = new Out
+    o << "%PDF-1.4\n%âãÏÓ\n"
+    o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
+    o.obj(2) { o << "<< /Type /Pages /Kids [3 0 R] /Count 1 >>" }
+    o.obj(3) {
+      o << "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    }
+    // /Filter [A B] means decode A then B, so ENCODE applies B then A
+    val payload = filters.reverse.foldLeft(contentFor(text).getBytes(Ascii)) {
+      case (bytes, (_, enc)) => enc(bytes)
+    }
+    val names = filters.map { case (n, _) => s"/$n" }.mkString(" ")
+    o.streamObj(4, s"/Filter [$names] $parms", payload)
+    o.obj(5) { o << "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>" }
+    val xrefOff = o.bytes.size()
+    o << "xref\n0 6\n0000000000 65535 f \n"
+    for (num <- 1 to 5) o << f"${o.offsets(num)}%010d 00000 n \n"
+    o << s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    o.bytes.toByteArray
+  }
+
+  /** The ToUnicode CMap used by [[type0Pdf]]: 2-byte Identity-H
+    * codespace; bfchar singles for H(0001) e(0002) o(0003) and
+    * "↦"(0004, astral-free BMP arrow to exercise non-Latin output);
+    * a bfrange run 0010-0012 → l,m,n; and a bfrange ARRAY form
+    * 0020-0021 → "W" and "orld" (multi-char destination).
+    */
+  val type0CMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+      |/CMapName /Adobe-Identity-UCS def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |4 beginbfchar
+      |<0001> <0048>
+      |<0002> <0065>
+      |<0003> <006F>
+      |<0004> <21A6>
+      |endbfchar
+      |2 beginbfrange
+      |<0010> <0012> <006C>
+      |<0020> <0021> [<0057> <006F0072006C0064>]
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
+
+  /** A composite-font (Type0 / Identity-H / CIDFontType2) PDF whose
+    * content shows 2-byte glyph codes mapped to Unicode by an
+    * embedded ToUnicode CMap — the shape LaTeX/Word/Chrome-print
+    * PDFs take. `hexShows`: per-line hex code strings.
+    */
+  def type0Pdf(
+      hexShows: Seq[String],
+      compressCMap: Boolean = false,
+      includeToUnicode: Boolean = true,
+      inheritResources: Boolean = false): Array[Byte] = {
+    val o = new Out
+    o << "%PDF-1.4\n%âãÏÓ\n"
+    val res = "/Resources << /Font << /F7 5 0 R >> >> "
+    o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
+    o.obj(2) {
+      o << s"<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        s"${if (inheritResources) res else ""}>>"
+    }
+    o.obj(3) {
+      o << s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"${if (inheritResources) "" else res}/Contents 4 0 R >>"
+    }
+    val shows = hexShows.map(h => s"<$h> Tj").mkString(" T*\n")
+    val content = s"BT\n/F7 10 Tf\n72 720 Td\n$shows\nET"
+    o.streamObj(4, "", content.getBytes(Ascii))
+    o.obj(5) {
+      o << "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
+        s"${if (includeToUnicode) "/ToUnicode 7 0 R " else ""}>>"
+    }
+    o.obj(6) {
+      o << "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+    }
+    val cmapBytes = type0CMap.getBytes(Ascii)
+    if (compressCMap)
+      o.streamObj(7, "/Filter /FlateDecode", deflate(cmapBytes))
+    else
+      o.streamObj(7, "", cmapBytes)
+    val xrefOff = o.bytes.size()
+    o << "xref\n0 8\n0000000000 65535 f \n"
+    for (num <- 1 to 7) o << f"${o.offsets(num)}%010d 00000 n \n"
+    o << s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
     o.bytes.toByteArray
   }
 
