@@ -88,6 +88,7 @@ object SparkEntry {
     "text_edit_distance" -> (TextAnalysis.textEditDistance(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub(_, _)),
+    "text_bm25" -> (TextAnalysis.textBm25(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -95,6 +96,8 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn(_, _)),
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
+    "dedup_cluster" -> (Dedup.dedupCluster(_, _)),
+    "dedup_contamination" -> (Dedup.dedupContamination(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
@@ -163,6 +166,7 @@ object SparkEntry {
     "text_edit_distance" -> TextAnalysis.textEditDistanceSql,
     "text_tfidf" -> TextAnalysis.textTfidfSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
+    "text_bm25" -> TextAnalysis.textBm25Sql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the
@@ -174,6 +178,9 @@ object SparkEntry {
     // planes: exact recall on the gate corpora)
     "dedup_embedding_ann" -> Dedup.dedupEmbeddingSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    // iterative min-label propagation == the recursive-CTE components
+    "dedup_cluster" -> Dedup.dedupClusterSql,
+    "dedup_contamination" -> Dedup.dedupContaminationSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,

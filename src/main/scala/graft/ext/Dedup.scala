@@ -198,25 +198,34 @@ object Dedup {
       }.toDF("doc_id", "sz", "shingle")
   }
 
-  /** Oracle: brute-force all-pairs exact Jaccard (valid at sf0.01;
-    * the Spark side must find the same pairs via LSH).
+  /** Shared oracle building blocks: the shingle-set CTE and the
+    * brute-force all-pairs exact-Jaccard pair relation (valid at
+    * verification scale; the Spark side must find the same pairs via
+    * LSH / prefix filtering).
     */
-  val dedupMinhashSql: String =
-    s"""WITH sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(CASE WHEN len(w) >= 3
-       |      THEN [concat_ws(' ', w[i], w[i+1], w[i+2])
-       |            for i in generate_series(1, len(w)-2)]
-       |      ELSE [text] END) AS s
-       |  FROM (SELECT doc_id, text, string_split_regex(text, ' +') AS w
-       |        FROM documents)
-       |), pairs AS (
+  private val shingleCteSql: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [concat_ws(' ', w[i], w[i+1], w[i+2])
+      |            for i in generate_series(1, len(w)-2)]
+      |      ELSE [text] END) AS s
+      |  FROM (SELECT doc_id, text, string_split_regex(text, ' +') AS w
+      |        FROM documents)
+      |)""".stripMargin
+
+  private val dedupPairsCteSql: String =
+    s"""$shingleCteSql, pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM pairs
-       |WHERE jaccard >= $JaccardThreshold
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |good AS (SELECT doc_a, doc_b, jaccard FROM pairs
+       |         WHERE jaccard >= $JaccardThreshold)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $dedupPairsCteSql
+       |SELECT doc_a, doc_b, jaccard FROM good
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact n-gram Jaccard similarity join via PREFIX-FILTERED
@@ -472,6 +481,131 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  // ----------------------------------------------------------------
+  // Near-dup cluster resolution: connected components over the
+  // verified pair graph
+  // ----------------------------------------------------------------
+
+  /** Collapse the verified near-dup PAIRS into duplicate CLUSTERS —
+    * the step a real dedup pipeline needs before it can keep one
+    * canonical document per group (pairs alone over-count when dups
+    * come in families). Connected components by iterative min-label
+    * propagation: every node starts as its own label; each round
+    * every node takes the minimum label among itself and its
+    * neighbors; fixpoint = components labeled by their minimum
+    * doc_id (the canonical keeper, matching `dedup_exact`'s min-id
+    * convention).
+    *
+    * Scale shape: the edge relation is the DEDUP OUTPUT (≪ corpus),
+    * so it is persisted across rounds (re-evaluating its lineage
+    * would re-run the MinHash tier per iteration); each round is one
+    * equi-join + min-aggregate on the label key, and the driver sees
+    * only the changed-row COUNT. Near-dup components are
+    * phrase-sharing families with tiny diameter, so propagation
+    * converges in a handful of rounds; for general graphs with long
+    * chains the alternating large-star/small-star formulation
+    * (public MapReduce-CC literature) bounds rounds at O(log n) —
+    * noted here as the swap-in, not needed for dedup families.
+    * Iterations are capped (32) so a pathological graph terminates.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("lbl", col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val neighborMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
+      val next = labels.join(neighborMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
+        .filter(col("lbl") =!= col("old")).count() // driver sees a count only
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val size = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val out = labels
+      .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(size))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  /** Oracle: the same component labeling via a recursive CTE — every
+    * label reachable from a node, minimized per node.
+    */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $dedupPairsCteSql,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM good
+       |  UNION ALL SELECT doc_b, doc_a FROM good),
+       |reach AS (
+       |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+       |comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Benchmark-contamination check: n-gram overlap vs a held-out set
+  // ----------------------------------------------------------------
+
+  private val ContamMod = 97L    // eval set = doc_id % 97 == 0
+  private val ContamMinShared = 3L
+
+  /** Decontamination scan — the LLM-training hygiene check: flag
+    * training documents sharing ≥ [[ContamMinShared]] distinct word
+    * 3-gram shingles with ANY document of a held-out evaluation set
+    * (here the deterministic slice doc_id ≡ 0 mod [[ContamMod]]).
+    * Plan shape: the eval side reduces to a DISTINCT shingle set
+    * (eval sets are small — at scale this side broadcasts), the
+    * train side streams its postings through one equi-join and a
+    * per-doc count — no pairwise doc×doc comparison anywhere, so
+    * cost is O(postings), not O(train × eval).
+    */
+  def dedupContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evalIds = docs(spark, dir)
+      .filter(col("doc_id") % ContamMod === 0).select(col("doc_id"))
+    val evalShingles = shinglePosts(spark, dir, Some(evalIds))
+      .select(col("shingle")).distinct()
+    // semi-join BELOW the shingle kernel (mapPartitions is an
+    // optimizer barrier — a filter above it could not prune the work)
+    val trainIds = docs(spark, dir)
+      .filter(col("doc_id") % ContamMod =!= 0).select(col("doc_id"))
+    val trainPosts = shinglePosts(spark, dir, Some(trainIds))
+    trainPosts.join(evalShingles, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // postings are distinct per doc
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy("doc_id")
+  }
+
+  val dedupContaminationSql: String =
+    s"""WITH $shingleCteSql,
+       |es AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+       |       WHERE doc_id % $ContamMod = 0),
+       |ts AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+       |       WHERE doc_id % $ContamMod != 0)
+       |SELECT t.doc_id, count(*) AS n_shared
+       |FROM ts t JOIN es USING (shingle)
+       |GROUP BY t.doc_id HAVING count(*) >= $ContamMinShared
+       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
   // SimHash: 64-bit signatures + banded Hamming candidates

@@ -403,4 +403,101 @@ object TextAnalysis {
       |    AS edit_sim
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
+
+  // ----------------------------------------------------------------
+  // BM25 keyword retrieval (Robertson/Spärck Jones, public formula)
+  // ----------------------------------------------------------------
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private[ext] val Bm25Terms = Seq("join", "window", "stream", "spark")
+  private val Bm25TopK = 10
+
+  /** BM25 top-k retrieval for a fixed conjunction of query terms —
+    * the quality-filtering / retrieval primitive of a training-data
+    * pipeline (rank documents against a probe query). idf uses the
+    * standard `ln((N − df + 0.5)/(df + 0.5) + 1)` form; per-term
+    * scores are computed as separate conditional-aggregate columns
+    * and summed in FIXED term order (a groupBy-sum over terms would
+    * add doubles in partition order — not reproducible), then rounded
+    * to 6 dp; ranking is on the ROUNDED score (transcendental-ulp
+    * discipline, as `text_tfidf`).
+    *
+    * Plan shape: one postings pass filtered to the query terms
+    * (predicate-pushed before the tf aggregate), one per-doc length
+    * aggregate, two scalar broadcasts (N, avgdl) — the tf×query join
+    * is an equi-join on a ≤|terms| key set, never a scan product.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val words = d.select(col("doc_id"), explode(split(col("text"), " +")).as("word"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // exact-integer sums → one double division: reproducible avgdl
+    val scalars = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .crossJoin(d.agg(count(lit(1)).as("n_docs")))
+    val tf = words.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_score",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    // one exact value per (doc, term) → per-term columns, fixed-order sum
+    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, col("term_score"))).as(s"s$i")
+    }
+    val summed = scored.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+    val total = Bm25Terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    summed
+      .withColumn("score", round(total, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy("rank")
+  }
+
+  val textBm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN word = '$t' THEN term_score END) AS s$i"
+    }.mkString(", ")
+    val total = Bm25Terms.indices
+      .map(i => s"COALESCE(s$i, 0.0)").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+       |scalars AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n_docs
+       |  FROM dl),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+       |       WHERE word IN ($termList) GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * tf * ($Bm25K1 + 1.0)
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) AS term_score
+       |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id)
+       |  CROSS JOIN scalars),
+       |summed AS (SELECT doc_id, $perTerm FROM scored GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT doc_id, round($total, 6) AS score FROM summed),
+       |r AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM ranked)
+       |SELECT rank, doc_id, score FROM r WHERE rank <= $Bm25TopK
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -111,6 +111,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bg.sum.toDouble / bg.size > 20, "background Hamming should be large")
   }
 
+  test("dedup_cluster: transitive chains collapse to min-id components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A~B and B~C above the Jaccard threshold, A~C below it: the
+    // PAIR relation has no (A,C) edge, but the CLUSTER must unite all
+    // three under the minimum doc id — the property pairs alone lack.
+    val base = (1 to 40).map(i => s"w$i").toArray
+    def mut(at: Int*) = {
+      val a = base.clone(); at.foreach(i => a(i) = s"x$i"); a.mkString(" ")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("dedupclu").toString
+    Seq(
+      (1L, base.mkString(" ")),
+      (2L, mut(5)),        // J(1,2) ≈ 0.85
+      (3L, mut(5, 25)),    // J(2,3) ≈ 0.85, J(1,3) ≈ 0.73 < 0.8
+      (4L, (1 to 40).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // fixture sanity: the pair tier sees exactly the two chain edges
+    val pairs = Dedup.dedupMinhash(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+    val out = Dedup.dedupCluster(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
+  test("dedup_contamination flags train docs overlapping the eval slice") {
+    import spark.implicits._
+    // doc 0 is in the eval slice (0 % 97 == 0); doc 1 copies enough
+    // of it to share >= 3 shingles; doc 2 is clean
+    val evalText = (1 to 12).map(i => s"e$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("dedupcont").toString
+    Seq(
+      (0L, evalText),
+      (1L, evalText + " extra tail words"),
+      (2L, (1 to 12).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupContamination(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSet == Set(1L)) // eval doc itself excluded
+    assert(out.head._2 >= 3)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, dir).collect()
     for (r <- rows) {
