@@ -510,9 +510,13 @@ object Dedup {
     * Iterations are capped (32) so a pathological graph terminates.
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // both edge directions from ONE pass over the pair tier: a
+    // two-branch union would re-evaluate the whole MinHash lineage
+    // per branch (no CSE across DataFrame branches)
+    val edges = pairs.as[(Long, Long)]
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .toDF("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u")).distinct()
@@ -520,13 +524,23 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 32) {
+    while (!converged && rounds < 64) {
       val neighborMin = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
-      val next = labels.join(neighborMin, Seq("u"), "left")
+      val propagated = labels.join(neighborMin, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jumping (path halving): also adopt the LABEL node's
+      // own label, so long chains converge in O(log diameter) rounds
+      // instead of one hop per round (a >cap-length similarity chain
+      // would otherwise exit unconverged — silently wrong vs the
+      // transitive-closure oracle)
+      val next = propagated
+        .join(propagated.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
         .filter(col("lbl") =!= col("old")).count() // driver sees a count only
@@ -535,11 +549,23 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // 64 doubling rounds cover components of astronomical diameter;
+    // failing loud beats returning a silently split component
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupCluster did not converge within $rounds rounds")
     val size = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    // eager local checkpoint materializes the (dedup-output-scale)
+    // result so the loop's persisted frames can be released here —
+    // otherwise the last round's cache entry would leak until the
+    // session ends; checkpoint blocks are freed with the returned
+    // DataFrame by the context cleaner
     val out = labels
       .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(size))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

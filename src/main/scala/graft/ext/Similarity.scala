@@ -377,15 +377,32 @@ object Similarity {
     centroids
   }
 
-  /** Train-once model memo keyed by (dir, corpus size): a query
-    * invocation must not re-pay the ≥ IvfIters full data passes the
-    * coarse quantizer costs — the index is built once per corpus and
-    * reused (the `EventStreams.stagedDirs` pattern). Test-observable
-    * via [[trainCount]].
+  /** Train-once model memo: a query invocation must not re-pay the
+    * ≥ IvfIters full data passes the coarse quantizer costs — the
+    * index is built once per corpus and reused (the
+    * `EventStreams.stagedDirs` pattern). The key includes the
+    * embeddings files' (path, length, mtime) listing — metadata-only,
+    * no data pass — so rewriting a corpus in place invalidates the
+    * model instead of serving stale centroids (which would
+    * hash-mismatch the always-retraining oracle). Bounded: the memo
+    * clears wholesale past 16 corpora (models are up to ~32 MB each;
+    * wholesale-clear is simpler than LRU and retraining is cheap
+    * relative to a leak). Test-observable via [[trainCount]].
     */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Array[Double]]]
   private[ext] val trainCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else if (fs.getFileStatus(path).isDirectory) fs.listStatus(path)
+      else Array(fs.getFileStatus(path))
+    statuses.map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
 
   /** IVF ANN top-k: vectors assigned to their nearest centroid's
     * inverted list; each query scans only its `IvfProbes` nearest
@@ -399,7 +416,8 @@ object Similarity {
     val vecs = emb(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val n = vecs.count()
-    val centroids = centroidCache.getOrElseUpdate((dir, n), {
+    if (centroidCache.size > 16) centroidCache.clear()
+    val centroids = centroidCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
       trainCount.incrementAndGet()
       trainCentroids(vecs, ivfKFor(n))
     })

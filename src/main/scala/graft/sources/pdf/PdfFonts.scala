@@ -69,16 +69,23 @@ private[pdf] object PdfFonts {
     fontDict.fold(Map.empty[String, GlyphDecoder]) { fd =>
       fd.entries.flatMap { case (name, fontRef) =>
         doc.resolveDict(fontRef).map { font =>
-          name -> (try decoderFor(doc, font) catch {
-            case scala.util.control.NonFatal(_) => DefaultGlyphDecoder
+          // a Type0 font whose CMap is corrupt must degrade to NO
+          // text, not to the Latin-1 heuristic — 2-byte glyph ids
+          // rendered as byte pairs would silently corrupt the size
+          // ratios this tool exists to compute
+          val isType0 =
+            try doc.resolve(font.get("Subtype").getOrElse(PNull)) == PName("Type0")
+            catch { case scala.util.control.NonFatal(_) => false }
+          name -> (try decoderFor(doc, font, isType0) catch {
+            case scala.util.control.NonFatal(_) =>
+              if (isType0) OpaqueGlyphDecoder else DefaultGlyphDecoder
           })
         }
       }
     }
   }
 
-  private def decoderFor(doc: PdfDocument, font: PDict): GlyphDecoder = {
-    val isType0 = doc.resolve(font.get("Subtype").getOrElse(PNull)) == PName("Type0")
+  private def decoderFor(doc: PdfDocument, font: PDict, isType0: Boolean): GlyphDecoder = {
     doc.resolve(font.get("ToUnicode").getOrElse(PNull)) match {
       case s: PStream =>
         val (srcBytes, map) = parseToUnicode(doc.decodeStream(s))
@@ -127,7 +134,12 @@ private[pdf] object PdfFonts {
       }
       utf16(out)
     }
-    /** Values until the closing keyword; tolerate malformed tails. */
+    /** Values until the closing keyword; tolerate malformed tails.
+      * Any byte that neither starts a value nor a keyword (stray
+      * delimiters — readToken() returns "" without advancing on
+      * those) is skipped one byte at a time, so a corrupt CMap can
+      * never livelock the scan task.
+      */
     def block(end: String)(handle: Vector[PdfObj] => Unit): Unit = {
       val items = Vector.newBuilder[PdfObj]
       var go = true
@@ -135,6 +147,7 @@ private[pdf] object PdfFonts {
         lx.skipWs()
         if (lx.atEnd) go = false
         else if (lx.peek == '<' || lx.peek == '[') items += lx.parseValue(allowRefs = false)
+        else if (!lx.isRegular(lx.peek)) lx.pos += 1 // stray delimiter
         else { if (lx.readToken() != end) () /* stray keyword: skip */ else go = false }
       }
       handle(items.result())
@@ -146,6 +159,8 @@ private[pdf] object PdfFonts {
           c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
         lx.parseValue(allowRefs = false) // operand (counts, names, dicts): ignored
         ()
+      } else if (!lx.isRegular(c)) {
+        lx.pos += 1 // stray delimiter: skip, never livelock
       } else lx.readToken() match {
         case "begincodespacerange" =>
           block("endcodespacerange") { items =>

@@ -76,8 +76,10 @@ object PdfTextExtractor extends PageExtractor {
           c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
         // operand (content streams have no indirect refs)
         operands = lx.parseValue(allowRefs = false) :: operands
-      } else if (c == ']' || c == '}' || c == ')' || c == '>') {
-        lx.pos += 1 // stray delimiter: skip defensively
+      } else if (c == ']' || c == '{' || c == '}' || c == ')' || c == '>') {
+        // stray delimiter: skip defensively — readToken() would
+        // return "" without advancing and livelock the walk
+        lx.pos += 1
       } else {
         lx.readToken() match {
           case "Tj" => operands.headOption.foreach(show)

@@ -156,15 +156,24 @@ object EventStreams {
     spark.table(name)
   }
 
-  /** Library-facing sink: the same transform surface writing each
-    * converged micro-batch as a DISTRIBUTED parquet overwrite via
-    * `foreachBatch` — no row ever reaches the driver (native file
-    * sinks only support append mode, and append+watermark holds back
-    * unclosed windows at end-of-replay; per-batch overwrite is the
-    * standard complete-mode file-sink shape). Swapping parquet for a
-    * Kafka/Delta writer inside the batch function is a one-line
-    * change; the transforms are untouched. Returns a reader over the
-    * written result for convenience.
+  /** Library-facing sink: the same transform surface writing to
+    * parquet with no row ever reaching the driver. Two shapes by
+    * output mode:
+    *
+    *   - `complete` (windowed aggregations): each micro-batch is the
+    *     full converged result, written as a DISTRIBUTED per-batch
+    *     overwrite via `foreachBatch` (native file sinks are
+    *     append-only; an append+watermark run would also hold back
+    *     unclosed windows at end-of-replay). Swapping parquet for a
+    *     Kafka/Delta writer inside the batch function is a one-line
+    *     change.
+    *   - `append` (e.g. streaming dedup): the NATIVE parquet file
+    *     sink, whose commit log makes the appends exactly-once — a
+    *     per-batch overwrite here would discard every batch but the
+    *     last, and a blind per-batch append would double rows on
+    *     retry.
+    *
+    * Returns a reader over the written result for convenience.
     */
   def runToParquet(
       spark: SparkSession,
@@ -172,17 +181,21 @@ object EventStreams {
       outPath: String,
       transform: DataFrame => DataFrame,
       outputMode: String = "complete"): DataFrame = {
-    val q = transform(readEventStream(spark, s"$dir"))
+    val resultPath = s"$outPath/result"
+    val base = transform(readEventStream(spark, s"$dir"))
       .writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", s"$outPath/_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outPath/result")
-      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q =
+      if (outputMode == "append")
+        base.format("parquet").option("path", resultPath).start()
+      else
+        base.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(resultPath)
+        }.start()
     q.awaitTermination()
-    spark.read.parquet(s"$outPath/result")
+    spark.read.parquet(resultPath)
   }
 
   /** Custom keyed state via `flatMapGroupsWithState` — the surface for

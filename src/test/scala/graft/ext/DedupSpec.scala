@@ -138,6 +138,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
   }
 
+  test("dedup_cluster converges on a chain whose diameter exceeds one-hop-per-round budgets") {
+    import spark.implicits._
+    // 80 sliding windows (200 words, stride 10): J(adjacent) ≈ 0.905,
+    // J(distance 2) ≈ 0.818, J(distance ≥ 3) < 0.8 — one component
+    // whose min-id eccentricity is ~40 hops. Plain min-label
+    // propagation advances one hop per round and would exceed a
+    // 32-round cap; pointer jumping must close it in O(log) rounds.
+    val words = (0 until 1000).map(i => s"w$i")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, words.slice(i * 10, i * 10 + 200).mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("dedupchain").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupCluster(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 80)
+    assert(out.forall(_._2 == 0L), "one component labeled by min id")
+    assert(out.forall(_._3 == 80L))
+  }
+
   test("dedup_contamination flags train docs overlapping the eval slice") {
     import spark.implicits._
     // doc 0 is in the eval slice (0 % 97 == 0); doc 1 copies enough

@@ -143,6 +143,16 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(dec.decode("ABC".getBytes) == "αBC")
   }
 
+  test("stray delimiters never livelock the content walker or the CMap parser") {
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    // '{' is a delimiter readToken() cannot consume — must be skipped
+    assert(PdfTextExtractor.extractText("BT { (hi) Tj ET".getBytes(ascii)) == "hi")
+    // stray delimiters inside and before CMap blocks
+    val (_, m) = PdfFonts.parseToUnicode(
+      ") 1 beginbfchar <0001> ) { <0048> endbfchar ]".getBytes(ascii))
+    assert(m(1) == "H")
+  }
+
   test("damaged bytes yield no pages instead of throwing") {
     assert(PdfTextExtractor.extract("x.pdf", "not a pdf at all".getBytes) == Nil)
     assert(PdfTextExtractor.extract("x.pdf", Array.emptyByteArray) == Nil)
