@@ -519,9 +519,15 @@ object Dedup {
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .toDF("u", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round's result is cut to a LogicalRDD via an EAGER local
+    // checkpoint: plain persist() caches data but keeps the logical
+    // plan, and the per-round self-join DOUBLES that plan tree —
+    // Catalyst would re-optimize an exponentially growing plan each
+    // round (measured: 8→20 s at a few hundred edges, pure analysis
+    // time). Checkpointed rounds keep every iteration O(edges).
     var labels = edges.select(col("u")).distinct()
       .withColumn("lbl", col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -536,16 +542,20 @@ object Dedup {
       // instead of one hop per round (a >cap-length similarity chain
       // would otherwise exit unconverged — silently wrong vs the
       // transitive-closure oracle)
+      // the changed flag rides inside the same checkpointed job (a
+      // separate compare-join would cost one more round-trip per
+      // round); the convergence probe is then a near-free scan of
+      // the materialized rows — the driver still sees only a count
       val next = propagated
         .join(propagated.select(col("u").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
-        .filter(col("lbl") =!= col("old")).count() // driver sees a count only
-      labels.unpersist()
-      labels = next
+        .join(labels.select(col("u"), col("lbl").as("prev")), "u")
+        .select(col("u"), col("lbl"), (col("lbl") =!= col("prev")).as("chg"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("u"), col("lbl"))
       converged = changed == 0
       rounds += 1
     }
@@ -565,7 +575,6 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(size))
       .orderBy("doc_id")
       .localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
     out
   }
