@@ -456,12 +456,17 @@ object TextAnalysis {
     val total = Bm25Terms.indices
       .map(i => coalesce(col(s"s$i"), lit(0.0)))
       .reduceLeft(_ + _)
+    // global top-k via orderBy+limit → TakeOrderedAndProject (each
+    // partition contributes its local top-k; the driver merges K
+    // rows) — a global row_number window would sort every scored doc
+    // in ONE task; the rank window then runs over K rows only
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id").asc)
     summed
       .withColumn("score", round(total, 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= Bm25TopK)
       .select(col("rank"), col("doc_id"), col("score"))
       .orderBy("rank")
   }

@@ -104,6 +104,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(ann.nonEmpty)
   }
 
+  test("dedup_contamination: eval shingle set broadcasts, df partial-aggregates, no product") {
+    val plan = graft.ext.Dedup.dedupContamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the distinct eval-shingle set is the build side of a broadcast
+    // equi-join — train postings never pair doc×doc
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("text_bm25: global top-k is TakeOrdered, scalar sides broadcast, no product") {
+    val plan = graft.ext.TextAnalysis.textBm25(spark, dir)
+      .queryExecution.executedPlan.toString
+    // orderBy+limit must plan as the distributed partial top-k
+    // operator, not a single-task global sort window
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("text_tfidf broadcasts the one-row corpus count, equi-joins the term") {
     val plan = graft.ext.TextAnalysis.textTfidf(spark, dir)
       .queryExecution.executedPlan.toString
