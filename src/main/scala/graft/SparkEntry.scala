@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -102,6 +102,10 @@ object SparkEntry {
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
+    // Pipeline compositions (north star): reproducible split
+    // assignment and the quality->dedup->canonicalize prep chain
+    "split_assign" -> (PipelineOps.splitAssign(_, _)),
+    "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
@@ -187,6 +191,8 @@ object SparkEntry {
     // fixed-point Lloyd sums + strided seeds make the whole IVF train
     // + probe + top-k replayable in DuckDB (three unrolled iterations)
     "sim_ivf" -> Similarity.simIvfSql,
+    "split_assign" -> PipelineOps.splitAssignSql,
+    "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
   )

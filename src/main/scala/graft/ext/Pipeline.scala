@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-level operators: the compositions a training-data
+  * pipeline actually runs, built from the registered operator
+  * families (quality scoring, exact + near-dup dedup, hashing) —
+  * registered as first-class gate queries so the composition itself
+  * is oracle-verified, not just its parts.
+  */
+object PipelineOps {
+
+  private val P = 1000000007L
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.table(spark, dir, "documents")
+
+  /** Deterministic train/val/test split assignment: bucket =
+    * portable polynomial hash of the STRING doc id mod 10 → 8/1/1
+    * split. Hash-based (not `doc_id % k`) so ordered id ranges don't
+    * stripe into one split; content-independent so re-ingesting a
+    * fixed corpus reproduces the split exactly — the reproducibility
+    * contract a training pipeline needs. Pure projection: no
+    * shuffle, no state; the DuckDB oracle recomputes the identical
+    * hash (the `text_fingerprint` fold, proven bit-exact).
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val chars = filter(split(idStr, ""), c => c =!= "")
+    val h = aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % P)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), (h % 10).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitAssignSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        [CAST(unicode(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1))
+       |              AS BIGINT)
+       |         for i in generate_series(1, length(CAST(doc_id AS VARCHAR)))]),
+       |      (a, b) -> (a*31 + b) % $P) % 10 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, bucket,
+       |  CASE WHEN bucket < 8 THEN 'train'
+       |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** The end-to-end prep pipeline as ONE verified relation:
+    * quality-filter → exact dedup (keep the minimum doc id per
+    * SHA-256 digest) → near-dup canonicalization (drop every doc
+    * that belongs to a [[Dedup.dedupCluster]] component but is not
+    * its minimum-id canonical) → per-source corpus accounting.
+    * Demonstrates that the operator families compose into the
+    * pipeline the engine exists for, with the composition itself
+    * under the hash gate. Every tier is the registered operator's
+    * own code path (`textQuality`, `sha2` grouping, `dedupCluster`),
+    * so this query cannot drift from its parts.
+    */
+  def pipelinePrep(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .filter(col("is_quality")).select(col("doc_id"))
+    val d = docs(spark, dir)
+    val exactKeep = d.join(quality, "doc_id")
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val clusters = Dedup.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val keep = exactKeep.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+    d.join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the quality relation and the recursive component
+    * labeling ride as parenthesized subqueries of the registered
+    * oracles' SQL, so the composed oracle reuses — not restates —
+    * the per-operator definitions.
+    */
+  val pipelinePrepSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id FROM (${TextAnalysis.textQualitySql}) WHERE is_quality),
+       |ex AS (
+       |  SELECT min(d.doc_id) AS doc_id
+       |  FROM documents d JOIN q USING (doc_id)
+       |  GROUP BY sha256(d.text)),
+       |clus AS (
+       |  SELECT doc_id, cluster_id FROM (${Dedup.dedupClusterSql})),
+       |keep AS (
+       |  SELECT e.doc_id FROM ex e LEFT JOIN clus c USING (doc_id)
+       |  WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+       |FROM documents d JOIN keep USING (doc_id)
+       |GROUP BY d.source ORDER BY source""".stripMargin
+}
