@@ -393,16 +393,8 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Array[Double]]]
   private[ext] val trainCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses =
-      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else if (fs.getFileStatus(path).isDirectory) fs.listStatus(path)
-      else Array(fs.getFileStatus(path))
-    statuses.map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-  }
+  private def corpusFingerprint(spark: SparkSession, dir: String): String =
+    graft.sources.Tables.fingerprint(spark, dir, "embeddings")
 
   /** IVF ANN top-k: vectors assigned to their nearest centroid's
     * inverted list; each query scans only its `IvfProbes` nearest

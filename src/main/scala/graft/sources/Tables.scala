@@ -17,6 +17,23 @@ import scala.util.Try
   */
 object Tables {
 
+  /** Metadata-only corpus fingerprint: the table's file listing as
+    * (path, length, mtime) — no data pass. Used as the cache key for
+    * per-corpus derived artifacts (IVF centroid models, dedup
+    * cluster labelings), so an in-place rewrite invalidates the memo
+    * instead of serving stale results.
+    */
+  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else if (fs.getFileStatus(path).isDirectory) fs.listStatus(path)
+      else Array(fs.getFileStatus(path))
+    statuses.map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
