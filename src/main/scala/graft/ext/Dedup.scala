@@ -507,22 +507,30 @@ object Dedup {
     * chains the alternating large-star/small-star formulation
     * (public MapReduce-CC literature) bounds rounds at O(log n) —
     * noted here as the swap-in, not needed for dedup families.
-    * Iterations are capped (32) so a pathological graph terminates.
+    * Iterations are capped (64) so a pathological graph terminates —
+    * with path halving that covers astronomically deep components.
     */
-  /** Build-once memo for the cluster labeling, keyed by the corpus
-    * file listing (the IVF-model pattern, `Similarity`): clustering
-    * is an index-build step — a labeling is derived once per corpus
-    * and served to every downstream query (`pipeline_prep` reuses it
-    * in the same session). Values are eagerly checkpointed
-    * dedup-output-scale frames; bounded by wholesale clear.
+  /** Build-once memo for the cluster labeling, keyed by SESSION +
+    * corpus file listing (the IVF-model pattern, `Similarity`):
+    * clustering is an index-build step — a labeling is derived once
+    * per corpus and served to every downstream query
+    * (`pipeline_prep` reuses it). The session component keeps a
+    * frame from a stopped session from ever being served to a new
+    * one (checkpointed frames are session-bound). Values are
+    * dedup-output-scale; bounded by wholesale clear (blocks are
+    * released by the context cleaner once the frames are dropped).
+    * On a multi-executor cluster the durable form of this memo is a
+    * parquet artifact (executor loss invalidates localCheckpoint
+    * blocks); in-session memoization is the local-mode/gate shape.
     */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     if (clusterCache.size > 16) clusterCache.clear()
     clusterCache.getOrElseUpdate(
-      graft.sources.Tables.fingerprint(spark, dir, "documents"),
+      (System.identityHashCode(spark).toString,
+        graft.sources.Tables.fingerprint(spark, dir, "documents")),
       computeClusters(spark, dir))
   }
 
@@ -583,10 +591,8 @@ object Dedup {
         s"dedupCluster did not converge within $rounds rounds")
     val size = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     // eager local checkpoint materializes the (dedup-output-scale)
-    // result so the loop's persisted frames can be released here —
-    // otherwise the last round's cache entry would leak until the
-    // session ends; checkpoint blocks are freed with the returned
-    // DataFrame by the context cleaner
+    // result; the loop rounds' checkpoint blocks are freed by the
+    // context cleaner as each superseded frame reference is dropped
     val out = labels
       .select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(size))

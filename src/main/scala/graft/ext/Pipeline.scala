@@ -11,8 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
-  private val P = 1000000007L
-
   private def docs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.table(spark, dir, "documents")
 
@@ -21,33 +19,25 @@ object PipelineOps {
     * split. Hash-based (not `doc_id % k`) so ordered id ranges don't
     * stripe into one split; content-independent so re-ingesting a
     * fixed corpus reproduces the split exactly — the reproducibility
-    * contract a training pipeline needs. Pure projection: no
-    * shuffle, no state; the DuckDB oracle recomputes the identical
-    * hash (the `text_fingerprint` fold, proven bit-exact).
+    * contract a training pipeline needs. Rowwise and stateless (the
+    * only exchange is the final presentation sort); the hash is the
+    * SHARED [[TextAnalysis.polyHashCol]] fold, bit-exact in DuckDB.
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val idStr = col("doc_id").cast("string")
-    val chars = filter(split(idStr, ""), c => c =!= "")
-    val h = aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % P)
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), col("source"), (h % 10).as("bucket"))
+      .select(col("doc_id"), col("source"),
+        (TextAnalysis.polyHashCol(col("doc_id").cast("string")) % 10).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("source"), col("bucket"), col("split"))
       .orderBy("doc_id")
-  }
 
   val splitAssignSql: String =
     s"""WITH h AS (
        |  SELECT doc_id, source,
-       |    list_reduce(
-       |      list_prepend(CAST(0 AS BIGINT),
-       |        [CAST(unicode(substr(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1))
-       |              AS BIGINT)
-       |         for i in generate_series(1, length(CAST(doc_id AS VARCHAR)))]),
-       |      (a, b) -> (a*31 + b) % $P) % 10 AS bucket
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
        |  FROM documents)
        |SELECT doc_id, source, bucket,
        |  CASE WHEN bucket < 8 THEN 'train'
@@ -56,9 +46,11 @@ object PipelineOps {
 
   /** The end-to-end prep pipeline as ONE verified relation:
     * quality-filter → exact dedup (keep the minimum doc id per
-    * SHA-256 digest) → near-dup canonicalization (drop every doc
-    * that belongs to a [[Dedup.dedupCluster]] component but is not
-    * its minimum-id canonical) → per-source corpus accounting.
+    * SHA-256 digest) → near-dup canonicalization (one representative
+    * per [[Dedup.dedupCluster]] component: the minimum-id member
+    * that SURVIVED the earlier tiers, so a family whose global min
+    * was quality-dropped still keeps its content) → per-source
+    * corpus accounting.
     * Demonstrates that the operator families compose into the
     * pipeline the engine exists for, with the composition itself
     * under the hash gate. Every tier is the registered operator's
@@ -75,8 +67,15 @@ object PipelineOps {
       .select(col("doc_id"))
     val clusters = Dedup.dedupCluster(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
+    // canonical = the minimum id among the cluster's SURVIVING
+    // members (docs outside any cluster are their own group): if the
+    // component's global min-id doc was itself dropped by the
+    // quality or exact tier, the family must still keep one
+    // representative — filtering on cluster_id == doc_id would
+    // silently lose the whole family's content
     val keep = exactKeep.join(clusters, Seq("doc_id"), "left")
-      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("grp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     d.join(keep, "doc_id")
       .groupBy(col("source"))
@@ -101,8 +100,9 @@ object PipelineOps {
        |clus AS (
        |  SELECT doc_id, cluster_id FROM (${Dedup.dedupClusterSql})),
        |keep AS (
-       |  SELECT e.doc_id FROM ex e LEFT JOIN clus c USING (doc_id)
-       |  WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id)
+       |  SELECT min(e.doc_id) AS doc_id
+       |  FROM ex e LEFT JOIN clus c USING (doc_id)
+       |  GROUP BY COALESCE(c.cluster_id, e.doc_id))
        |SELECT d.source, count(*) AS n_docs,
        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
        |FROM documents d JOIN keep USING (doc_id)

@@ -173,31 +173,41 @@ object TextAnalysis {
 
   private val P = 1000000007L
 
-  /** Rolling-hash fingerprint over the first 256 chars (cap keeps the
-    * expression O(1) per doc at 100 TB): `h = (h*31 + codepoint) mod
-    * 1e9+7`, evaluated with `aggregate` over the char array — a
-    * codegen'd fold, no UDF. Portable: the DuckDB oracle computes the
-    * identical hash with `list_reduce`.
+  /** The portable polynomial fold `h = (h*31 + codepoint) mod 1e9+7`
+    * as a codegen'd Column expression — ONE definition shared by
+    * every operator that needs a cross-engine-exact hash
+    * (`text_fingerprint`, `split_assign`); [[polyHashSql]] is its
+    * DuckDB twin. Keeping a single source prevents the bit-exact
+    * pair from silently desynchronizing.
     */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = col("text").substr(lit(1), lit(256))
-    val chars = filter(split(prefix, ""), c => c =!= "")
+  private[ext] def polyHashCol(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val chars = filter(split(s, ""), c => c =!= "")
+    aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % P)
+  }
+
+  /** DuckDB twin of [[polyHashCol]] over the SQL expression `e`. */
+  private[ext] def polyHashSql(e: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(substr($e, CAST(i AS INT), 1)) AS BIGINT)
+       |       for i in generate_series(1, length($e))]),
+       |    (a, b) -> (a*31 + b) % $P)""".stripMargin
+
+  /** Rolling-hash fingerprint over the first 256 chars (cap keeps the
+    * expression O(1) per doc at 100 TB): the shared [[polyHashCol]]
+    * fold — codegen'd, no UDF, bit-exact in DuckDB.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(
         col("doc_id"),
-        aggregate(chars, lit(0L),
-          (acc, c) => (acc * 31L + ascii(c)) % P).as("fingerprint"),
+        polyHashCol(col("text").substr(lit(1), lit(256))).as("fingerprint"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
-  }
 
   val textFingerprintSql: String =
     s"""SELECT doc_id,
-       |  list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      [CAST(unicode(substr(p, CAST(i AS INT), 1)) AS BIGINT)
-       |       for i in generate_series(1, length(p))]),
-       |    (a, b) -> (a*31 + b) % $P) AS fingerprint,
+       |  ${polyHashSql("p")} AS fingerprint,
        |  length(text) AS n_chars
        |FROM (SELECT doc_id, text, substr(text, 1, 256) AS p FROM documents)
        |ORDER BY doc_id""".stripMargin

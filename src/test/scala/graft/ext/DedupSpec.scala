@@ -143,8 +143,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // 80 sliding windows (200 words, stride 10): J(adjacent) ≈ 0.905,
     // J(distance 2) ≈ 0.818, J(distance ≥ 3) < 0.8 — one component
     // whose min-id eccentricity is ~40 hops. Plain min-label
-    // propagation advances one hop per round and would exceed a
-    // 32-round cap; pointer jumping must close it in O(log) rounds.
+    // propagation advances one hop per round; pointer jumping must
+    // close it in O(log) rounds, far inside the 64-round cap.
     val words = (0 until 1000).map(i => s"w$i")
     val docs = (0 until 80).map { i =>
       (i.toLong, words.slice(i * 10, i * 10 + 200).mkString(" "))
