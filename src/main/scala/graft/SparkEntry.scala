@@ -80,6 +80,7 @@ object SparkEntry {
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
     "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
+    "stream_dedup" -> (graft.streaming.EventStreams.streamDedup(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -163,6 +164,8 @@ object SparkEntry {
     // converged streaming results == the batch twins' relations
     "stream_tumbling" -> Relational.eventTumblingSql,
     "stream_sessionize" -> Relational.sessionizeSql,
+    // unique ids ⟹ batching-independent appended rows == the batch projection
+    "stream_dedup" -> graft.streaming.EventStreams.streamDedupSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_tokens" -> TextAnalysis.textTokensSql,

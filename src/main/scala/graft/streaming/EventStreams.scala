@@ -131,6 +131,23 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Driver-gate streaming query (`stream_dedup`): the replayed
+    * events through [[dedupWithinWatermark]]. Event ids are unique in
+    * the data, so every event passes exactly once REGARDLESS of
+    * micro-batch boundaries — the appended result deterministically
+    * equals the batch projection and shares its oracle (unlike the
+    * stateful profile emitter, whose per-batch emissions depend on
+    * batching and stay spec-verified only).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, stagedEventsDir(dir), "graft_stream_dedup",
+        dedupWithinWatermark, "append")
+      .orderBy("event_id")
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Convenience for tests and the driver gate: run a streaming
     * transform over the events table replayed as a file stream, into
     * a memory sink, to completion (AvailableNow), returning the
