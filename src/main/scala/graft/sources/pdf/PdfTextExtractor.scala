@@ -59,6 +59,10 @@ object PdfTextExtractor extends PageExtractor {
     var operands = List.empty[PdfObj]
     var shownOnLine = false
     var decoder: GlyphDecoder = DefaultGlyphDecoder
+    // q/Q save/restore: the text font is part of the graphics state,
+    // and real producers wrap text blocks in q..Q — a Q must restore
+    // the font selected before the matching q
+    var gsStack = List.empty[GlyphDecoder]
 
     def newline(): Unit = {
       if (shownOnLine) { sb += '\n'; shownOnLine = false }
@@ -95,6 +99,11 @@ object PdfTextExtractor extends PageExtractor {
             operands.collectFirst { case PName(n) => n }.foreach { name =>
               decoder = fonts.getOrElse(name, DefaultGlyphDecoder)
             }
+          case "q" => gsStack = decoder :: gsStack
+          case "Q" => gsStack match {
+            case d :: rest => decoder = d; gsStack = rest
+            case Nil => () // unbalanced Q: tolerate
+          }
           case "Td" | "TD" | "T*" | "Tm" => newline()
           case "BI" =>
             // inline image: skip to EI

@@ -143,6 +143,19 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(dec.decode("ABC".getBytes) == "αBC")
   }
 
+  test("q/Q restores the font selected before the matching save") {
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val cmap =
+      """1 begincodespacerange <00> <FF> endcodespacerange
+        |1 beginbfchar <41> <0042> endbfchar""".stripMargin // 'A' -> B
+    val (w, m) = PdfFonts.parseToUnicode(cmap.getBytes(ascii))
+    val fonts = Map[String, GlyphDecoder]("F9" -> CMapGlyphDecoder(w, m))
+    // default font, save, switch to the mapping font, restore: the
+    // final show must decode with the DEFAULT again
+    val content = "BT (A) Tj T* q /F9 1 Tf (A) Tj T* Q (A) Tj ET"
+    assert(PdfTextExtractor.extractText(content.getBytes(ascii), fonts) == "A\nB\nA")
+  }
+
   test("stray delimiters never livelock the content walker or the CMap parser") {
     val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
     // '{' is a delimiter readToken() cannot consume — must be skipped

@@ -49,6 +49,15 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaParquet.nonEmpty)
   }
 
+  test("parquet sink append mode: native file sink keeps every batch's rows") {
+    val out = java.nio.file.Files.createTempDirectory("evsinkapp").toString
+    val viaParquet = EventStreams.runToParquet(
+      spark, streamDir, out, EventStreams.dedupWithinWatermark, "append")
+    // unique event ids: every event must survive the appended run
+    assert(viaParquet.count() == Tables.events(spark, dir).count())
+    assert(viaParquet.select("event_id").distinct().count() == viaParquet.count())
+  }
+
   test("session windows: per-user session event counts cover all events") {
     val sessions = EventStreams.runToMemory(
       spark, streamDir, "t_sessions", EventStreams.sessionWindows, "complete")
