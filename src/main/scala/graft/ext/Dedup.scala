@@ -456,6 +456,15 @@ object Dedup {
     * block grid is the right tier — that boundary is inherent (at
     * cos 0.45 per-plane agreement is 0.65 vs a 0.5 background; no
     * sublinear method separates them with certainty).
+    *
+    * Shuffle-shape note (measured): the local cost center is the
+    * global `distinct` over multi-band collisions (~⅓ of runtime at
+    * sf0.1). The alternative — carrying each row's full 64-band
+    * signature array so a pair is emitted only from its first
+    * matching band, eliminating the distinct — multiplies the
+    * banding shuffle by the band count (≈33 TB vs ≈1.7 TB total at
+    * 10⁹ vectors), so slim (id, band, sig) rows + distinct is the
+    * shape that wins at scale and is kept deliberately.
     */
   def dedupEmbeddingAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.sources.Tables.table(spark, dir, "embeddings")
