@@ -52,10 +52,27 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val order = results.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","hot_total":$hotTotal,""" +
+    // Queries whose hot runs serve a build-once memo (IVF centroid
+    // model, cluster labeling) rather than recomputing: their hot
+    // numbers are SERVE time, not compute time — tagged so readers
+    // don't compare them against recomputing queries (ADVICE r3).
+    val memoized = Seq("sim_ivf", "dedup_cluster", "pipeline_prep")
+      .filter(SparkEntry.queries.contains).map(q => s"\"$q\"")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","hot_total":$hotTotal,""" +
       s""""queries":${jsonMap(_._2)},"queries_hot":${jsonMap(_._3)},""" +
       s""""hot_protocol":"median_of_3","order":$order,""" +
-      s""""failed":$failed,"sf":"$sfDir"}""")
+      s""""memoized_hot":$memoized,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The driver tail-grabs sbt stdout and can truncate the (growing)
+    // one-line JSON (BENCH_r03 arrived with parsed:null) — the file
+    // copy is the always-parseable round artifact.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -535,10 +535,23 @@ object Dedup {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Stable unique id for the session owning a cached frame. The
+    * classic runtime exposes one (`sessionUUID`); for any other
+    * `SparkSession` subtype a weak map assigns a fresh UUID — unlike
+    * `identityHashCode`, neither can collide across a GC'd session's
+    * lifetime, so a dead session's checkpointed frame can never be
+    * served to a new one.
+    */
+  private val fallbackIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionId(spark: SparkSession): String =
+    org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark).getOrElse(
+      fallbackIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString))
+
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     if (clusterCache.size > 16) clusterCache.clear()
     clusterCache.getOrElseUpdate(
-      (System.identityHashCode(spark).toString,
+      (sessionId(spark),
         graft.sources.Tables.fingerprint(spark, dir, "documents")),
       computeClusters(spark, dir))
   }

@@ -66,6 +66,17 @@ object EventStreams {
   /** Stage `dir`'s events file into a directory usable as a
     * file-stream source (the source wants a directory of files).
     * Reused across invocations; cleaned up on JVM exit.
+    *
+    * Exactly ONE file is staged, and [[streamDedup]]'s oracle
+    * equality depends on it: a single file is a single micro-batch
+    * (AvailableNow's per-trigger file cap is far above 1), so the
+    * watermark only advances AFTER all rows are processed and
+    * `dropDuplicatesWithinWatermark` can never discard a late
+    * arrival. A multi-file replay of out-of-order data would drop
+    * rows older than the advancing watermark — correct streaming
+    * semantics, but no longer the batch projection. The staging
+    * helper is private precisely so no caller can feed a multi-file
+    * directory into the gate queries.
     */
   private def stagedEventsDir(dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
@@ -133,11 +144,14 @@ object EventStreams {
 
   /** Driver-gate streaming query (`stream_dedup`): the replayed
     * events through [[dedupWithinWatermark]]. Event ids are unique in
-    * the data, so every event passes exactly once REGARDLESS of
-    * micro-batch boundaries — the appended result deterministically
-    * equals the batch projection and shares its oracle (unlike the
-    * stateful profile emitter, whose per-batch emissions depend on
-    * batching and stay spec-verified only).
+    * the data, so no row is a duplicate; and because the staged
+    * replay is a SINGLE file — i.e. a single micro-batch, see
+    * [[stagedEventsDir]] — the watermark cannot advance mid-replay
+    * and drop out-of-order rows. Under those two preconditions the
+    * appended result deterministically equals the batch projection
+    * and shares its oracle (unlike the stateful profile emitter,
+    * whose per-batch emissions depend on batching and stay
+    * spec-verified only).
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, stagedEventsDir(dir), "graft_stream_dedup",

@@ -13,6 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Stable unique session id (`sessionUUID` is private[sql] in
+    * Spark 4); None for non-classic sessions.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
+
   /** DataFrame from a logical plan (classic Dataset.ofRows is
     * private[sql] in Spark 4).
     */
