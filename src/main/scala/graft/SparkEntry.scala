@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram(_, _)),
     "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn(_, _)),
+    "dedup_embedding_ann_hi" -> (Dedup.dedupEmbeddingAnnHi(_, _)),
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
     "dedup_cluster" -> (Dedup.dedupCluster(_, _)),
     "dedup_contamination" -> (Dedup.dedupContamination(_, _)),
@@ -184,6 +185,9 @@ object SparkEntry {
     // the same relation as the all-pairs contract (deterministic
     // planes: exact recall on the gate corpora)
     "dedup_embedding_ann" -> Dedup.dedupEmbeddingSql,
+    // production-threshold (0.8) variant: pruning-sized banding whose
+    // deterministic planes find every qualifying gate-corpus pair
+    "dedup_embedding_ann_hi" -> Dedup.dedupEmbeddingAnnHiSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     // iterative min-label propagation == the recursive-CTE components
     "dedup_cluster" -> Dedup.dedupClusterSql,

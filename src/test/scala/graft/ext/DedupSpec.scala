@@ -177,6 +177,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head._2 >= 3)
   }
 
+  test("ann_hi: planted high-sim clones are found with pruning-sized banding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the testdata's pairs sit at cos 0.45..0.60, below the 0.8
+    // production threshold — this fixture makes the hi path
+    // non-vacuous: 5 clone families (cos ≈ 0.97 within a family)
+    // in a sea of unrelated vectors
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val families = (0 until 5).map(_ => gauss())
+    val clones: Seq[(Long, Array[Float])] = families.zipWithIndex.flatMap {
+      case (base, f) => (0 until 3).map { c =>
+        ((f * 3 + c).toLong, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val noise = (100L until 700L).map(i => (i, gauss()))
+    val tmp = java.nio.file.Files.createTempDirectory("annhi").toString
+    (clones ++ noise).toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+
+    val hi = Dedup.dedupEmbeddingAnnHi(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val brute = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b"))
+      .withColumn("cs",
+        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(!isnan(col("cs")) && col("cs") >= 0.8)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 15, "5 families x C(3,2) in-family pairs")
+    assert(hi == brute)
+  }
+
+  test("annBandsFor co-scales with plane width and threshold") {
+    // wider bands (lower per-band collision) need more of them for
+    // the same miss target; gate geometry reproduces the validated 64
+    assert(Dedup.annBandsFor(0.45, 4, 1e-5) == 60)
+    assert(Dedup.gateAnnGeometry(2000L) == ((4, 64)))
+    val w14 = Dedup.annBandsFor(0.45, 14, 1e-5)
+    assert(w14 > 1000, s"low-threshold exhaustive banding at width 14 is loud: $w14")
+    // the production threshold needs far fewer bands at equal width
+    assert(Dedup.annBandsFor(0.8, 4, 1e-2) < Dedup.annBandsFor(0.45, 4, 1e-2))
+    // pruning width law: ~8 per bucket
+    assert(Dedup.annWidthFor(2000L) == 8)
+    assert(Dedup.annWidthFor(500L) == 6)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, dir).collect()
     for (r <- rows) {

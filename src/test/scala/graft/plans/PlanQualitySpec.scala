@@ -87,7 +87,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
   test("dedup_embedding_ann: banding ships no vectors, joins are equi-joins, result == exact grid") {
     // the banding table is (vec_id, band, sig) triples — the vectors
     // themselves are never replicated per band (nor per grid block)
-    assert(graft.ext.Dedup.annBands(spark, dir).schema.fieldNames.toSeq ==
+    assert(graft.ext.Dedup.annBands(spark, dir, 4, 8).schema.fieldNames.toSeq ==
       Seq("vec_id", "band", "sig"))
     val df = graft.ext.Dedup.dedupEmbeddingAnn(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
@@ -102,6 +102,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(ann == exact)
     assert(ann.nonEmpty)
+  }
+
+  test("dedup_embedding_ann_hi: pruning geometry, no product, matches exact@0.8") {
+    val df = graft.ext.Dedup.dedupEmbeddingAnnHi(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val hi = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactHi = graft.ext.Dedup.dedupEmbedding(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.8).toSet
+    assert(hi == exactHi)
   }
 
   test("dedup_contamination: eval shingle set broadcasts, df partial-aggregates, no product") {
