@@ -20,8 +20,16 @@ final class PdfDocument(data: Array[Byte]) {
   private val xref = mutable.Map.empty[Int, XrefEntry]
   private var trailerDict: Map[String, PdfObj] = Map.empty
   private val cache = mutable.Map.empty[Int, PdfObj]
+  /** Standard-security decryptor (ISO 32000 §7.6), present iff the
+    * trailer carries /Encrypt. Built AFTER the xref walk: xref/trailer
+    * structures are never encrypted, and the /Encrypt dict itself is
+    * exempted by object number below.
+    */
+  private var crypt: Option[PdfCrypt] = None
+  private var encryptObjNum: Int = -1
 
   loadXref()
+  initCrypt()
 
   // ------------------------------------------------------------------
   // Cross-reference loading
@@ -84,7 +92,7 @@ final class PdfDocument(data: Array[Byte]) {
       }
     } else {
       // xref stream: "num gen obj << /Type/XRef ... >> stream"
-      val (_, obj) = parseIndirectAt(offset)
+      val (_, _, obj) = parseIndirectAt(offset)
       val ps = obj match {
         case s: PStream => s
         case other => throw new PdfParseException(s"expected xref stream, got $other")
@@ -137,15 +145,58 @@ final class PdfDocument(data: Array[Byte]) {
     // newest trailer wins per key (visited newest-first)
     trailerDict = t ++ trailerDict
 
+  private def initCrypt(): Unit = trailerDict.get("Encrypt").foreach { encObj =>
+    encryptObjNum = encObj match {
+      case PRef(n, _) => n
+      case _ => -1
+    }
+    val encDict = resolveDict(encObj)
+      .getOrElse(throw new PdfParseException("bad /Encrypt dictionary"))
+    // first document ID string feeds the key derivation; absent /ID is
+    // tolerated (some writers omit it) as an empty byte string
+    val id0: Array[Byte] = resolve(trailerDict.getOrElse("ID", PNull)) match {
+      case PArr(items) if items.nonEmpty =>
+        resolve(items.head) match {
+          case PStr(b) => b
+          case _ => Array.emptyByteArray
+        }
+      case _ => Array.emptyByteArray
+    }
+    crypt = Some(PdfCrypt.forDocument(encDict, resolve, id0))
+  }
+
+  /** Decrypt every string and stream payload inside a fetched
+    * indirect object (§7.6.2: encryption applies to strings and
+    * streams only, keyed by the CONTAINING object's num/gen). Exempt:
+    * the /Encrypt dict itself and /Type /XRef streams (read before
+    * any key exists, and spec-unencrypted).
+    */
+  private def decryptObj(num: Int, gen: Int, v: PdfObj): PdfObj = crypt match {
+    case None => v
+    case Some(c) if num == encryptObjNum => v
+    case Some(c) =>
+      def walk(o: PdfObj): PdfObj = o match {
+        case PStr(b) => PStr(c.decryptString(num, gen, b))
+        case PArr(items) => PArr(items.map(walk))
+        case PDict(m) => PDict(m.map { case (k, vv) => k -> walk(vv) })
+        case PStream(d, raw) if d.get("Type").contains(PName("XRef")) => o
+        case PStream(d, raw) =>
+          PStream(PDict(d.entries.map { case (k, vv) => k -> walk(vv) }),
+            c.decryptStream(num, gen, raw))
+        case other => other
+      }
+      walk(v)
+  }
+
   // ------------------------------------------------------------------
   // Object access
   // ------------------------------------------------------------------
 
   /** Parse `num gen obj <value> [stream] endobj` at `offset`. */
-  private def parseIndirectAt(offset: Int): (Int, PdfObj) = {
+  private def parseIndirectAt(offset: Int): (Int, Int, PdfObj) = {
     val lx = new PdfLexer(data, offset)
     val num = lx.readNumber().toInt
-    val _gen = lx.readNumber().toInt
+    val gen = lx.readNumber().toInt
     lx.expectKeyword("obj")
     var v = lx.parseValue()
     // re-slice streams whose /Length was an indirect reference
@@ -167,15 +218,20 @@ final class PdfDocument(data: Array[Byte]) {
         }
       case other => other
     }
-    (num, v)
+    (num, gen, v)
   }
 
   /** Fetch object `num`, following the xref (offset or object
     * stream). Unknown objects resolve to PNull, as the spec directs.
+    * Directly-stored objects of an encrypted file are decrypted here;
+    * objects INSIDE object streams are not individually encrypted
+    * (§7.5.7 — the containing ObjStm payload was).
     */
   def fetch(num: Int): PdfObj = cache.getOrElseUpdate(num, {
     xref.get(num) match {
-      case Some(XrefOffset(off)) => parseIndirectAt(off.toInt)._2
+      case Some(XrefOffset(off)) =>
+        val (_, gen, v) = parseIndirectAt(off.toInt)
+        decryptObj(num, gen, v)
       case Some(XrefInStream(stmNum, idx)) => fetchFromObjStm(stmNum, idx)
       case None => PNull
     }

@@ -166,6 +166,74 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(m(1) == "H")
   }
 
+  test("RC4-encrypted PDFs (40- and 128-bit, empty user password) extract end-to-end") {
+    for (variant <- Seq(PdfFixtures.EncRc4_40, PdfFixtures.EncRc4_128);
+         compress <- Seq(false, true)) {
+      val pdf = PdfFixtures.encryptedPdf(twoPages, variant, compress = compress)
+      val out = PdfTextExtractor.extract("e.pdf", pdf)
+      assert(out.map(_._2) == twoPages, s"$variant compress=$compress")
+    }
+  }
+
+  test("AES-128 (/AESV2 crypt filter) encrypted PDF extracts, incl. Flate-compressed content") {
+    for (compress <- Seq(false, true)) {
+      val pdf = PdfFixtures.encryptedPdf(twoPages, PdfFixtures.EncAes128, compress = compress)
+      assert(PdfTextExtractor.extract("a.pdf", pdf).map(_._2) == twoPages,
+        s"compress=$compress")
+    }
+  }
+
+  test("document strings (Info /Title) decrypt through the string path") {
+    for (variant <- Seq(PdfFixtures.EncRc4_128, PdfFixtures.EncAes128)) {
+      // single page: font=5, info=6, encrypt=7
+      val pdf = PdfFixtures.encryptedPdf(Seq("pg"), variant, title = "Top Secret ®")
+      new PdfDocument(pdf).fetch(6) match {
+        case PDict(m) => m("Title") match {
+          case PStr(b) => assert(PdfTextExtractor.decodeText(b) == "Top Secret ®", variant.toString)
+          case other => fail(s"$variant Title: $other")
+        }
+        case other => fail(s"$variant Info: $other")
+      }
+    }
+  }
+
+  test("RC4 known-answer vectors (public) pin both twins of the primitive") {
+    def hx(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val vectors = Seq(
+      ("Key", "Plaintext", "BBF316E8D940AF0AD3"),
+      ("Wiki", "pedia", "1021BF0420"),
+      ("Secret", "Attack at dawn", "45A01F645FC35B383552544B9BF5"))
+    for ((k, p, c) <- vectors) {
+      assert(PdfCrypt.rc4(k.getBytes, p.getBytes).sameElements(hx(c)), s"decoder rc4 $k")
+      assert(PdfFixtures.PdfEncryptor.rc4(k.getBytes, p.getBytes).sameElements(hx(c)),
+        s"fixture rc4 $k")
+    }
+  }
+
+  test("non-empty user password fails loudly and the scan skips the file") {
+    val pdf = PdfFixtures.encryptedPdf(Seq("pg"), PdfFixtures.EncRc4_128,
+      userPassword = "hunter2".getBytes)
+    val ex = intercept[PdfParseException](new PdfDocument(pdf))
+    assert(ex.getMessage.toLowerCase.contains("password"))
+    assert(PdfTextExtractor.extract("p.pdf", pdf) == Nil)
+  }
+
+  test("Engine.fileStats counts encrypted-PDF text like the reference's pypdf path") {
+    val dir = java.nio.file.Files.createTempDirectory("pdfenc")
+    val text = "guarded words inside the vault"
+    java.nio.file.Files.write(dir.resolve("enc.pdf"),
+      PdfFixtures.encryptedPdf(Seq(text), PdfFixtures.EncAes128, compress = true))
+    val opts = graft.Engine.Options(
+      glob = "*.pdf",
+      split = SplitConfig(chunkSize = 10, chunkOverlap = 0),
+      extractor = PdfTextExtractor)
+    val stats = graft.Engine.fileStats(spark, dir.toString, opts).collect()
+    assert(stats.length == 1 && stats.head.pages == 1)
+    val chunks = graft.split.RecursiveCharacterSplitter.splitText(text, opts.split)
+    assert(stats.head.chunks == chunks.length)
+    assert(stats.head.textSize == chunks.map(_.length).sum)
+  }
+
   test("damaged bytes yield no pages instead of throwing") {
     assert(PdfTextExtractor.extract("x.pdf", "not a pdf at all".getBytes) == Nil)
     assert(PdfTextExtractor.extract("x.pdf", Array.emptyByteArray) == Nil)

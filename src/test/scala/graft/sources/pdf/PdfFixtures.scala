@@ -295,6 +295,196 @@ object PdfFixtures {
     o.bytes.toByteArray
   }
 
+  // ---- independent §7.6 standard-security ENCRYPTOR twin ----
+
+  /** Encryption flavor for [[encryptedPdf]]. */
+  sealed abstract class EncVariant(val v: Int, val r: Int, val bits: Int, val aes: Boolean)
+  /** V1/R2 whole-file RC4, 40-bit key. */
+  case object EncRc4_40 extends EncVariant(1, 2, 40, false)
+  /** V2/R3 whole-file RC4, 128-bit key. */
+  case object EncRc4_128 extends EncVariant(2, 3, 128, false)
+  /** V4/R4 crypt filters, /StdCF = /AESV2 (AES-128-CBC). */
+  case object EncAes128 extends EncVariant(4, 4, 128, true)
+
+  /** ISO 32000-1 §7.6 standard security handler, ENCRYPT side —
+    * written from the spec independently of the decoder under test
+    * (`PdfCrypt`), the same twin pattern as the filter encoders
+    * above. Shared with the decoder only through the public spec
+    * constants (the 32-byte password pad, the "sAlT" suffix).
+    */
+  object PdfEncryptor {
+    import java.security.MessageDigest
+    import javax.crypto.Cipher
+    import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+    /** §7.6.3.3 padding string (public spec constant). */
+    val PasswordPad: Array[Byte] =
+      ("28BF4E5E4E758A41" + "64004E56FFFA0108" +
+       "2E2E00B6D0683E80" + "2F0CA9FE6453697A")
+        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+    def padPassword(pwd: Array[Byte]): Array[Byte] =
+      (pwd ++ PasswordPad).take(32)
+
+    def md5(chunks: Array[Byte]*): Array[Byte] = {
+      val d = MessageDigest.getInstance("MD5")
+      chunks.foreach(d.update)
+      d.digest()
+    }
+
+    private def le32(v: Int): Array[Byte] =
+      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+    /** RC4, coded independently of `PdfCrypt.rc4` (for-comprehension
+      * KSA, index-mapped PRGA) so the round-trip tests cross-check
+      * two implementations of the public algorithm.
+      */
+    def rc4(key: Array[Byte], in: Array[Byte]): Array[Byte] = {
+      val s = Array.tabulate(256)(identity)
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+      }
+      var a = 0; var b = 0
+      in.map { x =>
+        a = (a + 1) & 0xff
+        b = (b + s(a)) & 0xff
+        val t = s(a); s(a) = s(b); s(b) = t
+        (x ^ s((s(a) + s(b)) & 0xff)).toByte
+      }
+    }
+
+    /** Algorithm 3: the /O entry (here always for an EMPTY owner
+      * password, which the spec folds to the user password).
+      */
+    def ownerEntry(r: Int, keyBytes: Int, paddedUser: Array[Byte]): Array[Byte] = {
+      var h = md5(PasswordPad) // empty owner pwd -> pad alone
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+      val key = h.take(keyBytes)
+      var out = rc4(key, paddedUser)
+      if (r >= 3) for (i <- 1 to 19) out = rc4(key.map(kb => (kb ^ i).toByte), out)
+      out
+    }
+
+    /** Algorithm 2: the file encryption key (EncryptMetadata=true). */
+    def fileKey(
+        paddedUser: Array[Byte], o: Array[Byte], p: Int,
+        id0: Array[Byte], r: Int, keyBytes: Int): Array[Byte] = {
+      var h = md5(paddedUser, o, le32(p), id0)
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(keyBytes))
+      h.take(keyBytes)
+    }
+
+    /** Algorithms 4/5: the /U entry for the empty user password (R3+
+      * significant 16 bytes + 16 arbitrary padding bytes).
+      */
+    def userEntry(fk: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(fk, PasswordPad)
+      else {
+        var x = rc4(fk, md5(PasswordPad, id0))
+        for (i <- 1 to 19) x = rc4(fk.map(kb => (kb ^ i).toByte), x)
+        x ++ new Array[Byte](16)
+      }
+
+    /** Algorithm 1: per-object key (gen fixed at 0 — all fixture
+      * objects are generation 0).
+      */
+    def objectKey(fk: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+      val tail = Array[Byte](
+        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+        0, 0)
+      val salt = if (aes) "sAlT".getBytes(Ascii) else Array.emptyByteArray
+      md5(fk, tail, salt).take(math.min(fk.length + 5, 16))
+    }
+
+    /** Encrypt one string/stream payload owned by object `num`. */
+    def encrypt(variant: EncVariant, fk: Array[Byte], num: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val k = objectKey(fk, num, variant.aes)
+      if (!variant.aes) rc4(k, data)
+      else {
+        val iv = md5(le32(num), "iv".getBytes(Ascii)).take(16) // deterministic: fixtures stay byte-stable
+        val padLen = 16 - (data.length % 16)
+        val padded = data ++ Array.fill(padLen)(padLen.toByte)
+        val c = Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(k, "AES"), new IvParameterSpec(iv))
+        iv ++ c.doFinal(padded)
+      }
+    }
+  }
+
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+
+  /** Classic-xref PDF whose streams and strings are encrypted under
+    * the standard security handler with an EMPTY user password (the
+    * common "protected" shape pypdf opens transparently). Carries an
+    * /Info dict with an encrypted /Title to exercise the string
+    * path. A non-empty `userPassword` builds the NEGATIVE fixture:
+    * the reader's empty-password attempt must then fail loudly.
+    */
+  def encryptedPdf(
+      pages: Seq[String],
+      variant: EncVariant,
+      compress: Boolean = false,
+      title: String = "Secret Title",
+      userPassword: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    import PdfEncryptor._
+    val o = new Out
+    o << "%PDF-1.4\n%âãÏÓ\n"
+    val n = pages.length
+    val fontNum = 3 + 2 * n
+    val infoNum = fontNum + 1
+    val encNum = fontNum + 2
+    val keyBytes = variant.bits / 8
+    val id0 = md5(s"graft-fixture-$variant-$n".getBytes(Ascii))
+    val paddedUser = padPassword(userPassword)
+    val oEntry = ownerEntry(variant.r, if (variant.r == 2) 5 else keyBytes, paddedUser)
+    val p = -44
+    val fk = fileKey(paddedUser, oEntry, p, id0, variant.r, keyBytes)
+    val uEntry = userEntry(fk, id0, variant.r)
+
+    o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
+    o.obj(2) {
+      o << s"<< /Type /Pages /Kids [${(0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")}] /Count $n >>"
+    }
+    for ((text, i) <- pages.zipWithIndex) {
+      val pn = 3 + 2 * i
+      o.obj(pn) {
+        o << s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontNum 0 R >> >> /Contents ${pn + 1} 0 R >>"
+      }
+      val raw = contentFor(text).getBytes(Ascii)
+      val plain = if (compress) deflate(raw) else raw
+      o.streamObj(pn + 1,
+        if (compress) "/Filter /FlateDecode" else "",
+        encrypt(variant, fk, pn + 1, plain))
+    }
+    o.obj(fontNum) { o << "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>" }
+    o.obj(infoNum) {
+      o << s"<< /Title ${hexStr(encrypt(variant, fk, infoNum, title.getBytes(Ascii)))} >>"
+    }
+    o.obj(encNum) {
+      val common = s"/Filter /Standard /R ${variant.r} " +
+        s"/O ${hexStr(oEntry)} /U ${hexStr(uEntry)} /P $p"
+      if (variant.v < 4)
+        o << s"<< $common /V ${variant.v}" +
+          (if (variant.v == 1) "" else s" /Length ${variant.bits}") + " >>"
+      else
+        o << s"<< $common /V 4 /Length ${variant.bits} " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>"
+    }
+    val xrefOff = o.bytes.size()
+    o << s"xref\n0 ${encNum + 1}\n0000000000 65535 f \n"
+    for (num <- 1 to encNum) o << f"${o.offsets(num)}%010d 00000 n \n"
+    o << s"trailer\n<< /Size ${encNum + 1} /Root 1 0 R /Info $infoNum 0 R " +
+      s"/Encrypt $encNum 0 R /ID [${hexStr(id0)} ${hexStr(id0)}] >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n"
+    o.bytes.toByteArray
+  }
+
   /** PDF 1.5 structure: page tree + font packed into an object
     * stream (type-2 xref entries), content streams as regular
     * objects, and a FlateDecode + PNG-Up-predictor xref STREAM
