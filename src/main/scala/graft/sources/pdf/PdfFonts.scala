@@ -56,6 +56,18 @@ private[pdf] case object OpaqueGlyphDecoder extends GlyphDecoder {
   def decode(bytes: Array[Byte]): String = ""
 }
 
+/** Simple-font byte→string table decoder (256 entries), built from a
+  * base encoding (§D.2) with optional `/Differences` overrides.
+  */
+private[pdf] final case class ByteTableDecoder(table: Array[String]) extends GlyphDecoder {
+  def decode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) { sb ++= table(bytes(i) & 0xff); i += 1 }
+    sb.toString
+  }
+}
+
 private[pdf] object PdfFonts {
 
   /** Resource-name → decoder for every font in a page's
@@ -94,8 +106,130 @@ private[pdf] object PdfFonts {
         val width = if (isType0) math.max(srcBytes, 2) else srcBytes
         CMapGlyphDecoder(width, map)
       case _ =>
-        if (isType0) OpaqueGlyphDecoder else DefaultGlyphDecoder
+        if (isType0) OpaqueGlyphDecoder
+        else encodingDecoder(doc, font).getOrElse(DefaultGlyphDecoder)
     }
+  }
+
+  // ---- simple-font /Encoding handling (§9.6.5, Annex D) ----
+
+  /** A simple font without ToUnicode but WITH an `/Encoding` entry:
+    * a named base encoding (WinAnsi/MacRoman — decoded through the
+    * JVM's public cp1252 / MacRoman charsets) and/or an encoding
+    * dict whose `/Differences` array remaps individual codes through
+    * AGL glyph names. pypdf resolves exactly this tier before its
+    * own Latin-1-ish fallback; without it, accented or renamed
+    * glyphs garble. StandardEncoding and symbolic (built-in) fonts
+    * stay on the byte≈Latin-1 default — documented scope.
+    */
+  private def encodingDecoder(doc: PdfDocument, font: PDict): Option[GlyphDecoder] =
+    doc.resolve(font.get("Encoding").getOrElse(PNull)) match {
+      case PName(base) => baseTable(base).map(ByteTableDecoder.apply)
+      case d: PDict =>
+        val base = doc.resolve(d.get("BaseEncoding").getOrElse(PNull)) match {
+          case PName(n) => baseTable(n)
+          case _ => None
+        }
+        doc.resolve(d.get("Differences").getOrElse(PNull)) match {
+          case PArr(items) =>
+            // the array alternates: a number sets the next code; each
+            // following name assigns to consecutive codes
+            val table = base.getOrElse(latin1Table()).clone()
+            var code = 0
+            items.foreach {
+              case n: PNum => code = n.toInt
+              case PName(glyph) =>
+                if (code >= 0 && code < 256) { table(code) = glyphText(glyph); code += 1 }
+              case _ => ()
+            }
+            Some(ByteTableDecoder(table))
+          case _ => base.map(ByteTableDecoder.apply)
+        }
+      case _ => None
+    }
+
+  /** 256-entry table for a named base encoding, via the JVM's own
+    * single-byte charset decoders (public, spec-equivalent tables).
+    */
+  private def baseTable(name: String): Option[Array[String]] = {
+    def fromCharset(cs: String): Option[Array[String]] =
+      if (!java.nio.charset.Charset.isSupported(cs)) None
+      else {
+        val charset = java.nio.charset.Charset.forName(cs)
+        Some(Array.tabulate(256)(b => new String(Array(b.toByte), charset)))
+      }
+    name match {
+      case "WinAnsiEncoding" => fromCharset("windows-1252")
+      case "MacRomanEncoding" => fromCharset("x-MacRoman")
+      case _ => None // StandardEncoding / MacExpert / unknown: default tier
+    }
+  }
+
+  private def latin1Table(): Array[String] =
+    Array.tabulate(256)(b => b.toChar.toString)
+
+  /** Glyph name → text: single-char names are themselves (A–z, the
+    * bulk of any Latin /Differences), then the AGL subset below,
+    * then the AGL's algorithmic `uniXXXX`/`uXXXX[XX]` forms; unknown
+    * names yield no text rather than noise (same policy as unmapped
+    * CID codes).
+    */
+  private[pdf] def glyphText(name: String): String =
+    if (name.length == 1) name
+    else Agl.get(name).orElse(uniFormText(name)).getOrElse("")
+
+  private def uniFormText(name: String): Option[String] =
+    try {
+      if (name.startsWith("uni") && name.length >= 7 && (name.length - 3) % 4 == 0)
+        Some(name.drop(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+      else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
+        Some(new String(Character.toChars(Integer.parseInt(name.drop(1), 16))))
+      else None
+    } catch { case _: NumberFormatException => None }
+
+  /** Adobe Glyph List subset: ASCII punctuation names, the Latin-1
+    * supplement, and the common typographic/ligature names (the
+    * glyphs WinAnsi/MacRoman diverge on). Public AGL data.
+    */
+  private val Agl: Map[String, String] = {
+    val packed =
+      """space 20 exclam 21 quotedbl 22 numbersign 23 dollar 24 percent 25
+        |ampersand 26 quotesingle 27 parenleft 28 parenright 29 asterisk 2A
+        |plus 2B comma 2C hyphen 2D period 2E slash 2F zero 30 one 31 two 32
+        |three 33 four 34 five 35 six 36 seven 37 eight 38 nine 39 colon 3A
+        |semicolon 3B less 3C equal 3D greater 3E question 3F at 40
+        |bracketleft 5B backslash 5C bracketright 5D asciicircum 5E
+        |underscore 5F grave 60 braceleft 7B bar 7C braceright 7D asciitilde 7E
+        |exclamdown A1 cent A2 sterling A3 currency A4 yen A5 brokenbar A6
+        |section A7 dieresis A8 copyright A9 ordfeminine AA guillemotleft AB
+        |logicalnot AC registered AE macron AF degree B0 plusminus B1
+        |twosuperior B2 threesuperior B3 acute B4 mu B5 paragraph B6
+        |periodcentered B7 cedilla B8 onesuperior B9 ordmasculine BA
+        |guillemotright BB onequarter BC onehalf BD threequarters BE
+        |questiondown BF Agrave C0 Aacute C1 Acircumflex C2 Atilde C3
+        |Adieresis C4 Aring C5 AE C6 Ccedilla C7 Egrave C8 Eacute C9
+        |Ecircumflex CA Edieresis CB Igrave CC Iacute CD Icircumflex CE
+        |Idieresis CF Eth D0 Ntilde D1 Ograve D2 Oacute D3 Ocircumflex D4
+        |Otilde D5 Odieresis D6 multiply D7 Oslash D8 Ugrave D9 Uacute DA
+        |Ucircumflex DB Udieresis DC Yacute DD Thorn DE germandbls DF
+        |agrave E0 aacute E1 acircumflex E2 atilde E3 adieresis E4 aring E5
+        |ae E6 ccedilla E7 egrave E8 eacute E9 ecircumflex EA edieresis EB
+        |igrave EC iacute ED icircumflex EE idieresis EF eth F0 ntilde F1
+        |ograve F2 oacute F3 ocircumflex F4 otilde F5 odieresis F6 divide F7
+        |oslash F8 ugrave F9 uacute FA ucircumflex FB udieresis FC yacute FD
+        |thorn FE ydieresis FF
+        |quoteleft 2018 quoteright 2019 quotedblleft 201C quotedblright 201D
+        |quotesinglbase 201A quotedblbase 201E endash 2013 emdash 2014
+        |bullet 2022 ellipsis 2026 dagger 2020 daggerdbl 2021 florin 192
+        |fraction 2044 perthousand 2030 guilsinglleft 2039 guilsinglright 203A
+        |OE 152 oe 153 Scaron 160 scaron 161 Zcaron 17D zcaron 17E
+        |Ydieresis 178 trademark 2122 Euro 20AC minus 2212 fi FB01 fl FB02
+        |dotlessi 131 circumflex 2C6 caron 2C7 breve 2D8 dotaccent 2D9
+        |ring 2DA ogonek 2DB tilde 2DC hungarumlaut 2DD Lslash 141 lslash 142
+        |nbspace A0 sfthyphen AD""".stripMargin
+    packed.split("\\s+").grouped(2).collect {
+      case Array(n, h) => n -> Integer.parseInt(h, 16).toChar.toString
+    }.toMap
   }
 
   /** Parse a ToUnicode CMap stream (§9.10.3): collect

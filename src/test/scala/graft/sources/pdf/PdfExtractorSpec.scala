@@ -166,6 +166,42 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(m(1) == "H")
   }
 
+  test("/Differences over a WinAnsi base remap codes through AGL glyph names") {
+    // A->eacute, B->uni21A6 (algorithmic form), C->Euro (AGL name);
+    // D and the cp1252 smart quotes (\223 \224) ride the base table
+    val pdf = PdfFixtures.simpleFontPdf(
+      "BT /F1 12 Tf 72 720 Td (ABCD \\223q\\224) Tj ET",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 65 /eacute /uni21A6 /Euro ] >> >>")
+    assert(PdfTextExtractor.extract("d.pdf", pdf).map(_._2) == Seq("é↦€D “q”"))
+  }
+
+  test("named /Encoding /WinAnsiEncoding decodes the cp1252 0x80-0x9F band") {
+    val pdf = PdfFixtures.simpleFontPdf(
+      "BT /F1 12 Tf 72 720 Td (\\205 \\226 \\221x\\222) Tj ET", // ellipsis endash quotes
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    assert(PdfTextExtractor.extract("w.pdf", pdf).map(_._2) == Seq("… – ‘x’"))
+  }
+
+  test("/Differences without a base encoding falls back to Latin-1 under the overrides") {
+    val pdf = PdfFixtures.simpleFontPdf(
+      "BT /F1 12 Tf 72 720 Td (aZb) Tj ET",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier " +
+        "/Encoding << /Differences [ 90 /germandbls ] >> >>") // Z -> ß
+    assert(PdfTextExtractor.extract("l.pdf", pdf).map(_._2) == Seq("aßb"))
+  }
+
+  test("glyphText: single-char, AGL, uniXXXX, uXXXXX forms; unknown yields no noise") {
+    assert(PdfFonts.glyphText("A") == "A")
+    assert(PdfFonts.glyphText("adieresis") == "ä")
+    assert(PdfFonts.glyphText("uni0041") == "A")
+    assert(PdfFonts.glyphText("uni00480065") == "He") // multi-group algorithmic form
+    assert(PdfFonts.glyphText("u1F600") == new String(Character.toChars(0x1F600)))
+    assert(PdfFonts.glyphText("g123") == "")
+    assert(PdfFonts.glyphText("uniXYZW") == "")
+  }
+
   test("RC4-encrypted PDFs (40- and 128-bit, empty user password) extract end-to-end") {
     for (variant <- Seq(PdfFixtures.EncRc4_40, PdfFixtures.EncRc4_128);
          compress <- Seq(false, true)) {

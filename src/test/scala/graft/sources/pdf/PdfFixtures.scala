@@ -295,6 +295,29 @@ object PdfFixtures {
     o.bytes.toByteArray
   }
 
+  /** One-page PDF with a caller-supplied font dictionary body (obj 5)
+    * and raw content-stream operators — the shape for exercising
+    * simple-font `/Encoding` variants (`/Differences`, named base
+    * encodings) end-to-end.
+    */
+  def simpleFontPdf(contentOps: String, fontBody: String): Array[Byte] = {
+    val o = new Out
+    o << "%PDF-1.4\n%âãÏÓ\n"
+    o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
+    o.obj(2) { o << "<< /Type /Pages /Kids [3 0 R] /Count 1 >>" }
+    o.obj(3) {
+      o << "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    }
+    o.streamObj(4, "", contentOps.getBytes(Ascii))
+    o.obj(5) { o << fontBody }
+    val xrefOff = o.bytes.size()
+    o << "xref\n0 6\n0000000000 65535 f \n"
+    for (num <- 1 to 5) o << f"${o.offsets(num)}%010d 00000 n \n"
+    o << s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    o.bytes.toByteArray
+  }
+
   // ---- independent §7.6 standard-security ENCRYPTOR twin ----
 
   /** Encryption flavor for [[encryptedPdf]]. */
