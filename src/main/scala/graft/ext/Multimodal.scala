@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for training-data pipelines (north star):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * No media codecs ship in this offline environment, so the *decode*
-  * step is a clearly-marked deterministic STUB behind
-  * [[MediaDecoder]]; everything Spark-side — binary column handling,
-  * schema, partitioned decode via `mapPartitions`, deterministic
-  * frame sampling, digest/size metadata — is real and oracle-/test-
-  * covered. Swapping [[StubDecoder]] for a JNI/ffmpeg-backed
-  * implementation changes no plan shape: the decode runs
+  * The `image` decode tier is REAL: [[ImageHeaderDecoder]] parses
+  * PNG/JPEG/GIF headers to true dimensions pure-JVM from the public
+  * specs. Pixel/sample decode for audio/video stays a clearly-marked
+  * deterministic STUB behind [[MediaDecoder]] (ffmpeg-class codecs
+  * don't ship in this offline environment); everything Spark-side —
+  * binary column handling, schema, partitioned decode via
+  * `mapPartitions`, deterministic frame sampling, digest/size
+  * metadata — is real and oracle-/test-covered. Swapping in a
+  * JNI/ffmpeg-backed decoder changes no plan shape: the decode runs
   * data-parallel per partition with no shuffle.
   *
   * Assets are synthesized deterministically from `documents` (UTF-8
@@ -49,6 +51,87 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode for the header tier: PNG IHDR, JPEG SOFn, and
+    * GIF logical-screen dimensions parsed pure-JVM from the public
+    * file-format specs (PNG RFC 2083 §3.1/§4.1.1, ISO/IEC 10918-1
+    * Annex B marker syntax, GIF89a §18) — no codec dependency.
+    * Audio/video and unrecognized image payloads delegate to
+    * [[StubDecoder]] (still environment-blocked: pixel/sample decode
+    * needs ffmpeg-class codecs). This de-stubs the `kind = image`
+    * path end-to-end: real bytes in, true dimensions out.
+    */
+  object ImageHeaderDecoder extends MediaDecoder {
+    def decode(assetId: Long, kind: String, bytes: Array[Byte]): Decoded =
+      if (kind == "image")
+        imageDims(bytes) match {
+          case Some((w, h)) => Decoded(assetId, kind, w, h, 1)
+          case None => StubDecoder.decode(assetId, kind, bytes)
+        }
+      else StubDecoder.decode(assetId, kind, bytes)
+
+    /** (width, height) if the payload is a recognizable PNG/JPEG/GIF. */
+    def imageDims(b: Array[Byte]): Option[(Int, Int)] =
+      pngDims(b).orElse(jpegDims(b)).orElse(gifDims(b))
+
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (always first):
+      * length(4) "IHDR" width(4 BE) height(4 BE).
+      */
+    private[ext] def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (b.length >= 24 && b.startsWith(sig) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+    }
+
+    /** JPEG: walk the marker segments from SOI to the first SOFn
+      * (C0–CF except C4/C8/CC); the frame header carries
+      * precision(1) height(2) width(2). Length-less standalone
+      * markers (TEM, RSTn) skip; EOI/SOS before any SOF means no
+      * parseable frame header.
+      */
+    private[ext] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // marker desync
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val m = b(j) & 0xff
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 1 // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI / SOS
+        else {
+          if (j + 2 >= b.length) return None
+          val len = be16(b, j + 1)
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (j + 7 >= b.length) return None
+            return Some((be16(b, j + 6), be16(b, j + 4)))
+          }
+          if (len < 2) return None
+          i = j + 1 + len
+        }
+      }
+      None
+    }
+
+    /** GIF87a/89a: 6-byte signature + logical screen width/height
+      * (16-bit LITTLE-endian).
+      */
+    private[ext] def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8), (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
+      else None
+  }
+
   /** Binary asset table synthesized from documents: `bytes` is the
     * UTF-8 payload, `kind` cycles image/audio/video, `meta` is the
     * typed metadata struct.
@@ -69,7 +152,7 @@ object Multimodal {
     */
   def decodeAssets(
       assets: DataFrame,
-      decoder: MediaDecoder = StubDecoder): Dataset[Decoded] = {
+      decoder: MediaDecoder = ImageHeaderDecoder): Dataset[Decoded] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("kind"), col("bytes"))

@@ -37,6 +37,62 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Real image bytes via the JDK's own encoder (javax.imageio) — an
+    * independent producer for the header parsers under test.
+    */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"ImageIO lacks $fmt")
+    out.toByteArray
+  }
+
+  test("ImageHeaderDecoder: real PNG/JPEG/GIF bytes decode to true dimensions") {
+    for ((fmt, w, h) <- Seq(("png", 13, 7), ("jpg", 40, 25), ("gif", 9, 31))) {
+      val bytes = imageBytes(fmt, w, h)
+      assert(Multimodal.ImageHeaderDecoder.imageDims(bytes).contains((w, h)),
+        s"$fmt ${bytes.take(4).map(b => f"${b & 0xff}%02x").mkString}")
+      val d = Multimodal.ImageHeaderDecoder.decode(1L, "image", bytes)
+      assert((d.width, d.height, d.nFrames) == (w, h, 1), fmt)
+    }
+  }
+
+  test("ImageHeaderDecoder: progressive JPEG (SOF2 after APP0+comment) and edge cases") {
+    // hand-built marker stream: SOI, APP0, COM, SOF2(h=300,w=520)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xff).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val sof2 = Array[Byte](8, 1, 44, 2, 8, 3) // precision, h=0x012C, w=0x0208
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, "JFIF".getBytes) ++ seg(0xfe, "comment".getBytes) ++ seg(0xc2, sof2)
+    assert(Multimodal.ImageHeaderDecoder.jpegDims(jpeg).contains((520, 300)))
+    // DHT (C4) must NOT be mistaken for a SOF
+    val dhtFirst = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xc4, Array[Byte](0)) ++ seg(0xc0, sof2)
+    assert(Multimodal.ImageHeaderDecoder.jpegDims(dhtFirst).contains((520, 300)))
+    // truncated / non-image payloads parse to None, never throw
+    assert(Multimodal.ImageHeaderDecoder.imageDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageHeaderDecoder.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Multimodal.ImageHeaderDecoder.imageDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.ImageHeaderDecoder.imageDims(imageBytes("png", 5, 5).take(20)).isEmpty)
+  }
+
+  test("decodeAssets with real image payloads yields true dimensions through the Spark path") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", imageBytes("png", 64, 48)),
+      (2L, "image", imageBytes("jpg", 32, 32)),
+      (3L, "image", "garbage".getBytes), // unrecognized -> stub fallback
+      (4L, "audio", imageBytes("png", 9, 9))) // wrong kind -> stub
+      .toDF("asset_id", "kind", "bytes")
+    val out = Multimodal.decodeAssets(rows).collect().map(d => d.assetId -> d).toMap
+    assert((out(1L).width, out(1L).height) == (64, 48))
+    assert((out(2L).width, out(2L).height) == (32, 32))
+    assert(out(3L) == Multimodal.StubDecoder.decode(3L, "image", "garbage".getBytes))
+    assert(out(4L).width < 80) // stub range, not the PNG's true 9
+  }
+
   test("mmFrames: offsets within payload, at most 8 frames, video only") {
     val rows = Multimodal.mmFrames(spark, dir).collect()
     assert(rows.nonEmpty)
