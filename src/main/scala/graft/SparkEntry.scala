@@ -90,6 +90,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub(_, _)),
     "text_bm25" -> (TextAnalysis.textBm25(_, _)),
+    "text_bm25_multi" -> (TextAnalysis.textBm25Multi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -175,6 +176,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.textTfidfSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_bm25" -> TextAnalysis.textBm25Sql,
+    "text_bm25_multi" -> TextAnalysis.textBm25MultiSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

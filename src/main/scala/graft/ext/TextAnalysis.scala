@@ -481,6 +481,108 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** The query RELATION for [[textBm25Multi]]: (query_id, term)
+    * pairs — the "rank this corpus against these N eval prompts"
+    * shape real retrieval needs (VERDICT r3 #5: a compile-time term
+    * list can't express a query table). Distinct pairs; term overlap
+    * across queries (`join`) exercises the shared-postings path.
+    */
+  private[ext] val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "join", 0L -> "window",
+    1L -> "stream", 1L -> "partition",
+    2L -> "spark", 2L -> "shuffle", 2L -> "join")
+  private val Bm25MultiTopK = 5
+
+  /** BM25 top-k per query over a query relation. One postings pass
+    * filtered to the UNION of all query terms (pushed below the tf
+    * aggregate), the query table broadcast into an equi-join on the
+    * term key, then a per-(query, doc) score sum folded in sorted
+    * term order — `sort_array(collect_list(struct(word, score)))` +
+    * `aggregate` left-fold, replayed in DuckDB as
+    * `sum(term_score ORDER BY word)`, so double addition order is
+    * pinned on both sides. Per-query top-k is a row_number window
+    * PARTITIONED by query_id (parallel across queries, never a
+    * single-partition global sort); scale in #queries is linear —
+    * postings are scanned once regardless of query count.
+    */
+  def textBm25Multi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val q = Bm25Queries.toDF("query_id", "word")
+    val allTerms = Bm25Queries.map(_._2).distinct
+    val words = d.select(col("doc_id"), explode(split(col("text"), " +")).as("word"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val scalars = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .crossJoin(d.agg(count(lit(1)).as("n_docs")))
+    val tf = words.filter(col("word").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(q), "word")
+      .join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_score",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    val summed = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("term_score")))).as("parts"))
+      .withColumn("score",
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, x) => acc + x.getField("term_score")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    summed
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25MultiTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val textBm25MultiSql: String = {
+    val values = Bm25Queries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT CAST(qid AS BIGINT) AS query_id, term
+       |  FROM (VALUES $values) v(qid, term)),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+       |scalars AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n_docs
+       |  FROM dl),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+       |       WHERE word IN (SELECT DISTINCT term FROM q)
+       |       GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id, tf.word,
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * tf * ($Bm25K1 + 1.0)
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) AS term_score
+       |  FROM tf JOIN q ON q.term = tf.word
+       |  JOIN dfreq ON dfreq.word = tf.word
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN scalars),
+       |summed AS (
+       |  SELECT query_id, doc_id,
+       |         round(sum(term_score ORDER BY word), 6) AS score
+       |  FROM scored GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM summed)
+       |SELECT query_id, rank, doc_id, score FROM r
+       |WHERE rank <= $Bm25MultiTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val textBm25Sql: String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
