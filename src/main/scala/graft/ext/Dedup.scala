@@ -629,12 +629,30 @@ object Dedup {
     org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark).getOrElse(
       fallbackIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString))
 
+  /** Durable tier below the session memo: the labeling is published
+    * as a parquet artifact keyed by the corpus fingerprint
+    * ([[graft.sources.ArtifactStore]]) — a restarted driver (or a
+    * second session on the cluster) reloads instead of re-running
+    * the MinHash pass + CC rounds; an in-place corpus rewrite
+    * changes the fingerprint and rebuilds. The memoized frame is a
+    * plain parquet scan, so executor/checkpoint loss can no longer
+    * invalidate it. Build count test-observable via
+    * [[clusterBuildCount]].
+    */
+  private[ext] val clusterBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     if (clusterCache.size > 16) clusterCache.clear()
     clusterCache.getOrElseUpdate(
       (sessionId(spark),
         graft.sources.Tables.fingerprint(spark, dir, "documents")),
-      computeClusters(spark, dir))
+      graft.sources.ArtifactStore
+        .loadOrBuild(spark, dir, "documents", "dedup-cluster-v1") {
+          clusterBuildCount.incrementAndGet()
+          computeClusters(spark, dir)
+        }
+        .orderBy("doc_id"))
   }
 
   private def computeClusters(spark: SparkSession, dir: String): DataFrame = {

@@ -409,9 +409,21 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val n = vecs.count()
     if (centroidCache.size > 16) centroidCache.clear()
+    // durable tier below the in-memory memo: the K × dim model rides
+    // a parquet artifact keyed by the corpus fingerprint — a fresh
+    // session reloads (model-scale read) instead of re-paying the
+    // Lloyd data passes; a corpus rewrite re-keys and retrains
     val centroids = centroidCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
-      trainCount.incrementAndGet()
-      trainCentroids(vecs, ivfKFor(n))
+      graft.sources.ArtifactStore
+        .loadOrBuild(spark, dir, "embeddings", "ivf-model-v1") {
+          trainCount.incrementAndGet()
+          val cs = trainCentroids(vecs, ivfKFor(n))
+          spark.createDataFrame(cs.toIndexedSeq.zipWithIndex.map {
+            case (c, i) => (i, c.toIndexedSeq)
+          }).toDF("centroid_id", "coords")
+        }
+        .as[(Int, Array[Double])].collect()
+        .sortBy(_._1).map(_._2)
     })
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = vecs.mapPartitions { it =>

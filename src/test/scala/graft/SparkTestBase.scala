@@ -23,6 +23,11 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // fresh artifact root per test JVM: durable index artifacts
+      // must not leak across sbt runs (stale formats would shadow
+      // the code under test)
+      .config("spark.graft.artifactDir",
+        java.nio.file.Files.createTempDirectory("graft-artifacts-test").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
