@@ -25,7 +25,13 @@ object Bench {
     // happened to the r2 driver bench) cannot inflate a query's
     // reported time. Run order is emitted so any residual
     // interference is diagnosable against the sequence.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated query filter: profile one query's cold
+    // path in a fresh JVM without the 70-query warm-up ahead of it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       def timed(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
