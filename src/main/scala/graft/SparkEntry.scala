@@ -91,6 +91,7 @@ object SparkEntry {
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub(_, _)),
     "text_bm25" -> (TextAnalysis.textBm25(_, _)),
     "text_bm25_multi" -> (TextAnalysis.textBm25Multi(_, _)),
+    "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -108,6 +109,7 @@ object SparkEntry {
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
+    "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
@@ -177,6 +179,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_bm25" -> TextAnalysis.textBm25Sql,
     "text_bm25_multi" -> TextAnalysis.textBm25MultiSql,
+    "text_repetition" -> TextAnalysis.textRepetitionSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the
@@ -201,6 +204,7 @@ object SparkEntry {
     // + probe + top-k replayable in DuckDB (three unrolled iterations)
     "sim_ivf" -> Similarity.simIvfSql,
     "split_assign" -> PipelineOps.splitAssignSql,
+    "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,

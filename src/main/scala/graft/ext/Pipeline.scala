@@ -44,6 +44,48 @@ object PipelineOps {
        |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
        |FROM h ORDER BY doc_id""".stripMargin
 
+  private val SampleRate = 0.2
+
+  /** Exact-rate reproducible stratified sampling: within each
+    * `source` stratum, rank rows by the portable hash of the doc id
+    * and keep the first ceil(rate · n_s). Bernoulli sampling
+    * (`df.sample`) only hits the rate in EXPECTATION and changes
+    * membership with partitioning; rank-by-hash gives exact
+    * per-stratum counts and engine-reproducible membership — the
+    * eval-set-construction contract. Fully distributed: one
+    * hash-partition exchange on `source`, the count and rank ride
+    * the same window partition, no driver participation. Strata are
+    * source-cardinality (small); for a pathological single giant
+    * stratum the same rank-by-hash composes with TopKPerKey's
+    * bounded heap when the kept count fits one task's budget.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val byStratum = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val ranked = byStratum.orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.polyHashCol(col("doc_id").cast("string")).as("h"))
+      .withColumn("n_s", count(lit(1)).over(byStratum))
+      .withColumn("rn", row_number().over(ranked))
+      .filter(col("rn") <= ceil(col("n_s") * lit(SampleRate)))
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
+  val sampleStratifiedSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_s
+       |  FROM h)
+       |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+       |FROM r WHERE rn <= ceil(n_s * $SampleRate)
+       |ORDER BY source, sample_rank""".stripMargin
+
   /** The end-to-end prep pipeline as ONE verified relation:
     * quality-filter → exact dedup (keep the minimum doc id per
     * SHA-256 digest) → near-dup canonicalization (one representative

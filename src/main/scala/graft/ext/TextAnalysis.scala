@@ -81,6 +81,83 @@ object TextAnalysis {
        |FROM base ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // Repetition signals: the Gopher/MassiveText quality filters
+  // ----------------------------------------------------------------
+
+  /** Within-document repetition signals (the public Gopher /
+    * MassiveText filter family — Rae et al. 2021 §A1.1): the
+    * duplicate-line fraction and the most-frequent-word-bigram
+    * fraction. High values mark boilerplate/spam that per-token
+    * quality ratios miss — the standard pre-training cut alongside
+    * [[textQuality]].
+    *
+    * Scale shape: lines explode → per-doc count/distinct (one hash
+    * agg); bigrams come from a zip_with over the split array (no
+    * index arithmetic on exploded rows) → per-(doc, gram) count →
+    * per-doc max/sum. All map-side-combinable aggs keyed by doc —
+    * linear, no window, no driver. Ratios round at 6 dp
+    * (transcendental-ulp discipline n/a — pure rational arithmetic,
+    * but rounding keeps the hash gate insensitive to double
+    * formatting).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lines = d.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+    val lineStats = lines.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      countDistinct(col("line")).as("n_distinct_lines"))
+    val grams = d
+      .select(col("doc_id"),
+        expr("filter(split(text, ' +'), w -> w != '')").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("gram"))
+    val gramStats = grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+    lineStats.join(gramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round((col("n_lines") - col("n_distinct_lines")).cast("double") /
+          col("n_lines"), 6).as("dup_line_frac"),
+        coalesce(round(col("top_gram_n").cast("double") / col("n_grams"), 6),
+          lit(0.0)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |ls AS (
+      |  SELECT doc_id, count(*) AS n_lines,
+      |         count(DISTINCT line) AS n_distinct_lines
+      |  FROM l GROUP BY doc_id),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      generate_series(1, greatest(len(ws) - 1, 0)),
+      |      i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, ' +'), w -> w != '') AS ws
+      |        FROM documents)),
+      |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+      |gs AS (SELECT doc_id, max(c) AS top_gram_n, sum(c) AS n_grams
+      |       FROM gc GROUP BY doc_id)
+      |SELECT ls.doc_id, ls.n_lines,
+      |  CAST(coalesce(gs.n_grams, 0) AS BIGINT) AS n_grams,
+      |  round(CAST(ls.n_lines - ls.n_distinct_lines AS DOUBLE) / ls.n_lines, 6)
+      |    AS dup_line_frac,
+      |  coalesce(round(CAST(gs.top_gram_n AS DOUBLE) / gs.n_grams, 6), 0.0)
+      |    AS top_bigram_frac
+      |FROM ls LEFT JOIN gs ON gs.doc_id = ls.doc_id
+      |ORDER BY ls.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // Language ID: marker-stopword n-gram heuristic
   // ----------------------------------------------------------------
 

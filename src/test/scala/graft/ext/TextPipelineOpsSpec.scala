@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Round-5 pipeline additions: repetition quality signals and
+  * exact-rate stratified sampling (the oracle gate carries the
+  * hash-equality check; these pin the semantics on crafted corpora).
+  */
+class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Write a crafted documents table (schema-compatible slice). */
+  private def corpus(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tp-corpus").toString
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("textRepetition: duplicate lines and dominant bigrams measured exactly") {
+    val dir = corpus(Seq(
+      // line signal: 4 lines, 2 distinct -> dup_line_frac = 0.5
+      // (tokens deliberately ignored here: ' +' tokens span newlines)
+      (1L, "a b\na b\nx\nx", "a"),
+      // bigram signal, single line: "spam spam" x3 of 3 -> 1.0
+      (2L, "spam spam spam spam", "a"),
+      // all 3 bigrams distinct -> top_bigram_frac = 1/3
+      (3L, "one two three four", "a"),
+      // single word: no bigrams -> frac 0.0, n_grams 0
+      (4L, "word", "a")))
+    val out = TextAnalysis.textRepetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._3 == 0.5)
+    assert(out(2L) == ((1L, 3L, 0.0, 1.0)))
+    assert(out(3L) == ((1L, 3L, 0.0, 0.333333)))
+    assert(out(4L) == ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("sampleStratified: exact ceil(rate*n) per stratum, reproducible membership") {
+    val rows =
+      (1L to 37L).map(i => (i, s"text $i", "web")) ++
+      (101L to 110L).map(i => (i, s"text $i", "books")) ++
+      Seq((201L, "solo", "tiny"))
+    val dir = corpus(rows)
+    val out = PipelineOps.sampleStratified(spark, dir).collect()
+    val bySource = out.groupBy(_.getString(1))
+    // ceil(0.2 * 37) = 8, ceil(0.2 * 10) = 2, ceil(0.2 * 1) = 1
+    assert(bySource("web").length == 8)
+    assert(bySource("books").length == 2)
+    assert(bySource("tiny").length == 1)
+    // ranks are 1..k within each stratum
+    for ((_, rs) <- bySource)
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length))
+    // membership is a pure function of ids: a second run (and a
+    // different shuffle width) selects the same rows
+    val again = PipelineOps.sampleStratified(spark, dir).collect()
+    assert(again.map(_.getLong(0)).sorted.sameElements(out.map(_.getLong(0)).sorted))
+  }
+}
