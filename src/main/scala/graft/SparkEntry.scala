@@ -81,6 +81,7 @@ object SparkEntry {
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
     "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
     "stream_dedup" -> (graft.streaming.EventStreams.streamDedup(_, _)),
+    "stream_enrich" -> (graft.streaming.EventStreams.streamEnrich(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -179,6 +180,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "text_bm25" -> TextAnalysis.textBm25Sql,
     "text_bm25_multi" -> TextAnalysis.textBm25MultiSql,
+    "stream_enrich" -> graft.streaming.EventStreams.streamEnrichSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,

@@ -162,6 +162,48 @@ object EventStreams {
     """SELECT event_id, user_id, event_type
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * dimension (customer market segment keyed by user id), then the
+    * watermarked tumbling aggregate per (hour, segment). The static
+    * side is broadcast per micro-batch (stream-static joins are
+    * stateless — no join state store; at cluster scale the dim
+    * re-broadcasts on updates, the standard enrich shape before any
+    * windowed rollup). Every event's user_id resolves (ids are drawn
+    * from the customer key space), so inner-join semantics lose no
+    * rows and the converged complete-mode result equals the batch
+    * join+group — its DuckDB oracle.
+    */
+  def enrichedTumbling(spark: SparkSession, dir: String)(events: DataFrame): DataFrame = {
+    val dim = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_s"),
+        col("segment"), col("n"), col("sum_value"))
+  }
+
+  /** Driver-gate streaming query (`stream_enrich`): replayed events
+    * through [[enrichedTumbling]], converged in complete mode.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, stagedEventsDir(dir), "graft_stream_enrich",
+        enrichedTumbling(spark, dir), "complete")
+      .orderBy("hour_s", "segment")
+
+  val streamEnrichSql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+      |       c.c_mktsegment AS segment, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY hour_s, segment
+      |ORDER BY hour_s, segment""".stripMargin
+
   /** Convenience for tests and the driver gate: run a streaming
     * transform over the events table replayed as a file stream, into
     * a memory sink, to completion (AvailableNow), returning the

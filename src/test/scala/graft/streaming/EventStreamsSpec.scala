@@ -37,6 +37,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-static join: enriched tumbling agg equals the batch join+group") {
+    val streamed = EventStreams.runToMemory(
+      spark, streamDir, "t_enrich", EventStreams.enrichedTumbling(spark, dir), "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val dim = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = Tables.events(spark, dir)
+      .join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")), col("segment"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch)
+    // no event lost to the inner join: ids are drawn from the key space
+    val nEvents = Tables.events(spark, dir).count()
+    assert(streamed.toSeq.map(_._3).sum == nEvents)
+  }
+
   test("parquet sink: distributed foreachBatch overwrite converges to the memory-sink result") {
     val out = java.nio.file.Files.createTempDirectory("evsink").toString
     val viaParquet = EventStreams.runToParquet(
