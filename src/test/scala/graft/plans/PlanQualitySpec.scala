@@ -136,6 +136,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("text_bm25_multi: query relation broadcasts, postings scan once, no product") {
+    val df = graft.ext.TextAnalysis.textBm25Multi(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the (query_id, term) table and dfreq ride broadcast equi-joins
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the per-query top-k must use the rank-limit pushdown (partial
+    // group-limit below the exchange), not a full per-query sort
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("text_repetition: aggs partial-combine map-side, no window, no product") {
+    val plan = graft.ext.TextAnalysis.textRepetition(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+  }
+
+  test("sample_stratified: count and rank share ONE stratum exchange") {
+    val plan = graft.ext.PipelineOps.sampleStratified(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both window functions ride the same hashpartitioning(source)
+    // exchange; the only other exchange is the presentation sort
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("text_tfidf broadcasts the one-row corpus count, equi-joins the term") {
     val plan = graft.ext.TextAnalysis.textTfidf(spark, dir)
       .queryExecution.executedPlan.toString
