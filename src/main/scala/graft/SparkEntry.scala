@@ -43,6 +43,7 @@ object SparkEntry {
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_kmv_distinct" -> (Relational.aggKmvDistinct(_, _)),
+    "agg_cms_freq" -> (Relational.aggCmsFreq(_, _)),
     "agg_percentile" -> (Relational.aggPercentile(_, _)),
     "agg_variance" -> (Relational.aggVariance(_, _)),
     "agg_pivot" -> (Relational.aggPivot(_, _)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "agg_pivot" -> Relational.aggPivotSql,
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_kmv_distinct" -> Relational.aggKmvDistinctSql,
+    "agg_cms_freq" -> Relational.aggCmsFreqSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,

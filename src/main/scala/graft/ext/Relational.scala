@@ -140,6 +140,80 @@ object Relational {
     * intermediate here — hash, k-th order statistic, integer-division
     * estimate — is reproduced bit-for-bit by the DuckDB oracle.
     */
+  // ---- Count-Min sketch frequency estimation (Cormode &
+  // Muthukrishnan 2005, public) ----
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val CmsProbeKeys = 20
+
+  /** Count-Min frequency estimates for a probe key set over
+    * `events.user_id`, alongside exact counts: the heavy-hitter /
+    * hot-key primitive (frequency capping, skew detection) in sketch
+    * space — the depth×width counter table is ≤ d·w rows regardless
+    * of corpus size, built in ONE pass with map-side-combinable
+    * counts and mergeable across partitions/days by addition (the
+    * property that makes it a 100 TB operator; the KMV twin covers
+    * distinct-count space).
+    *
+    * Deterministic and fully DuckDB-replayable: row hashes are the
+    * shared portable polynomial fold over "i:key" (row-salted), so
+    * the oracle rebuilds the identical table and point-queries the
+    * identical min — including the overestimate errors, which are
+    * part of the contract (est ≥ true always; equality whenever no
+    * collision). Probe keys absent from a row's bucket floor the min
+    * at 0 via the left join.
+    */
+  def aggCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    def buckets(key: Column): Column =
+      array((0 until CmsDepth).map(i =>
+        TextAnalysis.polyHashCol(
+          concat(lit(s"$i:"), key.cast("string"))) % CmsWidth): _*)
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val sketch = ev
+      .select(posexplode(buckets(col("user_id"))).as(Seq("row_i", "bucket")))
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("c"))
+    val probes = spark.range(0, CmsProbeKeys)
+      .select(col("id").as("user_id"))
+      .select(col("user_id"),
+        posexplode(buckets(col("user_id"))).as(Seq("row_i", "bucket")))
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+    probes
+      .join(broadcast(sketch), Seq("row_i", "bucket"), "left")
+      .groupBy("user_id").agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+      .join(truth, Seq("user_id"), "left")
+      .select(col("user_id"), col("cms_est"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"))
+      .orderBy("user_id")
+  }
+
+  val aggCmsFreqSql: String = {
+    // the row-index column must NOT be named `i`: polyHashSql's list
+    // comprehension binds `i` as its loop variable, which would
+    // shadow the outer column inside the hashed expression
+    val hash = TextAnalysis.polyHashSql(
+      "CAST(ri AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH d AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS ri),
+       |b AS (
+       |  SELECT ri, ($hash) % $CmsWidth AS bucket
+       |  FROM events, d),
+       |cms AS (SELECT ri, bucket, count(*) AS c FROM b GROUP BY ri, bucket),
+       |probes AS (
+       |  SELECT unnest(generate_series(0, ${CmsProbeKeys - 1})) AS user_id),
+       |pb AS (
+       |  SELECT user_id, ri, ($hash) % $CmsWidth AS bucket
+       |  FROM probes, d),
+       |est AS (
+       |  SELECT user_id, min(coalesce(c, 0)) AS cms_est
+       |  FROM pb LEFT JOIN cms ON cms.ri = pb.ri AND cms.bucket = pb.bucket
+       |  GROUP BY user_id),
+       |truth AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id)
+       |SELECT est.user_id, CAST(cms_est AS BIGINT) AS cms_est,
+       |  CAST(coalesce(true_n, 0) AS BIGINT) AS true_n
+       |FROM est LEFT JOIN truth ON truth.user_id = est.user_id
+       |ORDER BY est.user_id""".stripMargin
+  }
+
   def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
