@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -77,6 +77,8 @@ object SparkEntry {
     "asof_join" -> (Relational.asofJoin(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
+    "event_funnel" -> (Relational.eventFunnel(_, _)),
+    "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -150,6 +152,8 @@ object SparkEntry {
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_kmv_distinct" -> Relational.aggKmvDistinctSql,
     "agg_cms_freq" -> Relational.aggCmsFreqSql,
+    "event_funnel" -> Relational.eventFunnelSql,
+    "graph_pagerank" -> Graph.graphPagerankSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,

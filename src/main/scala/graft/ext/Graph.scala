@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Iterative graph analytics over relational data — PageRank
+  * (Brin/Page 1998, public formula) on the part co-occurrence graph
+  * (parts sharing an order), the "importance over an induced graph"
+  * primitive (seed selection, catalog ranking; same shape as entity
+  * graphs induced from a document corpus).
+  *
+  * Joins [[Dedup.dedupCluster]]'s connected components as the second
+  * member of the iterative-graph family; the convergence machinery
+  * differs (fixed damped iterations vs fixpoint label propagation).
+  */
+object Graph {
+
+  /** Fixed-point mass: ranks are BIGINT twelfths-of-a-trillion, so
+    * every per-iteration operation — `r div deg` share splitting, the
+    * damped `85·Σ div 100`, the `(1−d)` floor — is integer-exact and
+    * ADDITION-ORDER-INDEPENDENT across partitions. That is what lets
+    * the DuckDB oracle replay the identical training run (the IVF
+    * fixed-point discipline); float ranks would diverge in the last
+    * ulp on every re-partitioning.
+    */
+  private val Scale = 1000000000000L
+  private val BaseNum = Scale * 15L / 100L // (1-d) numerator, d = 0.85
+  private val PrIters = 3
+  private val PrTopK = 20
+
+  /** PageRank top-[[PrTopK]] parts after [[PrIters]] damped
+    * iterations. Scale shape: the edge set is derived once and
+    * eagerly localCheckpointed (three iterations would otherwise
+    * re-run the self-join per round); each iteration is one
+    * equi-join + hash agg on the destination key; the node count is
+    * the only driver scalar (the IVF model-scale pattern). The
+    * symmetric co-occurrence edge set has no dangling nodes, so no
+    * mass-redistribution term is needed.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // driver scalar: node count only
+    val base = BaseNum / n
+    var rank = nodes.select(col("node"), lit(Scale / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(rank.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r").desc, col("node").asc)
+    rank
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(PrTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("node").as("part_key"), col("r").as("rank_fp"))
+      .orderBy("rn")
+  }
+
+  /** Oracle: the identical integer-exact run unrolled — same edge
+    * derivation, same `//` floors, same damped update per iteration
+    * (DuckDB sums BIGINT into HUGEINT; exactness is unaffected and
+    * the output casts back).
+    */
+  val graphPagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (SELECT $BaseNum // n FROM nn) + (85 * coalesce(c$i.s, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $Scale // n AS r FROM nodes, nn),
+       |$iters,
+       |ranked AS (
+       |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node ASC) AS rn
+       |  FROM r$PrIters)
+       |SELECT CAST(rn AS BIGINT) AS rn, node AS part_key,
+       |  CAST(r AS BIGINT) AS rank_fp
+       |FROM ranked WHERE rn <= $PrTopK ORDER BY rn""".stripMargin
+  }
+}

@@ -620,6 +620,67 @@ object Relational {
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Ordered-sequence funnel (view → click → purchase): per user,
+    * the first view, the first click strictly AFTER that view, the
+    * first purchase strictly after that click — the product-analytics
+    * conversion primitive (and the eval shape for agent-trajectory
+    * "did step k follow step k-1" checks). Three filtered min-aggs
+    * chained by equi-joins on user_id — each stage is one hash agg
+    * over only its event type's rows (predicate pushed to the scan),
+    * no window, no self-product; stage counts are monotone by
+    * construction. Nanosecond longs throughout (never raw
+    * timestamps — the ns/µs divergence discipline).
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // microsecond longs on BOTH sides (DuckDB TIMESTAMP is µs — raw
+    // nanos would diverge in the last three digits), truncated BEFORE
+    // every comparison so stage boundaries can never disagree
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_view_us"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id")
+      .filter(col("ts_us") > col("t_view_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_click_us"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts_us") > col("t_click_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase_us"))
+    view
+      .join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .withColumn("stage",
+        (lit(1L) + when(col("t_click_us").isNotNull, 1L).otherwise(0L) +
+          when(col("t_purchase_us").isNotNull, 1L).otherwise(0L)))
+      .select(col("user_id"), col("stage"),
+        col("t_view_us"), col("t_click_us"), col("t_purchase_us"))
+      .orderBy("user_id")
+  }
+
+  val eventFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click_us
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id,
+      |  CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
+      |  v.t_view_us, c.t_click_us, p.t_purchase_us
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |       LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** Hourly tumbling-window aggregation via Spark's `window()` — the
     * exact construct Structured Streaming uses, here in batch.
     */
