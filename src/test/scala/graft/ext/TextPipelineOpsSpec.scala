@@ -41,6 +41,49 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) == ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("aggCmsFreq: estimates never undercount; exact when collision-free") {
+    val rows = Relational.aggCmsFreq(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (est, truth) = (r.getLong(1), r.getLong(2))
+      assert(est >= truth, s"CMS undercounted user ${r.getLong(0)}: $est < $truth")
+    }
+    // d=4 x w=256 over ~sf0.001's tiny key set: at least one probe
+    // key should be collision-free (est == true)
+    assert(rows.exists(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("eventFunnel: stages are monotone and timestamps strictly ordered") {
+    val rows = Relational.eventFunnel(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val stage = r.getLong(1)
+      val tView = r.getLong(2)
+      val tClick = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val tPurch = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(stage == 1L + tClick.size + tPurch.size)
+      assert(tPurch.isEmpty || tClick.nonEmpty, "purchase without click")
+      tClick.foreach(c => assert(c > tView))
+      (tClick, tPurch) match {
+        case (Some(c), Some(p)) => assert(p > c)
+        case _ => ()
+      }
+    }
+  }
+
+  test("graphPagerank: ranks positive, descending, keys are real parts") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Graph.graphPagerank(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ranks = rows.map(_.getLong(2))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sameElements(ranks.sorted.reverse), "not rank-descending")
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length))
+    val parts = graft.sources.Tables.table(spark, dir, "part")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => parts(r.getLong(1))))
+  }
+
   test("sampleStratified: exact ceil(rate*n) per stratum, reproducible membership") {
     val rows =
       (1L to 37L).map(i => (i, s"text $i", "web")) ++
