@@ -219,6 +219,12 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("encrypted PDF 1.5: ObjStm payload decrypts, xref stream stays exempt") {
+    val pdf = PdfFixtures.encryptedXrefStreamPdf(Seq("alpha beta", "gamma\ndelta"))
+    val out = PdfTextExtractor.extract("ex.pdf", pdf)
+    assert(out.map(_._2) == Seq("alpha beta", "gamma\ndelta"))
+  }
+
   test("document strings (Info /Title) decrypt through the string path") {
     for (variant <- Seq(PdfFixtures.EncRc4_128, PdfFixtures.EncAes128)) {
       // single page: font=5, info=6, encrypt=7

@@ -508,12 +508,27 @@ object PdfFixtures {
     o.bytes.toByteArray
   }
 
+  /** The encrypted PDF 1.5 shape real producers emit: object
+    * streams + xref STREAM, with the ObjStm payload and content
+    * streams AES-encrypted while the xref stream itself stays
+    * plain (spec-exempt — it must be readable before any key
+    * exists). Objects INSIDE the ObjStm are not individually
+    * encrypted (§7.5.7); the /Encrypt dict rides as a regular
+    * uncompressed object referenced from the xref stream's trailer
+    * fields.
+    */
+  def encryptedXrefStreamPdf(pages: Seq[String]): Array[Byte] =
+    xrefStreamPdf(pages, encrypt = Some(EncAes128))
+
   /** PDF 1.5 structure: page tree + font packed into an object
     * stream (type-2 xref entries), content streams as regular
     * objects, and a FlateDecode + PNG-Up-predictor xref STREAM
     * instead of a table.
     */
-  def xrefStreamPdf(pages: Seq[String]): Array[Byte] = {
+  def xrefStreamPdf(
+      pages: Seq[String],
+      encrypt: Option[EncVariant] = None): Array[Byte] = {
+    import PdfEncryptor.{encrypt => _, _}
     val o = new Out
     o << "%PDF-1.5\n%âãÏÓ\n"
     val n = pages.length
@@ -521,12 +536,27 @@ object PdfFixtures {
     val contentNums = (0 until n).map(i => 3 + n + i)
     val fontNum = 3 + 2 * n
     val objStmNum = fontNum + 1
-    val xrefNum = objStmNum + 1
+    val encNum = objStmNum + 1 // unused slot when not encrypting
+    val xrefNum = encNum + 1
+
+    val id0 = md5(s"graft-xs-fixture-$n".getBytes(Ascii))
+    val p = -44
+    val enc = encrypt.map { v =>
+      val keyBytes = v.bits / 8
+      val oEntry = ownerEntry(v.r, if (v.r == 2) 5 else keyBytes, padPassword(Array.emptyByteArray))
+      val fk = fileKey(padPassword(Array.emptyByteArray), oEntry, p, id0, v.r, keyBytes)
+      (v, fk, oEntry, userEntry(fk, id0, v.r))
+    }
+    def sealed_(num: Int, data: Array[Byte]): Array[Byte] = enc match {
+      case Some((v, fk, _, _)) => PdfEncryptor.encrypt(v, fk, num, data)
+      case None => data
+    }
 
     o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
     for ((text, i) <- pages.zipWithIndex) {
       val raw = contentFor(text).getBytes(Ascii)
-      o.streamObj(contentNums(i), "/Filter /FlateDecode", deflate(raw))
+      o.streamObj(contentNums(i), "/Filter /FlateDecode",
+        sealed_(contentNums(i), deflate(raw)))
     }
     // object stream holding: pages node (2), page dicts, font
     val inStm: Seq[(Int, String)] =
@@ -544,7 +574,17 @@ object PdfFixtures {
       bodies.flatMap(b => b :+ '\n'.toByte)
     o.streamObj(objStmNum,
       s"/Type /ObjStm /N ${inStm.length} /First ${header.length} /Filter /FlateDecode",
-      deflate(stmPayload))
+      sealed_(objStmNum, deflate(stmPayload)))
+    // the /Encrypt dict itself: a regular object, never compressed
+    // into an ObjStm, never encrypted
+    for ((v, _, oEntry, uEntry) <- enc) {
+      o.obj(encNum) {
+        o << s"<< /Filter /Standard /R ${v.r} /V ${v.v} /Length ${v.bits} " +
+          s"/O ${hexStr(oEntry)} /U ${hexStr(uEntry)} /P $p " +
+          "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>"
+      }
+    }
 
     // xref stream: W [1 4 2], rows for objects 0..xrefNum
     val size = xrefNum + 1
@@ -559,6 +599,7 @@ object PdfFixtures {
       if (num == 0) row(0, 0, 65535)
       else if (stmIndex.contains(num)) row(2, objStmNum, stmIndex(num))
       else if (num == xrefNum) row(1, xrefOff, 0)
+      else if (!o.offsets.contains(num)) row(0, 0, 65535) // unused slot
       else row(1, o.offsets(num), 0)
     }
     // PNG Up predictor over 7-byte rows
@@ -572,8 +613,13 @@ object PdfFixtures {
       encoded.write(e)
       prev = r
     }
+    // xref stream: spec-exempt from encryption (read before any key)
+    val trailerExtra = enc
+      .map(_ => s"/Encrypt $encNum 0 R /ID [${hexStr(id0)} ${hexStr(id0)}] ")
+      .getOrElse("")
     o.streamObj(xrefNum,
       s"/Type /XRef /Size $size /W [1 4 2] /Index [0 $size] /Root 1 0 R " +
+        trailerExtra +
         "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>",
       deflate(encoded.toByteArray))
     o << s"startxref\n$xrefOff\n%%EOF\n"
