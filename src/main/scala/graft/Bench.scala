@@ -82,15 +82,41 @@ object Bench {
       s""""hot_protocol":"median_of_3","order":$order,""" +
       s""""core_hot":$coreHot,"core_queries":${coreSet.toSeq.sorted.map(q => s"\"$q\"").mkString("[", ",", "]")},""" +
       s""""memoized_hot":$memoized,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // The driver tail-grabs sbt stdout and can truncate the (growing)
-    // one-line JSON (BENCH_r03 arrived with parsed:null) — the file
-    // copy is the always-parseable round artifact.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // The driver tail-grabs the LAST 2000 chars of sbt stdout (every
+    // BENCH_r*.json so far has tail_len=2000 and parsed:null — the
+    // full one-line JSON never fit). Print a compact line sized to
+    // survive that window: 2-dp values, and if the query map still
+    // overflows the budget, drop the CHEAPEST queries first (the
+    // expensive ones are the ones worth reading) with an explicit
+    // omitted count. The complete JSON goes to files.
+    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val budget = 1800 // 2000 minus sbt's trailing "[success] ..." line
+    def compact(keep: Int): String = {
+      val kept = results.sortBy { case (_, c, _, ok) => if (ok) -c else 1.0 }
+        .take(keep)
+      val qs = kept.map { case (k, c, _, ok) =>
+        s"\"$k\":${if (ok) r2(c) else "-1"}"
+      }.mkString("{", ",", "}")
+      val omitted = results.size - kept.size
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+        s""""hot_total":${r2(hotTotal)},"core_hot":${r2(coreHot)},""" +
+        s""""n_queries":${results.size},"omitted_fast":$omitted,""" +
+        s""""failed":$failed,"full":"BENCH_FULL.json",""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = Iterator.range(results.size, -1, -1).map(compact)
+      .find(_.length <= budget).getOrElse(compact(0))
+    println(line)
+    // The file copies are the always-parseable round artifacts:
+    // target/ is gitignored, so also write a repo-root copy that the
+    // driver's end-of-round commit captures.
+    for (p <- Seq("target/bench.json", "BENCH_FULL.json")) {
+      try {
+        val out = java.nio.file.Paths.get(p)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
   }
 }
