@@ -79,6 +79,7 @@ object SparkEntry {
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
     "event_funnel" -> (Relational.eventFunnel(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
+    "graph_triangles" -> (Graph.graphTriangles(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "text_bm25" -> (TextAnalysis.textBm25(_, _)),
     "text_bm25_multi" -> (TextAnalysis.textBm25Multi(_, _)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
+    "text_vocab" -> (TextAnalysis.textVocab(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -106,6 +108,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
     "dedup_cluster" -> (Dedup.dedupCluster(_, _)),
     "dedup_contamination" -> (Dedup.dedupContamination(_, _)),
+    "dedup_spans" -> (Dedup.dedupSpans(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
@@ -114,6 +117,7 @@ object SparkEntry {
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
     "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
+    "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
@@ -154,6 +158,7 @@ object SparkEntry {
     "agg_cms_freq" -> Relational.aggCmsFreqSql,
     "event_funnel" -> Relational.eventFunnelSql,
     "graph_pagerank" -> Graph.graphPagerankSql,
+    "graph_triangles" -> Graph.graphTrianglesSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -188,6 +193,7 @@ object SparkEntry {
     "text_bm25_multi" -> TextAnalysis.textBm25MultiSql,
     "stream_enrich" -> graft.streaming.EventStreams.streamEnrichSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
+    "text_vocab" -> TextAnalysis.textVocabSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the
@@ -205,6 +211,7 @@ object SparkEntry {
     // iterative min-label propagation == the recursive-CTE components
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "dedup_contamination" -> Dedup.dedupContaminationSql,
+    "dedup_spans" -> Dedup.dedupSpansSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,
@@ -213,6 +220,7 @@ object SparkEntry {
     "sim_ivf" -> Similarity.simIvfSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
+    "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,

@@ -893,4 +893,78 @@ object Dedup {
       |  CAST((u // 4294967296) % 65536 AS BIGINT) AS band2,
       |  CAST((u // 281474976710656) % 65536 AS BIGINT) AS band3
       |FROM sig ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Duplicated-span detection: cross-doc n-gram duplication fraction
+  // ----------------------------------------------------------------
+
+  private val SpanN = 5
+
+  /** Per-doc duplicated-SPAN fraction: how much of each document's
+    * word-[[SpanN]]-gram positions is text that also appears in at
+    * least one OTHER document (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" measures exactly
+    * this span-level duplication; the suffix-array machinery there
+    * reduces, at fixed n, to this gram-df relation). Unlike the
+    * doc-level near-dup family this catches partial copies — quoted
+    * paragraphs, shared boilerplate spans — inside otherwise-unique
+    * documents.
+    *
+    * Scale shape: one explode feeding (a) a distinct-doc count per
+    * gram (two-phase partial agg) and (b) a per-doc position count;
+    * the two meet in a gram-keyed equi-join — the TF-IDF plan
+    * pattern, no window, no self-join, no driver participation.
+    * Docs shorter than [[SpanN]] words carry zero grams and survive
+    * via the left join with dup_frac 0.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val grams = d
+      .select(col("doc_id"),
+        expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= SpanN,
+          expr(s"""transform(sequence(1, size(ws) - ${SpanN - 1}),
+                   |         s -> concat_ws(' ', slice(ws, s, $SpanN)))""".stripMargin))
+          .otherwise(array())).as("gram"))
+    val gramDf = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val perDoc = grams.join(gramDf, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(round(col("n_dup_grams").cast("double") / col("n_grams"), 6),
+          lit(0.0)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, len(ws) - ${SpanN - 1}),
+       |      s -> array_to_string(ws[s:s + ${SpanN - 1}], ' '))) AS gram
+       |  FROM w WHERE len(ws) >= $SpanN),
+       |gdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+       |pd AS (
+       |  SELECT g.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM g JOIN gdf USING (gram) GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       |  coalesce(round(CAST(pd.n_dup AS DOUBLE) / pd.n_grams, 6), 0.0)
+       |    AS dup_frac
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

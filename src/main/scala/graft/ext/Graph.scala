@@ -78,6 +78,75 @@ object Graph {
       .orderBy("rn")
   }
 
+  private val TriTopK = 20
+
+  /** Triangle counting (top-[[TriTopK]] vertices by triangle
+    * participation) over the same bounded co-occurrence graph as
+    * [[graphPagerank]] — the clustering-coefficient numerator, the
+    * third member of the graph family (fixpoint components, damped
+    * iteration, and now motif counting). Uses the node-iterator
+    * join shape (Suri & Vassilvitskii 2011 "Counting Triangles and
+    * the Curse of the Last Reducer"): canonicalize edges to a < b so
+    * every triangle (a,b,c), a<b<c, is enumerated exactly once by
+    * two equi-joins — wedge (a,b)+(b,c) closed by (a,c). No
+    * all-pairs product; the wedge join fans out on the canonical
+    * edge's lower endpoint, which the a<b<c ordering keeps to the
+    * low-degree direction on skewed graphs (the paper's fix for the
+    * "last reducer" hub problem).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(8)) === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    // canonical a < b: each undirected co-occurrence edge once
+    val edges = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .localCheckpoint(true) // derived once; three self-joins below
+    val wedge = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), "b")
+      .filter(col("a") < col("b")) // rebind sanity: a<b<c by construction
+    val tri = wedge.join(edges.toDF("a", "c"), Seq("a", "c"))
+      .select("a", "b", "c")
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_triangles").desc, col("node").asc)
+    perNode.orderBy(col("n_triangles").desc, col("node").asc).limit(TriTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("node").as("part_key"), col("n_triangles"))
+      .orderBy("rn")
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.a = e1.b
+       |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (
+       |  SELECT node, count(*) AS n_triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node),
+       |ranked AS (
+       |  SELECT node, n_triangles,
+       |    row_number() OVER (ORDER BY n_triangles DESC, node ASC) AS rn
+       |  FROM pn)
+       |SELECT CAST(rn AS BIGINT) AS rn, node AS part_key,
+       |  CAST(n_triangles AS BIGINT) AS n_triangles
+       |FROM ranked WHERE rn <= $TriTopK ORDER BY rn""".stripMargin
+
   /** Oracle: the identical integer-exact run unrolled — same edge
     * derivation, same `//` floors, same damped update per iteration
     * (DuckDB sums BIGINT into HUGEINT; exactness is unaffected and

@@ -86,6 +86,53 @@ object PipelineOps {
        |FROM r WHERE rn <= ceil(n_s * $SampleRate)
        |ORDER BY source, sample_rank""".stripMargin
 
+  private val TokenBudget = 800L
+
+  /** Per-source token-BUDGET selection: walk each source's documents
+    * in portable-hash order and keep docs while the running token
+    * total stays within [[TokenBudget]] — the "give me N tokens per
+    * domain" primitive behind data-mixture construction (domain
+    * reweighting samples token budgets, not document counts, because
+    * document length varies by orders of magnitude across sources).
+    * Hash order makes membership reproducible and unbiased by
+    * ingestion order; the budget boundary is exact, not
+    * in-expectation. Distributed shape: one hash-partition exchange
+    * on `source`; the token count is a rowwise expression and the
+    * running sum rides the stratum window — same plan skeleton as
+    * [[sampleStratified]], with the cumulative-SUM cutoff instead of
+    * the row-count cutoff.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' +'), x -> x != '')"))
+          .cast("long").as("n_tokens"),
+        TextAnalysis.polyHashCol(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byStratum))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
+  val sampleTokenBudgetSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+       |      AS n_tokens,
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM h)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudget
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
   /** The end-to-end prep pipeline as ONE verified relation:
     * quality-filter → exact dedup (keep the minimum doc id per
     * SHA-256 digest) → near-dup canonicalization (one representative

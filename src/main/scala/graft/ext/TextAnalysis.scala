@@ -660,6 +660,63 @@ object TextAnalysis {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ----------------------------------------------------------------
+  // Corpus vocabulary: top-K terms + cumulative coverage (BPE prep)
+  // ----------------------------------------------------------------
+
+  private val VocabK = 200
+
+  /** Top-[[VocabK]] corpus vocabulary by term frequency with
+    * cumulative coverage fraction — the "how many types cover X% of
+    * tokens" curve a tokenizer-training pipeline computes before
+    * fitting BPE merges. Scale shape: one explode feeding a
+    * map-side-combinable term count, a TakeOrderedAndProject top-K
+    * (K rows cross the wire, never the full vocabulary), the corpus
+    * token total as one broadcast scalar, and the running-coverage
+    * window over only those K rows. Ties break lexicographically so
+    * the relation is deterministic under any partitioning.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term").asc)
+    val counts = docs(spark, dir)
+      .select(explode(
+        expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.orderBy(col("n").desc, col("term").asc).limit(VocabK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_frac",
+        round(sum(col("n")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double") / col("total"), 6))
+      .select(col("rank"), col("term"), col("n"), col("cum_frac"))
+      .orderBy("rank")
+  }
+
+  /** Oracle: the cumulative sum runs over the FULL vocabulary but the
+    * first K rows of the identically-ordered window agree with the
+    * Spark side's top-K-then-window formulation.
+    */
+  val textVocabSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, ' +'),
+       |                            x -> x != '')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+       |tot AS (SELECT sum(n) AS total FROM c),
+       |r AS (
+       |  SELECT term, n,
+       |    row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+       |    sum(n) OVER (ORDER BY n DESC, term ASC
+       |                 ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM c)
+       |SELECT CAST(rank AS BIGINT) AS rank, term, CAST(n AS BIGINT) AS n,
+       |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+       |FROM r, tot WHERE rank <= $VocabK ORDER BY rank""".stripMargin
+
   val textBm25Sql: String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>

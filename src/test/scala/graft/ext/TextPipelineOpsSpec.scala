@@ -104,4 +104,74 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val again = PipelineOps.sampleStratified(spark, dir).collect()
     assert(again.map(_.getLong(0)).sorted.sameElements(out.map(_.getLong(0)).sorted))
   }
+
+  test("textVocab: counts and coverage on a crafted corpus") {
+    val dir = corpus(Seq((1L, "a a a b b c", "s")))
+    val out = TextAnalysis.textVocab(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 3L, 0.5), (2L, "b", 2L, 0.833333), (3L, "c", 1L, 1.0)))
+  }
+
+  test("textVocab: rank contiguous, counts non-increasing, coverage monotone to 1") {
+    val rows = TextAnalysis.textVocab(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts not sorted")
+    val cov = rows.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a < b }, "coverage not monotone")
+    // the sf0.001 vocabulary is smaller than K, so the curve closes at 1
+    assert(cov.last == 1.0)
+  }
+
+  test("dedupSpans: shared 5-gram marks both docs, short docs survive at zero") {
+    val dir = corpus(Seq(
+      (1L, "a b c d e f", "s"), // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x", "s"), // shares "a b c d e" with doc 1
+      (3L, "z z z z", "s")))    // < 5 words: no grams
+    val out = Dedup.dedupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("sampleTokenBudget: exact cutoff, order-independent on equal-length docs") {
+    // 4 docs x 300 tokens per source: whatever the hash order, the
+    // 800-token budget admits exactly the first two
+    val text = Array.fill(300)("w").mkString(" ")
+    val rows = (1L to 4L).map(i => (i, text, "a")) ++
+      (11L to 14L).map(i => (i, text, "b"))
+    val out = PipelineOps.sampleTokenBudget(spark, corpus(rows)).collect()
+    val bySource = out.groupBy(_.getString(1))
+    assert(bySource("a").length == 2 && bySource("b").length == 2)
+    assert(out.forall(_.getLong(3) <= 800L))
+    // cumulative totals are exact multiples of the doc length
+    assert(out.map(_.getLong(3)).sorted.toSeq == Seq(300L, 300L, 600L, 600L))
+  }
+
+  test("sampleTokenBudget: per-source running totals stay within budget on testdata") {
+    val out = PipelineOps.sampleTokenBudget(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for ((_, rs) <- out.groupBy(_.getString(1))) {
+      val cums = rs.map(_.getLong(3))
+      assert(cums.forall(_ <= 800L))
+      // cum is the prefix sum of n_tokens in emission order
+      assert(cums.sorted.sameElements(rs.map(_.getLong(2)).scanLeft(0L)(_ + _).tail))
+    }
+  }
+
+  test("graphTriangles: exact counts on a crafted two-triangle graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tri-corpus").toString
+    // orders (keys % 8 == 0) inducing cliques {1,2,3} and {2,3,4}:
+    // triangles (1,2,3) + (2,3,4); per-node 1->1, 2->2, 3->2, 4->1
+    val li = Seq((0L, 1L), (0L, 2L), (0L, 3L), (8L, 2L), (8L, 3L), (8L, 4L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Graph.graphTriangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 1L), (4L, 4L, 1L)))
+  }
 }

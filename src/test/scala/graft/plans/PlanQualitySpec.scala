@@ -126,6 +126,39 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("text_vocab: top-K is TakeOrdered, term counts partial-aggregate, no product") {
+    val plan = graft.ext.TextAnalysis.textVocab(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the vocabulary never crosses the wire whole: K rows via the
+    // distributed partial top-k, then the window runs on K rows only
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_spans: gram df equi-joins back, aggs partial-combine, no product") {
+    val plan = graft.ext.Dedup.dedupSpans(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+  }
+
+  test("sample_token_budget: running sum rides ONE stratum exchange, no product") {
+    val plan = graft.ext.PipelineOps.sampleTokenBudget(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("graph_triangles: wedge closure is equi-joins over the checkpointed edges") {
+    val plan = graft.ext.Graph.graphTriangles(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("text_bm25: global top-k is TakeOrdered, scalar sides broadcast, no product") {
     val plan = graft.ext.TextAnalysis.textBm25(spark, dir)
       .queryExecution.executedPlan.toString
