@@ -109,10 +109,12 @@ object SparkEntry {
     "dedup_cluster" -> (Dedup.dedupCluster(_, _)),
     "dedup_contamination" -> (Dedup.dedupContamination(_, _)),
     "dedup_spans" -> (Dedup.dedupSpans(_, _)),
+    "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
+    "embed_outlier" -> (Similarity.embedOutlier(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -212,12 +214,17 @@ object SparkEntry {
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "dedup_contamination" -> Dedup.dedupContaminationSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
+    // batch-vs-corpus banding finds the same pairs the brute-force
+    // cross-split Jaccard oracle computes
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,
     // fixed-point Lloyd sums + strided seeds make the whole IVF train
     // + probe + top-k replayable in DuckDB (three unrolled iterations)
     "sim_ivf" -> Similarity.simIvfSql,
+    // integer fixed-point centroid + distances: bit-exact replay
+    "embed_outlier" -> Similarity.embedOutlierSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,

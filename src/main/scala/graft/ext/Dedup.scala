@@ -100,14 +100,30 @@ object Dedup {
     * anywhere.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val banded = bandedSignatures(spark, dir)
+    // Bucket self-join -> unique candidate pairs.
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
 
-    // Signature kernel: per doc, one pass over its shingles computing
-    // all 64 permuted min-hashes (permutation i = re-hash of the base
-    // shingle hash with seed i) and the 16 band keys. Pure map — no
-    // explode, no aggregation shuffle; embarrassingly parallel and
-    // memory-bounded per task, which is the shape that scales.
-    val banded = docs(spark, dir)
+    verifyJaccardPairs(spark, dir, candidates)
+  }
+
+  /** Signature kernel shared by [[dedupMinhash]] and
+    * [[dedupIncremental]]: per doc, one pass over its shingles
+    * computing all 64 permuted min-hashes (permutation i = re-hash
+    * of the base shingle hash with seed i) and the 16 band keys.
+    * Pure map — no explode, no aggregation shuffle; embarrassingly
+    * parallel and memory-bounded per task, which is the shape that
+    * scales. Output: (doc_id, band, bh).
+    */
+  private def bandedSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
@@ -133,17 +149,6 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "band", "bh")
-
-    // Bucket self-join -> unique candidate pairs.
-    val l = banded.as("l")
-    val r = banded.as("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-
-    verifyJaccardPairs(spark, dir, candidates)
   }
 
   /** Exact-verify candidate (doc_a, doc_b) pairs with a postings
@@ -967,4 +972,56 @@ object Dedup {
        |    AS dup_frac
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Incremental dedup: new batch vs existing corpus (ingestion shape)
+  // ----------------------------------------------------------------
+
+  /** Ingestion-time near-dup: which documents of an incoming BATCH
+    * duplicate the EXISTING corpus (Jaccard ≥ 0.8)? The batch is the
+    * [[PipelineOps.splitAssign]] hash complement (bucket ≥ 8, ~20%);
+    * the corpus is bucket < 8 — reproducible, content-independent
+    * sides. This is the asymmetric composition a continuously-fed
+    * pipeline runs every ingest: the corpus side's signatures are
+    * compute-once state (at 100 TB they live in the banded-signature
+    * artifact, the [[graft.sources.ArtifactStore]] pattern), only
+    * the batch is shingled fresh, and the band join is
+    * batch × bucket — O(batch), never corpus × corpus. Candidates
+    * exact-verify through the same postings tier as [[dedupMinhash]],
+    * so the two relations cross-check.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSignatures(spark, dir).withColumn("is_old",
+      TextAnalysis.polyHashCol(col("doc_id").cast("string")) % 10 < 8)
+    val old = banded.filter(col("is_old"))
+      .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val batch = banded.filter(!col("is_old"))
+      .select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val candidates = old.join(batch, Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyJaccardPairs(spark, dir, candidates)
+      .select(col("doc_a").as("old_doc"), col("doc_b").as("new_doc"),
+        col("jaccard"))
+      .orderBy("old_doc", "new_doc")
+  }
+
+  /** Oracle: brute-force exact Jaccard across the split (valid at
+    * verification scale), same hash-split derivation.
+    */
+  val dedupIncrementalSql: String =
+    s"""WITH $shingleCteSql,
+       |sp AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+       |  FROM documents),
+       |d AS (SELECT sh.doc_id, sh.s, sp.bucket
+       |      FROM sh JOIN sp ON sp.doc_id = sh.doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS old_doc, b.doc_id AS new_doc,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |  FROM d a, d b WHERE a.bucket < 8 AND b.bucket >= 8)
+       |SELECT old_doc, new_doc, jaccard FROM pairs
+       |WHERE jaccard >= $JaccardThreshold
+       |ORDER BY old_doc, new_doc""".stripMargin
 }

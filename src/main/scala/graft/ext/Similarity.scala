@@ -539,4 +539,81 @@ object Similarity {
        |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Embedding outliers: distance-to-centroid anomaly ranking
+  // ----------------------------------------------------------------
+
+  private val OutScale = 1048576L // floor(x·2^20): the IVF fixed-point quantum
+  private val OutTopK = 20
+
+  /** Top-[[OutTopK]] embedding outliers by squared distance to the
+    * corpus centroid — the "weird vectors" sweep a curation pipeline
+    * runs before clustering (mis-embedded docs, encoder failures,
+    * off-manifold content all land far from the mean). Entirely in
+    * integer fixed point: coordinates quantize to `floor(x·2^20)`
+    * longs, the per-dimension sums are exact and
+    * addition-order-independent (the [[simIvf]] discipline), the
+    * centroid is the floored per-dim average, and distances are
+    * exact BIGINT sums of squared quantum differences — no float
+    * accumulation anywhere, so DuckDB replays bit-for-bit.
+    *
+    * Scale shape: one posexplode feeding a per-dimension partial
+    * agg (dim-count rows out), the dim-long centroid re-assembles in
+    * ONE row that broadcasts, distances are a rowwise codegen'd
+    * fold, and the global top-k is TakeOrderedAndProject. The only
+    * corpus-wide exchange is the per-dim agg; nothing driver-side.
+    */
+  def embedOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val dims = e
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(
+        sum(floor(col("x").cast("double") * OutScale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    // floored per-dim mean via double division: s ≤ 2^37 and the
+    // quotient's distance from any integer is ≥ 1/n >> ulp, so the
+    // floor of the correctly-rounded double IS the exact floor (and
+    // DuckDB computes the identical expression)
+    val mean = dims.agg(expr(
+      """transform(
+        |  array_sort(collect_list(struct(
+        |    i, CAST(floor(s / CAST(n AS DOUBLE)) AS BIGINT) AS m))),
+        |  p -> p.m)""".stripMargin).as("mean_fp"))
+    val w = Window.orderBy(col("dist2_fp").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(mean))
+      .withColumn("dist2_fp", expr(
+        s"""aggregate(
+           |  zip_with(embedding, mean_fp,
+           |    (v, m) -> CAST(floor(CAST(v AS DOUBLE) * $OutScale) AS BIGINT) - m),
+           |  CAST(0 AS BIGINT), (acc, d) -> acc + d * d)""".stripMargin))
+      .orderBy(col("dist2_fp").desc, col("vec_id").asc).limit(OutTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("vec_id"), col("dist2_fp"))
+      .orderBy("rn")
+  }
+
+  val embedOutlierSql: String =
+    s"""WITH coord AS (
+       |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(x * $OutScale.0) AS BIGINT) AS qx
+       |  FROM coord),
+       |m AS (
+       |  SELECT i,
+       |    CAST(floor(CAST(sum(qx) AS DOUBLE) / count(*)) AS BIGINT) AS mfp
+       |  FROM q GROUP BY i),
+       |d AS (
+       |  SELECT q.vec_id,
+       |    sum((q.qx - m.mfp) * (q.qx - m.mfp)) AS dist2
+       |  FROM q JOIN m USING (i) GROUP BY q.vec_id),
+       |r AS (
+       |  SELECT vec_id, dist2,
+       |    row_number() OVER (ORDER BY dist2 DESC, vec_id ASC) AS rn
+       |  FROM d)
+       |SELECT CAST(rn AS BIGINT) AS rn, vec_id, CAST(dist2 AS BIGINT) AS dist2_fp
+       |FROM r WHERE rn <= $OutTopK ORDER BY rn""".stripMargin
 }

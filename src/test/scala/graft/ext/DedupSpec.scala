@@ -90,6 +90,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("dedup_incremental: exactly the minhash pairs that cross the hash split") {
+    // the incremental (batch-vs-corpus) relation must equal the full
+    // symmetric near-dup relation restricted to old x new — no pair
+    // gained (banding is candidate-only + exact verify) and none lost
+    // (same signatures, one-sided join)
+    def bucket(id: Long): Long =
+      id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L) % 10
+    val full = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).filter { case (o, n) => bucket(o) < 8 && bucket(n) >= 8 }
+    }
+    val inc = Dedup.dedupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty, "testdata should contain cross-split near-dups")
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val sigs = Dedup.dedupSimhash(spark, dir)
       .select("doc_id", "simhash")

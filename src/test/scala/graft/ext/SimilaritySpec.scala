@@ -123,4 +123,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean IVF recall $mean below 0.9 on clustered data")
   }
+
+  test("embedOutlier: a planted far vector ranks first; ranking is deterministic") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("outlier-corpus").toString
+    val rnd = new scala.util.Random(7)
+    val near = (0L until 50L).map { id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 0.1f), 0)
+    }
+    val far = Seq((99L, Array.fill(8)(25.0f), 1))
+    (near ++ far).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.embedOutlier(spark, tmp).collect()
+    assert(rows.head.getLong(1) == 99L, "planted outlier not ranked first")
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length))
+    val d = rows.map(_.getLong(2))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b }, "not distance-descending")
+    val again = Similarity.embedOutlier(spark, tmp).collect().map(_.getLong(1))
+    assert(again.sameElements(rows.map(_.getLong(1))))
+  }
 }

@@ -151,6 +151,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup_incremental: band join is batch x corpus equi, verify has no product") {
+    val plan = graft.ext.Dedup.dedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("embed_outlier: one-row centroid broadcasts, top-k is TakeOrdered") {
+    val plan = graft.ext.Similarity.embedOutlier(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-dim sums partial-aggregate before their exchange
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"), plan)
+  }
+
   test("graph_triangles: wedge closure is equi-joins over the checkpointed edges") {
     val plan = graft.ext.Graph.graphTriangles(spark, dir)
       .queryExecution.executedPlan.toString
