@@ -86,6 +86,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
     "stream_dedup" -> (graft.streaming.EventStreams.streamDedup(_, _)),
     "stream_enrich" -> (graft.streaming.EventStreams.streamEnrich(_, _)),
+    "stream_join" -> (graft.streaming.EventStreams.streamJoin(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -194,6 +195,9 @@ object SparkEntry {
     "text_bm25" -> TextAnalysis.textBm25Sql,
     "text_bm25_multi" -> TextAnalysis.textBm25MultiSql,
     "stream_enrich" -> graft.streaming.EventStreams.streamEnrichSql,
+    // inner stream-stream join pairs are batching-independent under
+    // the single-batch staged replay == the batch interval join
+    "stream_join" -> graft.streaming.EventStreams.streamJoinSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
     "dedup_exact" -> Dedup.dedupExactSql,

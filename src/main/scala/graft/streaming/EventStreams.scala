@@ -204,6 +204,67 @@ object EventStreams {
       |GROUP BY hour_s, segment
       |ORDER BY hour_s, segment""".stripMargin
 
+  /** Stream-STREAM interval join: views joined to the purchases that
+    * follow them within one hour for the same user — the
+    * attribution-window primitive. Both sides carry watermarks and
+    * the join condition bounds purchase time to [view, view + 1 h],
+    * so Spark can size the join state store and evict rows older
+    * than watermark − 1 h on each side; at cluster scale this is the
+    * canonical bounded-state two-stream join (one shuffle per side
+    * on user_id, RocksDB-backed state).
+    *
+    * Gate determinism: inner stream-stream joins emit each matched
+    * pair exactly once regardless of micro-batch boundaries (state
+    * eviction only FORGETS rows below the watermark; the
+    * single-file staged replay — see [[stagedEventsDir]] — means
+    * nothing is ever below it mid-run), so the appended result
+    * equals the batch join and shares its oracle. Timestamps compare
+    * at µs precision on both sides (the ns→µs truncation happens at
+    * the source), and the lag is emitted as µs BIGINT.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEventsDir(dir)
+    val views = readEventStream(spark, staged)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = readEventStream(spark, staged)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = views.join(purchases,
+        col("p_user") === col("user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("graft_stream_join")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_join")
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  /** Oracle: the batch interval join at the same µs precision. */
+  val streamJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 AS us
+      |  FROM events)
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  CAST(p.us - v.us AS BIGINT) AS lag_us
+      |FROM e v JOIN e p ON p.user_id = v.user_id
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.us >= v.us AND p.us <= v.us + 3600000000
+      |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   /** Convenience for tests and the driver gate: run a streaming
     * transform over the events table replayed as a file stream, into
     * a memory sink, to completion (AvailableNow), returning the

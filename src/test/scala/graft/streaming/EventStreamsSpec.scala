@@ -123,6 +123,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == Tables.events(spark, dir).count()) // ids unique in data
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventStreams.streamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val batch = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("us").as("v_us"))
+      .join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+            col("us").as("p_us")),
+        col("pu") === col("user_id") && col("p_us") >= col("v_us") &&
+          col("p_us") <= col("v_us") + 3600000000L)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (col("p_us") - col("v_us")).as("lag_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "testdata should contain view->purchase pairs")
+  }
+
   test("flatMapGroupsWithState profiles converge to batch per-user totals") {
     val out = EventStreams.runToMemory(
       spark, streamDir, "t_profiles",
