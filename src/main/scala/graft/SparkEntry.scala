@@ -116,6 +116,7 @@ object SparkEntry {
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
+    "sim_pq" -> (Similarity.simPq(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -229,6 +230,9 @@ object SparkEntry {
     "sim_ivf" -> Similarity.simIvfSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
+    // per-subspace fixed-point Lloyd + m-ordered ADC folds: the PQ
+    // train/encode/rank replays exactly like sim_ivf
+    "sim_pq" -> Similarity.simPqSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,

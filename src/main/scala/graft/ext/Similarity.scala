@@ -541,6 +541,192 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // Product quantization: compressed codes + asymmetric distance
+  // ----------------------------------------------------------------
+
+  private val PqM = 4  // subspaces
+  private val PqK = 16 // centroids per subspace codebook (4-bit codes)
+
+  /** PQ ANN top-k (Jégou/Douze/Schmid 2011 "Product Quantization for
+    * Nearest Neighbor Search"): each vector compresses to [[PqM]]
+    * sub-codes (its nearest codebook centroid per subspace — dim·4
+    * bytes down to 4), and queries score candidates by ASYMMETRIC
+    * distance: the exact query sub-vector against the candidate's
+    * centroid, summed over subspaces via a per-query M × K lookup
+    * table. That is the memory-bound regime's operator — at 100 TB
+    * of embeddings the codes fit in RAM where the vectors never
+    * will, and the scan reads 4 bytes + M table lookups per
+    * candidate instead of dim floats.
+    *
+    * Codebooks train per subspace with the [[trainCentroids]]
+    * fixed-point Lloyd discipline (strided seeds, floor(x·2²⁰) Long
+    * sums, lowest-id tie-breaks), so training, encoding, and the ADC
+    * ranking all replay exactly in DuckDB. The model memoizes like
+    * IVF (fingerprint-keyed memo over a durable parquet artifact);
+    * the [[NumQueries]] query vectors broadcast (query-batch-scale
+    * traffic) and LUTs build once per task. Distances fold
+    * left-to-right; the ranking uses the 6-dp-rounded distance with
+    * id tie-breaks, the suite's cross-engine ordering discipline.
+    */
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val n = vecs.count()
+    if (pqCache.size > 16) pqCache.clear()
+    val model: Array[Array[Array[Double]]] =
+      pqCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
+        graft.sources.ArtifactStore
+          .loadOrBuild(spark, dir, "embeddings", "pq-model-v1") {
+            trainCount.incrementAndGet()
+            val subModels = (0 until PqM).flatMap { m =>
+              val sub = vecs.map { case (id, v) =>
+                val d = v.length / PqM
+                (id, v.slice(m * d, (m + 1) * d))
+              }.toDF("vec_id", "embedding").as[(Long, Array[Float])]
+              trainCentroids(sub, PqK).zipWithIndex.map {
+                case (c, k) => (m, k, c.toIndexedSeq)
+              }
+            }
+            spark.createDataFrame(subModels).toDF("sub", "centroid_id", "coords")
+          }
+          .as[(Int, Int, Array[Double])].collect()
+          .groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3))
+      })
+    val bcModel = spark.sparkContext.broadcast(model)
+    val bcQueries = spark.sparkContext.broadcast(
+      vecs.filter(_._1 < NumQueries).collect().sortBy(_._1))
+    val scored = vecs.mapPartitions { it =>
+      val cs = bcModel.value
+      // per-query ADC tables: lut(q)(m)(k) = ||q_sub_m - c_mk||², the
+      // one-time M·K·(dim/M) cost that makes each candidate O(M)
+      val luts = bcQueries.value.map { case (qid, qv) =>
+        val d = qv.length / PqM
+        (qid, Array.tabulate(PqM, PqK) { (m, k) =>
+          val cv = cs(m)(k)
+          var s = 0.0
+          var i = 0
+          while (i < d && i < cv.length) {
+            val diff = qv(m * d + i) - cv(i); s += diff * diff; i += 1
+          }
+          s
+        })
+      }
+      it.flatMap { case (id, v) =>
+        val d = v.length / PqM
+        val codes = Array.tabulate(PqM) { m =>
+          nearestCentroid(cs(m), v.slice(m * d, (m + 1) * d))
+        }
+        luts.iterator.filter(_._1 != id).map { case (qid, lut) =>
+          var s = 0.0
+          var m = 0
+          while (m < PqM) { s += lut(m)(codes(m)); m += 1 }
+          (qid, id, s)
+        }
+      }
+    }.toDF("q_id", "c_id", "adist")
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("c_id").asc)
+    scored
+      .withColumn("adist", round(col("adist"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("rn"), col("c_id"), col("adist"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Array[Array[Array[Double]]]]
+
+  /** Oracle: per-subspace k-means replayed with `m` as DATA (one
+    * CTE chain trains all four codebooks at once), then encoding,
+    * LUT, and the ADC ranking — the [[simIvfSql]] fixed-point
+    * discipline over sliced sub-vectors. The ADC sum is an
+    * m-ordered list fold, matching the kernel's subspace loop.
+    */
+  val simPqSql: String = {
+    def assign(t: Int, prev: String): String =
+      s"""pd$t AS (
+         |  SELECT s.vec_id, s.m, ct.c,
+         |    list_sum(list_transform(generate_series(1, len(s.sv)),
+         |      i -> (CAST(s.sv[i] AS DOUBLE) - ct.vals[i])
+         |         * (CAST(s.sv[i] AS DOUBLE) - ct.vals[i]))) AS d
+         |  FROM sub s JOIN pcent${t - 1} ct ON ct.m = s.m),
+         |pa$t AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT vec_id, m, c,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |                         ORDER BY d ASC, c ASC) AS rn
+         |    FROM pd$t) WHERE rn = 1)""".stripMargin
+    val iters = (1 to IvfIters).map { t =>
+      s"""${assign(t, s"pcent${t - 1}")},
+         |pcnt$t AS (SELECT m, c, count(*) AS cnt FROM pa$t GROUP BY m, c),
+         |psum$t AS (
+         |  SELECT a.m, a.c, co.i,
+         |    sum(CAST(floor(co.x * ${IvfQScale.toLong}.0) AS BIGINT)) AS q
+         |  FROM pa$t a JOIN scoord co
+         |    ON co.vec_id = a.vec_id AND co.m = a.m
+         |  GROUP BY a.m, a.c, co.i),
+         |pnew$t AS (
+         |  SELECT s.m, s.c,
+         |    list(CAST(s.q AS DOUBLE) / (${IvfQScale.toLong}.0 * ct.cnt)
+         |         ORDER BY s.i) AS vals
+         |  FROM psum$t s JOIN pcnt$t ct ON ct.m = s.m AND ct.c = s.c
+         |  GROUP BY s.m, s.c),
+         |pcent$t AS (
+         |  SELECT p.m, p.c, COALESCE(n.vals, p.vals) AS vals
+         |  FROM pcent${t - 1} p
+         |  LEFT JOIN pnew$t n ON n.m = p.m AND n.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    val F = IvfIters + 1
+    s"""WITH prm AS (
+       |  SELECT count(*) AS n,
+       |    greatest(1, count(*) // $PqK) AS stride
+       |  FROM embeddings),
+       |dimd AS (SELECT len(embedding) // $PqM AS d FROM embeddings LIMIT 1),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |sub AS (
+       |  SELECT e.vec_id, ms.m,
+       |    e.embedding[ms.m * (SELECT d FROM dimd) + 1 :
+       |                (ms.m + 1) * (SELECT d FROM dimd)] AS sv
+       |  FROM embeddings e CROSS JOIN ms),
+       |scoord AS (
+       |  SELECT vec_id, m, unnest(generate_series(1, len(sv))) AS i,
+       |    CAST(unnest(sv) AS DOUBLE) AS x
+       |  FROM sub),
+       |seeds AS (
+       |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS c,
+       |    sv
+       |  FROM sub WHERE vec_id % (SELECT stride FROM prm) = 0
+       |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= $PqK),
+       |pcent0 AS (
+       |  SELECT m, c, list_transform(sv, x -> CAST(x AS DOUBLE)) AS vals
+       |  FROM seeds),
+       |$iters,
+       |${assign(F, s"pcent$IvfIters")},
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, ct.m, ct.c,
+       |    list_sum(list_transform(generate_series(1, len(q.sv)),
+       |      i -> (CAST(q.sv[i] AS DOUBLE) - ct.vals[i])
+       |         * (CAST(q.sv[i] AS DOUBLE) - ct.vals[i]))) AS dsq
+       |  FROM sub q JOIN pcent$IvfIters ct ON ct.m = q.m
+       |  WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT l.q_id, a.vec_id AS c_id,
+       |    round(list_sum(list(l.dsq ORDER BY l.m)), 6) AS adist
+       |  FROM pa$F a JOIN lut l ON l.m = a.m AND l.c = a.c
+       |  WHERE a.vec_id != l.q_id
+       |  GROUP BY l.q_id, a.vec_id),
+       |r AS (
+       |  SELECT q_id, c_id, adist,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY adist ASC, c_id ASC) AS rn
+       |  FROM adc)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, c_id, adist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Embedding outliers: distance-to-centroid anomaly ranking
   // ----------------------------------------------------------------
 

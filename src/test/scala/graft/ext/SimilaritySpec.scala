@@ -124,6 +124,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.9, s"mean IVF recall $mean below 0.9 on clustered data")
   }
 
+  test("simPq: ADC retrieval stays within the query's cluster; model memoizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    // well-separated clusters: quantization collapses members onto
+    // shared codes, so the PQ guarantee here is CLUSTER-level — every
+    // retrieved candidate must come from the query's own cluster
+    val vecs = (for {
+      c <- 0 until 8
+      base = Array.fill(dim)(rnd.nextGaussian() * 3)
+      m <- 0 until 40
+    } yield ((c * 40 + m).toLong, base.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat), c)).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("simpq").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.simPq(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    // queries (vec_id < 5) all live in cluster 0 = ids [0, 40)
+    assert(rows.forall(r => r.getAs[Long]("c_id") < 40),
+      "PQ retrieved a candidate outside the query's cluster")
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      assert(rs.length == 10)
+      val ds = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "not ascending")
+    }
+    // deterministic replay + train-once memo
+    val before = Similarity.trainCount.get()
+    val again = Similarity.simPq(spark, tmp).collect()
+    assert(again.map(_.toString).sameElements(rows.map(_.toString)))
+    assert(Similarity.trainCount.get() == before, "second invocation retrained")
+  }
+
   test("embedOutlier: a planted far vector ranks first; ranking is deterministic") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("outlier-corpus").toString

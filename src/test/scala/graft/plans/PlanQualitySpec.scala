@@ -158,6 +158,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sim_pq: ADC scan is a distributed kernel + rank window, no product") {
+    val plan = graft.ext.Similarity.simPq(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-query top-k rides the rank-limit pushdown below the exchange
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("embed_outlier: one-row centroid broadcasts, top-k is TakeOrdered") {
     val plan = graft.ext.Similarity.embedOutlier(spark, dir)
       .queryExecution.executedPlan.toString
