@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_kmv_distinct" -> (Relational.aggKmvDistinct(_, _)),
     "agg_cms_freq" -> (Relational.aggCmsFreq(_, _)),
+    "agg_histogram_quantile" -> (Relational.aggHistogramQuantile(_, _)),
     "agg_percentile" -> (Relational.aggPercentile(_, _)),
     "agg_variance" -> (Relational.aggVariance(_, _)),
     "agg_pivot" -> (Relational.aggPivot(_, _)),
@@ -160,6 +161,9 @@ object SparkEntry {
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_kmv_distinct" -> Relational.aggKmvDistinctSql,
     "agg_cms_freq" -> Relational.aggCmsFreqSql,
+    // integer bin counts + deterministic edge arithmetic: the
+    // histogram sketch replays exactly, unlike approx_percentile
+    "agg_histogram_quantile" -> Relational.aggHistogramQuantileSql,
     "event_funnel" -> Relational.eventFunnelSql,
     "graph_pagerank" -> Graph.graphPagerankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,

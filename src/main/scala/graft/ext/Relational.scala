@@ -214,6 +214,84 @@ object Relational {
        |ORDER BY est.user_id""".stripMargin
   }
 
+  private val HistBins = 256
+  private val HistQs = Seq(0.5, 0.9, 0.99)
+
+  /** Mergeable HISTOGRAM quantile sketch: per event type, bin values
+    * into [[HistBins]] equal-width buckets over the observed [min,
+    * max] and answer quantiles from the cumulative bin counts (the
+    * lower edge of the first bin whose running count reaches
+    * ⌈q·n⌉). Completes the sketch family — KMV (distinct), CMS
+    * (frequency), histogram (quantile) — and, unlike
+    * `approx_percentile`'s engine-specific digest, the sketch is
+    * exactly replayable, so the GATE covers an approximate-quantile
+    * path: bin counts are integers (mergeable by addition across
+    * partitions/days — the reaggregation property percentile_exact
+    * lacks), and the only floats are the deterministic bin formula
+    * and edge arithmetic, computed in the identical IEEE order on
+    * both engines. Plan: two map-side-combinable aggs (range, bin
+    * counts) + a window over ≤ [[HistBins]] rows per group —
+    * sketch-scale state, no full sort of the data (exact
+    * `agg_percentile` keeps the full-sort contract).
+    */
+  def aggHistogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val rng = ev.groupBy("event_type").agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = ev.join(broadcast(rng), "event_type")
+      .select(col("event_type"),
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          least(lit(HistBins - 1),
+            floor((col("value") - col("mn")) * HistBins / (col("mx") - col("mn")))
+              .cast("int"))).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val cum = binned.withColumn("cum", sum(col("c")).over(wcum))
+    val probes = rng.select(col("event_type"), col("mn"), col("mx"), col("n"),
+      explode(array(HistQs.map(lit(_)): _*)).as("q"))
+    probes.join(cum, "event_type")
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("event_type"), col("q"), col("mn"), col("mx"))
+      .agg(min(col("bin")).as("bin_sel"))
+      .select(col("event_type"), col("q"),
+        round(col("mn") + col("bin_sel") * (col("mx") - col("mn")) / HistBins, 6)
+          .as("est"))
+      .orderBy("event_type", "q")
+  }
+
+  val aggHistogramQuantileSql: String =
+    s"""WITH rng AS (
+       |  SELECT event_type, min(value) AS mn, max(value) AS mx,
+       |    count(*) AS n
+       |  FROM events GROUP BY event_type),
+       |b AS (
+       |  SELECT e.event_type,
+       |    CASE WHEN r.mx = r.mn THEN 0
+       |         ELSE least(${HistBins - 1},
+       |           CAST(floor((e.value - r.mn) * $HistBins / (r.mx - r.mn))
+       |                AS INT))
+       |    END AS bin
+       |  FROM events e JOIN rng r ON r.event_type = e.event_type),
+       |bc AS (SELECT event_type, bin, count(*) AS c
+       |       FROM b GROUP BY event_type, bin),
+       |cum AS (
+       |  SELECT event_type, bin,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+       |  FROM bc),
+       |qs AS (SELECT unnest([${HistQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")}]) AS q),
+       |sel AS (
+       |  SELECT c.event_type, q.q, min(c.bin) AS bin_sel
+       |  FROM cum c JOIN rng r ON r.event_type = c.event_type
+       |  CROSS JOIN qs q
+       |  WHERE c.cum >= ceil(q.q * r.n)
+       |  GROUP BY c.event_type, q.q)
+       |SELECT s.event_type, s.q,
+       |  round(r.mn + s.bin_sel * (r.mx - r.mn) / $HistBins, 6) AS est
+       |FROM sel s JOIN rng r ON r.event_type = s.event_type
+       |ORDER BY s.event_type, s.q""".stripMargin
+
   def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)

@@ -162,6 +162,31 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("aggHistogramQuantile: estimates bracket the exact quantiles within a bin") {
+    val rows = Relational.aggHistogramQuantile(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // per type: estimates are monotone in q (cumulative counts can
+    // only move the selected bin rightward)
+    for ((_, rs) <- rows.groupBy(_._1)) {
+      assert(rs.length == 3)
+      val byQ = rs.sortBy(_._2).map(_._3)
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b })
+    }
+    // bin-width accuracy: the q-quantile estimate (lower bin edge)
+    // sits within one bin width below the exact quantile
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    for ((tpe, q, est) <- rows) {
+      val vs = ev.filter(_._1 == tpe).map(_._2).sorted
+      val exact = vs(math.min(vs.length - 1, math.ceil(q * vs.length).toInt - 1))
+      val width = (vs.last - vs.head) / 256
+      assert(est <= exact + 1e-9 && est >= exact - width - 1e-9,
+        s"$tpe q=$q: est $est vs exact $exact (width $width)")
+    }
+  }
+
   test("graphTriangles: exact counts on a crafted two-triangle graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tri-corpus").toString
