@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for training-data pipelines (north star):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * The `image` decode tier is REAL: [[ImageHeaderDecoder]] parses
-  * PNG/JPEG/GIF headers to true dimensions pure-JVM from the public
-  * specs. Pixel/sample decode for audio/video stays a clearly-marked
+  * The header decode tier is REAL: [[ImageHeaderDecoder]] parses
+  * PNG/JPEG/GIF headers to true dimensions and
+  * [[AudioHeaderDecoder]] parses WAV (RIFF/WAVE) headers to sample
+  * rate/channels/sample count, pure-JVM from the public specs.
+  * Pixel/sample decode and compressed codecs stay a clearly-marked
   * deterministic STUB behind [[MediaDecoder]] (ffmpeg-class codecs
   * don't ship in this offline environment); everything Spark-side —
   * binary column handling, schema, partitioned decode via
@@ -132,6 +134,71 @@ object Multimodal {
       else None
   }
 
+  /** Parsed WAV (RIFF/WAVE) header metadata. */
+  final case class AudioMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long)
+
+  /** REAL audio decode for the header tier: WAV `fmt `/`data` chunk
+    * parsing pure-JVM from the public RIFF/WAVE layout (channels,
+    * sample rate, bit depth; sample count from the data chunk size /
+    * block align). Compressed codecs (MP3/AAC/...) remain
+    * environment-blocked behind [[StubDecoder]].
+    */
+  object AudioHeaderDecoder {
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+        b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+    /** Walk the RIFF chunk list (word-aligned: odd chunk sizes pad
+      * one byte) collecting `fmt ` and `data`.
+      */
+    private[ext] def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+      var dataSize = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val size = le32(b, i + 4)
+        if (tag(b, i, "fmt ") && i + 24 <= b.length)
+          fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
+            le16(b, i + 20), le16(b, i + 22)))
+        else if (tag(b, i, "data"))
+          dataSize = math.min(size, (b.length - i - 8).toLong)
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      fmt.collect {
+        case (ch, rate, block, bits) if ch > 0 && rate > 0 && block > 0 && dataSize >= 0 =>
+          AudioMeta(rate, ch, bits, dataSize / block)
+      }
+    }
+  }
+
+  /** Header-tier router: image payloads through
+    * [[ImageHeaderDecoder]], WAV audio through [[AudioHeaderDecoder]]
+    * (the [[Decoded]] slots are kind-generic — audio reports
+    * (sample_rate, channels, n_samples) in (width, height, nFrames);
+    * a tagged-union boundary costs schema churn for no plan change),
+    * everything else to the documented stub.
+    */
+  object MediaHeaderDecoder extends MediaDecoder {
+    def decode(assetId: Long, kind: String, bytes: Array[Byte]): Decoded =
+      kind match {
+        case "audio" =>
+          AudioHeaderDecoder.wavMeta(bytes) match {
+            case Some(m) =>
+              Decoded(assetId, kind, m.sampleRate, m.channels,
+                math.min(m.nSamples, Int.MaxValue.toLong).toInt)
+            case None => StubDecoder.decode(assetId, kind, bytes)
+          }
+        case _ => ImageHeaderDecoder.decode(assetId, kind, bytes)
+      }
+  }
+
   /** Binary asset table synthesized from documents: `bytes` is the
     * UTF-8 payload, `kind` cycles image/audio/video, `meta` is the
     * typed metadata struct.
@@ -152,7 +219,7 @@ object Multimodal {
     */
   def decodeAssets(
       assets: DataFrame,
-      decoder: MediaDecoder = ImageHeaderDecoder): Dataset[Decoded] = {
+      decoder: MediaDecoder = MediaHeaderDecoder): Dataset[Decoded] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("kind"), col("bytes"))

@@ -93,6 +93,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L).width < 80) // stub range, not the PNG's true 9
   }
 
+  test("AudioHeaderDecoder: a JDK-written WAV decodes to true rate/channels/samples") {
+    import javax.sound.sampled._
+    val nSamples = 1234
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](nSamples * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val bytes = baos.toByteArray
+    assert(Multimodal.AudioHeaderDecoder.wavMeta(bytes)
+      .contains(Multimodal.AudioMeta(8000, 2, 16, nSamples.toLong)))
+    // non-WAV audio payloads still fall back to the documented stub
+    assert(Multimodal.AudioHeaderDecoder.wavMeta("not a riff".getBytes).isEmpty)
+    // and through the Spark decode path end-to-end
+    import spark.implicits._
+    val out = Multimodal.decodeAssets(
+      Seq((7L, "audio", bytes)).toDF("asset_id", "kind", "bytes"))
+      .collect().head
+    assert((out.width, out.height, out.nFrames) == (8000, 2, nSamples))
+  }
+
   test("mmFrames: offsets within payload, at most 8 frames, video only") {
     val rows = Multimodal.mmFrames(spark, dir).collect()
     assert(rows.nonEmpty)
