@@ -79,6 +79,7 @@ object SparkEntry {
     "sessionize" -> (Relational.sessionize(_, _)),
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
     "event_funnel" -> (Relational.eventFunnel(_, _)),
+    "event_sequences" -> (Relational.eventSequences(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
@@ -100,6 +101,7 @@ object SparkEntry {
     "text_bm25_multi" -> (TextAnalysis.textBm25Multi(_, _)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_vocab" -> (TextAnalysis.textVocab(_, _)),
+    "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -165,6 +167,7 @@ object SparkEntry {
     // histogram sketch replays exactly, unlike approx_percentile
     "agg_histogram_quantile" -> Relational.aggHistogramQuantileSql,
     "event_funnel" -> Relational.eventFunnelSql,
+    "event_sequences" -> Relational.eventSequencesSql,
     "graph_pagerank" -> Graph.graphPagerankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
@@ -205,6 +208,7 @@ object SparkEntry {
     "stream_join" -> graft.streaming.EventStreams.streamJoinSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
+    "quality_normalize" -> TextAnalysis.qualityNormalizeSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

@@ -214,6 +214,37 @@ object Relational {
        |ORDER BY est.user_id""".stripMargin
   }
 
+  /** Per-user event-TRACE assembly: the time-ordered event-type path
+    * (first 10 hops, '>'-joined) plus the event count — the
+    * interaction-sequence construction step a behavioral-training
+    * pipeline runs before tokenizing traces. `collect_list` into
+    * `array_sort` is THE sequence-assembly idiom: one hash agg keyed
+    * by user, state bounded by that user's events (per-key sequence
+    * scale — the operator's inherent memory contract; a pathological
+    * single-key corpus would cap or sessionize first, which
+    * `sessionize` demonstrates). Ordering is pinned by the unique
+    * (ts_ns, event_id) prefix of the sorted struct, so the assembled
+    * path is deterministic under any partitioning and replays in
+    * DuckDB's ordered list aggregate.
+    */
+  def eventSequences(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts_ns"), col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">",
+          slice(transform(array_sort(collect_list(col("e"))),
+            x => x("event_type")), 1, 10)).as("path10"))
+      .orderBy("user_id")
+
+  val eventSequencesSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  array_to_string(
+      |    (list(event_type ORDER BY epoch_ns(ts), event_id))[1:10], '>')
+      |    AS path10
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val HistBins = 256
   private val HistQs = Seq(0.5, 0.9, 0.99)
 

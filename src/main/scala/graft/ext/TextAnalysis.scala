@@ -660,6 +660,51 @@ object TextAnalysis {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Per-SOURCE percentile calibration of a quality signal: the
+    * stopword ratio's percent_rank within each source, plus the
+    * calibrated keep flag (drop the bottom 20% per source — too few
+    * stopwords reads as non-linguistic content, the Gopher-rule
+    * direction). Absolute thresholds misfire across heterogeneous
+    * sources (a ratio normal for forums is an outlier for code
+    * docs); rank normalization is the standard cross-source fix
+    * before any global gate. One stratum exchange, the rank and the
+    * flag ride the same window; the ratio is a single exact
+    * division, so ordering agrees bit-for-bit across engines and
+    * percent_rank replays deterministically (doc_id tie-break).
+    */
+  def qualityNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("stopword_ratio"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (size(filter(wordsCol, x => x.isin(stopwords: _*))).cast("double") /
+          size(wordsCol)).as("stopword_ratio"))
+      .withColumn("src_pct", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("src_pct") >= 0.2)
+      .select(col("doc_id"), col("source"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        col("src_pct"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityNormalizeSql: String = {
+    // the SAME unfiltered split as textQuality/wordsCol
+    val words = "string_split_regex(text, ' +')"
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter($words, w -> w IN ${sqlList(stopwords)}))
+       |         AS DOUBLE) / len($words) AS stopword_ratio
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, stopword_ratio,
+       |    round(percent_rank() OVER (PARTITION BY source
+       |      ORDER BY stopword_ratio, doc_id), 6) AS src_pct
+       |  FROM r)
+       |SELECT doc_id, source, round(stopword_ratio, 6) AS stopword_ratio,
+       |  src_pct, src_pct >= 0.2 AS keep
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // Corpus vocabulary: top-K terms + cumulative coverage (BPE prep)
   // ----------------------------------------------------------------

@@ -187,6 +187,32 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("eventSequences: path length = min(n, 10), deterministic assembly") {
+    val rows = Relational.eventSequences(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val hops = r.getString(2).split(">").length
+      assert(hops == math.min(r.getLong(1), 10L), s"user ${r.getLong(0)}")
+    }
+    val again = Relational.eventSequences(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(2))
+    assert(again.sameElements(rows.map(_.getString(2))), "assembly not deterministic")
+  }
+
+  test("qualityNormalize: percent_rank calibrates each source to the same keep rate") {
+    val rows = TextAnalysis.qualityNormalize(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    for ((src, rs) <- rows.groupBy(_.getString(1))) {
+      // 25 docs/source: percent_rank >= 0.2 keeps ranks 6..25 = 20
+      assert(rs.count(_.getBoolean(4)) == 20, s"source $src keep count")
+      val pct = rs.map(_.getDouble(3))
+      assert(pct.forall(p => p >= 0.0 && p <= 1.0))
+      // rank order follows the ratio order
+      val sorted = rs.sortBy(r => (r.getDouble(2), r.getLong(0))).map(_.getDouble(3))
+      assert(sorted.sameElements(sorted.sorted))
+    }
+  }
+
   test("graphTriangles: exact counts on a crafted two-triangle graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tri-corpus").toString
