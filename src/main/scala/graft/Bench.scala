@@ -89,7 +89,11 @@ object Bench {
     // overflows the budget, drop the CHEAPEST queries first (the
     // expensive ones are the ones worth reading) with an explicit
     // omitted count. The complete JSON goes to files.
-    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // decimal-comma locale would print malformed JSON
+    def r2(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val budget = 1800 // 2000 minus sbt's trailing "[success] ..." line
     def compact(keep: Int): String = {
       val kept = results.sortBy { case (_, c, _, ok) => if (ok) -c else 1.0 }

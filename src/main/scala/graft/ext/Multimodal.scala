@@ -159,17 +159,21 @@ object Multimodal {
       */
     private[ext] def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
       if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-      var i = 12
+      // walk in Long so a hostile 32-bit size can neither wrap the
+      // cursor negative nor stall it (malformed input must return
+      // None, not hang or throw — the stub fallback's contract)
+      var i = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
       var dataSize = -1L
       while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
-        val size = le32(b, i + 4)
-        if (tag(b, i, "fmt ") && i + 24 <= b.length)
-          fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
-            le16(b, i + 20), le16(b, i + 22)))
-        else if (tag(b, i, "data"))
-          dataSize = math.min(size, (b.length - i - 8).toLong)
-        i += 8 + size.toInt + (size.toInt & 1)
+        val at = i.toInt
+        val size = le32(b, at + 4) // unsigned 32-bit, always >= 0
+        if (tag(b, at, "fmt ") && i + 24 <= b.length)
+          fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
+            le16(b, at + 20), le16(b, at + 22)))
+        else if (tag(b, at, "data"))
+          dataSize = math.min(size, (b.length - i - 8))
+        i += 8L + size + (size & 1L)
       }
       fmt.collect {
         case (ch, rate, block, bits) if ch > 0 && rate > 0 && block > 0 && dataSize >= 0 =>

@@ -601,9 +601,12 @@ object Similarity {
       val cs = bcModel.value
       // per-query ADC tables: lut(q)(m)(k) = ||q_sub_m - c_mk||², the
       // one-time M·K·(dim/M) cost that makes each candidate O(M)
+      // tabulate to the TRAINED codebook sizes (a corpus with fewer
+      // than PqK vectors seeds fewer centroids; the oracle likewise
+      // only joins the centroids that exist)
       val luts = bcQueries.value.map { case (qid, qv) =>
         val d = qv.length / PqM
-        (qid, Array.tabulate(PqM, PqK) { (m, k) =>
+        (qid, Array.tabulate(PqM)(m => Array.tabulate(cs(m).length) { k =>
           val cv = cs(m)(k)
           var s = 0.0
           var i = 0
@@ -611,7 +614,7 @@ object Similarity {
             val diff = qv(m * d + i) - cv(i); s += diff * diff; i += 1
           }
           s
-        })
+        }))
       }
       it.flatMap { case (id, v) =>
         val d = v.length / PqM
@@ -651,7 +654,7 @@ object Similarity {
          |    list_sum(list_transform(generate_series(1, len(s.sv)),
          |      i -> (CAST(s.sv[i] AS DOUBLE) - ct.vals[i])
          |         * (CAST(s.sv[i] AS DOUBLE) - ct.vals[i]))) AS d
-         |  FROM sub s JOIN pcent${t - 1} ct ON ct.m = s.m),
+         |  FROM sub s JOIN $prev ct ON ct.m = s.m),
          |pa$t AS (
          |  SELECT vec_id, m, c FROM (
          |    SELECT vec_id, m, c,

@@ -204,6 +204,21 @@ object EventStreams {
       |GROUP BY hour_s, segment
       |ORDER BY hour_s, segment""".stripMargin
 
+  /** Gate-scale STATE sizing: stateful streaming operators pay
+    * per-partition-per-batch state-store overhead (provision, commit,
+    * snapshot), so a replay whose whole state is tens of thousands of
+    * rows wants few state partitions — 32 buys no parallelism there
+    * and quadruples the machinery. Production sizes this by
+    * throughput per the usual guidance; the override is scoped to
+    * the streaming query's planning and restored after.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Stream-STREAM interval join: views joined to the purchases that
     * follow them within one hour for the same user — the
     * attribution-window primitive. Both sides carry watermarks and
@@ -222,21 +237,6 @@ object EventStreams {
     * at µs precision on both sides (the ns→µs truncation happens at
     * the source), and the lag is emitted as µs BIGINT.
     */
-  /** Gate-scale STATE sizing: stateful streaming operators pay
-    * per-partition-per-batch state-store overhead (provision, commit,
-    * snapshot), so a replay whose whole state is tens of thousands of
-    * rows wants few state partitions — 32 buys no parallelism there
-    * and quadruples the machinery. Production sizes this by
-    * throughput per the usual guidance; the override is scoped to
-    * the streaming query's planning and restored after.
-    */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
-  }
-
   def streamJoin(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 8) {
     val staged = stagedEventsDir(dir)
     val views = readEventStream(spark, staged)

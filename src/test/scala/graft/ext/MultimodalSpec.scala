@@ -107,6 +107,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .contains(Multimodal.AudioMeta(8000, 2, 16, nSamples.toLong)))
     // non-WAV audio payloads still fall back to the documented stub
     assert(Multimodal.AudioHeaderDecoder.wavMeta("not a riff".getBytes).isEmpty)
+    // hostile chunk sizes must return None, not hang or throw: a
+    // size of 0xFFFFFFF8 would stall an Int cursor (+= 0), and
+    // 0x80000000 would wrap it negative
+    for (hostile <- Seq(0xFFFFFFF8L, 0x80000000L)) {
+      val evil = java.util.Arrays.copyOf(bytes, 64)
+      System.arraycopy("junk".getBytes, 0, evil, 12, 4) // unknown chunk id
+      for (k <- 0 until 4) evil(16 + k) = ((hostile >> (8 * k)) & 0xff).toByte
+      assert(Multimodal.AudioHeaderDecoder.wavMeta(evil).isEmpty,
+        s"hostile size 0x${hostile.toHexString} not rejected")
+    }
     // and through the Spark decode path end-to-end
     import spark.implicits._
     val out = Multimodal.decodeAssets(

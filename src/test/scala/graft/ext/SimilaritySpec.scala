@@ -156,6 +156,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.trainCount.get() == before, "second invocation retrained")
   }
 
+  test("simPq: a corpus smaller than the codebook width still answers") {
+    import spark.implicits._
+    // n < PqK seeds fewer than 16 centroids per subspace; the LUT
+    // must size to the trained codebook, not the nominal K
+    val tmp = java.nio.file.Files.createTempDirectory("simpq-small").toString
+    val rnd = new scala.util.Random(3)
+    (0L until 8L).map(id => (id, Array.fill(16)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.simPq(spark, tmp).collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length == 7)) // 8 - self
+  }
+
   test("embedOutlier: a planted far vector ranks first; ranking is deterministic") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("outlier-corpus").toString
