@@ -125,6 +125,7 @@ object SparkEntry {
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
     "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
+    "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
@@ -244,6 +245,7 @@ object SparkEntry {
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
+    "pipeline_shard" -> PipelineOps.pipelineShardSql,
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,

@@ -133,6 +133,54 @@ object PipelineOps {
        |FROM c WHERE cum_tokens <= $TokenBudget
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  private val NumShards = 8
+
+  /** Output SHARD assignment + balance accounting: docs hash to
+    * [[NumShards]] shards (the reproducible, coordination-free way a
+    * distributed writer lays out training files — greedy LPT packing
+    * is sequential and order-dependent, hash sharding is neither),
+    * and the relation reports each shard's doc/token load plus its
+    * load ratio against the mean. The ratio is the number a pipeline
+    * alerts on: hash sharding concentrates nothing, so ratios far
+    * from 1 mean pathological documents, not bad luck. Rowwise hash,
+    * one agg, one 8-row presentation sort; the ratio uses integer
+    * total/count (no avg() — engines disagree in the last ulp on
+    * incremental means, exact integers they cannot).
+    */
+  def pipelineShard(spark: SparkSession, dir: String): DataFrame = {
+    val shards = docs(spark, dir)
+      .select(
+        (TextAnalysis.polyHashCol(col("doc_id").cast("string")) % NumShards)
+          .as("shard"),
+        size(expr("filter(split(text, ' +'), x -> x != '')"))
+          .cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val totals = shards.agg(
+      sum(col("n_tokens")).as("t"), count(lit(1)).as("c"))
+    shards.crossJoin(broadcast(totals))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") * col("c") / col("t"), 6)
+          .as("load_ratio"))
+      .orderBy("shard")
+  }
+
+  val pipelineShardSql: String =
+    s"""WITH h AS (
+       |  SELECT
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} % $NumShards
+       |      AS shard,
+       |    len(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+       |      AS toks
+       |  FROM documents),
+       |s AS (SELECT shard, count(*) AS n_docs, sum(toks) AS n_tokens
+       |      FROM h GROUP BY shard),
+       |t AS (SELECT sum(n_tokens) AS t, count(*) AS c FROM s)
+       |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) * c / t, 6) AS load_ratio
+       |FROM s, t ORDER BY shard""".stripMargin
+
   /** The end-to-end prep pipeline as ONE verified relation:
     * quality-filter → exact dedup (keep the minimum doc id per
     * SHA-256 digest) → near-dup canonicalization (one representative

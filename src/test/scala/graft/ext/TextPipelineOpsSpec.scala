@@ -213,6 +213,16 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pipelineShard: loads partition the corpus exactly, ratios centre on 1") {
+    val rows = PipelineOps.pipelineShard(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    assert(rows.map(_.getLong(1)).sum == 500L) // every doc lands somewhere
+    val ratios = rows.map(_.getDouble(3))
+    // load_ratio is tokens / mean-tokens-per-shard: averages to ~1
+    assert(math.abs(ratios.sum / ratios.length - 1.0) < 1e-4)
+    assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
+  }
+
   test("graphTriangles: exact counts on a crafted two-triangle graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tri-corpus").toString
