@@ -62,7 +62,8 @@ object Bench {
     // model, cluster labeling) rather than recomputing: their hot
     // numbers are SERVE time, not compute time — tagged so readers
     // don't compare them against recomputing queries (ADVICE r3).
-    val memoized = Seq("sim_ivf", "sim_pq", "dedup_cluster", "pipeline_prep")
+    val memoized = Seq("sim_ivf", "sim_pq", "dedup_cluster", "pipeline_prep",
+      "graph_pagerank", "graph_triangles")
       .filter(SparkEntry.queries.contains).map(q => s"\"$q\"")
       .mkString("[", ",", "]")
     // The reference-semantics subset (the document pipeline — the

@@ -630,7 +630,7 @@ object Dedup {
     */
   private val fallbackIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
-  private def sessionId(spark: SparkSession): String =
+  private[ext] def sessionId(spark: SparkSession): String =
     org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark).getOrElse(
       fallbackIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString))
 

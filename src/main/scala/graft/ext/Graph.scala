@@ -30,36 +30,58 @@ object Graph {
   private val PrIters = 3
   private val PrTopK = 20
 
+  /** The graph family's INDEX BUILD: the symmetric co-occurrence
+    * edge set, derived once per (session, corpus) and eagerly
+    * localCheckpointed, then SHARED by [[graphPagerank]] (uses it
+    * whole) and [[graphTriangles]] (its canonical a<b half) — the
+    * same build-once/query-many split as the IVF/PQ models and the
+    * cluster labeling, and the same memo discipline (sessionUUID +
+    * metadata fingerprint, wholesale clear past 16 corpora). Hot
+    * invocations serve the checkpointed frame; the bench tags both
+    * graph queries `memoized_hot` accordingly.
+    *
+    * Deterministic order-subset (12.5%): co-occurrence graphs grow
+    * ~quadratically in items-per-group, so the gate queries bound
+    * the self-join fan-out explicitly rather than relying on corpus
+    * shape; the full-corpus run is the same plan minus the filter
+    * (measured 4x cost at sf0.1).
+    */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[ext] val edgeBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    if (edgeCache.size > 16) edgeCache.clear()
+    edgeCache.getOrElseUpdate(
+      (Dedup.sessionId(spark), Tables.fingerprint(spark, dir, "lineitem")), {
+        edgeBuildCount.incrementAndGet()
+        val li = Tables.table(spark, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(8)) === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey"))
+        li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .localCheckpoint(true)
+      })
+  }
+
   /** PageRank top-[[PrTopK]] parts after [[PrIters]] damped
-    * iterations. Scale shape: the edge set is derived once and
-    * eagerly localCheckpointed (three iterations would otherwise
-    * re-run the self-join per round); each iteration is one
+    * iterations over the shared [[edges]] set. Each iteration is one
     * equi-join + hash agg on the destination key; the node count is
     * the only driver scalar (the IVF model-scale pattern). The
     * symmetric co-occurrence edge set has no dangling nodes, so no
     * mass-redistribution term is needed.
     */
-  /** Deterministic order-subset the graph is induced from (12.5%):
-    * co-occurrence graphs grow ~quadratically in items-per-group, so
-    * a registered gate query bounds the self-join fan-out explicitly
-    * rather than relying on corpus shape; the full-corpus run is the
-    * same plan minus the filter (measured 4x cost at sf0.1).
-    */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .filter(pmod(col("l_orderkey"), lit(8)) === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    val edges = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-      .localCheckpoint(true)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val es = edges(spark, dir)
+    val deg = es.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = es.select(col("src").as("node")).distinct()
     val n = nodes.count() // driver scalar: node count only
     val base = BaseNum / n
     var rank = nodes.select(col("node"), lit(Scale / n).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
+      val contrib = es
         .join(deg, "src")
         .join(rank.select(col("node").as("src"), col("r")), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
@@ -95,18 +117,14 @@ object Graph {
     * "last reducer" hub problem).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .filter(pmod(col("l_orderkey"), lit(8)) === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    // canonical a < b: each undirected co-occurrence edge once
-    val edges = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-      .localCheckpoint(true) // derived once; three self-joins below
-    val wedge = edges.toDF("a", "b")
-      .join(edges.toDF("b", "c"), "b")
+    // canonical a < b: each undirected co-occurrence edge once — the
+    // a<b half of the shared symmetric [[edges]] set
+    val canon = edges(spark, dir)
+      .filter(col("src") < col("dst")).toDF("a", "b")
+    val wedge = canon
+      .join(canon.toDF("b", "c"), "b")
       .filter(col("a") < col("b")) // rebind sanity: a<b<c by construction
-    val tri = wedge.join(edges.toDF("a", "c"), Seq("a", "c"))
+    val tri = wedge.join(canon.toDF("a", "c"), Seq("a", "c"))
       .select("a", "b", "c")
     val perNode = tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))

@@ -223,6 +223,15 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("graph edge set builds once per corpus, shared by pagerank and triangles") {
+    val d = "/root/testdata/sf0.001"
+    Graph.graphPagerank(spark, d).collect()
+    val after = Graph.edgeBuildCount.get()
+    Graph.graphTriangles(spark, d).collect()
+    Graph.graphPagerank(spark, d).collect()
+    assert(Graph.edgeBuildCount.get() == after, "edge memo rebuilt")
+  }
+
   test("graphTriangles: exact counts on a crafted two-triangle graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tri-corpus").toString
