@@ -114,8 +114,12 @@ object Bench {
     println(line)
     // The file copies are the always-parseable round artifacts:
     // target/ is gitignored, so also write a repo-root copy that the
-    // driver's end-of-round commit captures.
-    for (p <- Seq("target/bench.json", "BENCH_FULL.json")) {
+    // driver's end-of-round commit captures. A SPARK_GRAFT_ONLY
+    // filtered run must not clobber the full-suite artifact.
+    val artifacts =
+      if (only.isEmpty) Seq("target/bench.json", "BENCH_FULL.json")
+      else Seq("target/bench.json")
+    for (p <- artifacts) {
       try {
         val out = java.nio.file.Paths.get(p)
         Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))

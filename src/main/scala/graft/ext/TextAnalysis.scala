@@ -671,6 +671,12 @@ object TextAnalysis {
     * flag ride the same window; the ratio is a single exact
     * division, so ordering agrees bit-for-bit across engines and
     * percent_rank replays deterministically (doc_id tie-break).
+    * Scale boundary: a window partition is one task, so a single
+    * multi-TB source outgrows exact percent_rank — the scale path
+    * replaces the rank with per-source histogram-sketch percentiles
+    * (the [[Relational.aggHistogramQuantile]] bins), trading the
+    * exact rank for mergeable-sketch calibration at the same
+    * contract shape.
     */
   def qualityNormalize(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
