@@ -223,6 +223,28 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("round-5 operators are shuffle-partition-count invariant") {
+    val d = "/root/testdata/sf0.001"
+    def withPartitions[T](n: Int)(f: => T): T = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, prev)
+    }
+    val queries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("dedup_spans", () => Dedup.dedupSpans(spark, d)),
+      ("embed_outlier", () => Similarity.embedOutlier(spark, d)),
+      ("agg_histogram_quantile", () => Relational.aggHistogramQuantile(spark, d)),
+      ("sample_token_budget", () => PipelineOps.sampleTokenBudget(spark, d)),
+      ("text_vocab", () => TextAnalysis.textVocab(spark, d)),
+      ("pipeline_shard", () => PipelineOps.pipelineShard(spark, d)))
+    for ((name, fn) <- queries) {
+      val narrow = withPartitions(3)(fn().collect().map(_.toString))
+      val wide = withPartitions(17)(fn().collect().map(_.toString))
+      assert(narrow.sameElements(wide), s"$name varies with partition count")
+    }
+  }
+
   test("graph edge set builds once per corpus, shared by pagerank and triangles") {
     val d = "/root/testdata/sf0.001"
     Graph.graphPagerank(spark, d).collect()
