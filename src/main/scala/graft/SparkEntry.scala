@@ -102,6 +102,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_vocab" -> (TextAnalysis.textVocab(_, _)),
     "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
+    "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -210,6 +211,9 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
     "quality_normalize" -> TextAnalysis.qualityNormalizeSql,
+    // order-pinned folds + the BM25 ln/round discipline: the trained
+    // bigram LM and its scores replay exactly
+    "text_lm_score" -> TextAnalysis.textLmScoreSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

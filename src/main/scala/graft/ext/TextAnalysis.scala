@@ -711,6 +711,90 @@ object TextAnalysis {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Bigram language-model quality score — the CCNet/KenLM filter
+    * shape: train add-one-smoothed bigram statistics on the hash
+    * train split (bucket < 8, the [[PipelineOps.splitAssign]]
+    * derivation) and score each held-out doc by its average bigram
+    * log-probability, ln((c12 + 1) / (c1 + V)). Low scores flag
+    * text the corpus's own language model finds surprising —
+    * gibberish, wrong-language, boilerplate — the classic
+    * perplexity-filter signal, here with the LM trained and applied
+    * in one engine pass.
+    *
+    * Scale shape: two map-side-combinable count aggs over train
+    * bigrams (the "model"), eval bigrams join them by key (counts
+    * move, never text), the vocab size broadcasts as one row, and
+    * the per-doc average uses the suite's order-pinned fold
+    * (sort_array(collect_list) + aggregate) so float addition order
+    * cannot vary with partitioning. ln and /-then-round(6dp) follow
+    * the BM25 cross-engine discipline.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir)
+      .withColumn("is_train",
+        polyHashCol(col("doc_id").cast("string")) % 10 < 8)
+      .select(col("doc_id"), col("is_train"),
+        expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+      .select(col("doc_id"), col("is_train"), posexplode(expr(
+        """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+        .as(Seq("pos", "b")))
+      .select(col("doc_id"), col("is_train"), col("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bg.filter(col("is_train"))
+    val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.select(col("w1").as("w"))
+      .union(train.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.filter(!col("is_train"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("logp", log(
+        (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).cast("long").as("n_bigrams"),
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, x) => acc + x.getField("logp")) / size(col("parts")), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws,
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 AS is_train
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, is_train, bi - 1 AS pos, ws[bi] AS w1, ws[bi + 1] AS w2
+       |  FROM (SELECT doc_id, is_train, ws,
+       |          unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS bi
+       |        FROM w)),
+       |tr AS (SELECT w1, w2 FROM bg WHERE is_train),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY w1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM
+       |        (SELECT w1 AS w FROM tr UNION ALL SELECT w2 FROM tr)),
+       |ev AS (
+       |  SELECT b.doc_id, b.pos,
+       |    ln((coalesce(c12.c12, 0) + 1.0)
+       |       / (coalesce(c1.c1, 0) + (SELECT v FROM vv))) AS logp
+       |  FROM bg b
+       |  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+       |  LEFT JOIN c1 ON c1.w1 = b.w1
+       |  WHERE NOT b.is_train)
+       |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_bigrams,
+       |  round(list_sum(l) / len(l), 6) AS avg_logp
+       |FROM (SELECT doc_id, list(logp ORDER BY pos) AS l
+       |      FROM ev GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   // Corpus vocabulary: top-K terms + cumulative coverage (BPE prep)
   // ----------------------------------------------------------------

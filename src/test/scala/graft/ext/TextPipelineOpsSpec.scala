@@ -223,6 +223,27 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("textLmScore: scores only held-out docs, log-probs negative, gibberish scores lower") {
+    def bucket(id: Long): Long =
+      id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L) % 10
+    val rows = TextAnalysis.textLmScore(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => bucket(r.getLong(0)) >= 8), "a train doc was scored")
+    assert(rows.forall(_.getDouble(2) < 0.0), "a log-probability average >= 0")
+    // an in-distribution doc must outscore out-of-vocabulary
+    // gibberish. Hash buckets: ids 3, 4 train (< 8); 0, 1 eval (>= 8)
+    val trainText = ("the cat sat on the mat " * 10).trim
+    val dir = corpus(Seq(
+      (3L, trainText, "s"), (4L, trainText, "s"),
+      (0L, trainText, "s"),                        // eval: same distribution
+      (1L, "zq xv qk jw zz yy xx ww vv uu", "s"))) // eval: unseen bigrams
+    val out = TextAnalysis.textLmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(0L, 1L), s"expected only eval docs, got ${out.keySet}")
+    assert(out(0L) > out(1L),
+      s"in-distribution ${out(0L)} not above gibberish ${out(1L)}")
+  }
+
   test("round-5 operators are shuffle-partition-count invariant") {
     val d = "/root/testdata/sf0.001"
     def withPartitions[T](n: Int)(f: => T): T = {
