@@ -80,6 +80,7 @@ object SparkEntry {
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
     "event_funnel" -> (Relational.eventFunnel(_, _)),
     "event_sequences" -> (Relational.eventSequences(_, _)),
+    "event_retention" -> (Relational.eventRetention(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
@@ -170,6 +171,7 @@ object SparkEntry {
     "agg_histogram_quantile" -> Relational.aggHistogramQuantileSql,
     "event_funnel" -> Relational.eventFunnelSql,
     "event_sequences" -> Relational.eventSequencesSql,
+    "event_retention" -> Relational.eventRetentionSql,
     "graph_pagerank" -> Graph.graphPagerankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,

@@ -214,6 +214,59 @@ object Relational {
        |ORDER BY est.user_id""".stripMargin
   }
 
+  private val RetentionMaxWeeks = 4L
+
+  /** Weekly cohort RETENTION: users cohort by their first-event week,
+    * and each (cohort, week-offset) cell reports how many of them
+    * were active offset weeks later and the retained fraction — the
+    * canonical product-analytics triangle view. Three
+    * map-side-combinable aggs (first week per user, distinct active
+    * (user, week), cohort sizes) meeting in user- and cohort-keyed
+    * equi-joins; weeks are epoch-second BIGINTs (date_trunc('week')
+    * starts Monday in both engines) and offsets exact integer
+    * division, so the relation replays bit-for-bit.
+    */
+  def eventRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("week", col("ts"))).as("week_s"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week_s")).as("cohort_s"))
+    val sizes = cohorts.groupBy("cohort_s").agg(count(lit(1)).as("cohort_n"))
+    weeks.join(cohorts, "user_id")
+      .select(col("cohort_s"),
+        ((col("week_s") - col("cohort_s")) / 604800L).cast("long").as("offset"))
+      .filter(col("offset") <= RetentionMaxWeeks)
+      .groupBy("cohort_s", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_s")
+      .select(col("cohort_s"), col("offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_n"), 6)
+          .as("retained_frac"))
+      .orderBy("cohort_s", "offset")
+  }
+
+  val eventRetentionSql: String =
+    s"""WITH weeks AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week_s
+       |  FROM events),
+       |cohorts AS (
+       |  SELECT user_id, min(week_s) AS cohort_s FROM weeks GROUP BY user_id),
+       |sizes AS (
+       |  SELECT cohort_s, count(*) AS cohort_n FROM cohorts GROUP BY cohort_s),
+       |cells AS (
+       |  SELECT c.cohort_s, (w.week_s - c.cohort_s) // 604800 AS "offset",
+       |    count(*) AS n_active
+       |  FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
+       |  WHERE (w.week_s - c.cohort_s) // 604800 <= $RetentionMaxWeeks
+       |  GROUP BY c.cohort_s, (w.week_s - c.cohort_s) // 604800)
+       |SELECT cells.cohort_s, CAST("offset" AS BIGINT) AS "offset",
+       |  CAST(n_active AS BIGINT) AS n_active,
+       |  round(CAST(n_active AS DOUBLE) / sizes.cohort_n, 6) AS retained_frac
+       |FROM cells JOIN sizes ON sizes.cohort_s = cells.cohort_s
+       |ORDER BY cells.cohort_s, "offset"""".stripMargin
+
   /** Per-user event-TRACE assembly: the time-ordered event-type path
     * (first 10 hops, '>'-joined) plus the event count — the
     * interaction-sequence construction step a behavioral-training

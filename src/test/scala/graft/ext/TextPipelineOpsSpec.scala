@@ -187,6 +187,23 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("eventRetention: offset-0 retention is exactly 1, fractions bounded") {
+    val rows = Relational.eventRetention(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (offset, frac) = (r.getLong(1), r.getDouble(3))
+      assert(offset >= 0 && frac > 0.0 && frac <= 1.0)
+      // every cohort member is active in their own first week
+      if (offset == 0) assert(frac == 1.0, s"cohort ${r.getLong(0)} offset 0")
+    }
+    // later offsets can never retain more users than the cohort has
+    val byCohort = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- byCohort) {
+      val base = rs.find(_.getLong(1) == 0).map(_.getLong(2))
+      assert(base.forall(b => rs.forall(_.getLong(2) <= b)))
+    }
+  }
+
   test("eventSequences: path length = min(n, 10), deterministic assembly") {
     val rows = Relational.eventSequences(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
