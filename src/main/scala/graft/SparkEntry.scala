@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_contamination" -> (Dedup.dedupContamination(_, _)),
     "dedup_spans" -> (Dedup.dedupSpans(_, _)),
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
+    "dedup_editdist" -> (Dedup.dedupEditDistance(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
@@ -237,6 +238,9 @@ object SparkEntry {
     // batch-vs-corpus banding finds the same pairs the brute-force
     // cross-split Jaccard oracle computes
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
+    // deletion-neighborhood candidates ⊇ all lev≤1 pairs (SymSpell
+    // completeness), exact verify == the brute-force oracle
+    "dedup_editdist" -> Dedup.dedupEditDistanceSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,

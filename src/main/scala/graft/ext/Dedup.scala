@@ -1024,4 +1024,78 @@ object Dedup {
        |SELECT old_doc, new_doc, jaccard FROM pairs
        |WHERE jaccard >= $JaccardThreshold
        |ORDER BY old_doc, new_doc""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Edit-distance near-dup join: deletion-neighborhood candidates
+  // ----------------------------------------------------------------
+
+  private val EditSigWords = 20
+  private val EditMaxDist = 1
+
+  /** Condensed per-doc signature: the initial letter of each of the
+    * first [[EditSigWords]] words. Bounds the deletion-neighborhood
+    * blow-up to ≤ 21 slim variants per document regardless of text
+    * length, while still separating documents that diverge early.
+    */
+  private[ext] def editSignature: Column =
+    array_join(
+      transform(slice(split(col("text"), " +"), 1, EditSigWords),
+        w => w.substr(lit(1), lit(1))), "")
+
+  /** Edit-distance ≤ 1 near-dup JOIN without the O(n²) cross
+    * product, via deletion neighborhoods (the SymSpell dictionary
+    * technique, Garbe 2012 — public algorithm): two strings within
+    * Levenshtein distance 1 always share a member of their
+    * ≤ 1-deletion variant sets (equal strings share the string
+    * itself; a substitution at position i meets at both-deleted-i;
+    * an insertion's variant set contains the shorter string). So an
+    * equi-join on exploded variants is a complete candidate
+    * generator, and an exact `levenshtein` verify over candidates
+    * only removes the distance-2 false positives.
+    *
+    * 100 TB shape: variants are ≤ 21 rows of ≤ 20 chars per
+    * document (constant fan-out, no vector/text payload on the
+    * wire), the self-join is a hash equi-join on the variant
+    * string, and the exact verify sees candidate pairs only — the
+    * same candidates→verify architecture as [[dedupMinhash]]. Hot
+    * variants (shared template prefixes) would skew the join at
+    * scale; the salting recipe from `join_salted` applies verbatim
+    * to the `v` key.
+    */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"), editSignature.as("sig"))
+    val deletions = transform(sequence(lit(1), length(col("sig"))), i =>
+      concat(col("sig").substr(lit(1), i - 1),
+        col("sig").substr(i + 1, length(col("sig")) - i)))
+    val variants = keyed.select(col("doc_id"), col("sig"),
+      explode(array_distinct(concat(array(col("sig")), deletions))).as("v"))
+    val a = variants.select(
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("v"))
+    val b = variants.select(
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .filter(levenshtein(col("sig_a"), col("sig_b")) <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("sig_a"), col("sig_b")).cast("long").as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: brute-force all-pairs Levenshtein over the same
+    * signature (valid at verification scale; both engines implement
+    * the same Levenshtein definition, proven by `text_edit_distance`).
+    */
+  val dedupEditDistanceSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(
+       |      string_split_regex(text, ' +')[1:$EditSigWords],
+       |      w -> substr(w, 1, 1)), 'string_agg', '') AS sig
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS edit_dist
+       |FROM k a JOIN k b ON a.doc_id < b.doc_id
+       |WHERE levenshtein(a.sig, b.sig) <= $EditMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

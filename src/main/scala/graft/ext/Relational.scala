@@ -267,6 +267,56 @@ object Relational {
        |FROM cells JOIN sizes ON sizes.cohort_s = cells.cohort_s
        |ORDER BY cells.cohort_s, "offset"""".stripMargin
 
+  private val AnomalyZ = 2L
+
+  /** Daily-volume anomaly detection: days whose event count sits
+    * more than [[AnomalyZ]] sample standard deviations from that
+    * event type's mean — the monitoring primitive a pipeline runs
+    * over ingest volumes before training on a day's data. The
+    * |z| > Z test is evaluated ENTIRELY in BIGINT arithmetic
+    * (z² > Z² rewritten with n·Σx and n·Σx² so no division or
+    * sqrt appears): counts are integers, so the flag is exact and
+    * order-independent — no float-accumulation drift between
+    * engines, unlike a stddev_samp comparison. Plan: two
+    * map-side-combinable hash aggs (daily counts, per-type moment
+    * sums) + a broadcast join of the type-cardinality stats side —
+    * the daily relation never re-shuffles and there is no window.
+    */
+  def eventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    val dev = col("cnt") * col("n") - col("s")
+    daily.join(broadcast(stats), "event_type")
+      .filter(dev * dev * (col("n") - 1) >
+        lit(AnomalyZ * AnomalyZ) * col("n") *
+          (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("day_s"), col("cnt"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "day_s")
+  }
+
+  val eventAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, count(*) AS n, sum(cnt) AS s,
+       |    sum(cnt * cnt) AS q
+       |  FROM daily GROUP BY 1)
+       |SELECT d.event_type, d.day_s, d.cnt,
+       |  CASE WHEN d.cnt * st.n > st.s THEN 'high' ELSE 'low' END AS side
+       |FROM daily d JOIN st USING (event_type)
+       |WHERE (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s) * (st.n - 1)
+       |  > ${AnomalyZ * AnomalyZ} * st.n * (st.n * st.q - st.s * st.s)
+       |ORDER BY event_type, day_s""".stripMargin
+
   /** Per-user event-TRACE assembly: the time-ordered event-type path
     * (first 10 hops, '>'-joined) plus the event count — the
     * interaction-sequence construction step a behavioral-training

@@ -252,4 +252,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("deletion-neighborhood join finds every edit type, none beyond d=1") {
+    import spark.implicits._
+    // single-letter words make the signature readable: sig("a b c") = "abc"
+    val tmp = java.nio.file.Files.createTempDirectory("editdist").toString
+    Seq(
+      (1L, "a b c d e"),   // base          sig abcde
+      (2L, "a b x d e"),   // substitution  sig abxde  (d=1 vs 1)
+      (3L, "a b c d"),     // deletion      sig abcd   (d=1 vs 1)
+      (4L, "a b c d e f"), // insertion     sig abcdef (d=1 vs 1; d=2 vs 3)
+      (5L, "z z z z"),     // unrelated
+      (6L, "a b c d e"))   // exact dup     (d=0 vs 1)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupEditDistance(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 6L, 0L),
+      (2L, 6L, 1L), (3L, 6L, 1L), (4L, 6L, 1L)))
+  }
+
+  test("deletion-neighborhood join equals the O(n²) brute force on the corpus") {
+    import org.apache.spark.sql.functions._
+    val sigs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.editSignature.as("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+    val brute = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b") &&
+        levenshtein(col("sa"), col("sb")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("sa"), col("sb")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prod = Dedup.dedupEditDistance(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(prod.nonEmpty)
+    assert(prod == brute)
+  }
 }

@@ -151,6 +151,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dedup_editdist: variant join is a hash equi-join, no product") {
+    val plan = graft.ext.Dedup.dedupEditDistance(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dedup_incremental: band join is batch x corpus equi, verify has no product") {
     val plan = graft.ext.Dedup.dedupIncremental(spark, dir)
       .queryExecution.executedPlan.toString
