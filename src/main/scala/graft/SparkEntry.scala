@@ -81,6 +81,7 @@ object SparkEntry {
     "event_funnel" -> (Relational.eventFunnel(_, _)),
     "event_sequences" -> (Relational.eventSequences(_, _)),
     "event_retention" -> (Relational.eventRetention(_, _)),
+    "event_anomaly" -> (Relational.eventAnomaly(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
@@ -173,6 +174,8 @@ object SparkEntry {
     "event_funnel" -> Relational.eventFunnelSql,
     "event_sequences" -> Relational.eventSequencesSql,
     "event_retention" -> Relational.eventRetentionSql,
+    // BIGINT-exact z² inequality: no float stddev to drift between engines
+    "event_anomaly" -> Relational.eventAnomalySql,
     "graph_pagerank" -> Graph.graphPagerankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,

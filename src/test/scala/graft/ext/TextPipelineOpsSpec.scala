@@ -204,6 +204,27 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("eventAnomaly: flags the spike high, the dip low, constant series never") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("anom").toString
+    def day(tpe: String, d: Int, n: Int): Seq[(java.sql.Timestamp, String)] =
+      (1 to n).map(_ =>
+        (java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), tpe))
+    // spike: nine days of 10 plus one 40 (z = +2.85); dip: nine days
+    // of 20 plus one 5 (z = -2.85); flat: zero variance, never flags
+    val data =
+      (1 to 10).flatMap(d => day("spike", d, if (d == 9) 40 else 10)) ++
+      (1 to 10).flatMap(d => day("dip", d, if (d == 10) 5 else 20)) ++
+      (1 to 10).flatMap(d => day("flat", d, 7))
+    data.zipWithIndex
+      .map { case ((ts, tpe), i) => (i.toLong, ts, 1L, tpe, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Relational.eventAnomaly(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(("dip", 5L, "low"), ("spike", 40L, "high")))
+  }
+
   test("eventSequences: path length = min(n, 10), deterministic assembly") {
     val rows = Relational.eventSequences(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
