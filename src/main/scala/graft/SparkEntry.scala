@@ -59,6 +59,7 @@ object SparkEntry {
     "join_anti" -> (Relational.joinAnti(_, _)),
     "join_range" -> (Relational.joinRange(_, _)),
     "join_salted" -> (Relational.joinSalted(_, _)),
+    "join_bloom" -> (Relational.joinBloom(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -162,6 +163,8 @@ object SparkEntry {
     "join_anti" -> Relational.joinAntiSql,
     "join_range" -> Relational.joinRangeSql,
     "join_salted" -> Relational.joinSaltedSql,
+    // the bloom prune is exact-join-verified ⟹ transparent to the oracle
+    "join_bloom" -> Relational.joinBloomSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

@@ -946,6 +946,48 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Bloom-pruned fact join ([[graft.functions.BloomSketch]]): the
+    * selective dim side (urgent 1996 orders, ~3% of the table) folds
+    * its keys into ONE 8 KiB bit array via the distributed
+    * Aggregator (partial buffers OR-merge map-side; the driver sees
+    * a single row), and the fact side filters through the codegen'd
+    * `bloom_might_contain` probe BEFORE the join — at 100 TB the
+    * ~97% of lineitem that cannot join is dropped at the scan, never
+    * shuffled. The exact equi-join that follows removes bloom false
+    * positives, so the composition's result (and oracle) is the
+    * plain join's — the explicit form of Spark's own injected
+    * runtime bloom filter, with deterministic mix64 double hashing
+    * instead of the engine-internal one.
+    */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+    val bloom = dim.select(col("o_orderkey"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+      .select(graft.functions.BloomSketch.toColumn)
+      .head()
+    val li = t(spark, dir, "lineitem")
+      .filter(graft.functions.BloomSketch.mightContain(bloom, col("l_orderkey")))
+    li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle: the plain join — the bloom stage is semantically
+    * transparent by construction.
+    */
+  val joinBloomSql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND extract(year FROM o_orderdate) = 1996
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
   // Exact percentiles (interpolated) per group
   // ----------------------------------------------------------------

@@ -151,6 +151,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("join_bloom: probe filter sits on the fact scan below the join") {
+    val plan = graft.ext.Relational.joinBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    // the probe must prune BEFORE the join: it appears in a Filter,
+    // not above the join operator
+    val probeIdx = plan.indexOf("bloom_might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe should be in the join's fact subtree (printed below it)\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_editdist: variant join is a hash equi-join, no product") {
     val plan = graft.ext.Dedup.dedupEditDistance(spark, dir)
       .queryExecution.executedPlan.toString
