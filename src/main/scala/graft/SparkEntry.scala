@@ -31,6 +31,10 @@ object SparkEntry {
     "doc_stats_fixed" -> (CoreQueries.docStatsFixed(_, _)),
     "doc_normalize" -> (CoreQueries.docNormalize(_, _)),
     "multi_root" -> (CoreQueries.multiRoot(_, _)),
+    // interchange-format roundtrips (sources/SourceFormats.scala)
+    "source_jsonl" -> (graft.sources.SourceFormats.sourceJsonl(_, _)),
+    "source_csv" -> (graft.sources.SourceFormats.sourceCsv(_, _)),
+    "source_orc" -> (graft.sources.SourceFormats.sourceOrc(_, _)),
     "doc_report" -> (CoreQueries.docReport(_, _)),
     "sql_chunk_split" -> (CoreQueries.sqlChunkSplit(_, _)),
     // Aggregations (§2.5)
@@ -150,6 +154,11 @@ object SparkEntry {
     "doc_stats_fixed" -> CoreQueries.docStatsFixedSql,
     "doc_normalize" -> CoreQueries.docNormalizeSql,
     "multi_root" -> CoreQueries.multiRootSql,
+    // the oracle reads the ORIGINAL parquet: hash equality proves the
+    // write→read roundtrip lossless for each interchange format
+    "source_jsonl" -> graft.sources.SourceFormats.sourceRoundtripSql,
+    "source_csv" -> graft.sources.SourceFormats.sourceRoundtripSql,
+    "source_orc" -> graft.sources.SourceFormats.sourceRoundtripSql,
     "q1_agg" -> Relational.q1AggSql,
     "q3_shipping" -> Relational.q3ShippingSql,
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,

@@ -257,13 +257,13 @@ object TextAnalysis {
     * DuckDB twin. Keeping a single source prevents the bit-exact
     * pair from silently desynchronizing.
     */
-  private[ext] def polyHashCol(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def polyHashCol(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val chars = filter(split(s, ""), c => c =!= "")
     aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % P)
   }
 
   /** DuckDB twin of [[polyHashCol]] over the SQL expression `e`. */
-  private[ext] def polyHashSql(e: String): String =
+  private[graft] def polyHashSql(e: String): String =
     s"""list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
        |      [CAST(unicode(substr($e, CAST(i AS INT), 1)) AS BIGINT)

@@ -1,0 +1,84 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interchange-format roundtrips under the oracle gate. The
+  * reference's I/O surface is local files in, CSV/JSON out; a
+  * training-data pipeline additionally EXCHANGES corpora as JSONL
+  * (the de-facto LLM corpus format), CSV, and columnar ORC. Each
+  * query here writes the `documents` table through the format with
+  * the DISTRIBUTED writer (every partition emits its own shard — no
+  * driver funnel), reads it back, and aggregates an
+  * order-independent content fingerprint (`bit_xor` of the portable
+  * polynomial hash over doc_id|lang|text) per source. The oracle
+  * computes the same aggregate over the original parquet, so a
+  * hash-match PROVES the encode→decode roundtrip is lossless —
+  * fields, types, and every character — not merely row-count-equal.
+  *
+  * Staging is once per (corpus, format) per JVM (same memo contract
+  * as the streaming replay's staged dir): re-runs measure
+  * read+aggregate, the write is the one-time cost.
+  */
+object SourceFormats {
+
+  private val staged = TrieMap.empty[(String, String), String]
+
+  private def stage(spark: SparkSession, dir: String, fmt: String): String =
+    staged.getOrElseUpdate((dir, fmt), {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_src_$fmt").toString
+      val docs = Tables.table(spark, dir, "documents")
+      fmt match {
+        case "jsonl" => docs.write.mode("overwrite").json(tmp)
+        case "csv" => docs.write.mode("overwrite")
+          .option("header", "true").csv(tmp)
+        case "orc" => docs.write.mode("overwrite").orc(tmp)
+      }
+      tmp
+    })
+
+  private[graft] def fingerprinted(back: DataFrame): DataFrame =
+    back
+      .withColumn("fp", graft.ext.TextAnalysis.polyHashCol(
+        concat_ws("|", col("doc_id").cast("string"), col("lang"), col("text"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(fp)").as("content_xor"))
+      .orderBy("source")
+
+  private def roundtrip(spark: SparkSession, dir: String, fmt: String): DataFrame = {
+    val path = stage(spark, dir, fmt)
+    val schema = Tables.table(spark, dir, "documents").schema
+    val back = fmt match {
+      case "jsonl" => spark.read.schema(schema).json(path)
+      case "csv" => spark.read.schema(schema).option("header", "true").csv(path)
+      case "orc" => spark.read.orc(path) // self-describing schema
+    }
+    fingerprinted(back)
+  }
+
+  def sourceJsonl(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "jsonl")
+
+  def sourceCsv(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "csv")
+
+  def sourceOrc(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "orc")
+
+  /** One oracle for all three: the aggregate over the ORIGINAL
+    * parquet — equality is the lossless-roundtrip proof.
+    */
+  val sourceRoundtripSql: String = {
+    val keyed = "concat_ws('|', CAST(doc_id AS VARCHAR), lang, text)"
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  bit_xor(${graft.ext.TextAnalysis.polyHashSql(keyed)}) AS content_xor
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+}
