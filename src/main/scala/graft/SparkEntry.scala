@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Graph, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +64,7 @@ object SparkEntry {
     "join_range" -> (Relational.joinRange(_, _)),
     "join_salted" -> (Relational.joinSalted(_, _)),
     "join_bloom" -> (Relational.joinBloom(_, _)),
+    "layout_zorder" -> (Layout.layoutZorder(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -135,6 +136,7 @@ object SparkEntry {
     "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
     "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
+    "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
@@ -174,6 +176,8 @@ object SparkEntry {
     "join_salted" -> Relational.joinSaltedSql,
     // the bloom prune is exact-join-verified ⟹ transparent to the oracle
     "join_bloom" -> Relational.joinBloomSql,
+    // Morton interleave is pure integer arithmetic: cells replay exactly
+    "layout_zorder" -> Layout.layoutZorderSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,
@@ -271,6 +275,8 @@ object SparkEntry {
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
+    // BIGINT prefix-sum placement: seq ids/offsets replay exactly
+    "pipeline_pack" -> PipelineOps.pipelinePackSql,
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,

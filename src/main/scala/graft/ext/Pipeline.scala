@@ -133,6 +133,62 @@ object PipelineOps {
        |FROM c WHERE cum_tokens <= $TokenBudget
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  private val PackSeqLen = 512L
+
+  /** Concat-and-chunk SEQUENCE PACKING — the layout step that turns
+    * a filtered corpus into fixed-length training sequences: per
+    * source, documents are laid end-to-end in portable-hash order
+    * and cut every [[PackSeqLen]] tokens, documents straddling cuts
+    * (GPT-style pretraining packing, where sequences are carved
+    * from the concatenated token stream rather than padded per
+    * document — zero padding waste by construction). Emits each
+    * document's placement: owning start sequence, offset inside it,
+    * and how many sequences it spans — exactly what a writer needs
+    * to materialize shards without ever assembling the corpus on
+    * one node. The exclusive prefix sum rides ONE stratum window
+    * (same skeleton as [[sampleTokenBudget]]); everything is BIGINT
+    * arithmetic on token counts, so the gate hash-matches.
+    */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' +'), x -> x != '')"))
+          .cast("long").as("n_tokens"),
+        TextAnalysis.polyHashCol(col("doc_id").cast("string")).as("h"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(byStratum), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"start_tok div $PackSeqLen").as("seq_id"),
+        (col("start_tok") % PackSeqLen).as("seq_offset"),
+        (expr(s"(start_tok + n_tokens - 1) div $PackSeqLen")
+          - expr(s"start_tok div $PackSeqLen") + 1L).as("n_seqs"))
+      .orderBy("source", "seq_id", "seq_offset", "doc_id")
+  }
+
+  val pipelinePackSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+       |      AS n_tokens,
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY hh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS start_tok
+       |  FROM h)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(start_tok // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST(start_tok % $PackSeqLen AS BIGINT) AS seq_offset,
+       |  CAST((start_tok + n_tokens - 1) // $PackSeqLen
+       |    - start_tok // $PackSeqLen + 1 AS BIGINT) AS n_seqs
+       |FROM c ORDER BY source, seq_id, seq_offset, doc_id""".stripMargin
+
   private val NumShards = 8
 
   /** Output SHARD assignment + balance accounting: docs hash to

@@ -261,6 +261,30 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("pipelinePack: placements tile each source gaplessly, spans exact") {
+    val rows = PipelineOps.pipelinePack(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 500)
+    for ((_, bySource) <- rows.groupBy(_._2)) {
+      // reconstruct global starts; sorted, they must tile end-to-end
+      val placed = bySource
+        .map { case (_, _, nt, seq, off, _) => (seq * 512L + off, nt) }
+        .sortBy(_._1)
+      assert(placed.head._1 == 0L, "first doc must start at token 0")
+      for (Array((s1, n1), (s2, _)) <- placed.sliding(2))
+        assert(s2 == s1 + n1, s"gap/overlap at $s2")
+    }
+    // span arithmetic: recompute n_seqs from the placement
+    for ((_, _, nt, seq, off, nseqs) <- rows) {
+      val start = seq * 512L + off
+      assert(nseqs == (start + nt - 1) / 512L - start / 512L + 1L)
+      assert(off >= 0L && off < 512L)
+    }
+    // ~55-token docs against 512-token sequences: boundaries are straddled
+    assert(rows.exists(_._6 >= 2L), "no document spans a sequence boundary")
+  }
+
   test("textLmScore: scores only held-out docs, log-probs negative, gibberish scores lower") {
     def bucket(id: Long): Long =
       id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L) % 10
