@@ -65,6 +65,7 @@ object SparkEntry {
     "join_salted" -> (Relational.joinSalted(_, _)),
     "join_bloom" -> (Relational.joinBloom(_, _)),
     "layout_zorder" -> (Layout.layoutZorder(_, _)),
+    "cdc_diff" -> (Relational.cdcDiff(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -178,6 +179,8 @@ object SparkEntry {
     "join_bloom" -> Relational.joinBloomSql,
     // Morton interleave is pure integer arithmetic: cells replay exactly
     "layout_zorder" -> Layout.layoutZorderSql,
+    // snapshot history is hash-derived ⟹ the oracle replays it exactly
+    "cdc_diff" -> Relational.cdcDiffSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

@@ -1395,4 +1395,66 @@ object Relational {
       |         / count(*) AS avg_days
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------------
+  // CDC snapshot reconciliation
+  // ----------------------------------------------------------------
+
+  /** Snapshot DIFF / change-data-capture classification — the
+    * reconciliation a warehouse runs between two loads of the same
+    * table: a keyed FULL OUTER join of the old and new snapshot,
+    * each row classified insert (key only in new) / delete (key
+    * only in old) / update (both sides, payload differs) /
+    * unchanged, rolled up with the new snapshot's value mass per
+    * class. The two snapshots are carved deterministically from
+    * `orders` by the portable key hash (bucket 0 deleted, bucket 9
+    * inserted, bucket 5's price bumped), so the oracle replays the
+    * exact same history. Scale shape: ONE hash equi-join on the
+    * key — both sides partition by o_orderkey, payload comparison
+    * is a rowwise expression, and the class rollup partial-aggregates;
+    * nothing driver-side.
+    */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").withColumn("hb",
+      TextAnalysis.polyHashCol(col("o_orderkey").cast("string")) % 10)
+    val v1 = o.filter(col("hb") < 9)
+      .select(col("o_orderkey").as("k1"), dec(col("o_totalprice")).as("p1"))
+    val v2 = o.filter(col("hb") >= 1)
+      .select(col("o_orderkey").as("k2"),
+        when(col("hb") === 5, dec(col("o_totalprice")) + lit(1))
+          .otherwise(dec(col("o_totalprice"))).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        when(col("k1").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("p1") =!= col("p2"), lit("update"))
+          .otherwise(lit("unchanged")).as("change"),
+        col("p2"))
+      .groupBy("change")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("p2")), lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("new_total"))
+      .orderBy("change")
+  }
+
+  val cdcDiffSql: String = {
+    val hb = s"${TextAnalysis.polyHashSql("CAST(o_orderkey AS VARCHAR)")} % 10"
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p, $hb AS hb
+       |  FROM orders),
+       |v1 AS (SELECT o_orderkey AS k1, p AS p1 FROM o WHERE hb < 9),
+       |v2 AS (SELECT o_orderkey AS k2,
+       |         CASE WHEN hb = 5 THEN p + 1 ELSE p END AS p2
+       |       FROM o WHERE hb >= 1),
+       |d AS (
+       |  SELECT CASE WHEN k1 IS NULL THEN 'insert'
+       |              WHEN k2 IS NULL THEN 'delete'
+       |              WHEN p1 <> p2 THEN 'update'
+       |              ELSE 'unchanged' END AS change, p2
+       |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+       |SELECT change, count(*) AS n_rows,
+       |  CAST(coalesce(sum(p2), 0) AS DOUBLE) AS new_total
+       |FROM d GROUP BY change ORDER BY change""".stripMargin
+  }
 }

@@ -261,6 +261,29 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("cdcDiff: classes partition the keyspace with hash-derived counts") {
+    val dir = "/root/testdata/sf0.001"
+    def bucket(id: Long): Long =
+      id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L) % 10
+    val ids = graft.sources.Tables.table(spark, dir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val expected = Map(
+      "insert" -> ids.count(bucket(_) == 9L),
+      "delete" -> ids.count(bucket(_) == 0L),
+      "update" -> ids.count(bucket(_) == 5L),
+      "unchanged" -> ids.count(i => {
+        val b = bucket(i); b >= 1L && b < 9L && b != 5L
+      })).map { case (k, v) => (k, v.toLong) }
+    val got = Relational.cdcDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // deletes carry no new-snapshot mass; every other class does
+    val totals = Relational.cdcDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(totals("delete") == 0.0)
+    assert(Seq("insert", "update", "unchanged").forall(totals(_) > 0.0))
+  }
+
   test("pipelinePack: placements tile each source gaplessly, spans exact") {
     val rows = PipelineOps.pipelinePack(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
