@@ -66,6 +66,7 @@ object SparkEntry {
     "join_bloom" -> (Relational.joinBloom(_, _)),
     "layout_zorder" -> (Layout.layoutZorder(_, _)),
     "cdc_diff" -> (Relational.cdcDiff(_, _)),
+    "join_division" -> (Relational.joinDivision(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "event_anomaly" -> (Relational.eventAnomaly(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
+    "graph_jaccard" -> (Graph.graphJaccard(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -181,6 +183,8 @@ object SparkEntry {
     "layout_zorder" -> Layout.layoutZorderSql,
     // snapshot history is hash-derived ⟹ the oracle replays it exactly
     "cdc_diff" -> Relational.cdcDiffSql,
+    // count-matching reduction == Codd division when pairs ⊆ divisor
+    "join_division" -> Relational.joinDivisionSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,
@@ -197,6 +201,8 @@ object SparkEntry {
     "event_anomaly" -> Relational.eventAnomalySql,
     "graph_pagerank" -> Graph.graphPagerankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,
+    // one IEEE division of integer counts: bit-deterministic ranking
+    "graph_jaccard" -> Graph.graphJaccardSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,

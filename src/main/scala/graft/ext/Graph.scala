@@ -176,6 +176,65 @@ object Graph {
        |  CAST(n_triangles AS BIGINT) AS n_triangles
        |FROM ranked WHERE rn <= $TriTopK ORDER BY rn""".stripMargin
 
+  private val JacTopK = 20
+
+  /** Neighbor-set JACCARD similarity (top-[[JacTopK]] part pairs) —
+    * the link-prediction / "related items" primitive over the same
+    * shared [[edges]] set, fourth member of the graph family
+    * (fixpoint components, damped iteration, motif counting, and
+    * now structural similarity). Common-neighbor counts come from
+    * the same center-joined wedge shape as [[graphTriangles]] (two
+    * scans of the edge artifact, one equi-join on the center, no
+    * product); degrees broadcast back onto the candidate pairs.
+    * J = c / (deg_a + deg_b − c) is ONE IEEE division of integers —
+    * bit-deterministic on both engines — and ties order by (a, b).
+    */
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val es = edges(spark, dir)
+    val deg = es.groupBy("src").agg(count(lit(1)).as("deg"))
+    val common = es.toDF("n", "a").join(es.toDF("n", "b"), "n")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val scored = common
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(col("a"), col("b"), col("c"),
+        (col("c").cast("double") / (col("da") + col("db") - col("c"))).as("j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("j").desc, col("a").asc, col("b").asc)
+    scored.orderBy(col("j").desc, col("a").asc, col("b").asc).limit(JacTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("a").as("part_a"), col("b").as("part_b"),
+        col("c").as("n_common"), round(col("j"), 6).as("jaccard"))
+      .orderBy("rn")
+  }
+
+  val graphJaccardSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |common AS (
+       |  SELECT e1.dst AS a, e2.dst AS b, count(*) AS c
+       |  FROM edges e1 JOIN edges e2
+       |    ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY e1.dst, e2.dst),
+       |scored AS (
+       |  SELECT a, b, c,
+       |    CAST(c AS DOUBLE) / (da.deg + db.deg - c) AS j
+       |  FROM common JOIN deg da ON da.src = a JOIN deg db ON db.src = b),
+       |ranked AS (
+       |  SELECT a, b, c, j,
+       |    row_number() OVER (ORDER BY j DESC, a ASC, b ASC) AS rn
+       |  FROM scored)
+       |SELECT CAST(rn AS BIGINT) AS rn, a AS part_a, b AS part_b,
+       |  CAST(c AS BIGINT) AS n_common, round(j, 6) AS jaccard
+       |FROM ranked WHERE rn <= $JacTopK ORDER BY rn""".stripMargin
+
   /** Oracle: the identical integer-exact run unrolled — same edge
     * derivation, same `//` floors, same damped update per iteration
     * (DuckDB sums BIGINT into HUGEINT; exactness is unaffected and

@@ -1396,6 +1396,40 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Relational DIVISION (Codd's ÷ — the "for ALL" join no built-in
+    * operator spells): customers with orders in EVERY active order
+    * year. The textbook double-NOT-EXISTS formulation nests two
+    * correlated anti-joins; the scale shape used here is the
+    * count-matching reduction — distinct (customer, year) pairs
+    * (one hash agg), per-customer year counts (second agg, same
+    * key: Catalyst reuses the exchange), and a broadcast one-row
+    * divisor cardinality — because `distinct + count == |divisor|`
+    * is division exactly when the pairs are a subset of the
+    * divisor, which holds by construction. No per-divisor-element
+    * probing, no anti-join cascade, nothing driver-side.
+    */
+  def joinDivision(spark: SparkSession, dir: String): DataFrame = {
+    val cy = t(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .distinct()
+    val divisor = cy.select(countDistinct(col("y")).as("t"))
+    cy.groupBy("o_custkey").agg(count(lit(1)).as("n_years"))
+      .crossJoin(broadcast(divisor))
+      .filter(col("n_years") === col("t"))
+      .select(col("o_custkey"), col("n_years"))
+      .orderBy("o_custkey")
+  }
+
+  val joinDivisionSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT o_custkey, extract(year FROM o_orderdate) AS y
+      |  FROM orders),
+      |n AS (SELECT count(DISTINCT y) AS t FROM d)
+      |SELECT o_custkey, count(*) AS n_years
+      |FROM d GROUP BY o_custkey
+      |HAVING count(*) = (SELECT t FROM n)
+      |ORDER BY o_custkey""".stripMargin
+
   // ----------------------------------------------------------------
   // CDC snapshot reconciliation
   // ----------------------------------------------------------------

@@ -261,6 +261,52 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("graphJaccard: top pairs equal the in-memory all-pairs reference") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.table(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(8)) === 0)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((_, parts) <- li.groupBy(_._1); a <- parts.map(_._2); b <- parts.map(_._2)
+         if a != b)
+      nbrs.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    val nodes = nbrs.keys.toSeq.sorted
+    val pairs = for {
+      a <- nodes; b <- nodes if a < b
+      c = (nbrs(a) & nbrs(b)).size if c > 0
+    } yield (a, b, c.toLong, c.toDouble / (nbrs(a).size + nbrs(b).size - c))
+    val top = pairs.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    val got = Graph.graphJaccard(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == top.length && got.nonEmpty)
+    for (((ga, gb, gc, gj), (ea, eb, ec, ej)) <- got.zip(top)) {
+      assert((ga, gb, gc) == (ea, eb, ec), s"pair order drifted at ($ga,$gb)")
+      val rj = BigDecimal(ej).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gj == rj, s"jaccard($ga,$gb): $gj != $rj")
+    }
+  }
+
+  test("joinDivision equals the double-anti-join (NOT EXISTS) formulation") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.sources.Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y")).distinct()
+    val custs = o.select("o_custkey").distinct()
+    val years = o.select("y").distinct()
+    // textbook division: customers for whom NO divisor year is missing
+    val missing = custs.crossJoin(years)
+      .join(o, Seq("o_custkey", "y"), "left_anti")
+      .select("o_custkey").distinct()
+    val expected = custs.join(missing, Seq("o_custkey"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val got = Relational.joinDivision(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("cdcDiff: classes partition the keyspace with hash-derived counts") {
     val dir = "/root/testdata/sf0.001"
     def bucket(id: Long): Long =
