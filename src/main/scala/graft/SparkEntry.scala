@@ -90,6 +90,8 @@ object SparkEntry {
     "event_sequences" -> (Relational.eventSequences(_, _)),
     "event_retention" -> (Relational.eventRetention(_, _)),
     "event_anomaly" -> (Relational.eventAnomaly(_, _)),
+    "window_islands" -> (Relational.windowIslands(_, _)),
+    "agg_regression" -> (Relational.aggRegression(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
     "graph_jaccard" -> (Graph.graphJaccard(_, _)),
@@ -144,6 +146,7 @@ object SparkEntry {
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
+    "mm_audio" -> (Multimodal.mmAudio(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -199,6 +202,10 @@ object SparkEntry {
     "event_retention" -> Relational.eventRetentionSql,
     // BIGINT-exact z² inequality: no float stddev to drift between engines
     "event_anomaly" -> Relational.eventAnomalySql,
+    "window_islands" -> Relational.windowIslandsSql,
+    // integer moment sums + one IEEE division: REGR_* without the
+    // engines' incremental-float drift
+    "agg_regression" -> Relational.aggRegressionSql,
     "graph_pagerank" -> Graph.graphPagerankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,
     // one IEEE division of integer counts: bit-deterministic ranking
@@ -289,5 +296,8 @@ object SparkEntry {
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
+    // oracle recomputes from row attributes: equality proves the
+    // WAV encode→RIFF-walk→decode loop exact per asset
+    "mm_audio" -> Multimodal.mmAudioSql,
   )
 }

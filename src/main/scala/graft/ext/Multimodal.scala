@@ -278,6 +278,67 @@ object Multimodal {
           .cast("long").as("lead_cp"))
       .orderBy("asset_id", "frame_idx")
 
+  /** Canonical 44-byte PCM WAV container around a silent payload —
+    * the synthesis half of the audio tier (RIFF/WAVE public layout;
+    * 16-bit samples, so block align = 2·channels).
+    */
+  private[ext] def wavBytes(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val block = channels * 2
+    val dataSize = nSamples * block
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(channels.toShort)
+    buf.putInt(rate); buf.putInt(rate * block)
+    buf.putShort(block.toShort); buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSize)
+    buf.array()
+  }
+
+  /** Registered AUDIO decode tier: every audio-slice asset gets a
+    * real PCM WAV container whose parameters derive from its row
+    * (rate ∈ {8k,12k,16k,20k} by id, mono/stereo by parity, one
+    * sample per text char), synthesized and decoded back through
+    * [[AudioHeaderDecoder]] INSIDE the partition kernel (binary
+    * work is genuine per-row imperative logic — the same
+    * mapPartitions boundary as [[decodeAssets]], no shuffle). The
+    * oracle recomputes the fields from the row attributes alone, so
+    * a hash match proves the RIFF encode→walk→decode loop exact on
+    * every asset — the container plumbing a real codec plugs into,
+    * with compressed formats staying the documented stub.
+    */
+  def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // assets()'s audio slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val channels = (1 + id % 2).toInt
+        val bytes = wavBytes(rate, channels, nChars.toInt)
+        val m = AudioHeaderDecoder.wavMeta(bytes)
+          .getOrElse(sys.error(s"undecodable WAV for asset $id"))
+        (id, m.sampleRate.toLong, m.channels.toLong, m.nSamples)
+      }
+    }.toDF("asset_id", "sample_rate", "channels", "n_samples")
+      .withColumn("duration_ms",
+        expr("n_samples * 1000 div sample_rate"))
+      .orderBy("asset_id")
+  }
+
+  val mmAudioSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(n_chars AS BIGINT) AS n_samples,
+      |  CAST(n_chars * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+      |    AS duration_ms
+      |FROM documents WHERE doc_id % 3 = 1 ORDER BY asset_id""".stripMargin
+
   val mmFramesSql: String =
     """WITH v AS (
       |  SELECT doc_id AS asset_id, text,

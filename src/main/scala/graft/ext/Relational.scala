@@ -317,6 +317,95 @@ object Relational {
        |  > ${AnomalyZ * AnomalyZ} * st.n * (st.n * st.q - st.s * st.s)
        |ORDER BY event_type, day_s""".stripMargin
 
+  /** GAPS-AND-ISLANDS: per-user activity streaks — consecutive
+    * active days collapse to islands via the classic
+    * `day − row_number()` constant-group trick (a streak's members
+    * share the difference), then per-user streak statistics. One
+    * distinct, one user-partitioned window, two hash aggs — all
+    * BIGINT day indices, no floats anywhere.
+    */
+  def windowIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) div 86400").as("day_i"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day_i")
+    days
+      .withColumn("grp", col("day_i") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_islands"))
+      .orderBy("user_id")
+  }
+
+  val windowIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS day_i
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day_i,
+      |    day_i - row_number() OVER (PARTITION BY user_id ORDER BY day_i)
+      |      AS grp
+      |  FROM days),
+      |i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_islands
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Least-squares TREND (REGR_SLOPE/REGR_INTERCEPT) of daily event
+    * volume per type, computed from integer MOMENT SUMS (n, Σx, Σy,
+    * Σxy, Σx²) instead of the engines' incremental float
+    * aggregates: every moment is BIGINT-exact and
+    * order-independent, and slope/intercept are each ONE IEEE
+    * division of < 2⁵³ integers — bit-deterministic across engines
+    * and partitionings, where a running-covariance implementation
+    * drifts in the last ulp on every re-partition. Two
+    * map-side-combinable hash aggs, no window.
+    */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) div 86400").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9)
+          .as("slope"),
+        round((col("sy") * (col("n") * col("sxx") - col("sx") * col("sx"))
+          - (col("n") * col("sxy") - col("sx") * col("sy")) * col("sx"))
+          .cast("double") /
+          (col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+            .cast("double"), 9).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val aggRegressionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS x,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+      |  round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+      |    / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 9) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Per-user event-TRACE assembly: the time-ordered event-type path
     * (first 10 hops, '>'-joined) plus the event count — the
     * interaction-sequence construction step a behavioral-training

@@ -135,4 +135,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(fs.map(_.getLong(1)).sorted.sameElements(0L until fs.length))
     }
   }
+
+  test("wavBytes→wavMeta roundtrip holds across rates/channels incl. empty data") {
+    for {
+      rate <- Seq(8000, 16000, 44100)
+      ch <- Seq(1, 2)
+      n <- Seq(0, 1, 553)
+    } {
+      val m = Multimodal.AudioHeaderDecoder
+        .wavMeta(Multimodal.wavBytes(rate, ch, n))
+      assert(m.exists(x =>
+        x.sampleRate == rate && x.channels == ch && x.nSamples == n.toLong),
+        s"roundtrip failed for ($rate, $ch, $n): $m")
+    }
+  }
+
+  test("mmAudio: every audio asset decodes to its attribute-derived params") {
+    val rows = Multimodal.mmAudio(spark, dir).collect()
+    assert(rows.length == spark.read.parquet(s"$dir/documents.parquet")
+      .filter("doc_id % 3 = 1").count())
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 8000L + (id % 4) * 4000L)
+      assert(r.getLong(2) == 1L + id % 2)
+      assert(r.getLong(4) == r.getLong(3) * 1000L / r.getLong(1))
+    }
+  }
 }

@@ -261,6 +261,41 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("windowIslands: constructed streaks collapse to exact island stats") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("islands").toString
+    // user 1 active on days {1,2,3}, {7}, {9,10}; user 2 on {5}
+    val days = Seq(1L -> 1, 1L -> 2, 1L -> 3, 1L -> 7, 1L -> 9, 1L -> 10,
+      2L -> 5)
+    days.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-02-$d%02d 08:30:00"),
+        u, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Relational.windowIslands(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 6L, 3L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("aggRegression: a perfect integer line recovers slope/intercept exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("regr").toString
+    // y = 2x + 5 over epoch-days x ∈ {2,3,4} (Jan 1970 timestamps):
+    // per-day event counts 9, 11, 13
+    val rows = for {
+      (d, y) <- Seq(3 -> 9, 4 -> 11, 5 -> 13) // Jan d = epoch day d-1
+      k <- 1 to y
+    } yield (d.toLong * 100 + k,
+      java.sql.Timestamp.valueOf(f"1970-01-$d%02d 12:00:00"), 1L, "t", 0.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Relational.aggRegression(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 2.0)
+    assert(out(0).getDouble(3) == 5.0)
+  }
+
   test("graphJaccard: top pairs equal the in-memory all-pairs reference") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
