@@ -67,6 +67,7 @@ object SparkEntry {
     "layout_zorder" -> (Layout.layoutZorder(_, _)),
     "cdc_diff" -> (Relational.cdcDiff(_, _)),
     "join_division" -> (Relational.joinDivision(_, _)),
+    "dq_checks" -> (Relational.dqChecks(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -188,6 +189,7 @@ object SparkEntry {
     "cdc_diff" -> Relational.cdcDiffSql,
     // count-matching reduction == Codd division when pairs ⊆ divisor
     "join_division" -> Relational.joinDivisionSql,
+    "dq_checks" -> Relational.dqChecksSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

@@ -1519,6 +1519,97 @@ object Relational {
       |HAVING count(*) = (SELECT t FROM n)
       |ORDER BY o_custkey""".stripMargin
 
+  /** DATA-QUALITY CONTRACT report (the dbt-tests / deequ-shape
+    * operator): declared constraints — primary-key uniqueness,
+    * referential integrity, domain ranges, non-null/non-empty —
+    * evaluated as ONE conditional-aggregation pass per table plus
+    * one outer join for the foreign key, unpivoted to a
+    * (check_name, n_violations, n_checked) report. This is the gate
+    * a training pipeline runs before trusting a snapshot: at 100 TB
+    * each check rides the same scan (conditional sums fuse into a
+    * single hash agg per table, map-side combinable), never one
+    * scan per assertion, and the FK probe is an equi-join, not a
+    * per-row lookup. The one-row per-table aggregates cross-join
+    * (broadcast, 1×1) into the stacked report.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val li = t(spark, dir, "lineitem")
+    val oAgg = o.agg(
+      count(lit(1)).as("o_n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("o_pk_dup"),
+      sum(when(dec(col("o_totalprice")) <= 0, 1L).otherwise(0L))
+        .as("o_price_bad"),
+      sum(when(col("o_orderdate").isNull ||
+        year(col("o_orderdate")) < 1995 || year(col("o_orderdate")) > 2001,
+        1L).otherwise(0L)).as("o_date_bad"))
+    val fkAgg = o.join(broadcast(c.select(col("c_custkey"))),
+        o("o_custkey") === col("c_custkey"), "left_outer")
+      .agg(sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+        .as("o_orphans"))
+    val liAgg = li.agg(
+      count(lit(1)).as("li_n"),
+      sum(when(dec(col("l_quantity")) < 1 || dec(col("l_quantity")) > 50,
+        1L).otherwise(0L)).as("li_qty_bad"))
+    val cAgg = c.agg(
+      count(lit(1)).as("c_n"),
+      sum(when(col("c_name").isNull || length(col("c_name")) === 0,
+        1L).otherwise(0L)).as("c_name_bad"))
+    oAgg.crossJoin(fkAgg).crossJoin(liAgg).crossJoin(cAgg)
+      .selectExpr(
+        """stack(6,
+          |  'customer.name_nonempty', c_name_bad, c_n,
+          |  'lineitem.qty_in_1_50', li_qty_bad, li_n,
+          |  'orders.date_in_range', o_date_bad, o_n,
+          |  'orders.fk_customer', o_orphans, o_n,
+          |  'orders.pk_unique', o_pk_dup, o_n,
+          |  'orders.price_positive', o_price_bad, o_n
+          |) as (check_name, n_violations, n_checked)""".stripMargin)
+      .orderBy("check_name")
+  }
+
+  val dqChecksSql: String =
+    """WITH o AS (
+      |  SELECT count(*) AS n,
+      |    count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+      |    sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) <= 0
+      |             THEN 1 ELSE 0 END) AS price_bad,
+      |    sum(CASE WHEN o_orderdate IS NULL
+      |             OR extract(year FROM o_orderdate) < 1995
+      |             OR extract(year FROM o_orderdate) > 2001
+      |             THEN 1 ELSE 0 END) AS date_bad
+      |  FROM orders),
+      |fk AS (
+      |  SELECT sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+      |l AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) < 1
+      |             OR CAST(l_quantity AS DECIMAL(18,2)) > 50
+      |             THEN 1 ELSE 0 END) AS qty_bad
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN c_name IS NULL OR length(c_name) = 0
+      |             THEN 1 ELSE 0 END) AS name_bad
+      |  FROM customer)
+      |SELECT * FROM (VALUES
+      |  ('customer.name_nonempty', (SELECT CAST(name_bad AS BIGINT) FROM c),
+      |    (SELECT CAST(n AS BIGINT) FROM c)),
+      |  ('lineitem.qty_in_1_50', (SELECT CAST(qty_bad AS BIGINT) FROM l),
+      |    (SELECT CAST(n AS BIGINT) FROM l)),
+      |  ('orders.date_in_range', (SELECT CAST(date_bad AS BIGINT) FROM o),
+      |    (SELECT CAST(n AS BIGINT) FROM o)),
+      |  ('orders.fk_customer', (SELECT CAST(orphans AS BIGINT) FROM fk),
+      |    (SELECT CAST(n AS BIGINT) FROM o)),
+      |  ('orders.pk_unique', (SELECT CAST(pk_dup AS BIGINT) FROM o),
+      |    (SELECT CAST(n AS BIGINT) FROM o)),
+      |  ('orders.price_positive', (SELECT CAST(price_bad AS BIGINT) FROM o),
+      |    (SELECT CAST(n AS BIGINT) FROM o)))
+      |  t(check_name, n_violations, n_checked)
+      |ORDER BY check_name""".stripMargin
+
   // ----------------------------------------------------------------
   // CDC snapshot reconciliation
   // ----------------------------------------------------------------

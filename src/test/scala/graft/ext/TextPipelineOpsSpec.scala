@@ -261,6 +261,33 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("dqChecks: seeded violations are counted exactly, clean checks read zero") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dq").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq( // duplicate pk 10, orphan cust 99, negative price, 1990 date
+      (10L, 1L, 100.0, ts("1996-01-01")),
+      (10L, 1L, 100.0, ts("1996-01-02")),
+      (11L, 99L, 50.0, ts("1996-02-01")),
+      (12L, 2L, -5.0, ts("1996-03-01")),
+      (13L, 2L, 75.0, ts("1990-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, "Alice"), (2L, "")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq(1.0, 99.0, 50.0).toDF("l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Relational.dqChecks(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("customer.name_nonempty", 1L, 2L),
+      ("lineitem.qty_in_1_50", 1L, 3L),
+      ("orders.date_in_range", 1L, 5L),
+      ("orders.fk_customer", 1L, 5L),
+      ("orders.pk_unique", 1L, 5L),
+      ("orders.price_positive", 1L, 5L)))
+  }
+
   test("windowIslands: constructed streaks collapse to exact island stats") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("islands").toString
