@@ -451,7 +451,21 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("agg_histogram_quantile", () => Relational.aggHistogramQuantile(spark, d)),
       ("sample_token_budget", () => PipelineOps.sampleTokenBudget(spark, d)),
       ("text_vocab", () => TextAnalysis.textVocab(spark, d)),
-      ("pipeline_shard", () => PipelineOps.pipelineShard(spark, d)))
+      ("pipeline_shard", () => PipelineOps.pipelineShard(spark, d)),
+      // the post-wrap round-5 additions
+      ("dedup_editdist", () => Dedup.dedupEditDistance(spark, d)),
+      ("event_anomaly", () => Relational.eventAnomaly(spark, d)),
+      ("join_bloom", () => Relational.joinBloom(spark, d)),
+      ("join_division", () => Relational.joinDivision(spark, d)),
+      ("cdc_diff", () => Relational.cdcDiff(spark, d)),
+      ("dq_checks", () => Relational.dqChecks(spark, d)),
+      ("window_islands", () => Relational.windowIslands(spark, d)),
+      ("agg_regression", () => Relational.aggRegression(spark, d)),
+      ("layout_zorder", () => Layout.layoutZorder(spark, d)),
+      ("pipeline_pack", () => PipelineOps.pipelinePack(spark, d)),
+      ("graph_jaccard", () => Graph.graphJaccard(spark, d)),
+      ("mm_audio", () => Multimodal.mmAudio(spark, d)),
+      ("source_jsonl", () => graft.sources.SourceFormats.sourceJsonl(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
