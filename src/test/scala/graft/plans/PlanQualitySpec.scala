@@ -164,6 +164,42 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("event_anomaly / agg_regression: moment aggs partial-combine, no window") {
+    for (df <- Seq(graft.ext.Relational.eventAnomaly(spark, dir),
+        graft.ext.Relational.aggRegression(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+      assert(!plan.contains("WindowExec"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("window_islands: window and both aggs ride ONE user_id-only exchange") {
+    val plan = graft.ext.Relational.windowIslands(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the distinct exchanges on (user_id, day_i); everything after
+    // shares a single user_id-only partitioning
+    assert("hashpartitioning\\(user_id#\\d+L, \\d+\\)".r
+      .findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pipeline_pack: prefix sum rides ONE stratum exchange, no product") {
+    val plan = graft.ext.PipelineOps.pipelinePack(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cdc_diff and graph_jaccard plan equi-joins, never products") {
+    for (df <- Seq(graft.ext.Relational.cdcDiff(spark, dir),
+        graft.ext.Graph.graphJaccard(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("dedup_editdist: variant join is a hash equi-join, no product") {
     val plan = graft.ext.Dedup.dedupEditDistance(spark, dir)
       .queryExecution.executedPlan.toString
