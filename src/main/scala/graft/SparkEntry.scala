@@ -136,6 +136,7 @@ object SparkEntry {
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
     "sim_pq" -> (Similarity.simPq(_, _)),
+    "sim_knn" -> (Similarity.simKnn(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -289,6 +290,9 @@ object SparkEntry {
     // per-subspace fixed-point Lloyd + m-ordered ADC folds: the PQ
     // train/encode/rank replays exactly like sim_ivf
     "sim_pq" -> Similarity.simPqSql,
+    // cell-local bounded top-k merges exactly: 6-dp rounding before
+    // selection keeps the tie order portable
+    "sim_knn" -> Similarity.simKnnSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,

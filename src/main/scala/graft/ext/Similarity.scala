@@ -25,7 +25,7 @@ object Similarity {
   private val K = 10
   private val NumQueries = 5
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def emb(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.table(spark, dir, "embeddings")
 
   /** Exact top-k: cosine over all candidates, rounded to 6dp at the
@@ -805,4 +805,129 @@ object Similarity {
        |  FROM d)
        |SELECT CAST(rn AS BIGINT) AS rn, vec_id, CAST(dist2 AS BIGINT) AS dist2_fp
        |FROM r WHERE rn <= $OutTopK ORDER BY rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Batch k-NN JOIN: every vector's top-k neighbors (the kNN graph)
+  // ----------------------------------------------------------------
+
+  private val KnnK = 3
+  private val KnnBlockRows = 1024L
+
+  /** k-NN JOIN — for EVERY vector, its [[KnnK]] nearest neighbors by
+    * cosine: the kNN-GRAPH construction step (clustering, UMAP-style
+    * layout, graph-based ANN indexes) — a different contract from
+    * [[simTopk]]'s one-query ranking. Exact tier on the
+    * quantile-balanced block grid ([[Dedup.dedupEmbedding]]'s
+    * geometry): each cell scores its pair block and keeps ONLY a
+    * bounded per-vector top-[[KnnK]] (top-k selection under the
+    * TOTAL (cos desc, id asc) order is a merge-closed reduction, so
+    * cell-local winners merged by one final tiny window equal the
+    * global top-k exactly) — the post-scoring shuffle carries
+    * ≤ blocks·k rows per vector, never the n² pair stream. At
+    * 100 TB the candidate generator swaps to IVF/LSH bucketing
+    * ([[simIvf]], [[simLsh]]), with this exact tier as the
+    * verifier — the same two-tier discipline as the embedding
+    * dedup family. Cosines round to 6 dp BEFORE selection on both
+    * engines, keeping tie order portable.
+    */
+  def simKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.agg(count(lit(1))).head().getLong(0)
+    if (n == 0)
+      return e.select(col("vec_id"), lit(1L).as("rn"),
+        col("vec_id").as("nbr"), lit(0.0).as("cos_sim")).limit(0)
+    val numBlocks = (((n - 1) / KnnBlockRows) + 1).toInt
+    val cuts: Array[Long] =
+      if (numBlocks <= 1) Array.empty
+      else e.stat.approxQuantile("vec_id",
+        (1 until numBlocks).map(_.toDouble / numBlocks).toArray,
+        0.1 / numBlocks).map(_.toLong)
+    val k = KnnK
+    val replicated = e.as[(Long, Array[Float])].flatMap { case (id, v) =>
+      var b = java.util.Arrays.binarySearch(cuts, id)
+      if (b < 0) b = -b - 1 else b += 1
+      val asRow = (b until numBlocks).iterator
+        .map(j => (b.toLong * numBlocks + j, 0, id, v))
+      val asCol = (0 until b).iterator
+        .map(i => (i.toLong * numBlocks + b, 1, id, v))
+      asRow ++ asCol
+    }
+    val cellWinners = replicated.groupByKey(_._1).flatMapGroups { (cell, rows) =>
+      val diag = (cell / numBlocks) == (cell % numBlocks)
+      val a = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      rows.foreach { case (_, side, id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        (if (side == 0) a else b) += ((id, v, math.sqrt(s)))
+      }
+      // bounded per-vector selection: insert into a ≤ k list ordered
+      // by (cos desc, nbr asc) — constant work per scored pair
+      val best = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+      def offer(id: Long, cos: Double, nbr: Long): Unit = {
+        val buf = best.getOrElseUpdate(id,
+          scala.collection.mutable.ArrayBuffer.empty)
+        var i = 0
+        while (i < buf.length &&
+          (buf(i)._1 > cos || (buf(i)._1 == cos && buf(i)._2 < nbr))) i += 1
+        if (i < k) {
+          buf.insert(i, (cos, nbr))
+          if (buf.length > k) buf.remove(k)
+        }
+      }
+      def score(x: (Long, Array[Float], Double), y: (Long, Array[Float], Double)): Unit = {
+        val (ida, va, na) = x
+        val (idb, vb, nb) = y
+        if (na != 0.0 && nb != 0.0) {
+          var d = 0.0; var i = 0
+          while (i < va.length) { d += va(i).toDouble * vb(i).toDouble; i += 1 }
+          val cos = java.math.BigDecimal.valueOf(d / (na * nb))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          offer(ida, cos, idb); offer(idb, cos, ida)
+        }
+      }
+      if (diag) {
+        val s = a.sortBy(_._1)
+        for (i <- s.indices; j <- (i + 1) until s.length) score(s(i), s(j))
+      } else {
+        for (x <- a; y <- b) score(x, y)
+      }
+      best.iterator.flatMap { case (id, buf) =>
+        buf.iterator.map { case (cos, nbr) => (id, nbr, cos) }
+      }
+    }.toDF("vec_id", "nbr", "cos_sim")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nbr").asc)
+    cellWinners
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nbr"), col("cos_sim"))
+      .orderBy("vec_id", "rn")
+  }
+
+  /** Oracle: brute-force directed ranking (valid at verification
+    * scale), the same 6-dp rounding before selection.
+    */
+  val simKnnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+       |    round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+       |      / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+       |  WHERE a.nrm != 0 AND b.nrm != 0),
+       |r AS (
+       |  SELECT vec_id, nbr, cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_sim DESC, nbr ASC) AS rn
+       |  FROM p)
+       |SELECT vec_id, CAST(rn AS BIGINT) AS rn, nbr, cos_sim
+       |FROM r WHERE rn <= $KnnK ORDER BY vec_id, rn""".stripMargin
 }

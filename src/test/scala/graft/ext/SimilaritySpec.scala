@@ -188,4 +188,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val again = Similarity.embedOutlier(spark, tmp).collect().map(_.getLong(1))
     assert(again.sameElements(rows.map(_.getLong(1))))
   }
+
+  /** In-memory kNN reference: round-6 cosine, (cos desc, nbr asc). */
+  private def knnRef(vecs: Seq[(Long, Array[Float])], k: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else Some(java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .flatMap { case (j, u) => cos(v, u).map(c => (c, j)) }
+        .sortBy { case (c, j) => (-c, j) }
+        .take(k).zipWithIndex
+        .map { case ((c, j), i) => (id, i + 1L, j, c) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("simKnn equals the brute-force reference on the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Similarity.emb(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val expected = knnRef(vecs, 3)
+    val got = Similarity.simKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("simKnn multi-block merge equals single-pass brute force on skewed ids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L until 1500L).map { i =>
+        (i * 3 + (i % 7), Array.fill(dim)(rnd.nextGaussian().toFloat))
+      } :+ (900000000000L, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val tmp = java.nio.file.Files.createTempDirectory("knn").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.simKnn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == knnRef(vecs, 3))
+  }
 }
