@@ -117,6 +117,7 @@ object SparkEntry {
     "text_vocab" -> (TextAnalysis.textVocab(_, _)),
     "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
     "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
+    "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
     "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
+    "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
@@ -255,6 +257,8 @@ object SparkEntry {
     // order-pinned folds + the BM25 ln/round discipline: the trained
     // bigram LM and its scores replay exactly
     "text_lm_score" -> TextAnalysis.textLmScoreSql,
+    // p·ln p from identical integer counts, order-pinned fold
+    "text_entropy" -> TextAnalysis.textEntropySql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the
@@ -299,6 +303,7 @@ object SparkEntry {
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
     // BIGINT prefix-sum placement: seq ids/offsets replay exactly
     "pipeline_pack" -> PipelineOps.pipelinePackSql,
+    "pipeline_mixture" -> PipelineOps.pipelineMixtureSql,
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,

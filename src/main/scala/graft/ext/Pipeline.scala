@@ -133,6 +133,57 @@ object PipelineOps {
        |FROM c WHERE cum_tokens <= $TokenBudget
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  private val MixtureBudget = 100000L
+
+  /** Temperature-based data-MIXTURE design (the multilingual-
+    * pretraining sampling rule, e.g. mT5's τ-scaled mixing): source
+    * weights ∝ availableᵖ with p = 1/τ = 0.5, i.e. √-damped — big
+    * sources are down-weighted, small ones boosted, and the output
+    * is each source's target token allocation against a fixed
+    * budget plus the repetition factor (>1 ⟹ the source must be
+    * epoched/oversampled to meet its share — THE number a mixture
+    * designer balances against memorization risk). One hash agg for
+    * availability; the weight normalizer is a 20-term float sum
+    * folded in pinned source order and broadcast as one row; every
+    * downstream value is one or two IEEE ops on identical inputs.
+    */
+  def pipelineMixture(spark: SparkSession, dir: String): DataFrame = {
+    val avail = docs(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(expr("filter(split(text, ' +'), x -> x != '')"))
+        .cast("long")).as("avail_tokens"))
+      .withColumn("w", sqrt(col("avail_tokens").cast("double")))
+    val totW = avail
+      .agg(sort_array(collect_list(struct(col("source"), col("w"))))
+        .as("parts"))
+      .select(aggregate(col("parts"), lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("tw"))
+    avail.crossJoin(broadcast(totW))
+      .select(col("source"), col("avail_tokens"),
+        round(col("w") / col("tw"), 6).as("share"),
+        floor(col("w") / col("tw") * MixtureBudget).cast("long")
+          .as("target_tokens"),
+        round(col("w") / col("tw") * MixtureBudget /
+          col("avail_tokens").cast("double"), 6).as("repetition"))
+      .orderBy("source")
+  }
+
+  val pipelineMixtureSql: String =
+    s"""WITH a AS (
+       |  SELECT source,
+       |    sum(len(list_filter(string_split_regex(text, ' +'),
+       |      x -> x != ''))) AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, avail_tokens,
+       |        sqrt(CAST(avail_tokens AS DOUBLE)) AS w FROM a),
+       |t AS (SELECT list_sum(list(w ORDER BY source)) AS tw FROM w)
+       |SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+       |  round(w / tw, 6) AS share,
+       |  CAST(floor(w / tw * $MixtureBudget) AS BIGINT) AS target_tokens,
+       |  round(w / tw * $MixtureBudget / CAST(avail_tokens AS DOUBLE), 6)
+       |    AS repetition
+       |FROM w, t ORDER BY source""".stripMargin
+
   private val PackSeqLen = 512L
 
   /** Concat-and-chunk SEQUENCE PACKING — the layout step that turns

@@ -795,6 +795,57 @@ object TextAnalysis {
        |      FROM ev GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Token-distribution Shannon ENTROPY per source — the corpus
+    * DIVERSITY metric a mixture designer reads next to volume: low
+    * entropy flags template/boilerplate sources whose tokens repeat
+    * (they contribute less unique signal per token than their size
+    * suggests). H = −Σ p·ln p over the source's term distribution;
+    * each p·ln p is computed from identical integer counts on both
+    * engines, and the Σ uses the suite's order-pinned fold
+    * (sort_array(collect_list) + aggregate, terms as the sort key)
+    * so float addition order cannot vary with partitioning. Scale
+    * shape: two hash aggs (term counts, source totals) + one
+    * equi-join; the fold sees one row per DISTINCT term per source
+    * (vocabulary-scale, not token-scale).
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir).select(col("source"),
+      explode(expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+    val tc = terms.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("source").agg(sum(col("c")).as("t"))
+    tc.join(tot, "source")
+      .withColumn("plogp",
+        col("c").cast("double") / col("t") *
+          log(col("c").cast("double") / col("t")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("t")).as("n_tokens"),
+        sort_array(collect_list(struct(col("term"), col("plogp"))))
+          .as("parts"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        round(-aggregate(col("parts"), lit(0.0),
+          (acc, x) => acc + x.getField("plogp")), 6).as("entropy"))
+      .orderBy("source")
+  }
+
+  val textEntropySql: String =
+    """WITH terms AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+      |      AS term
+      |  FROM documents),
+      |tc AS (SELECT source, term, count(*) AS c FROM terms GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c) AS t FROM tc GROUP BY 1),
+      |p AS (
+      |  SELECT tc.source, tc.term, tot.t,
+      |    CAST(c AS DOUBLE) / t * ln(CAST(c AS DOUBLE) / t) AS plogp
+      |  FROM tc JOIN tot USING (source))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(max(t) AS BIGINT) AS n_tokens,
+      |  round(-list_sum(list(plogp ORDER BY term)), 6) AS entropy
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   // Corpus vocabulary: top-K terms + cumulative coverage (BPE prep)
   // ----------------------------------------------------------------

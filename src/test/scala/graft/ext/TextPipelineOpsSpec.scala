@@ -261,6 +261,43 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ratios.forall(r => r > 0.5 && r < 2.0), "hash sharding badly skewed")
   }
 
+  test("textEntropy: uniform terms give ln(k), constant terms give zero") {
+    val dir = corpus(Seq(
+      (1L, "a b c d a b c d", "uni"),  // 4 terms, uniform -> ln 4
+      (2L, "x x x x x", "const")))     // 1 term -> 0
+    val out = TextAnalysis.textEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("uni") == ((4L, 8L,
+      BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    assert(out("const") == ((1L, 5L, -0.0)) || out("const") == ((1L, 5L, 0.0)))
+    // corpus-level sanity: entropy bounded by ln(vocabulary)
+    val rows = TextAnalysis.textEntropy(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= math.log(r.getLong(1)) + 1e-9)
+  }
+
+  test("pipelineMixture: √-damped shares normalize and allocate the budget") {
+    val dir = corpus(Seq(
+      (1L, Seq.fill(100)("t").mkString(" "), "small"),
+      (2L, Seq.fill(400)("t").mkString(" "), "big")))
+    val out = PipelineOps.pipelineMixture(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 4x the tokens -> only 2x the share (temperature damping)
+    assert(out("small")._1 == 100L && out("big")._1 == 400L)
+    assert(math.abs(out("small")._2 - 1.0 / 3) < 1e-6)
+    assert(math.abs(out("big")._2 - 2.0 / 3) < 1e-6)
+    assert(math.abs(out("small")._2 + out("big")._2 - 1.0) < 1e-6)
+    // repetition = unfloored target/available (floor gap ≤ 1 token)
+    assert(math.abs(out("small")._4 - out("small")._3.toDouble / 100) <= 0.011)
+    val total = out.values.map(_._3).sum
+    assert(total >= 99998L && total <= 100000L, s"budget drift: $total")
+  }
+
   test("dqChecks: seeded violations are counted exactly, clean checks read zero") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("dq").toString
