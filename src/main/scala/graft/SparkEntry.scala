@@ -68,6 +68,7 @@ object SparkEntry {
     "cdc_diff" -> (Relational.cdcDiff(_, _)),
     "join_division" -> (Relational.joinDivision(_, _)),
     "dq_checks" -> (Relational.dqChecks(_, _)),
+    "diag_skew" -> (Relational.diagSkew(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -193,6 +194,8 @@ object SparkEntry {
     // count-matching reduction == Codd division when pairs ⊆ divisor
     "join_division" -> Relational.joinDivisionSql,
     "dq_checks" -> Relational.dqChecksSql,
+    // integer ppm shares and ×mean ratios: no float percentages
+    "diag_skew" -> Relational.diagSkewSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

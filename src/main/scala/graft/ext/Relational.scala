@@ -1485,6 +1485,48 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  private val SkewTopK = 10
+
+  /** JOIN-KEY SKEW diagnostic — the relation you read to DECIDE
+    * salting (`join_salted` is the cure; this is the diagnosis):
+    * the [[SkewTopK]] heaviest join keys with their exact integer
+    * load shares (parts-per-million of all rows) and
+    * multiple-of-mean ratios (×1000). At 100 TB this is one hash
+    * agg (map-side combinable), a one-row broadcast of the totals,
+    * and a TakeOrdered top-k — the full key histogram never
+    * reaches the driver. All-BIGINT arithmetic: shares and ratios
+    * are integer floor divisions, not float percentages.
+    */
+  def diagSkew(spark: SparkSession, dir: String): DataFrame = {
+    val freq = t(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("o_custkey").asc)
+    freq.crossJoin(broadcast(tot))
+      .orderBy(col("cnt").desc, col("o_custkey").asc).limit(SkewTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("o_custkey").as("key"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr("cnt * n_keys * 1000 div total").as("xmean_x1000"))
+      .orderBy("rn")
+  }
+
+  val diagSkewSql: String =
+    s"""WITH f AS (
+       |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+       |t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM f),
+       |r AS (
+       |  SELECT o_custkey, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, o_custkey ASC) AS rn
+       |  FROM f)
+       |SELECT CAST(rn AS BIGINT) AS rn, o_custkey AS key,
+       |  CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       |  CAST(cnt * n_keys * 1000 // total AS BIGINT) AS xmean_x1000
+       |FROM r, t WHERE rn <= $SkewTopK ORDER BY rn""".stripMargin
+
   /** Relational DIVISION (Codd's ÷ — the "for ALL" join no built-in
     * operator spells): customers with orders in EVERY active order
     * year. The textbook double-NOT-EXISTS formulation nests two

@@ -298,6 +298,23 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(total >= 99998L && total <= 100000L, s"budget drift: $total")
   }
 
+  test("diagSkew: a planted hot key tops the report with exact shares") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    // key 777 holds 60 of 100 rows; keys 1..40 hold 1 each
+    val rows = Seq.fill(60)(777L) ++ (1L to 40L)
+    rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.diagSkew(spark, tmp).collect()
+    assert(out.length == 10)
+    val top = out.head
+    assert(top.getLong(1) == 777L && top.getLong(2) == 60L)
+    assert(top.getLong(3) == 600000L)         // 60% in ppm
+    assert(top.getLong(4) == 24600L)          // 60 / (100/41) ≈ 24.6x mean
+    assert(out.tail.forall(_.getLong(2) == 1L))
+  }
+
   test("dqChecks: seeded violations are counted exactly, clean checks read zero") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("dq").toString
