@@ -92,6 +92,7 @@ object SparkEntry {
     "event_sequences" -> (Relational.eventSequences(_, _)),
     "event_retention" -> (Relational.eventRetention(_, _)),
     "event_anomaly" -> (Relational.eventAnomaly(_, _)),
+    "event_markov" -> (Relational.eventMarkov(_, _)),
     "window_islands" -> (Relational.windowIslands(_, _)),
     "agg_regression" -> (Relational.aggRegression(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
@@ -211,6 +212,8 @@ object SparkEntry {
     // BIGINT-exact z² inequality: no float stddev to drift between engines
     "event_anomaly" -> Relational.eventAnomalySql,
     "window_islands" -> Relational.windowIslandsSql,
+    // (ts_ns, event_id)-pinned successor order; ppm floor divisions
+    "event_markov" -> Relational.eventMarkovSql,
     // integer moment sums + one IEEE division: REGR_* without the
     // engines' incremental-float drift
     "agg_regression" -> Relational.aggRegressionSql,

@@ -437,6 +437,48 @@ object Relational {
       |    AS path10
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** First-order MARKOV transition matrix between event types — the
+    * sequence-model statistic behind behavior modeling and anomaly
+    * scoring (and the bigram counting shape `text_lm_score` applies
+    * to tokens, here applied to event streams): per user, each
+    * event's successor in (ts_ns, event_id) order via ONE
+    * user-partitioned `lead` window, then transition counts and
+    * integer ppm row-conditional probabilities — BIGINT floor
+    * divisions, no float normalization to drift. Output is the
+    * dense |types|² matrix: model-scale, safe to broadcast
+    * downstream.
+    */
+  def eventMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy("from_type").agg(sum(col("cnt")).as("t"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000 div t").as("prob_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventMarkovSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_ns(ts), event_id) AS to_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT from_type, to_type, count(*) AS cnt
+      |  FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(cnt) AS t FROM tr GROUP BY 1)
+      |SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(cnt * 1000000 // t AS BIGINT) AS prob_ppm
+      |FROM tr JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   private val HistBins = 256
   private val HistQs = Seq(0.5, 0.9, 0.99)
 

@@ -298,6 +298,34 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(total >= 99998L && total <= 100000L, s"budget drift: $total")
   }
 
+  test("eventMarkov: constructed chains count transitions exactly, rows sum <= 1e6") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("markov").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: a>b>a>b ; user 2: a>c  → from a: {b:2, c:1}, from b: {a:1}
+    val evs = Seq(
+      (1L, ts(1), 1L, "a"), (2L, ts(2), 1L, "b"),
+      (3L, ts(3), 1L, "a"), (4L, ts(4), 1L, "b"),
+      (5L, ts(1), 2L, "a"), (6L, ts(2), 2L, "c"))
+    evs.map { case (id, t, u, e) => (id, t, u, e, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Relational.eventMarkov(spark, tmp).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 666666L)),
+      ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+    // corpus: each from-row's ppm mass sums to ≤ 1e6 (floor division)
+    val rows = Relational.eventMarkov(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val mass = rs.map(_.getLong(3)).sum
+      assert(mass <= 1000000L && mass > 1000000L - rs.length)
+    }
+  }
+
   test("diagSkew: a planted hot key tops the report with exact shares") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("skew").toString
