@@ -69,6 +69,7 @@ object SparkEntry {
     "join_division" -> (Relational.joinDivision(_, _)),
     "dq_checks" -> (Relational.dqChecks(_, _)),
     "diag_skew" -> (Relational.diagSkew(_, _)),
+    "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -197,6 +198,8 @@ object SparkEntry {
     "dq_checks" -> Relational.dqChecksSql,
     // integer ppm shares and ×mean ratios: no float percentages
     "diag_skew" -> Relational.diagSkewSql,
+    // exact DECIMAL cumulative-coverage selection: no interpolation
+    "agg_weighted_median" -> Relational.aggWeightedMedianSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

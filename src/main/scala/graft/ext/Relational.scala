@@ -1527,6 +1527,48 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** WEIGHTED median — the volume-weighted "typical price" no
+    * built-in percentile gives (percentile weights rows equally;
+    * here a 40-unit line counts 40×): smallest price whose
+    * cumulative quantity covers half the group's total. Exact
+    * DECIMAL arithmetic end-to-end (quantities and prices are
+    * integral cents — no interpolation, no floats until the output
+    * cast), and the scale shape pre-aggregates BY PRICE before the
+    * window, so the cumulative sum walks distinct price points
+    * (bounded domain), not raw lineitems.
+    */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), dec(col("l_extendedprice")).as("p"))
+      .agg(sum(dec(col("l_quantity"))).as("pq"))
+    val tot = byPrice.groupBy("l_returnflag").agg(sum(col("pq")).as("tq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("p")
+    byPrice
+      .withColumn("cum", sum(col("pq")).over(w))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cum") * 2 >= col("tq"))
+      .groupBy("l_returnflag")
+      .agg(max(col("tq")).cast("long").as("total_qty"),
+        min(col("p")).cast("double").as("wmedian_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggWeightedMedianSql: String =
+    """WITH bp AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS pq
+      |  FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT l_returnflag, sum(pq) AS tq FROM bp GROUP BY 1),
+      |c AS (
+      |  SELECT bp.l_returnflag, p, tq,
+      |    sum(pq) OVER (PARTITION BY bp.l_returnflag ORDER BY p) AS cum
+      |  FROM bp JOIN tot USING (l_returnflag))
+      |SELECT l_returnflag, CAST(max(tq) AS BIGINT) AS total_qty,
+      |  CAST(min(p) AS DOUBLE) AS wmedian_price
+      |FROM c WHERE cum * 2 >= tq GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   private val SkewTopK = 10
 
   /** JOIN-KEY SKEW diagnostic — the relation you read to DECIDE

@@ -298,6 +298,21 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(total >= 99998L && total <= 100000L, s"budget drift: $total")
   }
 
+  test("aggWeightedMedian: weight dominance picks the heavy price, not the row median") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("wmed").toString
+    // flag A: price 10 carries 90 units, prices 20..60 carry 1 each —
+    // row-median of prices is 35, but the WEIGHTED median is 10
+    val rows = Seq(("A", 10.0, 90.0)) ++
+      (2 to 6).map(i => ("A", i * 10.0, 1.0)) ++
+      Seq(("B", 5.0, 1.0), ("B", 7.0, 1.0)) // even split: min covering half = 5
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.aggWeightedMedian(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A", 95L, 10.0), ("B", 2L, 5.0)))
+  }
+
   test("eventMarkov: constructed chains count transitions exactly, rows sum <= 1e6") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("markov").toString
