@@ -70,6 +70,7 @@ object SparkEntry {
     "dq_checks" -> (Relational.dqChecks(_, _)),
     "diag_skew" -> (Relational.diagSkew(_, _)),
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
+    "window_growth" -> (Relational.windowGrowth(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
     "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
     "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
+    "text_gini" -> (TextAnalysis.textGini(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -200,6 +202,8 @@ object SparkEntry {
     "diag_skew" -> Relational.diagSkewSql,
     // exact DECIMAL cumulative-coverage selection: no interpolation
     "agg_weighted_median" -> Relational.aggWeightedMedianSql,
+    // BIGINT cents deltas + ppm floor division over the weekly grain
+    "window_growth" -> Relational.windowGrowthSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,
@@ -268,6 +272,8 @@ object SparkEntry {
     "text_lm_score" -> TextAnalysis.textLmScoreSql,
     // p·ln p from identical integer counts, order-pinned fold
     "text_entropy" -> TextAnalysis.textEntropySql,
+    // BIGINT rank-weighted sums, tie-insensitive; one output division
+    "text_gini" -> TextAnalysis.textGiniSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

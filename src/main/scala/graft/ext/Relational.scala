@@ -1527,6 +1527,51 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Period-over-period GROWTH (the WoW/MoM BI primitive): weekly
+    * revenue deltas and growth rates vs the previous week. The
+    * window runs over the AGGREGATED weekly relation (hundreds of
+    * rows — reduce first, window the reduction; a single-partition
+    * sort of week-grain rows is free at any corpus scale), and
+    * growth is BIGINT cents with a ppm floor division — envelope:
+    * weekly cents × 10⁶ must stay under 2⁶³, true through
+    * petabyte-scale retail revenue.
+    */
+  def windowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = t(spark, dir, "orders")
+      .groupBy(unix_timestamp(date_trunc("week", col("o_orderdate")))
+        .as("week_s"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("week_s")
+    weekly
+      .withColumn("prev", lag(col("rev_cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0L)
+      // deltas go NEGATIVE here (unlike every other ppm query, whose
+      // numerators are counts): both engines' integer division
+      // truncates toward zero on BIGINT (Spark `div`, DuckDB `//` —
+      // DuckDB floors only for FLOATs), verified by the gate on 172
+      // down-weeks
+      .select(col("week_s"), col("rev_cents"),
+        (col("rev_cents") - col("prev")).as("delta_cents"),
+        expr("(rev_cents - prev) * 1000000 div prev").as("growth_ppm"))
+      .orderBy("week_s")
+  }
+
+  val windowGrowthSql: String =
+    """WITH weekly AS (
+      |  SELECT CAST(floor(epoch(date_trunc('week', o_orderdate))) AS BIGINT)
+      |      AS week_s,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT week_s, rev_cents,
+      |    lag(rev_cents) OVER (ORDER BY week_s) AS prev
+      |  FROM weekly)
+      |SELECT week_s, rev_cents, rev_cents - prev AS delta_cents,
+      |  CAST((rev_cents - prev) * 1000000 // prev AS BIGINT) AS growth_ppm
+      |FROM g WHERE prev IS NOT NULL AND prev != 0
+      |ORDER BY week_s""".stripMargin
+
   /** WEIGHTED median — the volume-weighted "typical price" no
     * built-in percentile gives (percentile weights rows equally;
     * here a 40-unit line counts 40×): smallest price whose

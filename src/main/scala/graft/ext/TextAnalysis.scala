@@ -795,6 +795,54 @@ object TextAnalysis {
        |      FROM ev GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** GINI coefficient of per-document token mass within each source —
+    * the inequality half of the balance audit ([[textEntropy]]
+    * measures vocabulary diversity; this measures whether a few
+    * giant documents carry the source): the sorted-rank formulation
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending token
+    * counts. Everything up to the single output division is BIGINT
+    * (rank-weighted sums are tie-insensitive: equal xᵢ contribute
+    * x·Σi whichever tied rank each takes), so the value is exact
+    * and partitioning-independent. One stratum window + one agg.
+    */
+  def textGini(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("source"), col("doc_id"),
+      size(expr("filter(split(text, ' +'), x -> x != '')"))
+        .cast("long").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("x"), col("doc_id"))
+    toks
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("sx").as("total_tokens"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx"))
+          .cast("double") / (col("n") * col("sx")).cast("double"), 6)
+          .as("gini"))
+      .orderBy("source")
+  }
+
+  val textGiniSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+      |      AS x
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, x,
+      |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+      |  FROM toks),
+      |m AS (
+      |  SELECT source, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+      |  FROM r GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  CAST(sx AS BIGINT) AS total_tokens,
+      |  round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+      |    / CAST(n * sx AS DOUBLE), 6) AS gini
+      |FROM m ORDER BY source""".stripMargin
+
   /** Token-distribution Shannon ENTROPY per source — the corpus
     * DIVERSITY metric a mixture designer reads next to volume: low
     * entropy flags template/boilerplate sources whose tokens repeat

@@ -298,6 +298,35 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(total >= 99998L && total <= 100000L, s"budget drift: $total")
   }
 
+  test("textGini: equal docs score 0, total concentration approaches 1 - 1/n") {
+    val eq = corpus((1L to 5L).map(i => (i, "w w w w", "flat")))
+    val outEq = TextAnalysis.textGini(spark, eq).collect()
+    assert(outEq.head.getDouble(3) == 0.0)
+    // one doc holds 96 of 100 tokens over n=5: G = (2·Σi·x − 6·100)/500
+    // with sorted x = (1,1,1,1,96): Σi·x = 1+2+3+4+480 = 490 → 0.76
+    val skewed = corpus(Seq(
+      (1L, "w", "skew"), (2L, "w", "skew"), (3L, "w", "skew"),
+      (4L, "w", "skew"), (5L, Seq.fill(96)("w").mkString(" "), "skew")))
+    val outSk = TextAnalysis.textGini(spark, skewed).collect()
+    assert(outSk.head.getLong(1) == 5L && outSk.head.getLong(2) == 100L)
+    assert(outSk.head.getDouble(3) == 0.76)
+  }
+
+  test("windowGrowth: deltas and ppm growth recompute from the weekly totals") {
+    val rows = Relational.windowGrowth(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val weeks = rows.map(_.getLong(0))
+    assert(weeks.sameElements(weeks.sorted), "not week-ordered")
+    for (r <- rows) {
+      val (rev, delta, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val prev = rev - delta
+      assert(prev != 0L)
+      // Java's / truncates toward zero — the semantics BOTH engines'
+      // integer division share (Spark `div`, DuckDB BIGINT `//`)
+      assert(ppm == delta * 1000000L / prev)
+    }
+  }
+
   test("aggWeightedMedian: weight dominance picks the heavy price, not the row median") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("wmed").toString
