@@ -591,7 +591,15 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("pipeline_pack", () => PipelineOps.pipelinePack(spark, d)),
       ("graph_jaccard", () => Graph.graphJaccard(spark, d)),
       ("mm_audio", () => Multimodal.mmAudio(spark, d)),
-      ("source_jsonl", () => graft.sources.SourceFormats.sourceJsonl(spark, d)))
+      ("source_jsonl", () => graft.sources.SourceFormats.sourceJsonl(spark, d)),
+      ("sim_knn", () => Similarity.simKnn(spark, d)),
+      ("text_entropy", () => TextAnalysis.textEntropy(spark, d)),
+      ("text_gini", () => TextAnalysis.textGini(spark, d)),
+      ("pipeline_mixture", () => PipelineOps.pipelineMixture(spark, d)),
+      ("diag_skew", () => Relational.diagSkew(spark, d)),
+      ("event_markov", () => Relational.eventMarkov(spark, d)),
+      ("agg_weighted_median", () => Relational.aggWeightedMedian(spark, d)),
+      ("window_growth", () => Relational.windowGrowth(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
