@@ -71,6 +71,7 @@ object SparkEntry {
     "diag_skew" -> (Relational.diagSkew(_, _)),
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     "window_growth" -> (Relational.windowGrowth(_, _)),
+    "sql_kmv" -> (Relational.sqlKmv(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -204,6 +205,8 @@ object SparkEntry {
     "agg_weighted_median" -> Relational.aggWeightedMedianSql,
     // BIGINT cents deltas + ppm floor division over the weekly grain
     "window_growth" -> Relational.windowGrowthSql,
+    // the SQL-called UDAF must match the typed path bit-for-bit
+    "sql_kmv" -> Relational.aggKmvDistinctSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

@@ -573,6 +573,24 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** SQL-surface twin of [[aggKmvDistinct]]: the SAME sketch called
+    * as a registered UDAF from plain SQL (`kmv_distinct(...)` via
+    * `NativeFunctions.register`) — a SQL-only user gets the typed
+    * Aggregator ladder, not just the scalar/generator functions.
+    * Shares [[aggKmvDistinctSql]] verbatim: both paths must land on
+    * bit-identical estimates.
+    */
+  def sqlKmv(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events_sqlkmv")
+    spark.sql(
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  kmv_distinct(CAST(user_id AS STRING)) AS kmv_users
+        |FROM graft_events_sqlkmv
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Oracle: identical hash (HUGEINT fold mod 2⁶⁴ over the id's
     * decimal digits, then the same multiply/shift-add finalizer via a
     * 32-bit-split multiply — products stay under 2⁹⁸ < HUGEINT max),

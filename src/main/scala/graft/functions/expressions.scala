@@ -164,5 +164,29 @@ object NativeFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_split", exprs => ChunkSplit(exprs(0), exprs(1), exprs(2)), "built-in")
+    // the typed Aggregators as SQL-callable UDAFs — a SQL-only user
+    // gets the full ladder, not just the scalar/generator surface
+    spark.udf.register("kmv_distinct",
+      org.apache.spark.sql.functions.udaf(KmvStringSketch))
+    spark.udf.register("ratio_of_sums",
+      org.apache.spark.sql.functions.udaf(RatioOfSums))
   }
+}
+
+/** String-input adapter of [[KmvSketch]] for the SQL surface
+  * (`SELECT kmv_distinct(col)`): SQL callers pass the raw column,
+  * the adapter applies the sketch's own portable hash. Same buffer,
+  * same merges, same estimate.
+  */
+object KmvStringSketch
+    extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Long] {
+  def zero: Array[Long] = KmvSketch.zero
+  def reduce(b: Array[Long], s: String): Array[Long] =
+    if (s == null) b else KmvSketch.reduce(b, KmvSketch.hash(s))
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvSketch.merge(a, b)
+  def finish(b: Array[Long]): Long = KmvSketch.finish(b)
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    KmvSketch.bufferEncoder
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
 }

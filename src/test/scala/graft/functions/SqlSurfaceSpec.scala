@@ -72,4 +72,24 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     val hof = df.select(VectorOps.cosine(col("a"), col("b"))).collect()(0)
     assert(hof.isNullAt(0))
   }
+
+  test("kmv_distinct UDAF from SQL equals the typed-Aggregator path bit-for-bit") {
+    val typed = graft.ext.Relational
+      .aggKmvDistinct(spark, dir).collect().map(_.toString).toSeq
+    val viaSql = graft.ext.Relational
+      .sqlKmv(spark, dir).collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty)
+    assert(viaSql == typed)
+  }
+
+  test("ratio_of_sums UDAF is SQL-callable and exact") {
+    import spark.implicits._
+    NativeFunctions.register(spark)
+    Seq((6L, 2L), (4L, 3L)).toDF("num", "den")
+      .createOrReplaceTempView("graft_ratios_v")
+    val r = spark.sql(
+      "SELECT ratio_of_sums(num, den) AS r FROM graft_ratios_v")
+      .collect()(0).getDouble(0)
+    assert(r == 2.0) // (6+4)/(2+3): ratio of sums, not mean of ratios
+  }
 }
