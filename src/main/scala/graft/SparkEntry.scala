@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis, TimeSeries}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -96,6 +96,8 @@ object SparkEntry {
     "event_retention" -> (Relational.eventRetention(_, _)),
     "event_anomaly" -> (Relational.eventAnomaly(_, _)),
     "event_markov" -> (Relational.eventMarkov(_, _)),
+    "ts_gapfill" -> (TimeSeries.tsGapfill(_, _)),
+    "scd2_build" -> (TimeSeries.scd2Build(_, _)),
     "window_islands" -> (Relational.windowIslands(_, _)),
     "agg_regression" -> (Relational.aggRegression(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
@@ -124,6 +126,7 @@ object SparkEntry {
     "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
     "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     "text_gini" -> (TextAnalysis.textGini(_, _)),
+    "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -224,6 +227,10 @@ object SparkEntry {
     "window_islands" -> Relational.windowIslandsSql,
     // (ts_ns, event_id)-pinned successor order; ppm floor divisions
     "event_markov" -> Relational.eventMarkovSql,
+    // calendar-scale resample: zero-fill + LOCF replay identically
+    "ts_gapfill" -> TimeSeries.tsGapfillSql,
+    // (ts_ns, event_id)-pinned run collapse -> versioned intervals
+    "scd2_build" -> TimeSeries.scd2BuildSql,
     // integer moment sums + one IEEE division: REGR_* without the
     // engines' incremental-float drift
     "agg_regression" -> Relational.aggRegressionSql,
@@ -277,6 +284,8 @@ object SparkEntry {
     "text_entropy" -> TextAnalysis.textEntropySql,
     // BIGINT rank-weighted sums, tie-insensitive; one output division
     "text_gini" -> TextAnalysis.textGiniSql,
+    // one double ratio through one 6dp-rounded ln; (w1,w2) tie-breaks
+    "text_pmi" -> TextAnalysis.textPmiSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

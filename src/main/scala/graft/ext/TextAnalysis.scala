@@ -985,4 +985,92 @@ object TextAnalysis {
        |SELECT rank, doc_id, score FROM r WHERE rank <= $Bm25TopK
        |ORDER BY rank""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // PMI collocations: statistically-bound word pairs
+  // ----------------------------------------------------------------
+
+  private val PmiMinCount = 5L
+  private val PmiTopK = 20
+
+  /** Top-[[PmiTopK]] bigram COLLOCATIONS by pointwise mutual
+    * information — PMI(x,y) = ln(p(x,y) / (p(x)p(y))) with
+    * p(x,y) = c₁₂/M over bigram mass M and p(x) = c/N over token
+    * mass N — the classic collocation-extraction statistic (Church &
+    * Hanks 1990): high-PMI pairs are phrases ("Hong Kong"), which is
+    * what tokenizer vocab builders and stop-phrase lists mine for. A
+    * min-support floor of [[PmiMinCount]] kills the PMI pathology
+    * (hapax pairs score highest exactly because they're rare).
+    *
+    * Scale shape: one bigram explode + one token explode, three
+    * map-side-combinable hash aggs (pair, unigram, totals), two
+    * vocabulary-scale equi-joins to attach c₁ and c₂, one-row totals
+    * broadcast, and `TakeOrderedAndProject` for the global top-k —
+    * the full pair relation never sorts. Determinism: counts are
+    * BIGINT; the score is ONE double ratio (identical left-assoc
+    * multiply chain both engines) through ONE `ln`, 6-dp-rounded
+    * before ranking with (w1, w2) tie-breaks — the BM25 discipline.
+    */
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir)
+      .select(expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+    val bg = ws.select(explode(expr(
+      """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+        |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+        |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+      .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val totals = uni.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(c12.agg(sum(col("c12")).as("m_bg")))
+    val w2r = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    c12.filter(col("c12") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("m_bg").cast("double") * col("c1") * col("c2"))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+      .withColumn("rn", row_number().over(w2r).cast("long"))
+      .select(col("rn"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("c2"), col("pmi"))
+      .orderBy("rn")
+  }
+
+  val textPmiSql: String =
+    s"""WITH ws AS (
+       |  SELECT list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM ws WHERE len(ws) >= 2)),
+       |uni AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |tot AS (
+       |  SELECT (SELECT sum(c) FROM uni) AS n_tok,
+       |         (SELECT sum(c12) FROM c12) AS m_bg),
+       |scored AS (
+       |  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       |    round(ln((CAST(c12 AS DOUBLE) * n_tok * n_tok) /
+       |             (CAST(m_bg AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+       |  FROM c12
+       |  JOIN uni u1 ON c12.w1 = u1.w
+       |  JOIN uni u2 ON c12.w2 = u2.w
+       |  CROSS JOIN tot
+       |  WHERE c12 >= $PmiMinCount),
+       |r AS (
+       |  SELECT *, row_number()
+       |    OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rn
+       |  FROM scored)
+       |SELECT CAST(rn AS BIGINT) AS rn, w1, w2, CAST(c12 AS BIGINT) AS c12,
+       |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, pmi
+       |FROM r WHERE rn <= $PmiTopK ORDER BY rn""".stripMargin
 }

@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Time-series shaping operators — the resample/gap-fill and
+  * slowly-changing-dimension families every warehouse pipeline needs
+  * and no single built-in spells (SURVEY.md §2 extension surface;
+  * the reference — a file-statistics CLI — has no temporal axis at
+  * all, cf. /root/reference/README.md).
+  *
+  * Determinism discipline matches [[Relational]]: money in
+  * DECIMAL(18,2) surfaced as BIGINT cents, timestamps surfaced as
+  * epoch-ns BIGINT, ties pinned on (ts_ns, event_id), results fully
+  * ordered.
+  */
+object TimeSeries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ----------------------------------------------------------------
+  // Calendar gap-fill + LOCF: the resample primitive
+  // ----------------------------------------------------------------
+
+  /** Daily-revenue series RESAMPLED onto the complete calendar: every
+    * day between the corpus min and max order date appears exactly
+    * once, order-free days zero-filled and flagged, plus the
+    * last-observation-carried-forward revenue (the "latest known
+    * value" series dashboards and feature pipelines join against).
+    *
+    * Scale shape: the daily pre-aggregation is one map-side-combinable
+    * hash agg over the fact table — the only pass that touches
+    * fact-scale data. The calendar derives from a ONE-ROW bounds agg
+    * via `sequence`/`explode` (no driver round-trip, no
+    * `spark.range` guesswork), so the left join and the LOCF window
+    * run at CALENDAR scale — rows = span days, bounded (a century is
+    * ~37k rows) regardless of fact size. The unpartitioned LOCF
+    * window is therefore safe: it walks the calendar, never the
+    * facts. At 100 TB nothing changes — the fact table still meets
+    * exactly one hash agg.
+    *
+    * LOCF = `last(..., ignoreNulls)` over an unbounded-preceding row
+    * frame; the first calendar day carries data by construction
+    * (it IS the min order date), so the LOCF column is never null.
+    */
+  def tsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("raw_rev"),
+        count(lit(1)).as("n_orders"))
+    val cal = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("day"), "left")
+      .select(
+        // epoch-DAY index, not a raw DATE: BIGINT is the one date
+        // surface every engine formats identically (house rule —
+        // cf. window_growth's week_s)
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("day_idx"),
+        coalesce(col("n_orders"), lit(0L)).cast("long").as("n_orders"),
+        coalesce(col("raw_rev"), lit(0L)).as("rev_cents"),
+        when(col("raw_rev").isNull, 1L).otherwise(0L).as("is_gap"),
+        last(col("raw_rev"), ignoreNulls = true).over(w).as("locf_rev_cents"))
+      .orderBy("day_idx")
+  }
+
+  val tsGapfillSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS raw_rev,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |cal AS (
+      |  SELECT CAST(day_ts AS DATE) AS day FROM (
+      |    SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS day_ts FROM b)),
+      |j AS (
+      |  SELECT cal.day, daily.raw_rev, coalesce(daily.n_orders, 0) AS n_orders
+      |  FROM cal LEFT JOIN daily USING (day))
+      |SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_idx,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  coalesce(raw_rev, 0) AS rev_cents,
+      |  CAST(CASE WHEN raw_rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+      |  last_value(raw_rev IGNORE NULLS)
+      |    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS locf_rev_cents
+      |FROM j ORDER BY day_idx""".stripMargin
+
+  // ----------------------------------------------------------------
+  // SCD Type-2: validity intervals from a change log
+  // ----------------------------------------------------------------
+
+  /** Slowly-changing-dimension TYPE-2 build from the event change
+    * log: per user, consecutive runs of the same event_type collapse
+    * into one versioned row with [valid_from, valid_to) epoch-ns
+    * bounds, `valid_to` null + `is_current` = 1 on the open tail —
+    * the standard dimension-history layout `cdc_diff` classifies
+    * single snapshots into, here constructed for the full history.
+    *
+    * Scale shape: two user-partitioned windows (lag for
+    * change-points, running sum for version numbers), one hash agg
+    * per (user, version) run, and a final user-partitioned lead for
+    * the interval close — all partitioned by the natural key, no
+    * global window, no self-join of the log against itself. State
+    * per task is one partition's rows: the 100 TB layout is exactly
+    * this plan with more partitions. Ties pinned on (ts_ns,
+    * event_id) like every event-order operator in [[Relational]].
+    *
+    * Interval bounds surface as epoch MICROseconds (`ts_ns div
+    * 1000`): DuckDB's parquet reader narrows ns timestamps to µs, so
+    * µs is the exact cross-engine grain. The open tail carries
+    * `Long.MaxValue` instead of NULL — "+infinity" makes
+    * `valid_from <= t AND t < valid_to` point-in-time probes work
+    * unconditionally, and a nullable BIGINT would degrade to float64
+    * in pandas-style comparators, silently losing the low bits.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(ord))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("state"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("state")).as("state"),
+        expr("min(ts_ns) div 1000").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(byVersion))
+      .select(
+        col("user_id"), col("version").cast("long").as("version"),
+        col("state"), col("valid_from_us"),
+        coalesce(col("next_from"), lit(Long.MaxValue)).as("valid_to_us"),
+        when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2BuildSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type AS state,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts_ns, state,
+      |    sum(CASE WHEN prev IS NULL OR prev != state THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, version, min(state) AS state,
+      |    min(ts_ns) // 1000 AS valid_from_us, count(*) AS n_events
+      |  FROM r GROUP BY user_id, version),
+      |iv AS (
+      |  SELECT user_id, version, state, valid_from_us, n_events,
+      |    lead(valid_from_us) OVER (PARTITION BY user_id
+      |                              ORDER BY version) AS next_from
+      |  FROM g)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+      |  CAST(valid_from_us AS BIGINT) AS valid_from_us,
+      |  CAST(coalesce(next_from, 9223372036854775807) AS BIGINT) AS valid_to_us,
+      |  CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM iv ORDER BY user_id, version""".stripMargin
+}

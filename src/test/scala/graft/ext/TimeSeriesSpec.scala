@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Semantics pins for the time-series family (the oracle gate carries
+  * the hash-equality check; these fix the behavior on crafted data
+  * where the interesting cases — gaps, run boundaries, open tails —
+  * are constructed, not sampled).
+  */
+class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Crafted orders table: one row per (day offset from 1995-01-01,
+    * price).
+    */
+  private def ordersAt(rows: Seq[(Int, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts-orders").toString
+    rows.zipWithIndex.map { case ((d, p), i) => (i.toLong, d, p) }
+      .toDF("o_orderkey", "d", "p")
+      .selectExpr(
+        "o_orderkey", "o_orderkey AS o_custkey", "'O' AS o_orderstatus",
+        "p AS o_totalprice",
+        "CAST(date_add(DATE '1995-01-01', d) AS TIMESTAMP) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** Crafted events table: (event_id, µs offset, user, type). */
+  private def eventsAt(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts-events").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("tsGapfill: gap days appear zero-filled, flagged, and LOCF-carried") {
+    // days 0, 1, 4 have orders; 2-3 are gaps the calendar must invent
+    val dir = ordersAt(Seq((0, 10.00), (1, 20.00), (1, 5.00), (4, 7.50)))
+    val out = TimeSeries.tsGapfill(spark, dir).collect()
+    assert(out.length == 5, "calendar must span min..max inclusive")
+    val byDay = out.map(r => (r.getLong(0) - out.head.getLong(0)) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byDay(0L) == ((1L, 1000L, 0L, 1000L)))
+    assert(byDay(1L) == ((2L, 2500L, 0L, 2500L)))
+    // the two gap days: zero orders, zero revenue, flagged, LOCF=day1
+    assert(byDay(2L) == ((0L, 0L, 1L, 2500L)))
+    assert(byDay(3L) == ((0L, 0L, 1L, 2500L)))
+    assert(byDay(4L) == ((1L, 750L, 0L, 750L)))
+  }
+
+  test("tsGapfill: dense series has no gaps and LOCF equals the raw series") {
+    val dir = ordersAt(Seq((0, 1.00), (1, 2.00), (2, 3.00)))
+    val out = TimeSeries.tsGapfill(spark, dir).collect()
+    assert(out.forall(_.getLong(3) == 0L))
+    assert(out.forall(r => r.getLong(2) == r.getLong(4)))
+  }
+
+  test("scd2Build: runs collapse, intervals chain gaplessly, tail is open") {
+    // user 7: A A B A  -> versions 1(A,2 events), 2(B), 3(A, current)
+    val dir = eventsAt(Seq(
+      (1L, 1000L, 7L, "A"), (2L, 2000L, 7L, "A"),
+      (3L, 3000L, 7L, "B"), (4L, 4000L, 7L, "A")))
+    val out = TimeSeries.scd2Build(spark, dir).collect()
+    assert(out.length == 3)
+    val v = out.map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(v(0) == ((1L, "A", 1000L, 3000L, 0L, 2L)))
+    assert(v(1) == ((2L, "B", 3000L, 4000L, 0L, 1L)))
+    assert(v(2) == ((3L, "A", 4000L, Long.MaxValue, 1L, 1L)))
+    // intervals tile: each valid_to equals the next valid_from
+    assert(v.sliding(2).forall(w => w.length < 2 || w(0)._4 == w(1)._3))
+  }
+
+  test("scd2Build: same-timestamp ties break on event_id; users independent") {
+    // user 1 has two events at the SAME µs: event_id order decides the
+    // run sequence (A then B -> two versions, not a collapsed run)
+    val dir = eventsAt(Seq(
+      (10L, 5000L, 1L, "A"), (11L, 5000L, 1L, "B"),
+      (12L, 1000L, 2L, "X")))
+    val out = TimeSeries.scd2Build(spark, dir).collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(2)).toSeq == Seq("A", "B"))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getLong(5) == 1L)
+  }
+}
