@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_spans" -> (Dedup.dedupSpans(_, _)),
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     "dedup_editdist" -> (Dedup.dedupEditDistance(_, _)),
+    "corpus_overlap" -> (Dedup.corpusOverlap(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
@@ -310,6 +311,8 @@ object SparkEntry {
     // deletion-neighborhood candidates ⊇ all lev≤1 pairs (SymSpell
     // completeness), exact verify == the brute-force oracle
     "dedup_editdist" -> Dedup.dedupEditDistanceSql,
+    // every MinHash min replayed bit-for-bit in HUGEINT; integer ppm
+    "corpus_overlap" -> Dedup.corpusOverlapSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,

@@ -1098,4 +1098,144 @@ object Dedup {
        |FROM k a JOIN k b ON a.doc_id < b.doc_id
        |WHERE levenshtein(a.sig, b.sig) <= $EditMaxDist
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Corpus overlap: MinHash source-pair Jaccard estimate + exact twin
+  // ----------------------------------------------------------------
+
+  private val OverlapPerms = 32
+  // splitmix64 / PCG multiplier constants (public-domain mixing
+  // constants); each perm j applies the affine map h*(A0·(2j+1)) +
+  // B0·j (mod 2⁶⁴) — odd multiplier ⟹ a true permutation of Z₂⁶⁴
+  private val OverlapA0 = BigInt("11400714819323198485")
+  private val OverlapB0 = BigInt("15111065706836454659")
+  private val TwoTo64 = BigInt(1) << 64
+
+  /** CORPUS-pair overlap: estimated shingle-set Jaccard between every
+    * pair of sources via [[OverlapPerms]] MinHash permutations, next
+    * to the exact intersection/Jaccard computed from the distinct
+    * shingle sets — the "how much of source A is also in source B"
+    * audit run before mixing corpora, and the sketch-vs-truth
+    * demonstration in one relation.
+    *
+    * The 100 TB path is the ESTIMATE: per-source signatures are
+    * [[OverlapPerms]] longs (map-side-combinable min-aggs — the
+    * shuffle carries sources×perms rows, nothing shingle-scale), so
+    * corpus pairs compare in O(perms) regardless of corpus size. The
+    * exact tier is the verification twin (shingle-scale equi-join,
+    * the `dedup_contamination` shape) — at production scale you keep
+    * the estimate and drop the twin, so its cost is the gate's, not
+    * the operator's.
+    *
+    * Determinism: the shingle hash is the portable [[polyHash64]];
+    * perms are fixed affine maps mod 2⁶⁴ (JVM wraparound; the kernel
+    * side-steps ANSI-mode Column overflow). The oracle replays every
+    * min bit-for-bit in HUGEINT. Estimates surface as integer ppm.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // distinct (source, shingle-hash): doc-level distinct in the
+    // kernel, corpus-level via .distinct()
+    val sh = docs(spark, dir)
+      .select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, text) =>
+          shingleSet(text).iterator.map(s => (src, polyHash64(s)))
+        }
+      }.toDF("source", "h").distinct()
+    // per-(source, perm) unsigned min via the sign-flip trick: signed
+    // min of (permed ^ Long.MinValue) == unsigned min of permed
+    val a0 = OverlapA0.toLong; val b0 = OverlapB0.toLong
+    val perms = sh.as[(String, Long)].mapPartitions { it =>
+      it.flatMap { case (src, h) =>
+        (0 until OverlapPerms).iterator.map { j =>
+          val permed = h * (a0 * (2L * j + 1L)) + b0 * j
+          (src, j, permed ^ Long.MinValue)
+        }
+      }
+    }.toDF("source", "j", "f")
+    val sigs = perms.groupBy("source", "j")
+      .agg(min(col("f")).as("mf"))
+    val matches = sigs.as("a").join(sigs.as("b"),
+        col("a.j") === col("b.j") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(when(col("a.mf") === col("b.mf"), 1L).otherwise(0L)).as("matches"))
+    val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    cnt.as("ca").join(cnt.as("cb"), col("ca.source") < col("cb.source"))
+      .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(matches), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        coalesce(col("matches"), lit(0L)).as("matches"))
+      .withColumn("est_ppm", expr(s"matches * 1000000 div $OverlapPerms"))
+      .withColumn("exact_ppm", expr("inter * 1000000 div (n_a + n_b - inter)"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Oracle: identical shingling + HUGEINT polynomial fold (the
+    * simhash oracle's machinery), the 32 affine perms as an inline
+    * VALUES table, unsigned mins, and the same ppm floor divisions.
+    */
+  val corpusOverlapSql: String = {
+    val js = (0 until OverlapPerms).map { j =>
+      val a = (OverlapA0 * (2 * j + 1)) % TwoTo64
+      val b = (OverlapB0 * j) % TwoTo64
+      s"($j, CAST('$a' AS HUGEINT), CAST('$b' AS HUGEINT))"
+    }.mkString(", ")
+    s"""WITH shs AS (
+       |  SELECT source,
+       |    list_distinct(CASE WHEN len(w) >= 3
+       |      THEN [concat_ws(' ', w[i], w[i+1], w[i+2])
+       |            for i in generate_series(1, len(w)-2)]
+       |      ELSE [text] END) AS s
+       |  FROM (SELECT source, text, string_split_regex(text, ' +') AS w
+       |        FROM documents)),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        [CAST(unicode(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT)
+       |         for i in generate_series(1, length(shingle))]),
+       |      (a, b) -> (a*31 + b) % 18446744073709551616) AS hu
+       |  FROM (SELECT source, unnest(s) AS shingle FROM shs)),
+       |js(j, a, b) AS (VALUES $js),
+       |mins AS (
+       |  SELECT source, j,
+       |    min((((hu % 4294967296) * (a % 4294967296)
+       |          + 4294967296 * ((hu % 4294967296) * (a // 4294967296)
+       |                        + (hu // 4294967296) * (a % 4294967296))
+       |         ) % 18446744073709551616 + b) % 18446744073709551616) AS m
+       |  FROM h CROSS JOIN js GROUP BY source, j),
+       |cnt AS (SELECT source, count(*) AS n FROM h GROUP BY source),
+       |pr AS (
+       |  SELECT ca.source AS src_a, cb.source AS src_b,
+       |         ca.n AS n_a, cb.n AS n_b
+       |  FROM cnt ca JOIN cnt cb ON ca.source < cb.source),
+       |iv AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+       |  FROM h x JOIN h y ON x.hu = y.hu AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT ma.source AS src_a, mb.source AS src_b,
+       |    sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS matches
+       |  FROM mins ma JOIN mins mb ON ma.j = mb.j AND ma.source < mb.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(coalesce(inter, 0) AS BIGINT) AS inter,
+       |  CAST(coalesce(matches, 0) AS BIGINT) AS matches,
+       |  CAST(coalesce(matches, 0) * 1000000 // $OverlapPerms AS BIGINT)
+       |    AS est_ppm,
+       |  CAST(coalesce(inter, 0) * 1000000 // (n_a + n_b - coalesce(inter, 0))
+       |    AS BIGINT) AS exact_ppm
+       |FROM pr LEFT JOIN iv USING (src_a, src_b)
+       |LEFT JOIN mm USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+  }
 }
