@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     "dedup_editdist" -> (Dedup.dedupEditDistance(_, _)),
     "corpus_overlap" -> (Dedup.corpusOverlap(_, _)),
+    "dedup_sorted_nbhd" -> (Dedup.dedupSortedNeighborhood(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
@@ -313,6 +314,8 @@ object SparkEntry {
     "dedup_editdist" -> Dedup.dedupEditDistanceSql,
     // every MinHash min replayed bit-for-bit in HUGEINT; integer ppm
     "corpus_overlap" -> Dedup.corpusOverlapSql,
+    // window-bounded candidates replayed by rank-distance in SQL
+    "dedup_sorted_nbhd" -> Dedup.dedupSortedNeighborhoodSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,

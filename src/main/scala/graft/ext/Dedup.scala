@@ -1100,6 +1100,80 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------------------
+  // Sorted-neighborhood dedup: blocking + sliding-window candidates
+  // ----------------------------------------------------------------
+
+  private val SnWindow = 5 // compare each doc to its next 4 neighbors
+  private val SnKeyLen = 64
+  private val SnBlockLen = 8
+
+  /** SORTED-NEIGHBORHOOD near-dup join (Hernández & Stolfo 1995 —
+    * the third classic blocking family beside MinHash-LSH and
+    * SimHash banding): docs sort by a normalized key (lowercased,
+    * alphanumerics only, first [[SnKeyLen]] chars — near-dups share
+    * long prefixes), and each doc meets only its [[SnWindow]]−1
+    * successors in that order; survivors verify with the exact
+    * shingle-Jaccard tier shared with [[dedupMinhash]]/[[dedupNgram]].
+    * Recall is bounded by the window by DESIGN (the method's knob:
+    * candidates are O(n·w), never O(n²)); pairs whose normalized
+    * keys diverge early are out of scope, which is exactly the
+    * trade the technique sells.
+    *
+    * Scale shape: the sort is WITHIN [[SnBlockLen]]-char-prefix
+    * blocks (`Window.partitionBy(block)`), so no global single-task
+    * window exists; candidate pairs come from w−1 `lead`s over slim
+    * (block, key, id) rows — no self-join, no text payload in the
+    * window; texts move once, by id, inside the shared verify tier
+    * (semi-join below the shingle kernel). At 100 TB: one range-ish
+    * shuffle on the block key + O(n·w) verify candidates.
+    */
+  def dedupSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(
+      col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+        1, SnKeyLen).as("snkey"))
+      .withColumn("block", substring(col("snkey"), 1, SnBlockLen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy(col("snkey"), col("doc_id"))
+    val leads = keyed.select(
+      col("doc_id") +: (1 until SnWindow)
+        .map(i => lead(col("doc_id"), i).over(w).as(s"l$i")): _*)
+    val cands = (1 until SnWindow)
+      .map(i => leads.select(col("doc_id").as("x"), col(s"l$i").as("y"))
+        .filter(col(s"y").isNotNull))
+      .reduce(_ unionByName _)
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+      .distinct()
+    verifyJaccardPairs(spark, dir, cands)
+  }
+
+  /** Oracle: identical key/block/rank windows, rank-distance ≤ w−1
+    * candidates, intersected with the brute-force exact-Jaccard
+    * relation (valid at verification scale).
+    */
+  val dedupSortedNeighborhoodSql: String =
+    s"""WITH $dedupPairsCteSql,
+       |keyed AS (
+       |  SELECT doc_id,
+       |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |           1, $SnKeyLen) AS snkey
+       |  FROM documents),
+       |rk AS (
+       |  SELECT doc_id, snkey, substr(snkey, 1, $SnBlockLen) AS block,
+       |    row_number() OVER (PARTITION BY substr(snkey, 1, $SnBlockLen)
+       |                       ORDER BY snkey, doc_id) AS rn
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |         greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM rk a JOIN rk b
+       |    ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + ${SnWindow - 1})
+       |SELECT doc_a, doc_b, jaccard
+       |FROM good JOIN cand USING (doc_a, doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------------------
   // Corpus overlap: MinHash source-pair Jaccard estimate + exact twin
   // ----------------------------------------------------------------
 
