@@ -149,6 +149,7 @@ object SparkEntry {
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
     "sim_pq" -> (Similarity.simPq(_, _)),
     "sim_knn" -> (Similarity.simKnn(_, _)),
+    "sim_sparse" -> (Similarity.simSparse(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -330,6 +331,8 @@ object SparkEntry {
     // cell-local bounded top-k merges exactly: 6-dp rounding before
     // selection keeps the tie order portable
     "sim_knn" -> Similarity.simKnnSql,
+    // BIGINT dots/norms; one division through two sqrts, 6dp-rounded
+    "sim_sparse" -> Similarity.simSparseSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,

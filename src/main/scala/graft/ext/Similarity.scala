@@ -930,4 +930,92 @@ object Similarity {
        |  FROM p)
        |SELECT vec_id, CAST(rn AS BIGINT) AS rn, nbr, cos_sim
        |FROM r WHERE rn <= $KnnK ORDER BY vec_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Sparse cosine similarity join: inverted-index postings
+  // ----------------------------------------------------------------
+
+  private val SparseDfCap = 50L
+  private val SparseTopK = 20
+
+  /** SPARSE-vector cosine similarity join over term-frequency
+    * vectors via an INVERTED INDEX — the lexical twin of
+    * [[graft.ext.Dedup.dedupEmbedding]]'s dense tier: two documents
+    * meet only through terms they share (postings equi-join), so the
+    * all-pairs product never materializes; the df cap bounds every
+    * term's contribution to ≤ cap² pairs (dropping corpus-stopword
+    * terms — the classic DAAT pruning, and a DETERMINISTIC semantic:
+    * cosine is taken in the pruned term space, norms included).
+    *
+    * Scale shape: one explode + tf hash agg, a df agg feeding the
+    * cap filter, the postings self-equi-join on the term (partial
+    * map-side dot-product sums), doc-scale norm joins, and a global
+    * `TakeOrderedAndProject` top-k. Determinism: dots and squared
+    * norms are BIGINT sums of BIGINT products; the score is one
+    * IEEE division through two `sqrt`s, 6-dp-rounded before
+    * (doc_a, doc_b) tie-broken ranking.
+    */
+  def simSparse(spark: SparkSession, dir: String): DataFrame = {
+    val docsT = graft.sources.Tables.table(spark, dir, "documents")
+    val tf = docsT
+      .select(col("doc_id"), explode(split(col("text"), " +")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val kept = tf.join(
+      tf.groupBy("word").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= SparseDfCap)
+        .select("word"),
+      "word")
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.as("a").join(kept.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val w = Window.orderBy(col("score").desc, col("doc_a").asc, col("doc_b").asc)
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .withColumn("score", round(
+        col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6))
+      .orderBy(col("score").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(SparseTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("doc_a"), col("doc_b"), col("dot"), col("score"))
+      .orderBy("rn")
+  }
+
+  val simSparseSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM w
+       |  WHERE word != '' GROUP BY doc_id, word),
+       |kept AS (
+       |  SELECT tf.* FROM tf JOIN (
+       |    SELECT word FROM tf GROUP BY word
+       |    HAVING count(*) <= $SparseDfCap) ok USING (word)),
+       |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf) AS dot
+       |  FROM kept a JOIN kept b
+       |    ON a.word = b.word AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b, dot,
+       |    round(CAST(dot AS DOUBLE) /
+       |          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+       |          6) AS score
+       |  FROM dots
+       |  JOIN norms na ON dots.doc_a = na.doc_id
+       |  JOIN norms nb ON dots.doc_b = nb.doc_id),
+       |r AS (
+       |  SELECT *, row_number()
+       |    OVER (ORDER BY score DESC, doc_a ASC, doc_b ASC) AS rn
+       |  FROM scored)
+       |SELECT CAST(rn AS BIGINT) AS rn, doc_a, doc_b,
+       |  CAST(dot AS BIGINT) AS dot, score
+       |FROM r WHERE rn <= $SparseTopK ORDER BY rn""".stripMargin
 }
