@@ -72,6 +72,7 @@ object SparkEntry {
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     "window_growth" -> (Relational.windowGrowth(_, _)),
     "sql_kmv" -> (Relational.sqlKmv(_, _)),
+    "sketch_setops" -> (Relational.sketchSetops(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -213,6 +214,8 @@ object SparkEntry {
     "window_growth" -> Relational.windowGrowthSql,
     // the SQL-called UDAF must match the typed path bit-for-bit
     "sql_kmv" -> Relational.aggKmvDistinctSql,
+    // merged bottom-k + integer estimate algebra replayed in HUGEINT
+    "sketch_setops" -> Relational.sketchSetopsSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,

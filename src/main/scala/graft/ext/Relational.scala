@@ -639,6 +639,171 @@ object Relational {
       |ORDER BY k.event_type""".stripMargin
 
   // ----------------------------------------------------------------
+  // KMV sketch SET ALGEBRA: union / intersection between sketches
+  // ----------------------------------------------------------------
+
+  /** KMV sketch SET OPERATIONS (Beyer et al. 2007): for every pair
+    * of event types, the distinct-user UNION and INTERSECTION sizes
+    * estimated purely from the two bottom-k sketches — the algebra
+    * that makes sketches composable ("how many users do A and B
+    * share?" answered from k longs per side, never re-reading the
+    * facts) — beside the exact tier. Merged-sketch math: bottom-k of
+    * S_A ∪ S_B estimates |A∪B| (exact when the merge has < k
+    * hashes, which implies both sketches were exhaustive); the
+    * fraction of the union's bottom-k present in BOTH sketches
+    * estimates Jaccard, and intersection = ρ̂·|A∪B|̂ in integer
+    * floor arithmetic.
+    *
+    * Scale shape: one distinct over (type, user), the hash kernel,
+    * then the bottom-k per type via the [[graft.plans.TopKPerKey]]
+    * BOUNDED-HEAP operator (map-side partial heaps — no per-type
+    * sort, no full shuffle of hashes; the same operator `topk_custom`
+    * gates). Everything after runs at SKETCH scale (≤ 2k rows per
+    * pair): pair tagging, merged rank window, and exact-BigInt final
+    * estimates in a pair-scale kernel. The exact tier (distinct
+    * self-join on user) is the verification twin.
+    */
+  def sketchSetops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = graft.functions.KmvSketch.K
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    // flipped-sign hashes: signed ascending == unsigned ascending
+    val hashed = du.as[(String, Long)].mapPartitions { it =>
+      it.map { case (t, u) =>
+        (t, graft.functions.KmvSketch.hash(u.toString) ^ Long.MinValue)
+      }
+    }.toDF("etype", "f").distinct()
+    val sk = graft.plans.TopK.topKPerKey(
+      hashed, keyNames = Seq("etype"), orderSpec = Seq("f" -> false), k = K)
+    val types = sk.select(col("etype")).distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.etype") < col("b.etype"))
+      .select(col("a.etype").as("ta"), col("b.etype").as("tb"))
+    val tagged = broadcast(pairs).join(sk,
+        col("etype") === col("ta") || col("etype") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("f"))
+      .agg(max(when(col("etype") === col("ta"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("etype") === col("tb"), 1L).otherwise(0L)).as("in_b"))
+    val wm = Window.partitionBy("ta", "tb").orderBy("f")
+    val sketchAgg = tagged
+      .withColumn("rn", row_number().over(wm))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_m"),
+        max(when(col("rn") <= K, col("f"))).as("kth_f"),
+        sum(when(col("rn") <= K && col("in_a") === 1L && col("in_b") === 1L,
+          1L).otherwise(0L)).as("matches"))
+    val cnt = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("inter"))
+    val joined = sketchAgg
+      .join(cnt.select(col("event_type").as("ta"), col("n").as("n_a")), "ta")
+      .join(cnt.select(col("event_type").as("tb"), col("n").as("n_b")), "tb")
+      .join(inter, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        col("n_m"), col("kth_f"), col("matches"))
+    val mask = (BigInt(1) << 64) - 1
+    joined.as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .map { case (ta, tb, nA, nB, inter0, nM, kthF, matches) =>
+        val estUnion =
+          if (nM < K) nM
+          else {
+            val theta = BigInt(kthF ^ Long.MinValue) & mask
+            ((BigInt(K - 1) << 64) / theta).toLong
+          }
+        // Jaccard denominator is the number of union-bottom-k slots
+        // actually inspected: K when the merge saturates, the full
+        // merge size when both sketches were exhaustive (where the
+        // ratio then yields matches exactly — the estimator
+        // degrades to truth on small sets)
+        val estInter = matches * estUnion / math.min(K.toLong, nM)
+        (ta, tb, nA, nB, nA + nB - inter0, inter0, estUnion, estInter)
+      }
+      .toDF("type_a", "type_b", "exact_a", "exact_b", "exact_union",
+        "exact_inter", "est_union", "est_inter")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Oracle: the KMV oracle's split-multiply mix chain, per-type
+    * bottom-k by rank, merged-pair rank window, and the identical
+    * integer estimate arithmetic in HUGEINT.
+    */
+  val sketchSetopsSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    CAST(user_id AS VARCHAR) AS s FROM events),
+      |h0 AS (
+      |  SELECT event_type, user_id,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      [CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT)
+      |       for i in generate_series(1, length(s))]),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616) AS x
+      |  FROM u),
+      |m1 AS (SELECT event_type,
+      |  ((x % 4294967296) * (18397679294719823053 % 4294967296)
+      |   + 4294967296 * ((x % 4294967296) * (18397679294719823053 // 4294967296)
+      |                 + (x // 4294967296) * (18397679294719823053 % 4294967296))
+      |  ) % 18446744073709551616 AS x FROM h0),
+      |a1 AS (SELECT event_type,
+      |  (x + (x // 8589934592)) % 18446744073709551616 AS x FROM m1),
+      |m2 AS (SELECT event_type,
+      |  ((x % 4294967296) * (14181476777654086739 % 4294967296)
+      |   + 4294967296 * ((x % 4294967296) * (14181476777654086739 // 4294967296)
+      |                 + (x // 4294967296) * (14181476777654086739 % 4294967296))
+      |  ) % 18446744073709551616 AS x FROM a1),
+      |hd AS (SELECT DISTINCT event_type,
+      |  (x + (x // 8589934592)) % 18446744073709551616 AS hu FROM m2),
+      |r AS (SELECT event_type, hu,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+      |      FROM hd),
+      |sk AS (SELECT event_type, hu FROM r WHERE rn <= 256),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+      |tg AS (
+      |  SELECT pr.ta, pr.tb, sk.hu,
+      |    max(CASE WHEN sk.event_type = pr.ta THEN 1 ELSE 0 END) AS in_a,
+      |    max(CASE WHEN sk.event_type = pr.tb THEN 1 ELSE 0 END) AS in_b
+      |  FROM pr JOIN sk ON sk.event_type IN (pr.ta, pr.tb)
+      |  GROUP BY pr.ta, pr.tb, sk.hu),
+      |mr AS (SELECT ta, tb, hu, in_a, in_b,
+      |         row_number() OVER (PARTITION BY ta, tb ORDER BY hu) AS rn
+      |       FROM tg),
+      |ag AS (
+      |  SELECT ta, tb, count(*) AS n_m,
+      |    max(CASE WHEN rn <= 256 THEN hu END) AS kth,
+      |    sum(CASE WHEN rn <= 256 AND in_a = 1 AND in_b = 1
+      |             THEN 1 ELSE 0 END) AS matches
+      |  FROM mr GROUP BY ta, tb),
+      |cnt AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),
+      |iv AS (
+      |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS inter
+      |  FROM u x JOIN u y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT ag.ta, ag.tb, ca.n AS n_a, cb.n AS n_b,
+      |    coalesce(iv.inter, 0) AS inter, ag.n_m, ag.kth, ag.matches,
+      |    CASE WHEN ag.n_m < 256 THEN ag.n_m
+      |         ELSE (CAST(255 AS HUGEINT) * 18446744073709551616) // ag.kth
+      |    END AS est_union
+      |  FROM ag
+      |  JOIN cnt ca ON ag.ta = ca.event_type
+      |  JOIN cnt cb ON ag.tb = cb.event_type
+      |  LEFT JOIN iv ON ag.ta = iv.ta AND ag.tb = iv.tb)
+      |SELECT ta AS type_a, tb AS type_b,
+      |  CAST(n_a AS BIGINT) AS exact_a, CAST(n_b AS BIGINT) AS exact_b,
+      |  CAST(n_a + n_b - inter AS BIGINT) AS exact_union,
+      |  CAST(inter AS BIGINT) AS exact_inter,
+      |  CAST(est_union AS BIGINT) AS est_union,
+      |  CAST((matches * est_union) // least(256, n_m) AS BIGINT) AS est_inter
+      |FROM est ORDER BY type_a, type_b""".stripMargin
+
+  // ----------------------------------------------------------------
   // Joins (§2.6 — absent in the reference)
   // ----------------------------------------------------------------
 
