@@ -99,6 +99,8 @@ object SparkEntry {
     "event_markov" -> (Relational.eventMarkov(_, _)),
     "ts_gapfill" -> (TimeSeries.tsGapfill(_, _)),
     "scd2_build" -> (TimeSeries.scd2Build(_, _)),
+    "interval_merge" -> (TimeSeries.intervalMerge(_, _)),
+    "event_attribution" -> (Relational.eventAttribution(_, _)),
     "window_islands" -> (Relational.windowIslands(_, _)),
     "agg_regression" -> (Relational.aggRegression(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
@@ -237,6 +239,11 @@ object SparkEntry {
     "ts_gapfill" -> TimeSeries.tsGapfillSql,
     // (ts_ns, event_id)-pinned run collapse -> versioned intervals
     "scd2_build" -> TimeSeries.scd2BuildSql,
+    // cummax islands over ranges; explicit floor() for the one
+    // double->long cast-semantics divergence between the engines
+    "interval_merge" -> TimeSeries.intervalMergeSql,
+    // -1-preceding frame picks the touch; DECIMAL cents revenue
+    "event_attribution" -> Relational.eventAttributionSql,
     // integer moment sums + one IEEE division: REGR_* without the
     // engines' incremental-float drift
     "agg_regression" -> Relational.aggRegressionSql,

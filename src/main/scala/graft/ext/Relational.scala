@@ -479,6 +479,65 @@ object Relational {
       |FROM tr JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  private val AttribWindowUs = 7L * 24 * 3600 * 1000000L // 7 days
+
+  /** LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
+    * recent PRECEDING non-purchase event within a 7-day lookback
+    * (the marketing-analytics workhorse; first/linear variants are
+    * the same plan with a different pick): one user-partitioned
+    * window whose frame ends at `-1 PRECEDING` picks the touch
+    * without a self-join or an as-of join per purchase; too-old or
+    * missing touches fall into the explicit `none` channel so the
+    * report always accounts for every purchase. Revenue aggregates
+    * in DECIMAL cents (order-independent), counts in BIGINT.
+    *
+    * Scale shape: one window partitioned by the natural key + one
+    * channel-scale hash agg — the same cost as `sessionize`
+    * regardless of purchase density.
+    */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = struct(col("ts_ns"), col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"), col("value"))
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", touch),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_touch").isNotNull &&
+          col("ts_ns") - col("last_touch.ts_ns") <= AttribWindowUs * 1000L,
+          col("last_touch.event_type")).otherwise("none").as("channel"),
+        dec(col("value")).as("v"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("revenue"))
+      .orderBy("channel")
+  }
+
+  val eventAttributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, value,
+       |    last_value(CASE WHEN event_type != 'purchase'
+       |                    THEN struct_pack(t := epoch_ns(ts), c := event_type)
+       |               END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS last_touch
+       |  FROM events),
+       |p AS (
+       |  SELECT CASE WHEN last_touch IS NOT NULL
+       |                AND ts_ns - last_touch.t <= ${AttribWindowUs} * 1000
+       |              THEN last_touch.c ELSE 'none' END AS channel,
+       |    CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM e WHERE event_type = 'purchase')
+       |SELECT channel, count(*) AS n_purchases,
+       |  CAST(sum(v) AS DOUBLE) AS revenue
+       |FROM p GROUP BY channel ORDER BY channel""".stripMargin
+
   private val HistBins = 256
   private val HistQs = Seq(0.5, 0.9, 0.99)
 

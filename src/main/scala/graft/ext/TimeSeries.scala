@@ -178,4 +178,78 @@ object TimeSeries {
       |    AS is_current,
       |  CAST(n_events AS BIGINT) AS n_events
       |FROM iv ORDER BY user_id, version""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Interval coalescing: merge overlapping spans per key
+  // ----------------------------------------------------------------
+
+  /** INTERVAL MERGE — the union of overlapping time spans per user
+    * (the "stack-free interval coalescing" every calendar/booking/
+    * session system needs and no built-in spells): each event opens
+    * a span [ts, ts + value minutes); spans that overlap or touch
+    * collapse into one island. The gaps-and-islands trick
+    * generalized from `window_islands`' consecutive-integer days to
+    * arbitrary RANGES: an island starts exactly where a span's start
+    * exceeds the running maximum of all previous ends — cummax, not
+    * a self-join, so the plan is two user-partitioned windows + one
+    * hash agg regardless of overlap depth.
+    *
+    * Determinism: span ends are `floor(value·6e7)` µs offsets —
+    * explicit `floor` because Spark's double→long cast truncates
+    * while DuckDB's rounds, the one cast-semantics trap between the
+    * engines; starts are µs BIGINT; window order pinned on
+    * (s, e, event_id).
+    */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("s"),
+        (expr("ts_ns div 1000") +
+          floor(col("value") * 60000000L).cast("long")).as("e"))
+    val ord = Window.partitionBy("user_id").orderBy(col("s"), col("e"), col("event_id"))
+    val prevMax = Window.partitionBy("user_id")
+      .orderBy(col("s"), col("e"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("user_id")
+      .orderBy(col("s"), col("e"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans
+      .withColumn("pmax", max(col("e")).over(prevMax))
+      .withColumn("new_island",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col("user_id"), col("island").cast("long").as("island"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("span_us"),
+        col("n_merged").cast("long").as("n_merged"))
+      .orderBy("user_id", "island")
+  }
+
+  val intervalMergeSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS s,
+      |    epoch_ns(ts) // 1000
+      |      + CAST(floor(value * 60000000) AS BIGINT) AS e
+      |  FROM events),
+      |flags AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pmax,
+      |    event_id
+      |  FROM spans),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flags)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  min(s) AS start_us, max(e) AS end_us,
+      |  max(e) - min(s) AS span_us, count(*) AS n_merged
+      |FROM isl GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin
 }
