@@ -599,7 +599,17 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("diag_skew", () => Relational.diagSkew(spark, d)),
       ("event_markov", () => Relational.eventMarkov(spark, d)),
       ("agg_weighted_median", () => Relational.aggWeightedMedian(spark, d)),
-      ("window_growth", () => Relational.windowGrowth(spark, d)))
+      ("window_growth", () => Relational.windowGrowth(spark, d)),
+      // the round-5 continuation additions
+      ("ts_gapfill", () => TimeSeries.tsGapfill(spark, d)),
+      ("scd2_build", () => TimeSeries.scd2Build(spark, d)),
+      ("interval_merge", () => TimeSeries.intervalMerge(spark, d)),
+      ("event_attribution", () => Relational.eventAttribution(spark, d)),
+      ("text_pmi", () => TextAnalysis.textPmi(spark, d)),
+      ("corpus_overlap", () => Dedup.corpusOverlap(spark, d)),
+      ("dedup_sorted_nbhd", () => Dedup.dedupSortedNeighborhood(spark, d)),
+      ("sim_sparse", () => Similarity.simSparse(spark, d)),
+      ("sketch_setops", () => Relational.sketchSetops(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

@@ -289,6 +289,62 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sim_sparse: postings meet in equi-joins, top-k is TakeOrdered, no product") {
+    val plan = graft.ext.Similarity.simSparse(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("text_pmi: totals broadcast as one row, top-k is TakeOrdered, no product") {
+    val plan = graft.ext.TextAnalysis.textPmi(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row totals
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dedup_sorted_nbhd: no global window — every window is block-partitioned") {
+    val df = graft.ext.Dedup.dedupSortedNeighborhood(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // an empty partitionBy would plan the window behind an Exchange
+    // SinglePartition; the block key must keep it hash-partitioned
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("corpus_overlap: signature mins partial-aggregate map-side") {
+    val df = graft.ext.Dedup.corpusOverlap(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (source, j) min agg must combine before its shuffle
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("sketch_setops: bottom-k rides the TopKPerKey bounded heap") {
+    val df = graft.ext.Relational.sketchSetops(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("time-series family: keyed windows only, calendar join stays small-side") {
+    val scd = graft.ext.TimeSeries.scd2Build(spark, dir)
+      .queryExecution.executedPlan.toString
+    // every window carries the user_id partition key
+    assert(scd.contains("Window"), scd)
+    assert(!scd.contains("CartesianProduct"), scd)
+    val im = graft.ext.TimeSeries.intervalMerge(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(im.contains("Window") && !im.contains("CartesianProduct"), im)
+    val att = graft.ext.Relational.eventAttribution(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(att.contains("Window") && !att.contains("CartesianProduct"), att)
+  }
+
   test("chunk pipeline: window and per-file agg share one path partition") {
     val df = graft.ops.ChunkPipeline.docChunkStats(spark, dir,
       graft.split.SplitConfig(chunkSize = 100, chunkOverlap = 0))
