@@ -101,6 +101,7 @@ object SparkEntry {
     "scd2_build" -> (TimeSeries.scd2Build(_, _)),
     "interval_merge" -> (TimeSeries.intervalMerge(_, _)),
     "event_attribution" -> (Relational.eventAttribution(_, _)),
+    "event_rfm" -> (Relational.eventRfm(_, _)),
     "window_islands" -> (Relational.windowIslands(_, _)),
     "agg_regression" -> (Relational.aggRegression(_, _)),
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
@@ -244,6 +245,8 @@ object SparkEntry {
     "interval_merge" -> TimeSeries.intervalMergeSql,
     // -1-preceding frame picks the touch; DECIMAL cents revenue
     "event_attribution" -> Relational.eventAttributionSql,
+    // BIGINT inputs scored against exact shared-rule quantile bounds
+    "event_rfm" -> Relational.eventRfmSql,
     // integer moment sums + one IEEE division: REGR_* without the
     // engines' incremental-float drift
     "agg_regression" -> Relational.aggRegressionSql,

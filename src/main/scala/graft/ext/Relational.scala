@@ -538,6 +538,95 @@ object Relational {
        |  CAST(sum(v) AS DOUBLE) AS revenue
        |FROM p GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** RFM SEGMENTATION — the classic customer-value triage: per user,
+    * Recency (days since last event vs the corpus max), Frequency
+    * (event count) and Monetary (cents), each scored 1–5 against the
+    * population's exact 20/40/60/80 quantile BOUNDARIES, concatenated
+    * into the "555"-style segment label. Scoring against broadcast
+    * boundary values (one row, four doubles per dimension) rather
+    * than an `ntile` window keeps the fact-scale path to ONE hash agg
+    * + a broadcast join — no global sort, no single-partition window.
+    * The boundary agg itself uses Spark's exact `percentile` (shared
+    * interpolation rule with DuckDB's `quantile_cont`, proven by
+    * `agg_percentile`); its buffer is population-scale — at extreme
+    * user counts swap in the mergeable `agg_histogram_quantile`
+    * sketch boundaries, same plan otherwise.
+    *
+    * Determinism: R/F/M inputs are BIGINT (µs day floors, counts,
+    * DECIMAL→cents), boundaries are exact rationals of integers, and
+    * `v >= b` comparisons are exact — no float accumulation anywhere.
+    */
+  def eventRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("max(ts_ns div 1000)").as("last_us"),
+        count(lit(1)).as("f"),
+        (sum(dec(col("value"))) * 100).cast("long").as("m_cents"))
+    val withR = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("last_us")).as("corpus_us"))))
+      .withColumn("r_days",
+        expr("(corpus_us - last_us) div 86400000000"))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"))
+    val bounds = withR.agg(
+      expr("percentile(r_days, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(m_cents, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def score(v: String, b: String, asc: Boolean): Column = {
+      // asc: bigger value -> higher score (F, M); desc for recency
+      val cmp = (i: Int) =>
+        if (asc) when(col(v) >= element_at(col(b), i), 1L).otherwise(0L)
+        else when(col(v) <= element_at(col(b), i), 1L).otherwise(0L)
+      lit(1L) + cmp(1) + cmp(2) + cmp(3) + cmp(4)
+    }
+    withR.crossJoin(broadcast(bounds))
+      .withColumn("r_score", score("r_days", "rb", asc = false))
+      .withColumn("f_score", score("f", "fb", asc = true))
+      .withColumn("m_score", score("m_cents", "mb", asc = true))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy("user_id")
+  }
+
+  val eventRfmSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, max(epoch_ns(ts) // 1000) AS last_us,
+      |    count(*) AS f,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_cents
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id,
+      |    ((SELECT max(last_us) FROM pu) - last_us) // 86400000000 AS r_days,
+      |    f, m_cents
+      |  FROM pu),
+      |b AS (
+      |  SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+      |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
+      |    quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+      |  FROM r),
+      |s AS (
+      |  SELECT user_id, r_days, f, m_cents,
+      |    1 + (CASE WHEN r_days <= rb[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r_days <= rb[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r_days <= rb[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r_days <= rb[4] THEN 1 ELSE 0 END) AS r_score,
+      |    1 + (CASE WHEN f >= fb[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f >= fb[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f >= fb[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f >= fb[4] THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN m_cents >= mb[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m_cents >= mb[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m_cents >= mb[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m_cents >= mb[4] THEN 1 ELSE 0 END) AS m_score
+      |  FROM r CROSS JOIN b)
+      |SELECT user_id, r_days, CAST(f AS BIGINT) AS f, m_cents,
+      |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+      |    CAST(m_score AS VARCHAR) AS segment
+      |FROM s ORDER BY user_id""".stripMargin
+
   private val HistBins = 256
   private val HistQs = Seq(0.5, 0.9, 0.99)
 

@@ -64,6 +64,27 @@ class AttributionIntervalSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains("view"), "older touch must not be credited")
   }
 
+  test("eventRfm: monotone inputs score the full 1..5 ladder; segment concatenates") {
+    // five users with frequencies 1..5, recencies 5..1 days ago and
+    // monetary 1..5 -> every dimension's scores are the identity
+    val day = 24L * 3600L * 1000000L
+    val rows = (1 to 5).flatMap { u =>
+      (0 until u).map { k =>
+        ((u * 10 + k).toLong, u * day + k * Min, u.toLong, "view",
+          u.toDouble)
+      }
+    }
+    val dir = eventsOf(rows)
+    val out = Relational.eventRfm(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    for (u <- 1 to 5) {
+      val (rs, fs, ms, seg) = out(u.toLong)
+      assert(rs == u && fs == u && ms == u, s"user $u scored ($rs,$fs,$ms)")
+      assert(seg == s"$u$u$u")
+    }
+  }
+
   test("eventAttribution: a purchase between touches credits only backwards") {
     val dir = eventsOf(Seq(
       (1L, 1L * Min, 1L, "click", 0.0),
