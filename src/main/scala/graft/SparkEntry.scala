@@ -99,6 +99,7 @@ object SparkEntry {
     "event_markov" -> (Relational.eventMarkov(_, _)),
     "ts_gapfill" -> (TimeSeries.tsGapfill(_, _)),
     "scd2_build" -> (TimeSeries.scd2Build(_, _)),
+    "ts_interp" -> (TimeSeries.tsInterp(_, _)),
     "interval_merge" -> (TimeSeries.intervalMerge(_, _)),
     "event_attribution" -> (Relational.eventAttribution(_, _)),
     "event_rfm" -> (Relational.eventRfm(_, _)),
@@ -240,6 +241,8 @@ object SparkEntry {
     "ts_gapfill" -> TimeSeries.tsGapfillSql,
     // (ts_ns, event_id)-pinned run collapse -> versioned intervals
     "scd2_build" -> TimeSeries.scd2BuildSql,
+    // BIGINT floor interpolation; both engines truncate toward zero
+    "ts_interp" -> TimeSeries.tsInterpSql,
     // cummax islands over ranges; explicit floor() for the one
     // double->long cast-semantics divergence between the engines
     "interval_merge" -> TimeSeries.intervalMergeSql,

@@ -95,6 +95,85 @@ object TimeSeries {
       |    AS locf_rev_cents
       |FROM j ORDER BY day_idx""".stripMargin
 
+  /** Linear INTERPOLATION across calendar gaps — the smooth
+    * complement of [[tsGapfill]]'s LOCF: each gap day takes
+    * `prev + (next − prev)·(d − d_prev) ÷ (d_next − d_prev)` in pure
+    * BIGINT floor arithmetic (no float slope anywhere — both
+    * engines floor identical integer products). Observed days pass
+    * through untouched. The frame pair does the bracketing without
+    * any self-join: `last(ignoreNulls)` over the preceding frame and
+    * `first(ignoreNulls)` over the following frame find d_prev/d_next
+    * in one calendar-scale window pass; the span endpoints always
+    * exist because the calendar is bounded by observed days. Same
+    * scale posture as [[tsGapfill]]: facts meet one hash agg, the
+    * windows walk the bounded calendar.
+    */
+  def tsInterp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("raw_rev"))
+    val cal = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val joined = cal.join(daily, Seq("day"), "left")
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+        col("raw_rev"))
+    val ord = Window.orderBy("d")
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(col("raw_rev"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(when(col("raw_rev").isNotNull, col("d")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("raw_rev"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(col("raw_rev").isNotNull, col("d")),
+        ignoreNulls = true).over(fwd))
+      .select(col("d").as("day_idx"),
+        coalesce(col("raw_rev"), lit(0L)).as("rev_cents"),
+        when(col("raw_rev").isNull, 1L).otherwise(0L).as("is_gap"),
+        when(col("raw_rev").isNotNull, col("raw_rev"))
+          .otherwise(col("pv") +
+            expr("(nv - pv) * (d - pd) div (nd - pd)"))
+          .as("interp_cents"))
+      .orderBy("day_idx")
+  }
+
+  val tsInterpSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS raw_rev
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |cal AS (
+      |  SELECT CAST(day_ts AS DATE) AS day FROM (
+      |    SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS day_ts FROM b)),
+      |j AS (
+      |  SELECT CAST(cal.day - DATE '1970-01-01' AS BIGINT) AS d,
+      |    daily.raw_rev
+      |  FROM cal LEFT JOIN daily USING (day)),
+      |f AS (
+      |  SELECT d, raw_rev,
+      |    last_value(raw_rev IGNORE NULLS) OVER
+      |      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pv,
+      |    last_value(CASE WHEN raw_rev IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pd,
+      |    first_value(raw_rev IGNORE NULLS) OVER
+      |      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS nv,
+      |    first_value(CASE WHEN raw_rev IS NOT NULL THEN d END IGNORE NULLS)
+      |      OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS nd
+      |  FROM j)
+      |SELECT d AS day_idx, coalesce(raw_rev, 0) AS rev_cents,
+      |  CAST(CASE WHEN raw_rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+      |  CASE WHEN raw_rev IS NOT NULL THEN raw_rev
+      |       ELSE pv + (nv - pv) * (d - pd) // (nd - pd) END AS interp_cents
+      |FROM f ORDER BY day_idx""".stripMargin
+
   // ----------------------------------------------------------------
   // SCD Type-2: validity intervals from a change log
   // ----------------------------------------------------------------

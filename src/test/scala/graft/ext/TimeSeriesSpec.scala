@@ -61,6 +61,28 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(r => r.getLong(2) == r.getLong(4)))
   }
 
+  test("tsInterp: gap days interpolate linearly in integer arithmetic") {
+    // days 0 and 4 observed at 1000 and 5000 cents; days 1-3 must
+    // interpolate to exactly 2000/3000/4000 (slope 1000/day)
+    val dir = ordersAt(Seq((0, 10.00), (4, 50.00)))
+    val out = TimeSeries.tsInterp(spark, dir).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(3)).toSeq ==
+      Seq(1000L, 2000L, 3000L, 4000L, 5000L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 1L, 1L, 1L, 0L))
+    // observed days pass through untouched
+    assert(out.head.getLong(1) == 1000L && out.last.getLong(1) == 5000L)
+  }
+
+  test("tsInterp: downward gaps floor toward zero identically") {
+    // 5000 -> 1000 over 3 days: exact slope -4000/3 -> floors
+    // 5000, 3667 (5000-1334), 2334, 1000? No: pv + (nv-pv)*(d-pd)//span
+    // = 5000 + (-4000)*1//3 = 5000-1333 = 3667; d=2: 5000-2666=2334
+    val dir = ordersAt(Seq((0, 50.00), (3, 10.00)))
+    val out = TimeSeries.tsInterp(spark, dir).collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(5000L, 3667L, 2334L, 1000L))
+  }
+
   test("scd2Build: runs collapse, intervals chain gaplessly, tail is open") {
     // user 7: A A B A  -> versions 1(A,2 events), 2(B), 3(A, current)
     val dir = eventsAt(Seq(
