@@ -164,6 +164,7 @@ object SparkEntry {
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
     "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
+    "pipeline_holdout" -> (PipelineOps.pipelineHoldout(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
@@ -357,6 +358,8 @@ object SparkEntry {
     "pipeline_pack" -> PipelineOps.pipelinePackSql,
     "pipeline_mixture" -> PipelineOps.pipelineMixtureSql,
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
+    // family-canonical hash: near-dups can never straddle splits
+    "pipeline_holdout" -> PipelineOps.pipelineHoldoutSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     // oracle recomputes from row attributes: equality proves the

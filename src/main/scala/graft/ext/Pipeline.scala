@@ -351,4 +351,55 @@ object PipelineOps {
        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
        |FROM documents d JOIN keep USING (doc_id)
        |GROUP BY d.source ORDER BY source""".stripMargin
+
+  /** LEAKAGE-SAFE train/val/test split — [[splitAssign]]'s
+    * reproducible hash assignment lifted from documents to NEAR-DUP
+    * FAMILIES: every member of a `dedup_cluster` component hashes on
+    * the family's canonical id, so a near-duplicate of a training
+    * document can never land in the eval split (the contamination
+    * path `dedup_contamination` detects after the fact, prevented by
+    * construction here — standard eval-hygiene practice per the
+    * Lee et al. 2022 dedup line). Singletons hash on their own id,
+    * which degrades exactly to [[splitAssign]] on a dedup-clean
+    * corpus.
+    *
+    * Scale shape: the labeling is the build-once fingerprint-keyed
+    * cluster artifact (shared with `dedup_cluster`/`pipeline_prep`,
+    * reloaded not rebuilt); this query adds one left equi-join and
+    * a rowwise hash — nothing else.
+    */
+  def pipelineHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        TextAnalysis.polyHashCol(col("group_id").cast("string")) % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("group_id"),
+        col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineHoldoutSql: String =
+    s"""WITH clus AS (
+       |  SELECT doc_id, cluster_id FROM (${Dedup.dedupClusterSql})),
+       |g AS (
+       |  SELECT d.doc_id, d.source,
+       |    COALESCE(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN clus c USING (doc_id)),
+       |h AS (
+       |  SELECT doc_id, source, group_id,
+       |    ${TextAnalysis.polyHashSql("CAST(group_id AS VARCHAR)")} % 10
+       |      AS bucket
+       |  FROM g)
+       |SELECT doc_id, source, group_id, bucket,
+       |  CASE WHEN bucket < 8 THEN 'train'
+       |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
 }

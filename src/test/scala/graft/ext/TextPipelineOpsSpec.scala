@@ -21,6 +21,24 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
+  test("pipelineHoldout: near-dup families never straddle splits; singletons match splitAssign") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = PipelineOps.pipelineHoldout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    // every group lands in exactly one split (the leakage guarantee)
+    val byGroup = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byGroup.forall(_._2.size == 1),
+      s"split-straddling groups: ${byGroup.filter(_._2.size > 1).keys.toSeq.sorted}")
+    // some real cluster exists on this corpus (group smaller than ids)
+    assert(rows.exists { case (id, g, _) => g != id },
+      "fixture has no near-dup family — leakage case untested")
+    // singletons (group == own id) agree with the document-level split
+    val docSplit = PipelineOps.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    for ((id, g, s) <- rows if g == id)
+      assert(s == docSplit(id), s"singleton $id diverged from splitAssign")
+  }
+
   test("textRepetition: duplicate lines and dominant bigrams measured exactly") {
     val dir = corpus(Seq(
       // line signal: 4 lines, 2 distinct -> dup_line_frac = 0.5
