@@ -1912,6 +1912,17 @@ object Relational {
     * cast), and the scale shape pre-aggregates BY PRICE before the
     * window, so the cumulative sum walks distinct price points
     * (bounded domain), not raw lineitems.
+    *
+    * Perf note (round-5 measurement): a two-phase cent-bin rework
+    * (bin-level cumulative finds the target bin, exact walk only
+    * inside it) was built and benched at sf0.1 — cold 8.1 s / hot
+    * 2.0 s vs this formulation's 2.5/1.6, and reverted: the fact-
+    * scale BY-PRICE pre-agg dominates both shapes, and the second
+    * lineage branch the bin probe needs re-runs it, while the
+    * "expensive" flag-partitioned window it saved sorts in parallel
+    * and is cheap. At a scale where the distinct-price domain itself
+    * overwhelms a window partition, the bin phase composes from
+    * `agg_histogram_quantile`'s sketch instead.
     */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val byPrice = t(spark, dir, "lineitem")
