@@ -65,6 +65,7 @@ object SparkEntry {
     "join_salted" -> (Relational.joinSalted(_, _)),
     "join_bloom" -> (Relational.joinBloom(_, _)),
     "layout_zorder" -> (Layout.layoutZorder(_, _)),
+    "layout_hilbert" -> (Layout.layoutHilbert(_, _)),
     "cdc_diff" -> (Relational.cdcDiff(_, _)),
     "join_division" -> (Relational.joinDivision(_, _)),
     "dq_checks" -> (Relational.dqChecks(_, _)),
@@ -206,6 +207,8 @@ object SparkEntry {
     "join_bloom" -> Relational.joinBloomSql,
     // Morton interleave is pure integer arithmetic: cells replay exactly
     "layout_zorder" -> Layout.layoutZorderSql,
+    // per-level CTE chain generated from the same Hilbert recurrence
+    "layout_hilbert" -> Layout.layoutHilbertSql,
     // snapshot history is hash-derived ⟹ the oracle replays it exactly
     "cdc_diff" -> Relational.cdcDiffSql,
     // count-matching reduction == Codd division when pairs ⊆ divisor

@@ -81,4 +81,117 @@ object Layout {
        |  CAST(max(cust_y) AS BIGINT) AS max_cust
        |FROM zc GROUP BY cell ORDER BY cell""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Hilbert curve: the no-jump space-filling companion to Z-order
+  // ----------------------------------------------------------------
+
+  /** One Hilbert xy→d level (Hilbert 1891; the bit-twiddling
+    * recurrence is the public-domain formulation on the
+    * space-filling-curve literature/Wikipedia): at scale s = 2^k,
+    * the quadrant index is 3·rx + ry − 2·rx·ry (the arithmetic form
+    * of (3rx)⊕ry), and the frame rotates for the next level —
+    * when ry = 0 the axes swap, reflected through n−1 when rx = 1.
+    * Both engine sides are GENERATED from this one recurrence:
+    * [[hilbertCols]] emits per-level Column triples (materialized
+    * via withColumn so the expression tree stays linear), the
+    * oracle emits the identical chain as per-level CTEs.
+    */
+  private def hilbertStep(
+      x: Column, y: Column, d: Column, k: Int, bits: Int)
+      : (Column, Column, Column) = {
+    val s = 1L << k
+    val nMinus1 = (1L << bits) - 1
+    val rx = shiftright(x, k).bitwiseAND(lit(1L))
+    val ry = shiftright(y, k).bitwiseAND(lit(1L))
+    val quad = rx * 3 + ry - rx * ry * 2
+    val d2 = d + lit(s * s) * quad
+    val x2 = when(ry === 1L, x).when(rx === 1L, lit(nMinus1) - y).otherwise(y)
+    val y2 = when(ry === 1L, y).when(rx === 1L, lit(nMinus1) - x).otherwise(x)
+    (x2, y2, d2)
+  }
+
+  /** Hilbert index of (xCol, yCol) on a 2^bits × 2^bits grid, built
+    * as a chain of materialized per-level columns on `df`; the final
+    * frame carries the index in column `hd`.
+    */
+  private[ext] def withHilbert(
+      df: DataFrame, xCol: Column, yCol: Column, bits: Int): DataFrame = {
+    var cur = df.withColumn("hx", xCol).withColumn("hy", yCol)
+      .withColumn("hd", lit(0L))
+    for (k <- (bits - 1) to 0 by -1) {
+      val (x2, y2, d2) =
+        hilbertStep(col("hx"), col("hy"), col("hd"), k, bits)
+      cur = cur.withColumn("hx2", x2).withColumn("hy2", y2)
+        .withColumn("hd2", d2)
+        .drop("hx", "hy", "hd")
+        .withColumnRenamed("hx2", "hx").withColumnRenamed("hy2", "hy")
+        .withColumnRenamed("hd2", "hd")
+    }
+    cur
+  }
+
+  /** The same chain as SQL CTEs `h{bits}..h0` over base CTE `base`
+    * (which must provide columns x, y and the payload `carry`).
+    */
+  private def hilbertCteSql(bits: Int, carry: String): String = {
+    val nMinus1 = (1L << bits) - 1
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      val prev = if (i == 0) "base" else s"h$i"
+      s"""h${i + 1} AS (
+         |  SELECT $carry,
+         |    CASE WHEN (y // $s) % 2 = 1 THEN x
+         |         WHEN (x // $s) % 2 = 1 THEN $nMinus1 - y ELSE y END AS x,
+         |    CASE WHEN (y // $s) % 2 = 1 THEN y
+         |         WHEN (x // $s) % 2 = 1 THEN $nMinus1 - x ELSE x END AS y,
+         |    d + ${s * s} * ((x // $s) % 2 * 3 + (y // $s) % 2
+         |        - (x // $s) % 2 * ((y // $s) % 2) * 2) AS d
+         |  FROM $prev)""".stripMargin
+    }
+    levels.mkString(",\n")
+  }
+
+  /** Orders clustered on the HILBERT curve over the same (order day,
+    * customer) grid as [[layoutZorder]] — same cell schema, same
+    * file-skipping statistics, plus the property Z-order lacks:
+    * consecutive curve positions are ALWAYS spatially adjacent (no
+    * quadrant jumps), so range reads along the layout touch
+    * contiguous key-space rectangles — measured side by side with
+    * the Z cells in `LayoutSpec`, and the curve itself is validated
+    * there as a bijection with unit-step adjacency.
+    */
+  def layoutHilbert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+      .select(
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day_x"),
+        col("o_custkey").as("cust_y"))
+    withHilbert(o, col("day_x").bitwiseAND(lit(4095L)),
+      col("cust_y").bitwiseAND(lit(4095L)), ZBits)
+      .groupBy(expr(s"hd div ${1L << CellShift}").as("cell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("day_x")).as("min_day"), max(col("day_x")).as("max_day"),
+        min(col("cust_y")).as("min_cust"), max(col("cust_y")).as("max_cust"))
+      .orderBy("cell")
+  }
+
+  val layoutHilbertSql: String =
+    s"""WITH k AS (
+       |  SELECT date_diff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) AS day_x,
+       |    o_custkey AS cust_y
+       |  FROM orders),
+       |base AS (
+       |  SELECT day_x, cust_y, day_x % 4096 AS x, cust_y % 4096 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM k),
+       |${hilbertCteSql(ZBits, "day_x, cust_y")}
+       |SELECT d // ${1L << CellShift} AS cell, count(*) AS n_rows,
+       |  CAST(min(day_x) AS BIGINT) AS min_day,
+       |  CAST(max(day_x) AS BIGINT) AS max_day,
+       |  CAST(min(cust_y) AS BIGINT) AS min_cust,
+       |  CAST(max(cust_y) AS BIGINT) AS max_cust
+       |FROM h$ZBits GROUP BY cell ORDER BY cell""".stripMargin
 }

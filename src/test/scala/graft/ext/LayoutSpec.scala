@@ -60,4 +60,39 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     for (Array((_, hi1), (lo2, _)) <- ranges.sliding(2))
       assert(hi1 <= lo2, "z ranges overlap across partitions")
   }
+
+  test("hilbert index is a bijection with unit-step adjacency on a 32x32 grid") {
+    import spark.implicits._
+    val n = 32
+    val pts = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val got = Layout.withHilbert(pts.toDF("x", "y"),
+        col("x"), col("y"), bits = 5)
+      .select(col("x"), col("y"), col("hd")).collect()
+      .map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    // bijection: every curve position 0..n²−1 hit exactly once
+    assert(got.keySet == (0L until (n.toLong * n)).toSet)
+    // THE Hilbert property Z-order lacks: consecutive curve positions
+    // are spatially adjacent (Manhattan distance exactly 1)
+    for (d <- 0L until (n.toLong * n - 1)) {
+      val (x1, y1) = got(d); val (x2, y2) = got(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
+    }
+  }
+
+  test("hilbert cells bound both dimensions like z-cells and cover every row") {
+    val orders = graft.sources.Tables.table(spark, dir, "orders")
+    val cells = Layout.layoutHilbert(spark, dir).collect()
+    assert(cells.map(_.getLong(1)).sum == orders.count())
+    for (c <- cells) {
+      // a 4^9 curve block is one ALIGNED 512x512 quadrant — the same
+      // two-sided bound as z-cells, via the Hilbert block property
+      assert(c.getLong(3) - c.getLong(2) < 512L,
+        s"cell ${c.getLong(0)} day span too wide")
+      assert(c.getLong(5) - c.getLong(4) < 512L,
+        s"cell ${c.getLong(0)} cust span too wide")
+      assert(c.getLong(2) / 512L == c.getLong(3) / 512L)
+      assert(c.getLong(4) / 512L == c.getLong(5) / 512L)
+    }
+  }
 }
