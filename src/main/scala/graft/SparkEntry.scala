@@ -133,6 +133,7 @@ object SparkEntry {
     "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     "text_gini" -> (TextAnalysis.textGini(_, _)),
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
+    "text_rank" -> (TextAnalysis.textRank(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -309,6 +310,8 @@ object SparkEntry {
     "text_gini" -> TextAnalysis.textGiniSql,
     // one double ratio through one 6dp-rounded ln; (w1,w2) tie-breaks
     "text_pmi" -> TextAnalysis.textPmiSql,
+    // graph_pagerank's fixed-point rounds applied to word adjacency
+    "text_rank" -> TextAnalysis.textRankSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

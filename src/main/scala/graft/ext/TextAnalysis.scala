@@ -1073,4 +1073,126 @@ object TextAnalysis {
        |SELECT CAST(rn AS BIGINT) AS rn, w1, w2, CAST(c12 AS BIGINT) AS c12,
        |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, pmi
        |FROM r WHERE rn <= $PmiTopK ORDER BY rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // TextRank: graph-based keyword extraction
+  // ----------------------------------------------------------------
+
+  private val TrMinLen = 4
+  private val TrMinCount = 5L
+  private val TrIters = 3
+  private val TrTopK = 20
+  private val TrScale = 1000000000000L
+  private val TrBaseNum = TrScale * 15L / 100L // (1−d)·scale, d = 0.85
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word CO-OCCURRENCE graph — words are nodes, adjacent
+    * content-word pairs are undirected edges, and the stationary
+    * rank surfaces the corpus's keyword vocabulary ([[textPmi]]
+    * finds bound PAIRS; this ranks single terms by graph
+    * centrality). Content filter: words of ≥ [[TrMinLen]] chars
+    * occurring ≥ [[TrMinCount]] times — the deterministic stand-in
+    * for a POS filter, bounding the graph to vocabulary scale.
+    *
+    * The iteration discipline is `graph_pagerank`'s, applied to
+    * text: [[TrIters]] damped rounds entirely in ×10¹² BIGINT fixed
+    * point (`r div deg` contributions — addition-order-independent,
+    * so partitioning cannot move a rank), each round one equi-join +
+    * hash agg on the destination word; the node count is the only
+    * driver scalar. The oracle replays the identical unrolled
+    * rounds.
+    */
+  def textRank(spark: SparkSession, dir: String): DataFrame = {
+    val ws = docs(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+    val words = ws.select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) >= TrMinLen)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TrMinCount)
+      .select("w")
+    val bg = ws.select(explode(expr(
+      """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+        |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+        |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+      .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .join(words.select(col("w").as("w1")), "w1")
+      .join(words.select(col("w").as("w2")), "w2")
+    val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bg.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // driver scalar: node count only
+    var rank = nodes.select(col("node"), lit(TrScale / n).as("r"))
+    for (_ <- 1 to TrIters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(rank.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(TrBaseNum / n) +
+          expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r").desc, col("node").asc)
+    val out = rank
+      .orderBy(col("r").desc, col("node").asc)
+      .limit(TrTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("node").as("word"), col("r").as("rank_fp"))
+      .orderBy("rn")
+    edges.unpersist()
+    out
+  }
+
+  val textRankSql: String = {
+    val iters = (1 to TrIters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |  JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (SELECT $TrBaseNum // n FROM nn)
+         |      + (85 * coalesce(c$i.s, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (
+       |  SELECT list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT w FROM (SELECT unnest(ws) AS w FROM ws)
+       |  WHERE length(w) >= $TrMinLen
+       |  GROUP BY w HAVING count(*) >= $TrMinCount),
+       |bg AS (
+       |  SELECT ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM ws WHERE len(ws) >= 2)
+       |  WHERE ws[i] != ws[i+1]),
+       |bgv AS (
+       |  SELECT w1, w2 FROM bg
+       |  JOIN vocab v1 ON bg.w1 = v1.w JOIN vocab v2 ON bg.w2 = v2.w),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT w1 AS src, w2 AS dst FROM bgv
+       |    UNION ALL SELECT w2, w1 FROM bgv)),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $TrScale // n AS r FROM nodes, nn),
+       |$iters,
+       |ranked AS (
+       |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node ASC) AS rn
+       |  FROM r$TrIters)
+       |SELECT CAST(rn AS BIGINT) AS rn, node AS word,
+       |  CAST(r AS BIGINT) AS rank_fp
+       |FROM ranked WHERE rn <= $TrTopK ORDER BY rn""".stripMargin
+  }
 }

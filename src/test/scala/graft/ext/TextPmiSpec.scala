@@ -44,6 +44,23 @@ class TextPmiSpec extends AnyFunSuite with SparkTestBase {
     assert(hk.get < nd.get, "exclusive pair must outrank the diluted pair")
   }
 
+  test("textRank: the co-occurrence hub outranks peripheral words") {
+    // "center" is adjacent to every spoke word; spokes only ever
+    // touch the hub -> the hub's centrality must dominate. Repeats
+    // push everything over the count floor.
+    val spokes = (0 until 6).map(i => s"spoke$i")
+    val wheel = spokes.map(s => s"center $s").mkString(" ")
+    val dir = corpus(Seq((1L, Seq.fill(6)(wheel).mkString(" "))))
+    val out = TextAnalysis.textRank(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getString(1) == "center", "hub must rank first")
+    assert(out.head.getLong(0) == 1L)
+    val ranks = out.map(_.getLong(2))
+    assert(ranks.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // every surfaced word passed the length + count content filter
+    assert(out.forall(_.getString(1).length >= 4))
+  }
+
   test("textPmi: pairs under the support floor never appear") {
     // "rare gem" occurs twice — below the floor of 5 — amid enough
     // repeated filler that other pairs qualify
