@@ -134,6 +134,7 @@ object SparkEntry {
     "text_gini" -> (TextAnalysis.textGini(_, _)),
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_rank" -> (TextAnalysis.textRank(_, _)),
+    "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
@@ -312,6 +313,8 @@ object SparkEntry {
     "text_pmi" -> TextAnalysis.textPmiSql,
     // graph_pagerank's fixed-point rounds applied to word adjacency
     "text_rank" -> TextAnalysis.textRankSql,
+    // Laplace-smoothed bins; order-pinned fold; identical term exprs
+    "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     // exact postings-join Jaccard computes the same relation the

@@ -1075,6 +1075,91 @@ object TextAnalysis {
        |FROM r WHERE rn <= $PmiTopK ORDER BY rn""".stripMargin
 
   // ----------------------------------------------------------------
+  // PSI drift: per-source distribution shift vs the corpus baseline
+  // ----------------------------------------------------------------
+
+  private val PsiBins = 32
+  private val PsiBinWidth = 64L
+
+  /** POPULATION STABILITY INDEX of each source's document-length
+    * distribution against the corpus baseline — the standard drift
+    * audit (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); < 0.1 stable, > 0.25 shifted)
+    * run before mixing a new source into a training corpus, the
+    * distributional sibling of `corpus_overlap`'s content audit.
+    * Token counts bucket into [[PsiBins]] fixed [[PsiBinWidth]]-token
+    * bins (capped top bin); both distributions are Laplace-smoothed
+    * (+1 per bin) so empty bins contribute finite, deterministic
+    * terms instead of an ε convention.
+    *
+    * Scale shape: one tokenize pass, two hash aggs (source×bin,
+    * bin), the full source×bin grid built by `sequence`/`explode`
+    * (BINS-scale), a one-row corpus total broadcast, and the
+    * order-pinned fold over ≤ [[PsiBins]] rows per source — the
+    * [[textEntropy]] discipline. Each PSI term is two divisions and
+    * one ln, written identically in both engines, 6-dp-rounded after
+    * the fold.
+    */
+  def dqPsi(spark: SparkSession, dir: String): DataFrame = {
+    val lens = docs(spark, dir).select(col("source"),
+      least(expr(s"size(filter(split(text, ' +'), x -> x != '')) div $PsiBinWidth"),
+        lit(PsiBins - 1L)).cast("long").as("bin"))
+    val sb = lens.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val st = sb.groupBy("source").agg(sum(col("c")).as("n"))
+    val qb = lens.groupBy("bin").agg(count(lit(1)).as("qc"))
+    val qt = lens.agg(count(lit(1)).as("qn"))
+    val grid = st.select(col("source"), col("n"),
+      explode(sequence(lit(0L), lit(PsiBins - 1L))).as("bin"))
+    grid
+      .join(sb, Seq("source", "bin"), "left")
+      .join(qb, Seq("bin"), "left")
+      .crossJoin(broadcast(qt))
+      .withColumn("p",
+        (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n") + PsiBins).cast("double"))
+      .withColumn("q",
+        (coalesce(col("qc"), lit(0L)) + 1).cast("double") /
+          (col("qn") + PsiBins).cast("double"))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        sort_array(collect_list(struct(col("bin"), col("term")))).as("parts"))
+      .select(col("source"), col("n_docs"),
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  val dqPsiSql: String =
+    s"""WITH lens AS (
+       |  SELECT source,
+       |    least(len(list_filter(string_split_regex(text, ' +'),
+       |            x -> x != '')) // $PsiBinWidth, ${PsiBins - 1}) AS bin
+       |  FROM documents),
+       |sb AS (SELECT source, bin, count(*) AS c FROM lens GROUP BY 1, 2),
+       |st AS (SELECT source, sum(c) AS n FROM sb GROUP BY 1),
+       |qb AS (SELECT bin, count(*) AS qc FROM lens GROUP BY 1),
+       |qt AS (SELECT count(*) AS qn FROM lens),
+       |grid AS (
+       |  SELECT st.source, st.n, g.bin
+       |  FROM st CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${PsiBins - 1})) AS bin) g),
+       |terms AS (
+       |  SELECT grid.source, grid.bin,
+       |    ((coalesce(sb.c, 0) + 1) / CAST(grid.n + $PsiBins AS DOUBLE)
+       |     - (coalesce(qb.qc, 0) + 1) / CAST(qt.qn + $PsiBins AS DOUBLE))
+       |    * ln(((coalesce(sb.c, 0) + 1) / CAST(grid.n + $PsiBins AS DOUBLE))
+       |         / ((coalesce(qb.qc, 0) + 1) / CAST(qt.qn + $PsiBins AS DOUBLE)))
+       |      AS term,
+       |    grid.n
+       |  FROM grid
+       |  LEFT JOIN sb ON sb.source = grid.source AND sb.bin = grid.bin
+       |  LEFT JOIN qb ON qb.bin = grid.bin
+       |  CROSS JOIN qt)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       |  round(list_sum(list(term ORDER BY bin)), 6) AS psi
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------------------
   // TextRank: graph-based keyword extraction
   // ----------------------------------------------------------------
 

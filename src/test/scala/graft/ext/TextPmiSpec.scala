@@ -44,6 +44,24 @@ class TextPmiSpec extends AnyFunSuite with SparkTestBase {
     assert(hk.get < nd.get, "exclusive pair must outrank the diluted pair")
   }
 
+  test("dqPsi: a shifted source scores high, a representative one near zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("psi-corpus").toString
+    // source "same": lengths match the corpus bulk (one bin);
+    // source "shift": documents 10x longer (a different bin entirely)
+    val short = (0 until 60).map(i => (i.toLong, Seq.fill(30)("w").mkString(" "), "same"))
+    val long = (100 until 130).map(i => (i.toLong, Seq.fill(300)("w").mkString(" "), "shift"))
+    (short ++ long).toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.dqPsi(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("shift") > 0.25, s"shifted source PSI ${out("shift")} not flagged")
+    assert(out("shift") > out("same") * 2,
+      "shifted source must dominate the representative one")
+  }
+
   test("textRank: the co-occurrence hub outranks peripheral words") {
     // "center" is adjacent to every spoke word; spokes only ever
     // touch the hub -> the hub's centrality must dominate. Repeats
