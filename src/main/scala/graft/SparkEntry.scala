@@ -100,6 +100,7 @@ object SparkEntry {
     "event_markov" -> (Relational.eventMarkov(_, _)),
     "ts_gapfill" -> (TimeSeries.tsGapfill(_, _)),
     "scd2_build" -> (TimeSeries.scd2Build(_, _)),
+    "scd2_lookup" -> (TimeSeries.scd2Lookup(_, _)),
     "ts_interp" -> (TimeSeries.tsInterp(_, _)),
     "interval_merge" -> (TimeSeries.intervalMerge(_, _)),
     "event_attribution" -> (Relational.eventAttribution(_, _)),
@@ -247,6 +248,8 @@ object SparkEntry {
     "ts_gapfill" -> TimeSeries.tsGapfillSql,
     // (ts_ns, event_id)-pinned run collapse -> versioned intervals
     "scd2_build" -> TimeSeries.scd2BuildSql,
+    // PIT probe: user equi-join + interval residual, never cartesian
+    "scd2_lookup" -> TimeSeries.scd2LookupSql,
     // BIGINT floor interpolation; both engines truncate toward zero
     "ts_interp" -> TimeSeries.tsInterpSql,
     // cummax islands over ranges; explicit floor() for the one

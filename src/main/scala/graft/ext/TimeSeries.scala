@@ -202,12 +202,19 @@ object TimeSeries {
     * unconditionally, and a nullable BIGINT would degrade to float64
     * in pandas-style comparators, silently losing the low bits.
     */
-  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2From(Tables.events(spark, dir))
+
+  /** The interval build over any (user_id, event_id, ts_ns,
+    * event_type) change log — shared by [[scd2Build]] (full log) and
+    * [[scd2Lookup]] (non-purchase dimension states).
+    */
+  private def scd2From(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
     val run = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val byVersion = Window.partitionBy("user_id").orderBy("version")
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ts_ns"),
         col("event_type").as("state"))
       .withColumn("prev", lag(col("state"), 1).over(ord))
@@ -230,33 +237,95 @@ object TimeSeries {
   }
 
   val scd2BuildSql: String =
-    """WITH o AS (
-      |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type AS state,
-      |    lag(event_type) OVER (PARTITION BY user_id
-      |                          ORDER BY epoch_ns(ts), event_id) AS prev
-      |  FROM events),
-      |r AS (
-      |  SELECT user_id, ts_ns, state,
-      |    sum(CASE WHEN prev IS NULL OR prev != state THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
-      |  FROM o),
-      |g AS (
-      |  SELECT user_id, version, min(state) AS state,
-      |    min(ts_ns) // 1000 AS valid_from_us, count(*) AS n_events
-      |  FROM r GROUP BY user_id, version),
-      |iv AS (
-      |  SELECT user_id, version, state, valid_from_us, n_events,
-      |    lead(valid_from_us) OVER (PARTITION BY user_id
-      |                              ORDER BY version) AS next_from
-      |  FROM g)
-      |SELECT user_id, CAST(version AS BIGINT) AS version, state,
-      |  CAST(valid_from_us AS BIGINT) AS valid_from_us,
-      |  CAST(coalesce(next_from, 9223372036854775807) AS BIGINT) AS valid_to_us,
-      |  CAST(CASE WHEN next_from IS NULL THEN 1 ELSE 0 END AS BIGINT)
-      |    AS is_current,
-      |  CAST(n_events AS BIGINT) AS n_events
-      |FROM iv ORDER BY user_id, version""".stripMargin
+    s"""WITH ${scd2ChainSql("")}
+       |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+       |  CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       |  CAST(valid_to_us AS BIGINT) AS valid_to_us,
+       |  CAST(CASE WHEN valid_to_us = 9223372036854775807
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       |  CAST(n_events AS BIGINT) AS n_events
+       |FROM dim ORDER BY user_id, version""".stripMargin
+
+  /** POINT-IN-TIME LOOKUP against the Type-2 dimension — the join
+    * SCD2 exists to serve, and the backtest-correctness primitive
+    * (a training pipeline joining features "as of" the example's
+    * timestamp must never read a later state): each purchase fact
+    * finds the user's browsing state at purchase time via
+    * `valid_from <= t < valid_to`. The dimension here is built from
+    * the NON-purchase events (the fact must not look itself up);
+    * purchases before a user's first dimension state fall out of the
+    * left join into an explicit `unknown` — the every-fact-accounted
+    * discipline of `event_attribution`.
+    *
+    * Plan shape: the dimension build is [[scd2From]]'s keyed
+    * windows; the lookup is a user_id EQUI-join with the interval
+    * predicate as a residual filter (never a cartesian), and the
+    * `Long.MaxValue` open tail means current-state probes need no
+    * null branch. One row per purchase by the non-overlap of SCD2
+    * intervals — asserted in `TimeSeriesSpec`.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2From(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("state"),
+        col("version").as("state_version"),
+        col("valid_from_us"), col("valid_to_us"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("t_us"), dec(col("value")).as("v"))
+      .join(dim,
+        col("user_id") === col("d_user") &&
+          col("t_us") >= col("valid_from_us") &&
+          col("t_us") < col("valid_to_us"),
+        "left")
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        coalesce(col("state"), lit("unknown")).as("state_at"),
+        coalesce(col("state_version"), lit(0L)).as("state_version"),
+        col("v").cast("double").as("value"))
+      .orderBy("event_id")
+  }
+
+  /** The interval-build CTE chain (o → r → g → dim) over events
+    * matching `where` — the SQL twin of [[scd2From]], shared by both
+    * oracle strings so the two sides cannot desynchronize.
+    */
+  private def scd2ChainSql(where: String): String =
+    s"""o AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type AS state,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |                          ORDER BY epoch_ns(ts), event_id) AS prev
+       |  FROM events $where),
+       |r AS (
+       |  SELECT user_id, ts_ns, state,
+       |    sum(CASE WHEN prev IS NULL OR prev != state THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+       |  FROM o),
+       |g AS (
+       |  SELECT user_id, version, min(state) AS state,
+       |    min(ts_ns) // 1000 AS valid_from_us, count(*) AS n_events
+       |  FROM r GROUP BY user_id, version),
+       |dim AS (
+       |  SELECT user_id, version, state, valid_from_us, n_events,
+       |    coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+       |                                       ORDER BY version),
+       |             9223372036854775807) AS valid_to_us
+       |  FROM g)""".stripMargin
+
+  val scd2LookupSql: String =
+    s"""WITH ${scd2ChainSql("WHERE event_type != 'purchase'")},
+       |p AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us,
+       |    CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.t_us,
+       |  coalesce(dim.state, 'unknown') AS state_at,
+       |  CAST(coalesce(dim.version, 0) AS BIGINT) AS state_version,
+       |  CAST(p.v AS DOUBLE) AS value
+       |FROM p LEFT JOIN dim
+       |  ON dim.user_id = p.user_id
+       |  AND p.t_us >= dim.valid_from_us AND p.t_us < dim.valid_to_us
+       |ORDER BY p.event_id""".stripMargin
 
   // ----------------------------------------------------------------
   // Interval coalescing: merge overlapping spans per key

@@ -99,6 +99,22 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(v.sliding(2).forall(w => w.length < 2 || w(0)._4 == w(1)._3))
   }
 
+  test("scd2Lookup: purchases read the state AS OF their time, never later") {
+    // user 1: browsing A (t=1000), purchase (t=1500) -> state A v1;
+    //         browsing B (t=2000), purchase (t=2500) -> state B v2;
+    // purchase BEFORE any state (t=500) -> unknown v0
+    val dir = eventsAt(Seq(
+      (1L, 500L, 1L, "purchase"),
+      (2L, 1000L, 1L, "A"), (3L, 1500L, 1L, "purchase"),
+      (4L, 2000L, 1L, "B"), (5L, 2500L, 1L, "purchase")))
+    val out = TimeSeries.scd2Lookup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(out.size == 3, "exactly one row per purchase")
+    assert(out(1L) == (("unknown", 0L)))
+    assert(out(3L) == (("A", 1L)))
+    assert(out(5L) == (("B", 2L)))
+  }
+
   test("scd2Build: same-timestamp ties break on event_id; users independent") {
     // user 1 has two events at the SAME µs: event_id order decides the
     // run sequence (A then B -> two versions, not a collapsed run)
