@@ -627,7 +627,14 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("corpus_overlap", () => Dedup.corpusOverlap(spark, d)),
       ("dedup_sorted_nbhd", () => Dedup.dedupSortedNeighborhood(spark, d)),
       ("sim_sparse", () => Similarity.simSparse(spark, d)),
-      ("sketch_setops", () => Relational.sketchSetops(spark, d)))
+      ("sketch_setops", () => Relational.sketchSetops(spark, d)),
+      ("event_rfm", () => Relational.eventRfm(spark, d)),
+      ("ts_interp", () => TimeSeries.tsInterp(spark, d)),
+      ("scd2_lookup", () => TimeSeries.scd2Lookup(spark, d)),
+      ("pipeline_holdout", () => PipelineOps.pipelineHoldout(spark, d)),
+      ("layout_hilbert", () => Layout.layoutHilbert(spark, d)),
+      ("text_rank", () => TextAnalysis.textRank(spark, d)),
+      ("dq_psi", () => TextAnalysis.dqPsi(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

@@ -345,6 +345,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(att.contains("Window") && !att.contains("CartesianProduct"), att)
   }
 
+  test("scd2_lookup: PIT probe is a keyed join with interval residual, no product") {
+    val plan = graft.ext.TimeSeries.scd2Lookup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("text_rank / layout_hilbert / dq_psi: no products, aggs partial-combine") {
+    for (df <- Seq(
+      graft.ext.TextAnalysis.textRank(spark, dir),
+      graft.ext.Layout.layoutHilbert(spark, dir),
+      graft.ext.TextAnalysis.dqPsi(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("chunk pipeline: window and per-file agg share one path partition") {
     val df = graft.ops.ChunkPipeline.docChunkStats(spark, dir,
       graft.split.SplitConfig(chunkSize = 100, chunkOverlap = 0))
