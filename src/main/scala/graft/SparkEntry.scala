@@ -169,6 +169,7 @@ object SparkEntry {
     "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     "pipeline_holdout" -> (PipelineOps.pipelineHoldout(_, _)),
+    "pipeline_datacard" -> (PipelineOps.pipelineDatacard(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
@@ -372,6 +373,8 @@ object SparkEntry {
     "pipeline_prep" -> PipelineOps.pipelinePrepSql,
     // family-canonical hash: near-dups can never straddle splits
     "pipeline_holdout" -> PipelineOps.pipelineHoldoutSql,
+    // every card column reuses its operator's own code path
+    "pipeline_datacard" -> PipelineOps.pipelineDatacardSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     // oracle recomputes from row attributes: equality proves the

@@ -352,6 +352,78 @@ object PipelineOps {
        |FROM documents d JOIN keep USING (doc_id)
        |GROUP BY d.source ORDER BY source""".stripMargin
 
+  /** Per-source DATA CARD — the one-relation corpus summary shipped
+    * beside a training dataset (Gebru et al. "Datasheets for
+    * Datasets" is the practice's citation): volume (docs, tokens),
+    * language breadth, exact-duplicate exposure, quality-gate pass
+    * count, and the split census — each column computed by the SAME
+    * code path as the registered operator it summarizes
+    * (`textQuality`, `dedup_exact`'s digest grouping,
+    * `split_assign`'s hash), so the card cannot drift from the
+    * pipeline it describes.
+    *
+    * Scale shape: one token pass, the digest grouping, three
+    * source-keyed hash aggs and two doc-keyed left joins — every agg
+    * map-side-combinable, output one row per source.
+    */
+  def pipelineDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.select(col("doc_id"), col("source"), col("lang"),
+      size(expr("filter(split(text, ' +'), x -> x != '')"))
+        .cast("long").as("toks"),
+      (TextAnalysis.polyHashCol(col("doc_id").cast("string")) % 10).as("bucket"))
+    val qual = TextAnalysis.textQuality(spark, dir)
+      .filter(col("is_quality")).select(col("doc_id"), lit(1L).as("q"))
+    val dupDigests = d.groupBy(sha2(col("text"), 256).as("dg"))
+      .agg(count(lit(1)).as("nc")).filter(col("nc") > 1).select("dg")
+    val dup = d.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+      .join(dupDigests, "dg").select(col("doc_id"), lit(1L).as("isdup"))
+    base
+      .join(qual, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("q"), lit(0L))).as("n_quality"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("bucket") < 8, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("bucket") === 8, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("bucket") === 9, 1L).otherwise(0L)).as("n_test"))
+      .orderBy("source")
+  }
+
+  val pipelineDatacardSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lang,
+       |    len(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+       |      AS toks,
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} % 10
+       |      AS bucket
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id FROM (${TextAnalysis.textQualitySql}) WHERE is_quality),
+       |dd AS (
+       |  SELECT sha256(text) AS dg FROM documents
+       |  GROUP BY sha256(text) HAVING count(*) > 1),
+       |dup AS (
+       |  SELECT doc_id FROM documents JOIN dd ON sha256(text) = dd.dg)
+       |SELECT base.source, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality,
+       |  CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(sum(CASE WHEN bucket < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN bucket = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |  CAST(sum(CASE WHEN bucket = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |FROM base
+       |LEFT JOIN q ON base.doc_id = q.doc_id
+       |LEFT JOIN dup ON base.doc_id = dup.doc_id
+       |GROUP BY base.source ORDER BY base.source""".stripMargin
+
   /** LEAKAGE-SAFE train/val/test split — [[splitAssign]]'s
     * reproducible hash assignment lifted from documents to NEAR-DUP
     * FAMILIES: every member of a `dedup_cluster` component hashes on

@@ -21,6 +21,27 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
+  test("pipelineDatacard: card columns reconcile with the operators they summarize") {
+    val dir = "/root/testdata/sf0.001"
+    val card = PipelineOps.pipelineDatacard(spark, dir).collect()
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    assert(card.map(_.getLong(1)).sum == docs.count())
+    // split census sums to the doc count and matches split_assign
+    val splits = PipelineOps.splitAssign(spark, dir).collect()
+      .groupBy(_.getString(3)).view.mapValues(_.length.toLong).toMap
+    assert(card.map(_.getLong(6)).sum == splits.getOrElse("train", 0L))
+    assert(card.map(_.getLong(7)).sum == splits.getOrElse("val", 0L))
+    assert(card.map(_.getLong(8)).sum == splits.getOrElse("test", 0L))
+    // quality column agrees with the registered quality gate
+    val nQuality = TextAnalysis.textQuality(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("is_quality")).count()
+    assert(card.map(_.getLong(4)).sum == nQuality)
+    for (r <- card) {
+      assert(r.getLong(4) <= r.getLong(1) && r.getLong(5) <= r.getLong(1))
+      assert(r.getLong(6) + r.getLong(7) + r.getLong(8) == r.getLong(1))
+    }
+  }
+
   test("pipelineHoldout: near-dup families never straddle splits; singletons match splitAssign") {
     val dir = "/root/testdata/sf0.001"
     val rows = PipelineOps.pipelineHoldout(spark, dir).collect()
