@@ -103,6 +103,7 @@ object SparkEntry {
     "scd2_lookup" -> (TimeSeries.scd2Lookup(_, _)),
     "ts_interp" -> (TimeSeries.tsInterp(_, _)),
     "interval_merge" -> (TimeSeries.intervalMerge(_, _)),
+    "cdc_apply" -> (TimeSeries.cdcApply(_, _)),
     "event_attribution" -> (Relational.eventAttribution(_, _)),
     "event_rfm" -> (Relational.eventRfm(_, _)),
     "window_islands" -> (Relational.windowIslands(_, _)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "dedup_editdist" -> (Dedup.dedupEditDistance(_, _)),
     "corpus_overlap" -> (Dedup.corpusOverlap(_, _)),
     "dedup_sorted_nbhd" -> (Dedup.dedupSortedNeighborhood(_, _)),
+    "dedup_semantic" -> (Dedup.dedupSemantic(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
@@ -164,6 +166,7 @@ object SparkEntry {
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
     "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
+    "sample_weighted" -> (PipelineOps.sampleWeighted(_, _)),
     "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
     "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
@@ -256,6 +259,7 @@ object SparkEntry {
     // cummax islands over ranges; explicit floor() for the one
     // double->long cast-semantics divergence between the engines
     "interval_merge" -> TimeSeries.intervalMergeSql,
+    "cdc_apply" -> TimeSeries.cdcApplySql,
     // -1-preceding frame picks the touch; DECIMAL cents revenue
     "event_attribution" -> Relational.eventAttributionSql,
     // BIGINT inputs scored against exact shared-rule quantile bounds
@@ -347,6 +351,7 @@ object SparkEntry {
     "corpus_overlap" -> Dedup.corpusOverlapSql,
     // window-bounded candidates replayed by rank-distance in SQL
     "dedup_sorted_nbhd" -> Dedup.dedupSortedNeighborhoodSql,
+    "dedup_semantic" -> Dedup.dedupSemanticSql,
     "sim_topk" -> Similarity.simTopkSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,
@@ -366,6 +371,7 @@ object SparkEntry {
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
+    "sample_weighted" -> PipelineOps.sampleWeightedSql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
     // BIGINT prefix-sum placement: seq ids/offsets replay exactly
     "pipeline_pack" -> PipelineOps.pipelinePackSql,

@@ -1312,4 +1312,89 @@ object Dedup {
        |LEFT JOIN mm USING (src_a, src_b)
        |ORDER BY src_a, src_b""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Semantic dedup: cluster-then-prune over the embedding space
+  // ----------------------------------------------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space with the
+    * SHARED coarse-quantizer model ([[Similarity.centroidModel]] —
+    * built once per corpus, memoized and durable), then examine
+    * cosine pairs only WITHIN each cluster and drop every vector
+    * that has a smaller-id cluster-mate at cos ≥ the threshold
+    * (min-id survivor, the family-wide convention). This is the
+    * third embedding-dedup tier beside the exact block grid
+    * ([[dedupEmbedding]]) and the hyperplane banding
+    * ([[dedupEmbeddingAnn]]): where banding prunes by RANDOM
+    * geometry, SemDeDup prunes by the data's OWN cluster structure —
+    * the pair candidate count is Σ c_i² over cluster sizes, linear
+    * in n when [[Similarity.ivfKFor]] holds expected occupancy at
+    * ~1000, and the semantics a training pipeline wants ("keep one
+    * representative per semantic neighborhood") fall out directly.
+    *
+    * Scale shape: one broadcast model + map pass assigns buckets (no
+    * shuffle); the pair generation is an equi-join on the bucket id
+    * (never a cartesian — pinned in `PlanQualitySpec`); vectors ride
+    * the join once per side. Output is per-VECTOR (all n rows, never
+    * pair-inflated): `(vec_id, bucket, dup_of, cos_dup)` with
+    * `dup_of` the minimum qualifying smaller cluster-mate (null for
+    * survivors) and `cos_dup` that pair's similarity.
+    *
+    * Approximation boundary, stated honestly: cross-cluster pairs
+    * are never examined (SemDeDup's defining trade). The oracle
+    * replays the identical model build and pruning rule in DuckDB
+    * ([[Similarity.ivfAssignCtes]] — shared CTE text with `sim_ivf`),
+    * so the APPROXIMATE operator is verified EXACTLY.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.assignedBuckets(spark, dir)
+    val a = assigned.select(
+      col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
+    val b = assigned.select(
+      col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= CosineThreshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(
+        min(col("vec_a")).as("dup_of"),
+        min_by(col("cos_sim"), col("vec_a")).as("cos_dup"))
+    assigned.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .join(dups, Seq("vec_id"), "left")
+      .orderBy("vec_id")
+  }
+
+  /** Replays model training + assignment via the shared
+    * [[Similarity.ivfAssignCtes]] chain, then the within-cluster
+    * pruning rule. `arg_min` = the Scala side's `min_by` (both
+    * deterministic: `vec_a` is unique per group).
+    */
+  val dedupSemanticSql: String =
+    s"""WITH ${Similarity.ivfAssignCtes},
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    round(list_sum(list_transform(generate_series(1, len(ea.embedding)),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * eb.embedding[i]))
+       |      / (ea.nrm * eb.nrm), 6) AS cos_sim
+       |  FROM ${Similarity.IvfAssignCte} x
+       |  JOIN ${Similarity.IvfAssignCte} y
+       |    ON x.c = y.c AND x.vec_id < y.vec_id
+       |  JOIN e ea ON ea.vec_id = x.vec_id
+       |  JOIN e eb ON eb.vec_id = y.vec_id),
+       |d AS (
+       |  SELECT vec_b AS vec_id, min(vec_a) AS dup_of,
+       |    arg_min(cos_sim, vec_a) AS cos_dup
+       |  FROM p WHERE cos_sim >= $CosineThreshold GROUP BY vec_b)
+       |SELECT a.vec_id, CAST(a.c AS BIGINT) AS bucket,
+       |  d.dup_of, d.cos_dup
+       |FROM ${Similarity.IvfAssignCte} a LEFT JOIN d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 }

@@ -133,6 +133,48 @@ object PipelineOps {
        |FROM c WHERE cum_tokens <= $TokenBudget
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  private val WeightedK = 100
+  private val PolyP = 1000000007L // TextAnalysis.polyHashCol's modulus
+
+  /** Reproducible WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006): each doc draws a deterministic uniform
+    * u ∈ (0, 1] from the portable hash of its id and gets priority
+    * key ln(u)/w with weight w = n_chars; the k largest keys are the
+    * sample. This is the exact distributed form of "sample documents
+    * proportionally to length": the E-S key transform makes the
+    * top-k by key a correct weighted draw, while hash-derived
+    * uniforms make membership reproducible across runs, partitionings
+    * and engines (the same contract as [[sampleStratified]], with
+    * WEIGHTS — which Bernoulli `df.sample` cannot express at exact k
+    * at all). 100 TB shape: the key is a rowwise codegen'd
+    * expression, and the global top-k plans as TakeOrderedAndProject
+    * (per-partition bounded heaps merged on the driver at k-scale) —
+    * one data pass, no full sort, no shuffle of the corpus.
+    *
+    * Cross-engine determinism: u has a 1e-9 granularity floor (the
+    * hash modulus), so adjacent E-S keys differ by ≫ 1 double ulp
+    * and a libm `ln` ulp can neither reorder the selection nor move
+    * the 6dp-rounded output.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(
+          log((TextAnalysis.polyHashCol(col("doc_id").cast("string")) + 1.0)
+            / (PolyP + 1.0)) / col("n_chars"), 6).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WeightedK)
+
+  val sampleWeightedSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source, n_chars,
+       |    round(ln((${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} + 1.0)
+       |      / ${PolyP + 1}.0) / n_chars, 6) AS priority
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, source, n_chars, priority
+       |FROM h ORDER BY priority DESC, doc_id LIMIT $WeightedK""".stripMargin
+
   private val MixtureBudget = 100000L
 
   /** Temperature-based data-MIXTURE design (the multilingual-

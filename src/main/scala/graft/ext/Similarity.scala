@@ -396,14 +396,13 @@ object Similarity {
   private def corpusFingerprint(spark: SparkSession, dir: String): String =
     graft.sources.Tables.fingerprint(spark, dir, "embeddings")
 
-  /** IVF ANN top-k: vectors assigned to their nearest centroid's
-    * inverted list; each query scans only its `IvfProbes` nearest
-    * lists. Complements [[simLsh]]: IVF adapts to the data's cluster
-    * structure (k-means cells), where fixed random hyperplanes cannot.
-    * List count is corpus-scaled ([[ivfKFor]]) and the model is
-    * trained once per corpus and cached.
+  /** Shared coarse-quantizer model accessor: the in-memory memo over
+    * the durable parquet artifact over the Lloyd training passes.
+    * Factored out of [[simIvf]] so `Dedup.dedupSemantic` (which
+    * clusters with the SAME model) builds the index once per corpus
+    * regardless of which operator runs first.
     */
-  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def centroidModel(spark: SparkSession, dir: String): Array[Array[Double]] = {
     import spark.implicits._
     val vecs = emb(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -413,7 +412,7 @@ object Similarity {
     // a parquet artifact keyed by the corpus fingerprint — a fresh
     // session reloads (model-scale read) instead of re-paying the
     // Lloyd data passes; a corpus rewrite re-keys and retrains
-    val centroids = centroidCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
+    centroidCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
       graft.sources.ArtifactStore
         .loadOrBuild(spark, dir, "embeddings", "ivf-model-v1") {
           trainCount.incrementAndGet()
@@ -425,11 +424,39 @@ object Similarity {
         .as[(Int, Array[Double])].collect()
         .sortBy(_._1).map(_._2)
     })
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assigned = vecs.mapPartitions { it =>
+  }
+
+  /** Every vector tagged with its nearest-centroid list id:
+    * `(vec_id, embedding, bucket)`. One model broadcast, one
+    * codegen-adjacent map pass, no shuffle. Shared by [[simIvf]]'s
+    * build side and `Dedup.dedupSemantic`'s clustering step.
+    */
+  private[ext] def assignedBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(centroidModel(spark, dir))
+    vecs.mapPartitions { it =>
       val cs = bc.value
       it.map { case (id, v) => (id, v, nearestCentroid(cs, v)) }
-    }.toDF("c_id", "ce", "bucket")
+    }.toDF("vec_id", "embedding", "bucket")
+  }
+
+  /** IVF ANN top-k: vectors assigned to their nearest centroid's
+    * inverted list; each query scans only its `IvfProbes` nearest
+    * lists. Complements [[simLsh]]: IVF adapts to the data's cluster
+    * structure (k-means cells), where fixed random hyperplanes cannot.
+    * List count is corpus-scaled ([[ivfKFor]]) and the model is
+    * trained once per corpus and cached.
+    */
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val centroids = centroidModel(spark, dir)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = assignedBuckets(spark, dir)
+      .toDF("c_id", "ce", "bucket")
     val q = vecs.filter(_._1 < NumQueries)
       .mapPartitions { it =>
         val cs = bc.value
@@ -450,16 +477,31 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("c_id"), col("cos_sim"))
   }
 
-  /** Oracle: replays the ENTIRE IVF query — strided seeds, three
-    * unrolled Lloyd iterations over fixed-point coordinate sums,
-    * final list assignment, the probe ranking, and the cosine
-    * top-k — in DuckDB. Exactness rests on three invariants
-    * shared with the Scala side: (1) quantized sums are exact
-    * integers, so aggregation order is irrelevant; (2) distances are
-    * left-to-right double folds (`list_sum` == the kernel loop);
-    * (3) argmin/probe ties break on the lowest centroid id.
+  // Oracle exactness (this block and every consumer of
+  // [[ivfAssignCtes]]) rests on three invariants shared with the
+  // Scala side: (1) quantized sums are exact integers, so
+  // aggregation order is irrelevant; (2) distances are left-to-right
+  // double folds (`list_sum` == the kernel loop); (3) argmin/probe
+  // ties break on the lowest centroid id.
+
+  /** Name of the final-assignment CTE produced by [[ivfAssignCtes]]:
+    * `(vec_id, c)` — every vector's inverted-list id after training.
     */
-  val simIvfSql: String = {
+  private[ext] val IvfAssignCte: String = s"a${IvfIters + 1}"
+
+  /** Name of the final-distance CTE (`(vec_id, c, d)` for ALL
+    * centroids) — the probe ranking reads it.
+    */
+  private[ext] val IvfDistCte: String = s"d${IvfIters + 1}"
+
+  /** CTE chain (no `WITH`, no trailing comma) replaying the full
+    * coarse-quantizer build in DuckDB: corpus-scaled K, strided
+    * seeds, [[IvfIters]] unrolled fixed-point Lloyd iterations, and
+    * the final assignment [[IvfAssignCte]]. Shared verbatim by the
+    * [[simIvfSql]] oracle and `Dedup.dedupSemanticSql`, so the two
+    * operators' oracles can never train diverging models.
+    */
+  private[ext] val ivfAssignCtes: String = {
     def assignBlock(t: Int, prev: String): String =
       s"""d$t AS (
          |  SELECT e.vec_id, ct.c,
@@ -488,7 +530,7 @@ object Similarity {
          |  SELECT p.c, COALESCE(n.vals, p.vals) AS vals
          |  FROM cent${t - 1} p LEFT JOIN new$t n USING (c))""".stripMargin
     }.mkString(",\n")
-    s"""WITH prm AS (
+    s"""prm AS (
        |  SELECT count(*) AS n,
        |    GREATEST(8, LEAST(65536,
        |      CAST(ceil(count(*) / ${IvfTargetPerList}.0) AS BIGINT))) AS k
@@ -507,7 +549,16 @@ object Similarity {
        |  SELECT c, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vals
        |  FROM seeds),
        |$iters,
-       |${assignBlock(IvfIters + 1, s"cent$IvfIters")},
+       |${assignBlock(IvfIters + 1, s"cent$IvfIters")}""".stripMargin
+  }
+
+  /** Oracle: replays the ENTIRE IVF query — strided seeds, three
+    * unrolled Lloyd iterations over fixed-point coordinate sums,
+    * final list assignment, the probe ranking, and the cosine
+    * top-k — in DuckDB (training chain shared via [[ivfAssignCtes]]).
+    */
+  val simIvfSql: String = {
+    s"""WITH $ivfAssignCtes,
        |probes AS (
        |  SELECT vec_id AS q_id, c FROM (
        |    SELECT vec_id, c,

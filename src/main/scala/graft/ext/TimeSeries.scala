@@ -400,4 +400,61 @@ object TimeSeries {
       |  max(e) - min(s) AS span_us, count(*) AS n_merged
       |FROM isl GROUP BY user_id, island
       |ORDER BY user_id, island""".stripMargin
+
+  // ----------------------------------------------------------------
+  // CDC apply: changelog -> current snapshot (the MERGE primitive)
+  // ----------------------------------------------------------------
+
+  /** Apply a change log to produce the CURRENT snapshot — the MERGE /
+    * upsert-apply primitive that pairs with `cdc_diff` (which goes
+    * the other way: two snapshots → the log). The events table is
+    * read as a per-user changelog in (ts_ns, event_id) order:
+    * `error` rows are DELETE markers (tombstones), everything else
+    * upserts the user's (state, value). A user whose LAST op is a
+    * tombstone is absent from the snapshot — exactly Debezium-style
+    * last-writer-wins compaction.
+    *
+    * Plan shape: ONE hash aggregation with `max_by` over the
+    * (ts_ns, event_id) struct key — partial aggregation runs
+    * map-side, so the shuffle carries one candidate row per
+    * (partition, user), NOT the whole log; the keyed-window
+    * formulation (row_number desc = 1) would shuffle and sort every
+    * change row. The tombstone filter is applied AFTER the argmax —
+    * a delete must win over earlier upserts, not vanish from the
+    * race. Tie-safety: (ts_ns, event_id) is unique per row.
+    *
+    * Output: (user_id, state, value_cents, updated_us, n_ops) with
+    * the family's fixed-point money and epoch-µs conventions.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), key).as("state"),
+        max_by(dec(col("value")), key).as("last_value"),
+        max_by(col("ts_ns"), key).as("last_ts_ns"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("state") =!= "error")
+      .select(
+        col("user_id"), col("state"),
+        (col("last_value") * 100).cast("long").as("value_cents"),
+        expr("last_ts_ns div 1000").as("updated_us"),
+        col("n_ops").cast("long").as("n_ops"))
+      .orderBy("user_id")
+  }
+
+  val cdcApplySql: String =
+    s"""WITH last AS (
+       |  SELECT user_id, event_type AS state,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+       |    epoch_ns(ts) // 1000 AS updated_us,
+       |    count(*) OVER (PARTITION BY user_id) AS n_ops
+       |  FROM events
+       |  QUALIFY row_number() OVER (PARTITION BY user_id
+       |    ORDER BY epoch_ns(ts) DESC, event_id DESC) = 1)
+       |SELECT user_id, state, value_cents, updated_us,
+       |  CAST(n_ops AS BIGINT) AS n_ops
+       |FROM last WHERE state != 'error'
+       |ORDER BY user_id""".stripMargin
 }

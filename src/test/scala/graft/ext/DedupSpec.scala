@@ -290,4 +290,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(prod.nonEmpty)
     assert(prod == brute)
   }
+
+  test("dedup_semantic: pruning consistent with the exact pair relation; IVF model shared") {
+    val n = graft.sources.Tables.table(spark, dir, "embeddings").count()
+    val sem = Dedup.dedupSemantic(spark, dir).collect()
+    assert(sem.length == n, "per-vector output: one row per embedding")
+    val dups = sem.filter(!_.isNullAt(2))
+    assert(dups.nonEmpty, "corpus carries within-cluster near-dups")
+    // every (dup_of, vec_id) decision must exist in the EXACT
+    // all-pairs relation at the same threshold (within-cluster pairs
+    // are a subset of all pairs), with the identical 6dp cosine
+    val exact = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    dups.foreach { r =>
+      val key = (r.getLong(2), r.getLong(0))
+      assert(exact.contains(key), s"$key not in the exact pair relation")
+      assert(exact(key) == r.getDouble(3), s"cos mismatch at $key")
+    }
+    // survivors must dominate their cluster: a keeper has NO
+    // smaller-id cluster-mate above the threshold — check via the
+    // exact relation restricted to same-bucket pairs
+    val bucketOf = sem.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keepers = sem.filter(_.isNullAt(2)).map(_.getLong(0)).toSet
+    exact.keys.foreach { case (a, b) =>
+      if (bucketOf(a) == bucketOf(b) && keepers(b))
+        fail(s"keeper $b has same-cluster smaller near-dup $a")
+    }
+    // the clustering reuses the sim_ivf coarse quantizer: invoking
+    // the ANN query afterwards must not retrain
+    val before = Similarity.trainCount.get()
+    Similarity.simIvf(spark, dir).count()
+    assert(Similarity.trainCount.get() == before,
+      "sim_ivf retrained a model dedup_semantic already built")
+  }
 }

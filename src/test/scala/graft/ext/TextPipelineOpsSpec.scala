@@ -684,4 +684,30 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 1L), (4L, 4L, 1L)))
   }
+
+  test("sampleWeighted: membership equals the local E-S computation; longer docs favored") {
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineOps.sampleWeighted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 100)
+    // local replay of the priority transform: u from the same
+    // portable hash, key = ln(u)/w, top-100
+    val P = 1000000007L
+    def polyHash(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val local = docs.filter(_._2 > 0).map { case (id, w) =>
+      val u = (polyHash(id.toString) + 1.0) / (P + 1.0)
+      (id, w, BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, pr) => (-pr, id) }.take(100)
+    assert(out.map(_._1).toSeq == local.map(_._1).toSeq, "membership/order differ")
+    assert(out.map(_._3).toSeq == local.map(_._3).toSeq, "priorities differ")
+    // weighting sanity: the sampled docs skew long — their mean
+    // length must exceed the corpus mean (E-S with w = n_chars)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = out.map(_._2).sum.toDouble / out.length
+    assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
+  }
 }

@@ -115,6 +115,22 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(5L) == (("B", 2L)))
   }
 
+  test("cdcApply: last-writer-wins with tombstones; same-µs ties break on event_id") {
+    // user 1: upsert then tombstone -> absent from the snapshot;
+    // user 2: tombstone then upsert -> present (delete must not win
+    //         the race against a LATER upsert);
+    // user 3: two ops at the SAME µs -> the higher event_id wins
+    val dir = eventsAt(Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "error"),
+      (3L, 1000L, 2L, "error"), (4L, 2000L, 2L, "signup"),
+      (5L, 3000L, 3L, "click"), (6L, 3000L, 3L, "view")))
+    val out = TimeSeries.cdcApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getLong(4))).toMap
+    assert(!out.contains(1L), "tombstone-last user must be absent")
+    assert(out(2L) == (("signup", 2000L, 2L)))
+    assert(out(3L) == (("view", 3000L, 2L)))
+  }
+
   test("scd2Build: same-timestamp ties break on event_id; users independent") {
     // user 1 has two events at the SAME µs: event_id order decides the
     // run sequence (A then B -> two versions, not a collapsed run)

@@ -384,4 +384,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(optimized.contains("Window"), optimized)
     assert(!optimized.contains("TopKPerKey"), optimized)
   }
+
+  test("dedup_semantic: pair generation is a bucket equi-join, never a cartesian") {
+    val plan = graft.ext.Dedup.dedupSemantic(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sample_weighted: global top-k plans as TakeOrderedAndProject, no full sort") {
+    val plan = graft.ext.PipelineOps.sampleWeighted(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("cdc_apply: one hash agg with map-side max_by partials, no per-key window sort") {
+    val plan = graft.ext.TimeSeries.cdcApply(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by")
+      || plan.contains("max_by"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
