@@ -104,6 +104,7 @@ object SparkEntry {
     "ts_interp" -> (TimeSeries.tsInterp(_, _)),
     "interval_merge" -> (TimeSeries.intervalMerge(_, _)),
     "cdc_apply" -> (TimeSeries.cdcApply(_, _)),
+    "agg_decay" -> (TimeSeries.aggDecay(_, _)),
     "event_attribution" -> (Relational.eventAttribution(_, _)),
     "event_rfm" -> (Relational.eventRfm(_, _)),
     "window_islands" -> (Relational.windowIslands(_, _)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "graph_pagerank" -> (Graph.graphPagerank(_, _)),
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
     "graph_jaccard" -> (Graph.graphJaccard(_, _)),
+    "graph_bfs" -> (Graph.graphBfs(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -131,6 +133,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_vocab" -> (TextAnalysis.textVocab(_, _)),
     "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
+    "quality_logreg" -> (TextAnalysis.qualityLogreg(_, _)),
     "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
     "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     "text_gini" -> (TextAnalysis.textGini(_, _)),
@@ -260,6 +263,7 @@ object SparkEntry {
     // double->long cast-semantics divergence between the engines
     "interval_merge" -> TimeSeries.intervalMergeSql,
     "cdc_apply" -> TimeSeries.cdcApplySql,
+    "agg_decay" -> TimeSeries.aggDecaySql,
     // -1-preceding frame picks the touch; DECIMAL cents revenue
     "event_attribution" -> Relational.eventAttributionSql,
     // BIGINT inputs scored against exact shared-rule quantile bounds
@@ -271,6 +275,7 @@ object SparkEntry {
     "graph_triangles" -> Graph.graphTrianglesSql,
     // one IEEE division of integer counts: bit-deterministic ranking
     "graph_jaccard" -> Graph.graphJaccardSql,
+    "graph_bfs" -> Graph.graphBfsSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -310,6 +315,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
     "quality_normalize" -> TextAnalysis.qualityNormalizeSql,
+    "quality_logreg" -> TextAnalysis.qualityLogregSql,
     // order-pinned folds + the BM25 ln/round discipline: the trained
     // bigram LM and its scores replay exactly
     "text_lm_score" -> TextAnalysis.textLmScoreSql,

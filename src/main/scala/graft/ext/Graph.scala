@@ -272,4 +272,76 @@ object Graph {
        |  CAST(r AS BIGINT) AS rank_fp
        |FROM ranked WHERE rn <= $PrTopK ORDER BY rn""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Multi-source BFS: shortest hops + nearest-seed assignment
+  // ----------------------------------------------------------------
+
+  private val BfsMaxHops = 4L
+  private val BfsSeeds = 3
+
+  /** Multi-source BFS over the shared [[edges]] set: every node's
+    * shortest HOP COUNT to the nearest of [[BfsSeeds]] seed nodes,
+    * and WHICH seed (ties on distance pinned to the smallest seed
+    * id) — the reachability / influence-radius / nearest-hub
+    * primitive beside PageRank (global importance) and the cluster
+    * labeling (undirected components). Seeds are the smallest node
+    * ids — data-derived and deterministic.
+    *
+    * The iteration state is the lexicographic-min (dist, root) pair
+    * per node, a semiring min that one hash aggregation per round
+    * computes with map-side partials; hop increment preserves the
+    * lex order, so [[BfsMaxHops]] relaxation rounds compute exactly
+    * the min over all ≤-MaxHops walks — which is what the oracle's
+    * recursive CTE enumerates. Per-round eager localCheckpoint
+    * truncates lineage (the [[Dedup.dedupCluster]] discipline);
+    * state is 3 longs per node, never edges×rounds. Unreached nodes
+    * are absent (an outer-join frontier would surface them with a
+    * sentinel; the co-occurrence graph reaches everything within 4).
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val es = edges(spark, dir)
+    val seeds = es.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(BfsSeeds)
+      .select(col("node"), lit(0L).as("dist"), col("node").as("root"))
+    var state = seeds.localCheckpoint(true)
+    for (_ <- 1L to BfsMaxHops) {
+      val relaxed = state.join(es, state("node") === es("src"))
+        .select(es("dst").as("node"),
+          (col("dist") + 1L).as("dist"), col("root"))
+      state = state.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("root"))).as("s"))
+        .select(col("node"), col("s.dist").as("dist"), col("s.root").as("root"))
+        .localCheckpoint(true)
+    }
+    state.orderBy("node")
+  }
+
+  /** Recursive-CTE twin: enumerate (node, dist, root) for every walk
+    * of ≤ [[BfsMaxHops]] hops (UNION dedups, the hop cap bounds
+    * recursion), then per node take min dist and the min root AT
+    * that dist — the lex-min the Scala relaxation maintains.
+    */
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |seeds AS (
+       |  SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT $BfsSeeds),
+       |reach AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist, node AS root FROM seeds
+       |  UNION
+       |  SELECT e.dst, r.dist + 1, r.root
+       |  FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.dist < $BfsMaxHops),
+       |m AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+       |SELECT r.node, m.dist, min(r.root) AS root
+       |FROM reach r JOIN m ON m.node = r.node AND m.dist = r.dist
+       |GROUP BY r.node, m.dist
+       |ORDER BY r.node""".stripMargin
 }

@@ -80,6 +80,76 @@ object TextAnalysis {
        |    AS is_quality
        |FROM base ORDER BY doc_id""".stripMargin
 
+  // logistic quality model: fixed weights over [[textQuality]]'s
+  // feature family (bias, stopword_ratio, punct_ratio, digit_ratio,
+  // avg_word_len, ln n_chars)
+  private val LrB = -2.0
+  private val LrStop = 6.0
+  private val LrPunct = -8.0
+  private val LrDigit = -4.0
+  private val LrAwl = -0.15
+  private val LrLen = 0.5
+
+  /** MODEL-INFERENCE quality scoring: a logistic classifier with
+    * fixed weights applied over [[textQuality]]'s feature family —
+    * the shape of the CCNet/fastText-style learned quality filters
+    * that replaced hard threshold rules in public pre-training
+    * pipelines (Wenzek et al. 2020). The point of the operator is
+    * the INFERENCE plan, not the coefficients (which are fixed,
+    * sensible, and documented as illustrative — training lives
+    * offline): score = σ(w·x) evaluates as one rowwise codegen'd
+    * expression — no UDF, no shuffle, no model service round-trip —
+    * so scoring 100 TB is exactly one data pass, and the weights
+    * ride the plan as literals (a refreshed model is a recompiled
+    * expression, not a data migration).
+    *
+    * Cross-engine determinism: the dot product is written in the
+    * same left-to-right order on both engines; the single σ
+    * transcendental sits behind the family's 6dp output rounding.
+    */
+  def qualityLogreg(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(wordsCol).cast("long")
+    val nStop = size(filter(wordsCol, w => w.isin(stopwords: _*))).cast("long")
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9 \\n]")).cast("long")
+    val nDigit = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val base = docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nWords.as("n_words"), nStop.as("n_stop"),
+      nPunct.as("n_punct"), nDigit.as("n_digit"))
+    val z = lit(LrB) +
+      lit(LrStop) * (col("n_stop").cast("double") / col("n_words")) +
+      lit(LrPunct) * (col("n_punct").cast("double") / col("n_chars")) +
+      lit(LrDigit) * (col("n_digit").cast("double") / col("n_chars")) +
+      lit(LrAwl) * ((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words")) +
+      lit(LrLen) * log(col("n_chars").cast("double"))
+    base
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityLogregSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    len(string_split_regex(text, ' +')) AS n_words,
+       |    len(list_filter(string_split_regex(text, ' +'),
+       |        w -> w IN ${sqlList(stopwords)})) AS n_stop,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9 \\n]')) AS n_punct,
+       |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-($LrB
+       |      + $LrStop * (CAST(n_stop AS DOUBLE) / n_words)
+       |      + $LrPunct * (CAST(n_punct AS DOUBLE) / n_chars)
+       |      + $LrDigit * (CAST(n_digit AS DOUBLE) / n_chars)
+       |      + $LrAwl * (CAST(n_chars - n_words + 1 AS DOUBLE) / n_words)
+       |      + $LrLen * ln(CAST(n_chars AS DOUBLE))))), 6) AS score
+       |  FROM base)
+       |SELECT doc_id, score, score >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   // Repetition signals: the Gopher/MassiveText quality filters
   // ----------------------------------------------------------------

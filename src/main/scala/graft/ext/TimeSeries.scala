@@ -444,6 +444,64 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  private val DecayHalfLifeDays = 7L
+  private val DecayMaxShift = 50L // 2^50 fits double exactly; cents/2^50 = 0 anyway
+
+  /** Recency-DECAYED per-user value rollup: each event contributes
+    * its cents halved once per [[DecayHalfLifeDays]] elapsed since
+    * the corpus's latest event — the recency-weighting primitive
+    * behind decayed feature stores and trending-score rollups, where
+    * last week's purchase must outweigh last year's.
+    *
+    * Decay is STEPWISE (2^-floor(age/H), not 2^(-age/H)) and the
+    * whole computation is exact integer arithmetic: cents ride the
+    * family's DECIMAL(18,2) rail, the shift count is integer-µs
+    * division, and the decayed contribution is a floor-division by a
+    * power of two — so partial sums are Longs, associative and
+    * portable, immune to the FP-partial-sum nondeterminism that
+    * plagues naive pow()-weighted SUMs across partitionings AND
+    * engines (same discipline as the IVF fixed-point sums). The
+    * smooth-decay variant differs only in weight shape and buys that
+    * smoothness with a transcendental in the hot sum.
+    *
+    * Plan: the corpus max timestamp is a one-row broadcast; the
+    * decay is rowwise; ONE hash aggregation with map-side partials.
+    */
+  def aggDecay(spark: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.events(spark, dir)
+      .agg(max(expr("ts_ns div 1000")).as("mx_us"))
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(mx))
+      .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      .withColumn("k",
+        least(expr(s"(mx_us - ts_ns div 1000) div 86400000000 div $DecayHalfLifeDays"),
+          lit(DecayMaxShift)))
+      .withColumn("dcents", expr("cents div CAST(power(2, k) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("dcents")).as("decayed_cents"))
+      .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+        col("sum_cents").cast("long").as("sum_cents"),
+        col("decayed_cents").cast("long").as("decayed_cents"))
+      .orderBy("user_id")
+  }
+
+  val aggDecaySql: String =
+    s"""WITH mx AS (SELECT max(epoch_ns(ts) // 1000) AS mx_us FROM events),
+       |d AS (
+       |  SELECT user_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    LEAST((mx.mx_us - epoch_ns(ts) // 1000) // 86400000000
+       |      // $DecayHalfLifeDays, $DecayMaxShift) AS k
+       |  FROM events, mx)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+       |  CAST(sum(cents // CAST(power(2, k) AS BIGINT)) AS BIGINT)
+       |    AS decayed_cents
+       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val cdcApplySql: String =
     s"""WITH last AS (
        |  SELECT user_id, event_type AS state,

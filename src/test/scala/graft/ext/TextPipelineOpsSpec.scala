@@ -685,6 +685,39 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 1L), (4L, 4L, 1L)))
   }
 
+  test("graphBfs: hop distances and nearest-seed roots on a crafted path graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bfs-corpus").toString
+    // path 1-2-3-4-5-6 via orders sharing consecutive parts; seeds =
+    // the 3 smallest nodes {1,2,3}, so 4,5,6 are 1,2,3 hops from
+    // seed 3 (ties impossible on this chain)
+    val li = Seq((0L, 1L), (0L, 2L), (8L, 2L), (8L, 3L), (16L, 3L), (16L, 4L),
+      (24L, 4L), (24L, 5L), (32L, 5L), (32L, 6L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Graph.graphBfs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L),
+      (4L, 1L, 3L), (5L, 2L, 3L), (6L, 3L, 3L)))
+  }
+
+  test("qualityLogreg: scores bounded, keep consistent, punctuation-heavy text penalized") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("logreg-corpus").toString
+    val clean = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val noisy = "$$$ ### !!! @@@ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~ ``` |||"
+    Seq((1L, clean), (2L, noisy)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qualityLogreg(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    out.values.foreach { case (s, k) =>
+      assert(s > 0.0 && s < 1.0)
+      assert(k == (s >= 0.5), "keep must derive from the rounded score")
+    }
+    assert(out(1L)._1 > out(2L)._1, "clean prose must outscore symbol soup")
+    assert(out(1L)._2 && !out(2L)._2)
+  }
+
   test("sampleWeighted: membership equals the local E-S computation; longer docs favored") {
     val dir = "/root/testdata/sf0.001"
     val out = PipelineOps.sampleWeighted(spark, dir).collect()

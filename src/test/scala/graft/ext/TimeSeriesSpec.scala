@@ -115,6 +115,19 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(5L) == (("B", 2L)))
   }
 
+  test("aggDecay: one halving per elapsed half-life, exact integer floors") {
+    val day = 86400000000L // µs
+    // user 1: events at day 20 (k=0), day 13 (k=1), day 5 (k=2):
+    // 100 + 50 + 25 decayed cents; user 2 anchors only itself
+    val dir = eventsAt(Seq(
+      (1L, 20 * day, 1L, "view"), (2L, 13 * day, 1L, "view"),
+      (3L, 5 * day, 1L, "view"), (4L, 20 * day, 2L, "click")))
+    val out = TimeSeries.aggDecay(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 300L, 175L)))
+    assert(out(2L) == ((1L, 100L, 100L)))
+  }
+
   test("cdcApply: last-writer-wins with tombstones; same-µs ties break on event_id") {
     // user 1: upsert then tombstone -> absent from the snapshot;
     // user 2: tombstone then upsert -> present (delete must not win

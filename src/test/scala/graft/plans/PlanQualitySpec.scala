@@ -399,6 +399,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("agg_decay: one-row anchor broadcasts, decay is rowwise, one keyed hash agg") {
+    val plan = graft.ext.TimeSeries.aggDecay(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("quality_logreg: inference is a pure rowwise expression, zero hash exchanges") {
+    val plan = graft.ext.TextAnalysis.qualityLogreg(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("graph_bfs: relaxation rounds are equi-joins over checkpointed state, no product") {
+    val plan = graft.ext.Graph.graphBfs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("cdc_apply: one hash agg with map-side max_by partials, no per-key window sort") {
     val plan = graft.ext.TimeSeries.cdcApply(spark, dir)
       .queryExecution.executedPlan.toString
