@@ -63,7 +63,8 @@ object Bench {
     // numbers are SERVE time, not compute time — tagged so readers
     // don't compare them against recomputing queries (ADVICE r3).
     val memoized = Seq("sim_ivf", "sim_pq", "dedup_cluster", "pipeline_prep",
-      "graph_pagerank", "graph_triangles")
+      "graph_pagerank", "graph_triangles", "graph_jaccard", "graph_bfs",
+      "pipeline_holdout", "dedup_semantic")
       .filter(SparkEntry.queries.contains).map(q => s"\"$q\"")
       .mkString("[", ",", "]")
     // The reference-semantics subset (the document pipeline — the

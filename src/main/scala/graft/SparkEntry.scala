@@ -47,11 +47,14 @@ object SparkEntry {
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_kmv_distinct" -> (Relational.aggKmvDistinct(_, _)),
+    "agg_hll" -> (Relational.aggHll(_, _)),
     "agg_cms_freq" -> (Relational.aggCmsFreq(_, _)),
     "agg_histogram_quantile" -> (Relational.aggHistogramQuantile(_, _)),
     "agg_percentile" -> (Relational.aggPercentile(_, _)),
     "agg_variance" -> (Relational.aggVariance(_, _)),
     "agg_pivot" -> (Relational.aggPivot(_, _)),
+    "agg_unpivot" -> (Relational.aggUnpivot(_, _)),
+    "agg_mode" -> (Relational.aggMode(_, _)),
     "agg_grouping_sets" -> (Relational.aggGroupingSets(_, _)),
     "scalar_subquery" -> (Relational.scalarSubquery(_, _)),
     "agg_typed_ratio" -> (TextAnalysis.aggTypedRatio(_, _)),
@@ -93,6 +96,7 @@ object SparkEntry {
     "asof_join" -> (Relational.asofJoin(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
+    "event_hopping" -> (Relational.eventHopping(_, _)),
     "event_funnel" -> (Relational.eventFunnel(_, _)),
     "event_sequences" -> (Relational.eventSequences(_, _)),
     "event_retention" -> (Relational.eventRetention(_, _)),
@@ -237,8 +241,11 @@ object SparkEntry {
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,
+    "agg_unpivot" -> Relational.aggUnpivotSql,
+    "agg_mode" -> Relational.aggModeSql,
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_kmv_distinct" -> Relational.aggKmvDistinctSql,
+    "agg_hll" -> Relational.aggHllSql,
     "agg_cms_freq" -> Relational.aggCmsFreqSql,
     // integer bin counts + deterministic edge arithmetic: the
     // histogram sketch replays exactly, unlike approx_percentile
@@ -294,6 +301,7 @@ object SparkEntry {
     "asof_join" -> Relational.asofJoinSql,
     "sessionize" -> Relational.sessionizeSql,
     "event_tumbling" -> Relational.eventTumblingSql,
+    "event_hopping" -> Relational.eventHoppingSql,
     // converged streaming results == the batch twins' relations
     "stream_tumbling" -> Relational.eventTumblingSql,
     "stream_sessionize" -> Relational.sessionizeSql,

@@ -815,6 +815,20 @@ object Dedup {
     h
   }
 
+  /** splitmix64 finalizer (Steele/Lea/Flood, public domain): full
+    * 64-bit avalanche over [[polyHash64]]'s structured output —
+    * needed where hash BITS carry meaning (HLL register index /
+    * leading-zero counts), not just equality. JVM wraparound is the
+    * mod-2⁶⁴; the oracle replays it in HUGEINT with 32-bit-split
+    * multiplies and BIGINT-bit-pattern xors (`Relational.aggHllSql`).
+    */
+  private[graft] def splitmix64(h: Long): Long = {
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** 64-bit SimHash per doc over word-3-gram shingle hashes (bit i
     * of the signature = sign of Σ ±1 over that bit across shingle
     * hashes), plus the 4×16-bit bands used for Hamming-candidate

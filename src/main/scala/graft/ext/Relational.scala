@@ -787,6 +787,154 @@ object Relational {
       |ORDER BY k.event_type""".stripMargin
 
   // ----------------------------------------------------------------
+  // Portable HyperLogLog: the oracled twin of agg_approx_distinct
+  // ----------------------------------------------------------------
+
+  private val HllM = 512       // registers (p = 9)
+  private val HllRhoCap = 50   // keeps 2^(cap) register sums in exact Longs
+  // α·m²·2⁵⁰ folded into ONE double constant: Scala's Double.toString
+  // round-trips, so interpolating it into the SQL hands DuckDB the
+  // bit-identical value
+  private val HllScaledAlpha: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, 50)
+
+  /** HyperLogLog distinct-count (Flajolet et al. 2007) built
+    * PORTABLY — the engine-verifiable twin of the built-in
+    * [[aggApproxDistinct]] (whose HLL++ registers are
+    * implementation-specific and therefore rows-only at the gate).
+    * Every stage here is cross-engine exact, which makes this the
+    * suite's only fully-oracled HLL: register index and leading-zero
+    * rank come from [[Dedup.splitmix64]] over [[Dedup.polyHash64]]
+    * (full avalanche — polyHash alone leaves low-bit structure that
+    * skews ρ), the register table is a two-level hash agg (map-side
+    * partial `max` — the sketch property itself), and the harmonic
+    * sum Σ2^−M is computed as the INTEGER Σ2^(cap−M) so partial sums
+    * are exact Longs in any order; the estimate then costs one
+    * division, one branch (linear-counting small-range correction),
+    * one optional `ln`, behind the family's rounding.
+    *
+    * 100 TB shape: state per group is ≤ m=512 register rows (the
+    * shuffle after the first agg carries groups×occupied-registers,
+    * nothing row-scale) and merge is elementwise max — associative,
+    * commutative, partition-count-invariant. σ ≈ 1.04/√512 ≈ 4.6%.
+    */
+  def aggHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val regs = events
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (t, u) =>
+          val z = graft.ext.Dedup.splitmix64(graft.ext.Dedup.polyHash64(u.toString))
+          val idx = (z >>> 55).toInt
+          val w = z & ((1L << 55) - 1L)
+          // rho = leading zeros within the 55-bit suffix + 1 = nlz-8
+          val rho =
+            if (w == 0L) HllRhoCap
+            else math.min(HllRhoCap, java.lang.Long.numberOfLeadingZeros(w) - 8)
+          (t, idx, rho)
+        }
+      }.toDF("event_type", "idx", "rho")
+    val est = regs
+      .groupBy("event_type", "idx").agg(max(col("rho")).as("mreg"))
+      .groupBy("event_type")
+      .agg(
+        sum(expr(s"CAST(power(2, $HllRhoCap - mreg) AS BIGINT)")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("v_zero", lit(HllM.toLong) - col("n_present"))
+      .withColumn("s_scaled",
+        col("s_present") + col("v_zero") * lit(1L << HllRhoCap))
+      .withColumn("e_raw", lit(HllScaledAlpha) / col("s_scaled").cast("double"))
+      .withColumn("hll_est", round(
+        when(col("e_raw") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw")), 4))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("hll_est"),
+        col("n_present").cast("long").as("n_present"),
+        col("v_zero").cast("long").as("v_zero"))
+      .orderBy("event_type")
+  }
+
+  /** Replays the ENTIRE sketch in DuckDB: the polynomial fold in
+    * HUGEINT, splitmix64 via 32-bit-split modular multiplies +
+    * BIGINT-bit-pattern xors (HUGEINT has no xor; the sign-domain
+    * round-trip is exact), register extraction by integer division,
+    * ρ from `bin()` digit length, and the integer harmonic sum.
+    */
+  val aggHllSql: String = {
+    val two64 = "18446744073709551616"
+    val two63 = "9223372036854775808"
+    val two32 = "4294967296"
+    def mulmod(x: String, c: BigInt): String = {
+      val clo = c % BigInt(two32); val chi = c / BigInt(two32)
+      s"""((($x % $two32) * $clo
+         |   + $two32 * ((($x % $two32) * $chi) + (($x // $two32) * $clo)))
+         |  % $two64)""".stripMargin
+    }
+    def xor64(x: String, y: String): String = {
+      val sx = s"CASE WHEN $x >= $two63 THEN CAST($x - $two64 AS BIGINT) ELSE CAST($x AS BIGINT) END"
+      val r = s"xor($sx, CAST($y AS BIGINT))"
+      s"(CASE WHEN $r < 0 THEN CAST($r AS HUGEINT) + $two64 ELSE CAST($r AS HUGEINT) END)"
+    }
+    val c1 = BigInt("13787848793156543929") // 0xBF58476D1CE4E5B9
+    val c2 = BigInt("10723151780598845931") // 0x94D049BB133111EB
+    s"""WITH u AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS s FROM events),
+       |h0 AS (
+       |  SELECT event_type,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT)
+       |       for i in generate_series(1, length(s))]),
+       |      (a, b) -> (a*31 + b) % $two64) AS v
+       |  FROM u),
+       |t1 AS (SELECT event_type,
+       |  (v + 11400714819323198485) % $two64 AS v FROM h0),
+       |x1 AS (SELECT event_type, ${xor64("v", "(v // 1073741824)")} AS v FROM t1),
+       |t2 AS (SELECT event_type, ${mulmod("v", c1)} AS v FROM x1),
+       |x2 AS (SELECT event_type, ${xor64("v", "(v // 134217728)")} AS v FROM t2),
+       |t3 AS (SELECT event_type, ${mulmod("v", c2)} AS v FROM x2),
+       |z AS (SELECT event_type, ${xor64("v", "(v // 2147483648)")} AS v FROM t3),
+       |r AS (
+       |  SELECT event_type,
+       |    CAST(v // 36028797018963968 AS BIGINT) AS idx,
+       |    CAST(v % 36028797018963968 AS BIGINT) AS w
+       |  FROM z),
+       |rr AS (
+       |  SELECT event_type, idx,
+       |    max(CASE WHEN w = 0 THEN $HllRhoCap
+       |        ELSE LEAST($HllRhoCap, 56 - length(bin(w))) END) AS mreg
+       |  FROM r GROUP BY 1, 2),
+       |e AS (
+       |  SELECT event_type,
+       |    sum(CAST(power(2, $HllRhoCap - mreg) AS BIGINT)) AS s_present,
+       |    count(*) AS n_present
+       |  FROM rr GROUP BY 1),
+       |f AS (
+       |  SELECT event_type, n_present, $HllM - n_present AS v_zero,
+       |    CAST(s_present + ($HllM - n_present) * ${1L << HllRhoCap} AS DOUBLE)
+       |      AS s_scaled
+       |  FROM e),
+       |g AS (
+       |  SELECT event_type, n_present, v_zero,
+       |    $HllScaledAlpha / s_scaled AS e_raw
+       |  FROM f),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |      FROM events GROUP BY event_type)
+       |SELECT g.event_type, CAST(x.exact_users AS BIGINT) AS exact_users,
+       |  round(CASE WHEN e_raw <= ${2.5 * HllM} AND v_zero > 0
+       |        THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v_zero)
+       |        ELSE e_raw END, 4) AS hll_est,
+       |  CAST(n_present AS BIGINT) AS n_present,
+       |  CAST(v_zero AS BIGINT) AS v_zero
+       |FROM g JOIN x ON g.event_type = x.event_type
+       |ORDER BY g.event_type""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // KMV sketch SET ALGEBRA: union / intersection between sketches
   // ----------------------------------------------------------------
 
@@ -1376,6 +1524,41 @@ object Relational {
       |FROM events GROUP BY hour_s, event_type
       |ORDER BY hour_s, event_type""".stripMargin
 
+  /** HOPPING (sliding) windows — the overlap member of the window
+    * family beside [[eventTumbling]]: 1-hour windows every 15
+    * minutes, so each event lands in exactly 4 overlapping windows
+    * and a spike is visible at 15-minute resolution with a full
+    * hour's context. Uses the native `window(ts, size, slide)`
+    * surface (the same Structured Streaming would use); the
+    * replication factor is size/slide — fixed and small, the
+    * documented cost of hop resolution. Integer-µs window starts and
+    * DECIMAL cents keep both engines bit-identical; the oracle
+    * reconstructs the 4 epoch-aligned grid starts per event with
+    * `generate_series`.
+    */
+  def eventHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(dec(col("value"))) * 100).cast("long").as("cents"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("cents"))
+      .orderBy("win_start_us", "event_type")
+
+  val eventHoppingSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+      |    (epoch_ns(ts) // 1000 // 900000000) * 900000000
+      |      - u.k * 900000000 AS win_start_us
+      |  FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) u)
+      |SELECT win_start_us, event_type, count(*) AS n,
+      |  CAST(sum(v) * 100 AS BIGINT) AS cents
+      |FROM e GROUP BY win_start_us, event_type
+      |ORDER BY win_start_us, event_type""".stripMargin
+
   // ----------------------------------------------------------------
   // Skew handling: salted join (scale technique, oracle = plain join)
   // ----------------------------------------------------------------
@@ -1525,6 +1708,77 @@ object Relational {
       |  count(*) FILTER (event_type = 'signup') AS signup,
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Exact per-key MODE (most frequent value, ties to the smallest) —
+    * the categorical summary `pivot` can't give when the domain is
+    * unbounded. Two-level aggregation: counts per (key, value), then
+    * per key the lexicographic-min of (−count, value) — both levels
+    * hash aggs with map-side partials, so the fact table is never
+    * sorted per key and no value list is ever collected (the
+    * `collect_list`-then-driver-mode anti-shape). The oracle replays
+    * the pick as a QUALIFY rank over the same count relation.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"),
+          struct((-col("cnt")).as("nc"), col("event_type"))).as("mode_type"),
+        max(col("cnt")).as("mode_cnt"),
+        count(lit(1)).as("n_types"))
+      .select(col("user_id"), col("mode_type"),
+        col("mode_cnt").cast("long").as("mode_cnt"),
+        col("n_types").cast("long").as("n_types"))
+      .orderBy("user_id")
+
+  val aggModeSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, event_type AS mode_type, cnt AS mode_cnt,
+      |    count(*) OVER (PARTITION BY user_id) AS n_types
+      |  FROM c
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cnt DESC, event_type ASC) = 1)
+      |SELECT user_id, mode_type, CAST(mode_cnt AS BIGINT) AS mode_cnt,
+      |  CAST(n_types AS BIGINT) AS n_types
+      |FROM m ORDER BY user_id""".stripMargin
+
+  /** UNPIVOT (wide → long melt), the inverse of [[aggPivot]]: the
+    * per-source document summary flattened to (source, metric,
+    * value) rows via `stack` — a Generator, so the reshape is
+    * rowwise with zero extra shuffle beyond the summary agg itself.
+    * The long form is what metric stores and plotting layers ingest.
+    */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .select(col("source"), expr(
+        """stack(4,
+          |  'max_chars', max_chars,
+          |  'min_chars', min_chars,
+          |  'n_docs', n_docs,
+          |  'total_chars', total_chars) AS (metric, value)""".stripMargin))
+      .select(col("source"), col("metric"), col("value").cast("long").as("value"))
+      .orderBy("source", "metric")
+
+  val aggUnpivotSql: String =
+    """WITH w AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |    max(n_chars) AS max_chars, min(n_chars) AS min_chars
+      |  FROM documents GROUP BY source)
+      |SELECT source, u.metric, CAST(u.value AS BIGINT) AS value
+      |FROM w, LATERAL (VALUES
+      |  ('max_chars', max_chars), ('min_chars', min_chars),
+      |  ('n_docs', n_docs), ('total_chars', total_chars)) AS u(metric, value)
+      |ORDER BY source, metric""".stripMargin
 
   /** Scalar + correlated subqueries (Catalyst de-correlates to joins):
     * customers whose balance exceeds their nation's average.

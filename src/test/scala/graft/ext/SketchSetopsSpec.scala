@@ -54,4 +54,22 @@ class SketchSetopsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(estI - 1000.0) / 1000.0 < 0.40,
       s"intersection estimate off: $estI vs 1000")
   }
+
+  test("aggHll: linear-counting and raw regimes both land within HLL error bounds") {
+    // group A: 150 distinct (linear-counting regime, v_zero > 0);
+    // group B: 5000 distinct (raw-estimator regime for m=512)
+    val rows = (0L until 150L).map(u => ("A", u)) ++
+      (10000L until 15000L).map(u => ("B", u)) ++
+      (0L until 150L).map(u => ("A", u)) // duplicates must not move registers
+    val dir = eventsOf(rows)
+    val out = Relational.aggHll(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(4))).toMap
+    val (exactA, estA, vzA) = out("A")
+    val (exactB, estB, _) = out("B")
+    assert(exactA == 150L && exactB == 5000L)
+    assert(vzA > 0, "150 distinct must leave zero registers at m=512")
+    // 3σ at m=512 is ~14%; linear counting is tighter still
+    assert(math.abs(estA - 150.0) / 150.0 < 0.10, s"lc estimate off: $estA")
+    assert(math.abs(estB - 5000.0) / 5000.0 < 0.15, s"raw estimate off: $estB")
+  }
 }

@@ -655,7 +655,18 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("pipeline_holdout", () => PipelineOps.pipelineHoldout(spark, d)),
       ("layout_hilbert", () => Layout.layoutHilbert(spark, d)),
       ("text_rank", () => TextAnalysis.textRank(spark, d)),
-      ("dq_psi", () => TextAnalysis.dqPsi(spark, d)))
+      ("dq_psi", () => TextAnalysis.dqPsi(spark, d)),
+      // this round's additions
+      ("dedup_semantic", () => Dedup.dedupSemantic(spark, d)),
+      ("sample_weighted", () => PipelineOps.sampleWeighted(spark, d)),
+      ("cdc_apply", () => TimeSeries.cdcApply(spark, d)),
+      ("agg_decay", () => TimeSeries.aggDecay(spark, d)),
+      ("quality_logreg", () => TextAnalysis.qualityLogreg(spark, d)),
+      ("graph_bfs", () => Graph.graphBfs(spark, d)),
+      ("agg_mode", () => Relational.aggMode(spark, d)),
+      ("agg_unpivot", () => Relational.aggUnpivot(spark, d)),
+      ("agg_hll", () => Relational.aggHll(spark, d)),
+      ("event_hopping", () => Relational.eventHopping(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

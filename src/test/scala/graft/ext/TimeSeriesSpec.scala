@@ -115,6 +115,27 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(5L) == (("B", 2L)))
   }
 
+  test("eventHopping: every event lands in exactly size/slide overlapping windows") {
+    val dir = eventsAt(Seq((1L, 3600000000L, 1L, "view"))) // t = exactly 1h
+    val out = Relational.eventHopping(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // 1h window / 15min hop: starts s with s ≤ t < s+1h on the 15-min
+    // grid -> {0:15, 0:30, 0:45, 1:00}, one event each
+    assert(out.toSeq == Seq(900000000L, 1800000000L, 2700000000L, 3600000000L)
+      .map(s => (s, 1L)), s"unexpected windows: ${out.toSeq}")
+  }
+
+  test("aggMode: most frequent value wins, count ties break lexicographically") {
+    // user 1: view x2 beats click x1; user 2: click/view tie -> click
+    val dir = eventsAt(Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "view"), (3L, 3000L, 1L, "click"),
+      (4L, 1000L, 2L, "view"), (5L, 2000L, 2L, "click")))
+    val out = Relational.aggMode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("view", 2L, 2L)))
+    assert(out(2L) == (("click", 1L, 2L)))
+  }
+
   test("aggDecay: one halving per elapsed half-life, exact integer floors") {
     val day = 86400000000L // µs
     // user 1: events at day 20 (k=0), day 13 (k=1), day 5 (k=2):

@@ -421,6 +421,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("agg_mode: two-level hash aggs, no per-key sort, no value collection") {
+    val plan = graft.ext.Relational.aggMode(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("Sort") ||
+      plan.indexOf("Sort") > plan.indexOf("Aggregate") ||
+      plan.contains("rangepartitioning"), plan) // only the presentation sort
+  }
+
   test("cdc_apply: one hash agg with map-side max_by partials, no per-key window sort") {
     val plan = graft.ext.TimeSeries.cdcApply(spark, dir)
       .queryExecution.executedPlan.toString
