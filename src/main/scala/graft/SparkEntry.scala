@@ -180,6 +180,7 @@ object SparkEntry {
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     "pipeline_holdout" -> (PipelineOps.pipelineHoldout(_, _)),
     "pipeline_datacard" -> (PipelineOps.pipelineDatacard(_, _)),
+    "pipeline_curriculum" -> (PipelineOps.pipelineCurriculum(_, _)),
     // Multimodal columns (north star; decode step stubbed, SURVEY §7.4)
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
@@ -395,6 +396,7 @@ object SparkEntry {
     "pipeline_holdout" -> PipelineOps.pipelineHoldoutSql,
     // every card column reuses its operator's own code path
     "pipeline_datacard" -> PipelineOps.pipelineDatacardSql,
+    "pipeline_curriculum" -> PipelineOps.pipelineCurriculumSql,
     "mm_features" -> Multimodal.mmFeaturesSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     // oracle recomputes from row attributes: equality proves the

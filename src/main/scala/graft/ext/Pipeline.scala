@@ -516,4 +516,96 @@ object PipelineOps {
        |  CASE WHEN bucket < 8 THEN 'train'
        |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
        |FROM h ORDER BY doc_id""".stripMargin
+
+  private val CurriculumBins = 32
+
+  /** CURRICULUM ordering: every document's global training position,
+    * easiest (highest quality score) first, with warmup / main /
+    * anneal phase cut at exact 20/60/20 token fractions — the
+    * curriculum-learning data layout (Bengio et al. 2009), ranked by
+    * the REGISTERED [[TextAnalysis.qualityScore]] scorer's own code
+    * path so the curriculum cannot drift from the quality gate.
+    *
+    * The interesting part is what is ABSENT: a global sort. A total
+    * order over 100 TB must not funnel through one partition, so the
+    * plan quantizes scores into [[CurriculumBins]] deterministic
+    * bins (`floor(score·32)` — ×32 is an exact exponent shift, so
+    * binning is bit-portable), aggregates per-bin doc/token counts
+    * (bin-scale relation, broadcast back), and composes each doc's
+    * global position = its bin's running offset + its rank WITHIN
+    * the bin — per-bin windows, fact rows shuffled once by bin. The
+    * only unpartitioned window runs over the ≤32-row bin relation.
+    * Phase cuts are exact integer comparisons (5·cum vs totals), and
+    * the bin/in-bin composition reproduces EXACTLY the global
+    * (score desc, doc_id) order because bins partition the score
+    * range monotonically — the oracle checks that equivalence with a
+    * plain global window.
+    */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = TextAnalysis.qualityScore(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"),
+        size(expr("filter(split(text, ' +'), x -> x != '')"))
+          .cast("long").as("n_tokens")), "doc_id")
+      .withColumn("ord_bin",
+        (lit(CurriculumBins - 1).cast("long")
+          - floor(col("score") * CurriculumBins).cast("long")))
+    val binW = W.orderBy("ord_bin")
+      .rowsBetween(W.unboundedPreceding, -1) // ≤32 rows: bin-scale only
+    val offsets = base.groupBy("ord_bin")
+      .agg(count(lit(1)).as("bn"), sum(col("n_tokens")).as("bt"))
+      .withColumn("docs_before", coalesce(sum(col("bn")).over(binW), lit(0L)))
+      .withColumn("toks_before", coalesce(sum(col("bt")).over(binW), lit(0L)))
+      .select(col("ord_bin"), col("docs_before"), col("toks_before"))
+    val inBin = W.partitionBy("ord_bin")
+      .orderBy(col("score").desc, col("doc_id"))
+    val total = base.agg(sum(col("n_tokens")).as("total_toks"))
+    base.join(broadcast(offsets), "ord_bin")
+      .crossJoin(broadcast(total))
+      .withColumn("position",
+        col("docs_before") + row_number().over(inBin).cast("long"))
+      .withColumn("cum_tokens", col("toks_before") +
+        sum(col("n_tokens")).over(
+          inBin.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("phase",
+        when(col("cum_tokens") * 5 <= col("total_toks"), "warmup")
+          .when(col("cum_tokens") * 5 > col("total_toks") * 4, "anneal")
+          .otherwise("main"))
+      .select(col("doc_id"), col("position"), col("n_tokens"),
+        col("cum_tokens"), col("phase"), col("score"))
+      .orderBy("position")
+  }
+
+  /** Oracle: the SAME order expressed as one global window — proving
+    * the bin-composed position/cumulative reproduce the true total
+    * order.
+    */
+  val pipelineCurriculumSql: String =
+    s"""WITH ${TextAnalysis.qualityScoreCteSql},
+       |t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+       |      AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT s.doc_id, s.score, t.n_tokens,
+       |    ${CurriculumBins - 1} - CAST(floor(s.score * $CurriculumBins)
+       |      AS BIGINT) AS ord_bin
+       |  FROM lrscore s JOIN t USING (doc_id)),
+       |g AS (
+       |  SELECT doc_id, score, n_tokens,
+       |    row_number() OVER (ORDER BY ord_bin, score DESC, doc_id)
+       |      AS position,
+       |    sum(n_tokens) OVER (ORDER BY ord_bin, score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |    sum(n_tokens) OVER () AS total_toks
+       |  FROM b)
+       |SELECT doc_id, CAST(position AS BIGINT) AS position,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  CASE WHEN cum_tokens * 5 <= total_toks THEN 'warmup'
+       |       WHEN cum_tokens * 5 > total_toks * 4 THEN 'anneal'
+       |       ELSE 'main' END AS phase,
+       |  score
+       |FROM g ORDER BY position""".stripMargin
 }

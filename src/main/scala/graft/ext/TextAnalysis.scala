@@ -107,7 +107,12 @@ object TextAnalysis {
     * same left-to-right order on both engines; the single σ
     * transcendental sits behind the family's 6dp output rounding.
     */
-  def qualityLogreg(spark: SparkSession, dir: String): DataFrame = {
+  /** The unsorted `(doc_id, score)` relation behind
+    * [[qualityLogreg]] — shared with `PipelineOps.pipelineCurriculum`
+    * so the curriculum ranks by the REGISTERED scorer's own code
+    * path (the data-card reuse discipline).
+    */
+  private[ext] def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val nWords = size(wordsCol).cast("long")
     val nStop = size(filter(wordsCol, w => w.isin(stopwords: _*))).cast("long")
     val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9 \\n]")).cast("long")
@@ -123,14 +128,21 @@ object TextAnalysis {
       lit(LrDigit) * (col("n_digit").cast("double") / col("n_chars")) +
       lit(LrAwl) * ((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words")) +
       lit(LrLen) * log(col("n_chars").cast("double"))
-    base
-      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
-      .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("keep"))
-      .orderBy("doc_id")
+    base.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
   }
 
-  val qualityLogregSql: String =
-    s"""WITH base AS (
+  def qualityLogreg(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("keep"))
+      .orderBy("doc_id")
+
+  /** CTE chain (no `WITH`) producing `lrscore(doc_id, score)` — the
+    * SQL twin of [[qualityScore]], shared by the [[qualityLogregSql]]
+    * oracle and `PipelineOps.pipelineCurriculumSql`.
+    */
+  private[ext] val qualityScoreCteSql: String =
+    s"""lrbase AS (
        |  SELECT doc_id, length(text) AS n_chars,
        |    len(string_split_regex(text, ' +')) AS n_words,
        |    len(list_filter(string_split_regex(text, ' +'),
@@ -138,7 +150,7 @@ object TextAnalysis {
        |    len(regexp_extract_all(text, '[^a-zA-Z0-9 \\n]')) AS n_punct,
        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
        |  FROM documents),
-       |s AS (
+       |lrscore AS (
        |  SELECT doc_id,
        |    round(1.0 / (1.0 + exp(-($LrB
        |      + $LrStop * (CAST(n_stop AS DOUBLE) / n_words)
@@ -146,9 +158,12 @@ object TextAnalysis {
        |      + $LrDigit * (CAST(n_digit AS DOUBLE) / n_chars)
        |      + $LrAwl * (CAST(n_chars - n_words + 1 AS DOUBLE) / n_words)
        |      + $LrLen * ln(CAST(n_chars AS DOUBLE))))), 6) AS score
-       |  FROM base)
+       |  FROM lrbase)""".stripMargin
+
+  val qualityLogregSql: String =
+    s"""WITH $qualityScoreCteSql
        |SELECT doc_id, score, score >= 0.5 AS keep
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM lrscore ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
   // Repetition signals: the Gopher/MassiveText quality filters

@@ -666,7 +666,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("agg_mode", () => Relational.aggMode(spark, d)),
       ("agg_unpivot", () => Relational.aggUnpivot(spark, d)),
       ("agg_hll", () => Relational.aggHll(spark, d)),
-      ("event_hopping", () => Relational.eventHopping(spark, d)))
+      ("event_hopping", () => Relational.eventHopping(spark, d)),
+      ("pipeline_curriculum", () => PipelineOps.pipelineCurriculum(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
@@ -727,6 +728,27 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(out(1L)._1 > out(2L)._1, "clean prose must outscore symbol soup")
     assert(out(1L)._2 && !out(2L)._2)
+  }
+
+  test("pipelineCurriculum: bin-composed positions reproduce the true global order") {
+    val d = "/root/testdata/sf0.001"
+    val out = PipelineOps.pipelineCurriculum(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4),
+        r.getDouble(5)))
+    val n = out.length
+    assert(out.map(_._2).toSeq == (1L to n).toSeq,
+      "positions must be consecutive 1..n despite no global sort")
+    // position order == (score desc, doc_id) — the true total order
+    val expected = out.sortBy { case (id, _, _, _, s) => (-s, id) }.map(_._1)
+    assert(out.sortBy(_._2).map(_._1).toSeq == expected.toSeq)
+    // phases cut at exact 20/80% token fractions and are contiguous
+    val total = out.map(_._3).max
+    out.foreach { case (_, _, cum, phase, _) =>
+      val want = if (cum * 5 <= total) "warmup"
+        else if (cum * 5 > total * 4) "anneal" else "main"
+      assert(phase == want, s"cum=$cum total=$total got $phase")
+    }
+    assert(Set("warmup", "main", "anneal").subsetOf(out.map(_._4).toSet))
   }
 
   test("sampleWeighted: membership equals the local E-S computation; longer docs favored") {

@@ -421,6 +421,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pipeline_curriculum: fact windows ride the bin partition, offsets broadcast") {
+    val plan = graft.ext.PipelineOps.pipelineCurriculum(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("hashpartitioning(ord_bin"), plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("agg_mode: two-level hash aggs, no per-key sort, no value collection") {
     val plan = graft.ext.Relational.aggMode(spark, dir)
       .queryExecution.executedPlan.toString
