@@ -79,6 +79,15 @@ class TextPmiSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_.getString(1).length >= 4))
   }
 
+  test("textRank: word-graph index builds once per corpus, served thereafter") {
+    val d = "/root/testdata/sf0.001"
+    TextAnalysis.textRank(spark, d).collect()
+    val after = TextAnalysis.trEdgeBuildCount.get()
+    TextAnalysis.textRank(spark, d).collect()
+    assert(TextAnalysis.trEdgeBuildCount.get() == after,
+      "word-graph edge artifact rebuilt on a hot invocation")
+  }
+
   test("textPmi: pairs under the support floor never appear") {
     // "rare gem" occurs twice — below the floor of 5 — amid enough
     // repeated filler that other pairs qualify
