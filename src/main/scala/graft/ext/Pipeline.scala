@@ -167,10 +167,13 @@ object PipelineOps {
       .limit(WeightedK)
 
   val sampleWeightedSql: String =
+    // "+ 0.0" normalizes IEEE -0.0: a priority within 5e-7 of zero
+    // rounds to the ZERO-sign Spark's BigDecimal round produces,
+    // where DuckDB's float round keeps the negative sign
     s"""WITH h AS (
        |  SELECT doc_id, source, n_chars,
        |    round(ln((${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} + 1.0)
-       |      / ${PolyP + 1}.0) / n_chars, 6) AS priority
+       |      / ${PolyP + 1}.0) / n_chars, 6) + 0.0 AS priority
        |  FROM documents WHERE n_chars > 0)
        |SELECT doc_id, source, n_chars, priority
        |FROM h ORDER BY priority DESC, doc_id LIMIT $WeightedK""".stripMargin
