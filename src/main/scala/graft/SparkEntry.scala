@@ -123,6 +123,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
     "stream_dedup" -> (graft.streaming.EventStreams.streamDedup(_, _)),
     "stream_enrich" -> (graft.streaming.EventStreams.streamEnrich(_, _)),
+    "stream_hopping" -> (graft.streaming.EventStreams.streamHopping(_, _)),
     "stream_join" -> (graft.streaming.EventStreams.streamJoin(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -305,6 +306,7 @@ object SparkEntry {
     "event_hopping" -> Relational.eventHoppingSql,
     // converged streaming results == the batch twins' relations
     "stream_tumbling" -> Relational.eventTumblingSql,
+    "stream_hopping" -> Relational.eventHoppingSql,
     "stream_sessionize" -> Relational.sessionizeSql,
     // unique ids ⟹ batching-independent appended rows == the batch projection
     "stream_dedup" -> graft.streaming.EventStreams.streamDedupSql,

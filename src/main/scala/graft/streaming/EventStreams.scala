@@ -50,6 +50,29 @@ object EventStreams {
         unix_timestamp(col("w.start")).as("hour_s"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING (hopping) windows with state — streaming twin of the
+    * batch `event_hopping` and its oracle: 1-hour windows every 15
+    * minutes, each event updating 4 window states; complete-mode
+    * convergence makes the result the batch relation exactly
+    * (integer-µs starts, DECIMAL cents — the batch twin's rails).
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("cents"))
+
+  def streamHopping(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, stagedEventsDir(dir), "graft_stream_hopping",
+        hoppingCounts, "complete")
+      .orderBy("win_start_us", "event_type")
+
   /** Driver-gate streaming query (`stream_tumbling`): the events
     * table replayed as a micro-batch file-directory stream ->
     * [[tumblingCounts]] -> memory sink, run to completion

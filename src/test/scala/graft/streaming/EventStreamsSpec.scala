@@ -37,6 +37,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("hopping windows: streaming state converges to the batch event_hopping relation") {
+    val streamed = EventStreams.runToMemory(
+      spark, streamDir, "t_hopping", EventStreams.hoppingCounts, "complete")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ext.Relational.eventHopping(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    // every tumbling hour appears as 4 hopping window instances' worth
+    // of coverage: hopping row count = 4x events' distinct (hour, type)
+    // is NOT an invariant (edge windows), but each event contributes
+    // to exactly 4 windows, so total n across windows = 4x event count
+    val totalN = streamed.toSeq.map(_._3).sum
+    val nEvents = Tables.events(spark, dir).count()
+    assert(totalN == 4 * nEvents, s"$totalN != 4 * $nEvents")
+  }
+
   test("stream-static join: enriched tumbling agg equals the batch join+group") {
     val streamed = EventStreams.runToMemory(
       spark, streamDir, "t_enrich", EventStreams.enrichedTumbling(spark, dir), "complete")
