@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_semantic" -> (Dedup.dedupSemantic(_, _)),
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
+    "sim_mips" -> (Similarity.simMips(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
@@ -370,6 +371,7 @@ object SparkEntry {
     "dedup_sorted_nbhd" -> Dedup.dedupSortedNeighborhoodSql,
     "dedup_semantic" -> Dedup.dedupSemanticSql,
     "sim_topk" -> Similarity.simTopkSql,
+    "sim_mips" -> Similarity.simMipsSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,
     // fixed-point Lloyd sums + strided seeds make the whole IVF train

@@ -69,6 +69,51 @@ object Similarity {
        |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Maximum-INNER-PRODUCT top-k (MIPS) — the retrieval contract
+    * where magnitude matters (recommendation scoring: user · item
+    * with popularity encoded in the item norm), distinct from
+    * [[simTopk]]'s cosine (direction only): a long candidate vector
+    * can out-rank a better-aligned short one. Same plan skeleton —
+    * broadcast query side, one codegen'd candidate pass, per-query
+    * rank window — with [[graft.functions.VectorOps.dot]]'s
+    * left-to-right fold for cross-engine parity. Scale path, stated
+    * for the record: MIPS reduces to cosine ANN by augmenting each
+    * candidate with √(M²−‖c‖²) (M = max norm) and each query with 0
+    * (Bachrach et al. 2014, RecSys), after which [[simLsh]] /
+    * [[simIvf]] apply unchanged; registered here is the exact
+    * contract those would approximate.
+    */
+  def simMips(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("c_id").asc)
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("ip",
+        round(graft.functions.VectorOps.dot(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("rn"), col("c_id"), col("ip"))
+      .orderBy("q_id", "rn")
+  }
+
+  val simMipsSql: String =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE)
+       |           * CAST(c.embedding[i] AS DOUBLE))), 6) AS ip
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+       |r AS (
+       |  SELECT q_id, c_id, ip,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY ip DESC, c_id ASC) AS rn
+       |  FROM p)
+       |SELECT q_id, rn, c_id, ip FROM r WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
+
   // ----------------------------------------------------------------
   // LSH-bucketed ANN (scale path)
   // ----------------------------------------------------------------

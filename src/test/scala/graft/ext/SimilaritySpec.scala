@@ -237,4 +237,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == knnRef(vecs, 3))
   }
+
+  test("simMips: magnitude wins over alignment, unlike cosine") {
+    import spark.implicits._
+    // query q = (1, 0, ...): candidate 10 is perfectly aligned but
+    // short (ip = 1); candidate 11 is slightly off-axis but long
+    // (ip = 5) -> MIPS must rank 11 first, cosine ranks 10 first
+    val dim = 8
+    def v(xs: (Int, Float)*) = {
+      val a = new Array[Float](dim); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = Seq(
+      (0L, v(0 -> 1.0f)),
+      (10L, v(0 -> 1.0f)),
+      (11L, v(0 -> 5.0f, 1 -> 2.0f)))
+    val tmp = java.nio.file.Files.createTempDirectory("mips").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val mips = Similarity.simMips(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L).map(r => (r.getLong(1), r.getLong(2)))
+    assert(mips.take(2).toSeq == Seq((1L, 11L), (2L, 10L)),
+      s"MIPS order wrong: ${mips.toSeq}")
+    val cos = Similarity.simTopk(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L).map(r => (r.getLong(1), r.getLong(2)))
+    assert(cos.take(2).toSeq == Seq((1L, 10L), (2L, 11L)),
+      s"cosine order wrong: ${cos.toSeq}")
+  }
 }

@@ -667,7 +667,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("agg_unpivot", () => Relational.aggUnpivot(spark, d)),
       ("agg_hll", () => Relational.aggHll(spark, d)),
       ("event_hopping", () => Relational.eventHopping(spark, d)),
-      ("pipeline_curriculum", () => PipelineOps.pipelineCurriculum(spark, d)))
+      ("pipeline_curriculum", () => PipelineOps.pipelineCurriculum(spark, d)),
+      ("sim_mips", () => Similarity.simMips(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
