@@ -144,6 +144,7 @@ object SparkEntry {
     "text_gini" -> (TextAnalysis.textGini(_, _)),
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_rank" -> (TextAnalysis.textRank(_, _)),
+    "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -339,6 +340,9 @@ object SparkEntry {
     "text_pmi" -> TextAnalysis.textPmiSql,
     // graph_pagerank's fixed-point rounds applied to word adjacency
     "text_rank" -> TextAnalysis.textRankSql,
+    // one encoded integer key carries min hash + rightmost tie: the
+    // window-min winnowing selection replays as a plain min-fold
+    "text_winnow" -> TextAnalysis.textWinnowSql,
     // Laplace-smoothed bins; order-pinned fold; identical term exprs
     "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,

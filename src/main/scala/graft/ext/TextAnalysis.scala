@@ -1388,4 +1388,71 @@ object TextAnalysis {
        |  CAST(r AS BIGINT) AS rank_fp
        |FROM ranked WHERE rn <= $TrTopK ORDER BY rn""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Winnowing: window-minimum fingerprint selection (MOSS)
+  // ----------------------------------------------------------------
+
+  private val WinK = 8 // k-gram width (chars)
+  private val WinW = 4 // winnowing window (grams)
+  private val WinCap = 256 // prefix cap: O(1) per doc at 100 TB
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram of the
+    * capped prefix, then keep, from each window of [[WinW]]
+    * consecutive gram hashes, the RIGHTMOST MINIMUM. The guarantee
+    * that makes this the standard copy-detection fingerprint (and a
+    * sub-document dedup key): any shared substring of length
+    * ≥ k + w − 1 between two documents yields at least one IDENTICAL
+    * selected (hash) on both sides, while only ~2/(w+1) of grams are
+    * kept — a fixed-rate sample that, unlike every-nth-gram, is
+    * position-independent.
+    *
+    * Both the min and the rightmost tie-break ride ONE integer key
+    * `hash·1024 + (1023 − pos)`: `array_min` over a window then picks
+    * the smallest hash and, among equal hashes, the largest position
+    * — so each engine runs a plain min-fold, no struct comparators to
+    * diverge. The whole operator is rowwise higher-order-function
+    * arithmetic over the shared [[polyHashCol]] fold (codegen'd, no
+    * UDF, zero shuffle before the presentation sort); docs shorter
+    * than k + w − 1 prefix chars emit nothing by contract.
+    */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("text").substr(lit(1), lit(WinCap))
+    val keys = when(length(p) >= WinK,
+      transform(sequence(lit(1), length(p) - WinK + 1), pos =>
+        polyHashCol(p.substr(pos, lit(WinK))) * 1024L +
+          (lit(1023) - pos).cast("long")))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    val nw = size(keys) - WinW + 1
+    val sel = when(nw >= 1,
+      array_distinct(transform(sequence(lit(1), nw), s =>
+        array_min(slice(keys, s, lit(WinW))))))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(sel).as("key"))
+      .select(
+        col("doc_id"),
+        (lit(1023L) - col("key") % 1024L).as("pos"),
+        shiftright(col("key"), 10).as("gram_hash"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val textWinnowSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, substr(text, 1, $WinCap) AS p FROM documents),
+       |k AS (
+       |  SELECT doc_id,
+       |    [${polyHashSql(s"substr(p, CAST(gp AS INT), $WinK)")}
+       |       * 1024 + (1023 - gp)
+       |     for gp in generate_series(1, length(p) - ${WinK - 1})] AS keys
+       |  FROM p WHERE length(p) >= $WinK),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_min(keys[s:s + ${WinW - 1}])
+       |      for s in generate_series(1, len(keys) - ${WinW - 1})]) AS sel
+       |  FROM k WHERE len(keys) >= $WinW)
+       |SELECT doc_id, 1023 - (key % 1024) AS pos, key // 1024 AS gram_hash
+       |FROM (SELECT doc_id, unnest(sel) AS key FROM s)
+       |ORDER BY doc_id, pos""".stripMargin
 }

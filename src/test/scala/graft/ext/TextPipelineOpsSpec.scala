@@ -668,12 +668,50 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("agg_hll", () => Relational.aggHll(spark, d)),
       ("event_hopping", () => Relational.eventHopping(spark, d)),
       ("pipeline_curriculum", () => PipelineOps.pipelineCurriculum(spark, d)),
-      ("sim_mips", () => Similarity.simMips(spark, d)))
+      ("sim_mips", () => Similarity.simMips(spark, d)),
+      ("text_winnow", () => TextAnalysis.textWinnow(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
       assert(narrow.sameElements(wide), s"$name varies with partition count")
     }
+  }
+
+  test("textWinnow: selection equals brute-force winnowing; shared substrings collide") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "zzzz the quick brown fox jumps over the lazy dog yyyy"
+    val texts = Map(1L -> t1, 2L -> t2, 3L -> "short")
+    val dir = corpus(texts.toSeq.map { case (id, t) => (id, t, "a") })
+    val out = TextAnalysis.textWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent reimplementation: rightmost-min per window of 4
+    def poly(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    def winnow(text: String): Set[(Long, Long)] = {
+      val p = text.take(256)
+      if (p.length < 8) Set.empty
+      else {
+        val hs = (1 to p.length - 7)
+          .map(i => (i.toLong, poly(p.substring(i - 1, i + 7))))
+        if (hs.length < 4) Set.empty
+        else (0 to hs.length - 4)
+          .map(s0 => hs.slice(s0, s0 + 4).minBy { case (pos, h) => (h, -pos) })
+          .toSet
+      }
+    }
+    for ((id, t) <- texts) {
+      val got = out.filter(_._1 == id).map(r => (r._2, r._3)).toSet
+      assert(got == winnow(t), s"doc $id selection mismatch")
+    }
+    // the MOSS guarantee: a shared substring of length >= k+w-1 chars
+    // yields at least one identical fingerprint hash on both sides
+    val h1 = out.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared substring produced no shared hash")
+    // density: every window of 4 consecutive grams holds a selection
+    val sel1 = out.filter(_._1 == 1L).map(_._2).toSet
+    for (s0 <- 1L to (t1.length - 7L) - 3L)
+      assert((s0 until s0 + 4).exists(sel1), s"window at $s0 uncovered")
   }
 
   test("graph edge set builds once per corpus, shared by pagerank and triangles") {

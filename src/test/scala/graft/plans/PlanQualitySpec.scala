@@ -447,4 +447,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       || plan.contains("max_by"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("text_winnow: rowwise selection — no joins, no aggs, no hash exchange") {
+    val plan = graft.ext.TextAnalysis.textWinnow(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
