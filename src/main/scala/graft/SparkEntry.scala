@@ -145,6 +145,7 @@ object SparkEntry {
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_rank" -> (TextAnalysis.textRank(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
+    "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -343,6 +344,9 @@ object SparkEntry {
     // one encoded integer key carries min hash + rightmost tie: the
     // window-min winnowing selection replays as a plain min-fold
     "text_winnow" -> TextAnalysis.textWinnowSql,
+    // integer zone bounds + exact fused match counts: pruning
+    // arithmetic has no float to drift
+    "layout_zonemap" -> Layout.layoutZonemapSql,
     // Laplace-smoothed bins; order-pinned fold; identical term exprs
     "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,

@@ -194,4 +194,133 @@ object Layout {
        |  CAST(min(cust_y) AS BIGINT) AS min_cust,
        |  CAST(max(cust_y) AS BIGINT) AS max_cust
        |FROM h$ZBits GROUP BY cell ORDER BY cell""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Zone-map pruning audit: what min/max file statistics actually buy
+  // ----------------------------------------------------------------
+
+  private val ZmFileDays = 64L // ship-days per simulated file
+  private val ZmBands = 6 // predicates per family
+
+  /** Zone-map (min/max statistics) pruning audit: lineitem is laid
+    * out as ship-date-clustered "files" of [[ZmFileDays]] days, each
+    * file carrying the min/max zone maps a skipping reader consults
+    * (the parquet row-group / Iceberg manifest mechanism). A fixed
+    * workload — [[ZmBands]] 30-day ship-date bands and [[ZmBands]]
+    * equal-width partkey bands — is then evaluated against the zones:
+    * per predicate, how many files a zone-consulting scan touches and
+    * how many rows that is, beside the EXACT matching row count. The
+    * audit quantifies the 100 TB layout law the Z-order/Hilbert
+    * queries design for: predicates on the clustering key prune
+    * almost everything (rows_scanned ≈ rows_matched), predicates on
+    * an uncorrelated column scan every file regardless of the maps.
+    *
+    * Plan shape: two passes over the fact's two needed columns (one
+    * keyed zone agg, one FUSED 12-condition matched-count agg — no
+    * predicate×fact join amplification); everything after is
+    * zone-scale (≤ dozens of rows). Partkey band edges derive from
+    * max(partkey) by integer floor division, so the workload scales
+    * with the corpus deterministically.
+    */
+  def layoutZonemap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.table(spark, dir, "lineitem")
+      .select(
+        datediff(col("l_shipdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("day"),
+        col("l_partkey").as("pk"))
+    val zones = base
+      .groupBy(expr(s"day div $ZmFileDays").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+    val bounds = base.agg(max(col("pk")).as("maxpk"))
+    val preds = ((0 until ZmBands).map(k => (k + 1L, "day", k.toLong)) ++
+      (0 until ZmBands).map(k => (ZmBands + k + 1L, "pk", k.toLong)))
+      .toDF("pred_id", "pred_col", "k")
+      .crossJoin(broadcast(bounds))
+      .select(col("pred_id"), col("pred_col"),
+        when(col("pred_col") === "day", col("k") * 360L)
+          .otherwise(expr(s"(k * maxpk) div $ZmBands + 1")).as("lo"),
+        when(col("pred_col") === "day", col("k") * 360L + 29L)
+          .otherwise(expr(s"((k + 1) * maxpk) div $ZmBands")).as("hi"))
+    val overlap =
+      when(col("pred_col") === "day",
+        !(col("max_day") < col("lo") || col("min_day") > col("hi")))
+        .otherwise(!(col("max_pk") < col("lo") || col("min_pk") > col("hi")))
+    val scan = preds.crossJoin(zones) // zone-scale product: preds × files
+      .groupBy("pred_id", "pred_col", "lo", "hi")
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(overlap, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(overlap, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    val matchedCols =
+      (0 until ZmBands).map { k =>
+        sum(when(col("day").between(k * 360L, k * 360L + 29L), 1L)
+          .otherwise(0L)).as(s"m${k + 1}")
+      } ++ (0 until ZmBands).map { k =>
+        sum(when(col("pk").between(
+          expr(s"($k * maxpk) div $ZmBands + 1"),
+          expr(s"(${k + 1} * maxpk) div $ZmBands")), 1L)
+          .otherwise(0L)).as(s"m${ZmBands + k + 1}")
+      }
+    val matched = base.crossJoin(broadcast(bounds))
+      .agg(matchedCols.head, matchedCols.tail: _*)
+      .selectExpr(s"stack(${2 * ZmBands}, " +
+        (1 to 2 * ZmBands).map(i => s"CAST($i AS BIGINT), m$i").mkString(", ") +
+        ") AS (pred_id, rows_matched)")
+    scan.join(matched, "pred_id")
+      .select(col("pred_id"), col("pred_col"), col("lo"), col("hi"),
+        col("files_total"), col("files_scanned"), col("rows_scanned"),
+        col("rows_matched"))
+      .orderBy("pred_id")
+  }
+
+  val layoutZonemapSql: String = {
+    val values = ((0 until ZmBands).map(k => s"(${k + 1}, 'day', $k)") ++
+      (0 until ZmBands).map(k => s"(${ZmBands + k + 1}, 'pk', $k)"))
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT date_diff('day', DATE '1992-01-01',
+       |      CAST(l_shipdate AS DATE)) AS day,
+       |    l_partkey AS pk
+       |  FROM lineitem),
+       |zones AS (
+       |  SELECT day // $ZmFileDays AS file_id, count(*) AS n_rows,
+       |    min(day) AS min_day, max(day) AS max_day,
+       |    min(pk) AS min_pk, max(pk) AS max_pk
+       |  FROM base GROUP BY 1),
+       |bounds AS (SELECT max(pk) AS maxpk FROM base),
+       |preds AS (
+       |  SELECT pred_id, pred_col,
+       |    CASE WHEN pred_col = 'day' THEN k * 360
+       |         ELSE (k * maxpk) // $ZmBands + 1 END AS lo,
+       |    CASE WHEN pred_col = 'day' THEN k * 360 + 29
+       |         ELSE ((k + 1) * maxpk) // $ZmBands END AS hi
+       |  FROM (VALUES $values) AS v(pred_id, pred_col, k), bounds),
+       |scan AS (
+       |  SELECT pred_id, pred_col, lo, hi, count(*) AS files_total,
+       |    sum(CASE WHEN ov THEN 1 ELSE 0 END) AS files_scanned,
+       |    sum(CASE WHEN ov THEN n_rows ELSE 0 END) AS rows_scanned
+       |  FROM (
+       |    SELECT p.pred_id, p.pred_col, p.lo, p.hi, z.n_rows,
+       |      CASE WHEN p.pred_col = 'day'
+       |           THEN NOT (z.max_day < p.lo OR z.min_day > p.hi)
+       |           ELSE NOT (z.max_pk < p.lo OR z.min_pk > p.hi) END AS ov
+       |    FROM preds p CROSS JOIN zones z)
+       |  GROUP BY 1, 2, 3, 4),
+       |matched AS (
+       |  SELECT p.pred_id, count(*) AS rows_matched
+       |  FROM preds p JOIN base b
+       |    ON (CASE WHEN p.pred_col = 'day' THEN b.day ELSE b.pk END)
+       |       BETWEEN p.lo AND p.hi
+       |  GROUP BY 1)
+       |SELECT CAST(s.pred_id AS BIGINT) AS pred_id, s.pred_col,
+       |  CAST(s.lo AS BIGINT) AS lo, CAST(s.hi AS BIGINT) AS hi,
+       |  CAST(s.files_total AS BIGINT) AS files_total,
+       |  CAST(s.files_scanned AS BIGINT) AS files_scanned,
+       |  CAST(s.rows_scanned AS BIGINT) AS rows_scanned,
+       |  CAST(coalesce(m.rows_matched, 0) AS BIGINT) AS rows_matched
+       |FROM scan s LEFT JOIN matched m ON m.pred_id = s.pred_id
+       |ORDER BY pred_id""".stripMargin
+  }
 }

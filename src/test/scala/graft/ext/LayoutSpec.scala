@@ -95,4 +95,43 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(c.getLong(4) / 512L == c.getLong(5) / 512L)
     }
   }
+
+  test("zonemap audit: scans are sound supersets; cluster key prunes, off-key does not") {
+    val rows = Layout.layoutZonemap(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(rows.length == 12)
+    for ((id, _, total, scanned, rowsScanned, matched) <- rows) {
+      // zone soundness: a skipping scan may never miss a matching row
+      assert(scanned <= total, s"pred $id scanned > total")
+      assert(matched <= rowsScanned, s"pred $id would miss rows")
+    }
+    // ship-date predicates (the clustering key) prune most files...
+    for ((id, col, total, scanned, _, _) <- rows if col == "day")
+      assert(scanned <= total / 2, s"day pred $id did not prune: $scanned/$total")
+    // ...partkey predicates (uncorrelated) scan essentially everything
+    for ((id, col, total, scanned, _, _) <- rows if col == "pk")
+      assert(scanned == total, s"pk pred $id unexpectedly pruned")
+  }
+
+  test("zonemap audit: exact counts on a crafted two-file layout") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zm-corpus").toString
+    // 128 consecutive ship-days (two 64-day files), partkeys striped
+    // across both files so off-key zones span the full range
+    (0 until 128).map(i => (i, (i % 100) + 1L)).toDF("i", "l_partkey")
+      .selectExpr( // dates built in-session (UTC), not via JVM-tz Timestamps
+        "CAST(date_add(DATE '1992-01-01', i) AS TIMESTAMP) AS l_shipdate",
+        "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Layout.layoutZonemap(spark, tmp).collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    // pred 1: day in [0,29] -> file 0 only (64 rows scanned, 30 matched)
+    assert(out(0) == (1L, 0L, 29L, 2L, 1L, 64L, 30L), out(0).toString)
+    // pred 2: day in [360,389] -> beyond the 128-day corpus: zero scan
+    assert(out(1) == (2L, 360L, 389L, 2L, 0L, 0L, 0L), out(1).toString)
+    // pred 7: pk in [1,16] (maxpk=100) -> both files scanned, 2*16 matched
+    assert(out(6) == (7L, 1L, 16L, 2L, 2L, 128L, 32L), out(6).toString)
+  }
 }

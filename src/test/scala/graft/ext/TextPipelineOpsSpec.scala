@@ -669,7 +669,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("event_hopping", () => Relational.eventHopping(spark, d)),
       ("pipeline_curriculum", () => PipelineOps.pipelineCurriculum(spark, d)),
       ("sim_mips", () => Similarity.simMips(spark, d)),
-      ("text_winnow", () => TextAnalysis.textWinnow(spark, d)))
+      ("text_winnow", () => TextAnalysis.textWinnow(spark, d)),
+      ("layout_zonemap", () => Layout.layoutZonemap(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

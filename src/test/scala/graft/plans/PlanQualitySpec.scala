@@ -448,6 +448,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("layout_zonemap: fact reads two columns; products stay at zone scale") {
+    val plan = graft.ext.Layout.layoutZonemap(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the fact scan reads only (l_shipdate, l_partkey)
+    assert(plan.contains("l_shipdate") && plan.contains("l_partkey"), plan)
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_orderkey"), plan)
+    // no fact-side sort-merge join: the only joins are zone/pred-scale
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("text_winnow: rowwise selection — no joins, no aggs, no hash exchange") {
     val plan = graft.ext.TextAnalysis.textWinnow(spark, dir)
       .queryExecution.executedPlan.toString
