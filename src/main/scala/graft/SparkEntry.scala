@@ -146,6 +146,7 @@ object SparkEntry {
     "text_rank" -> (TextAnalysis.textRank(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
+    "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -347,6 +348,9 @@ object SparkEntry {
     // integer zone bounds + exact fused match counts: pruning
     // arithmetic has no float to drift
     "layout_zonemap" -> Layout.layoutZonemapSql,
+    // α=1/2 smoothing is add + floor-halve on cents: the sequential
+    // fold replays exactly as a recursive CTE
+    "ts_ewma" -> TimeSeries.tsEwmaSql,
     // Laplace-smoothed bins; order-pinned fold; identical term exprs
     "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,

@@ -515,4 +515,67 @@ object TimeSeries {
        |  CAST(n_ops AS BIGINT) AS n_ops
        |FROM last WHERE state != 'error'
        |ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // EWMA: integer-exact exponential smoothing per key
+  // ----------------------------------------------------------------
+
+  /** Exponentially weighted moving average over each event type's
+    * daily revenue, in INTEGER-EXACT form: `s₁ = x₁;
+    * sₜ = (xₜ + sₜ₋₁) div 2` — α = ½ makes every step one add and one
+    * floor-halving on BIGINT cents, so the whole recursion is
+    * portable (no compounding float powers, no partial-sum order
+    * sensitivity; same discipline as [[aggDecay]]'s power-of-two
+    * weights). Daily values are strictly positive (cents of positive
+    * event values), where `div` and `//` agree.
+    *
+    * An EWMA is inherently a SEQUENTIAL fold, which Spark's window
+    * frames cannot express; the scale-safe shape is: ONE map-side-
+    * combinable hash agg reduces the fact table to (key, day) rows,
+    * then each key's series — bounded by the CALENDAR span, never by
+    * fact size (cf. [[tsGapfill]]) — folds inside a single
+    * `aggregate` higher-order call over its sorted point array. No
+    * window over fact rows, no driver loop, no UDF. The oracle
+    * replays the identical recurrence as a recursive CTE stepping
+    * `rn → rn + 1` per key.
+    */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_idx"), col("cents"))))
+        .as("pts"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(pts,
+          |  CAST(array() AS ARRAY<STRUCT<day_idx: BIGINT, cents: BIGINT, s: BIGINT>>),
+          |  (acc, x) -> concat(acc, array(named_struct(
+          |    'day_idx', x.day_idx, 'cents', x.cents,
+          |    's', CASE WHEN size(acc) = 0 THEN x.cents
+          |              ELSE (x.cents + element_at(acc, -1).s) div 2
+          |         END))))""".stripMargin)).as("e"))
+      .select(col("event_type"), col("e.day_idx").as("day_idx"),
+        col("e.cents").as("cents"), col("e.s").as("ewma_cents"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsEwmaSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day_idx, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      |  FROM daily),
+      |e AS (
+      |  SELECT event_type, day_idx, cents, rn, cents AS s
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.day_idx, r.cents, r.rn, (r.cents + e.s) // 2
+      |  FROM e JOIN r ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+      |SELECT event_type, day_idx, cents, s AS ewma_cents
+      |FROM e ORDER BY event_type, day_idx""".stripMargin
 }

@@ -670,7 +670,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("pipeline_curriculum", () => PipelineOps.pipelineCurriculum(spark, d)),
       ("sim_mips", () => Similarity.simMips(spark, d)),
       ("text_winnow", () => TextAnalysis.textWinnow(spark, d)),
-      ("layout_zonemap", () => Layout.layoutZonemap(spark, d)))
+      ("layout_zonemap", () => Layout.layoutZonemap(spark, d)),
+      ("ts_ewma", () => TimeSeries.tsEwma(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

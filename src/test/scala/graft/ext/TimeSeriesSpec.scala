@@ -39,6 +39,31 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
+  test("tsEwma: integer fold matches the hand recurrence; first day passes through") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ts-ewma").toString
+    val rows = Seq(
+      (1L, 0L, "a", 10.00), (2L, 1L, "a", 20.00), (3L, 1L, "a", 10.00),
+      (4L, 2L, "a", 5.00), (5L, 4L, "a", 80.01),
+      (6L, 0L, "b", 7.77))
+    rows.toDF("event_id", "day", "event_type", "v")
+      .selectExpr("event_id", "timestamp_micros(day * 86400000000) AS ts",
+        "event_id AS user_id", "event_type", "CAST(v AS DOUBLE) AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.tsEwma(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // daily cents: a -> 1000, 3000, 500, 8001 (day 3 unobserved); b -> 777
+    // fold: 1000; (3000+1000)/2=2000; (500+2000)/2=1250; (8001+1250)/2=4625
+    assert(out(("a", 0L)) == (1000L, 1000L))
+    assert(out(("a", 1L)) == (3000L, 2000L))
+    assert(out(("a", 2L)) == (500L, 1250L))
+    assert(out(("a", 4L)) == (8001L, 4625L))
+    assert(out(("b", 0L)) == (777L, 777L))
+    assert(out.size == 5)
+  }
+
   test("tsGapfill: gap days appear zero-filled, flagged, and LOCF-carried") {
     // days 0, 1, 4 have orders; 2-3 are gaps the calendar must invent
     val dir = ordersAt(Seq((0, 10.00), (1, 20.00), (1, 5.00), (4, 7.50)))

@@ -458,6 +458,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ts_ewma: facts meet one agg, series fold is calendar-scale — no fact window") {
+    val plan = graft.ext.TimeSeries.tsEwma(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // daily reduce + per-key collect: exactly two keyed exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("text_winnow: rowwise selection — no joins, no aggs, no hash exchange") {
     val plan = graft.ext.TextAnalysis.textWinnow(spark, dir)
       .queryExecution.executedPlan.toString
