@@ -117,6 +117,7 @@ object SparkEntry {
     "graph_triangles" -> (Graph.graphTriangles(_, _)),
     "graph_jaccard" -> (Graph.graphJaccard(_, _)),
     "graph_bfs" -> (Graph.graphBfs(_, _)),
+    "graph_components" -> (Graph.graphComponents(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -289,6 +290,8 @@ object SparkEntry {
     // one IEEE division of integer counts: bit-deterministic ranking
     "graph_jaccard" -> Graph.graphJaccardSql,
     "graph_bfs" -> Graph.graphBfsSql,
+    // the shared min-label CC kernel == the transitive-closure CTE
+    "graph_components" -> Graph.graphComponentsSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,

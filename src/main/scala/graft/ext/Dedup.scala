@@ -660,22 +660,31 @@ object Dedup {
         .orderBy("doc_id"))
   }
 
-  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
-    // both edge directions from ONE pass over the pair tier: a
-    // two-branch union would re-evaluate the whole MinHash lineage
-    // per branch (no CSE across DataFrame branches)
-    val edges = pairs.as[(Long, Long)]
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .toDF("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Each round's result is cut to a LogicalRDD via an EAGER local
-    // checkpoint: plain persist() caches data but keeps the logical
-    // plan, and the per-round self-join DOUBLES that plan tree —
-    // Catalyst would re-optimize an exponentially growing plan each
-    // round (measured: 8→20 s at a few hundred edges, pure analysis
-    // time). Checkpointed rounds keep every iteration O(edges).
+  /** Iterative min-label propagation + path halving over a SYMMETRIC
+    * edge set (cols `u`, `v`): returns one `(u, lbl)` row per node
+    * with `lbl` = the component's minimum node id. The shared CC
+    * kernel behind [[dedupCluster]] and `graph_components` — one
+    * implementation, two graphs.
+    *
+    * Each round's result is cut to a LogicalRDD via an EAGER local
+    * checkpoint: plain persist() caches data but keeps the logical
+    * plan, and the per-round self-join DOUBLES that plan tree —
+    * Catalyst would re-optimize an exponentially growing plan each
+    * round (measured: 8→20 s at a few hundred edges, pure analysis
+    * time). Checkpointed rounds keep every iteration O(edges).
+    * Pointer jumping (path halving): each round also adopts the
+    * LABEL node's own label, so long chains converge in
+    * O(log diameter) rounds instead of one hop per round (a
+    * >cap-length similarity chain would otherwise exit unconverged —
+    * silently wrong vs the transitive-closure oracle). The changed
+    * flag rides inside the same checkpointed job (a separate
+    * compare-join would cost one more round-trip per round); the
+    * convergence probe is then a near-free scan of the materialized
+    * rows — the driver still sees only a count. 64 doubling rounds
+    * cover components of astronomical diameter; failing loud beats
+    * returning a silently split component.
+    */
+  private[ext] def minLabelComponents(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u")).distinct()
       .withColumn("lbl", col("u"))
       .localCheckpoint(true)
@@ -688,15 +697,6 @@ object Dedup {
       val propagated = labels.join(neighborMin, Seq("u"), "left")
         .select(col("u"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jumping (path halving): also adopt the LABEL node's
-      // own label, so long chains converge in O(log diameter) rounds
-      // instead of one hop per round (a >cap-length similarity chain
-      // would otherwise exit unconverged — silently wrong vs the
-      // transitive-closure oracle)
-      // the changed flag rides inside the same checkpointed job (a
-      // separate compare-join would cost one more round-trip per
-      // round); the convergence probe is then a near-free scan of
-      // the materialized rows — the driver still sees only a count
       val next = propagated
         .join(propagated.select(col("u").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
@@ -710,11 +710,23 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    // 64 doubling rounds cover components of astronomical diameter;
-    // failing loud beats returning a silently split component
     if (!converged)
       throw new IllegalStateException(
-        s"dedupCluster did not converge within $rounds rounds")
+        s"minLabelComponents did not converge within $rounds rounds")
+    labels
+  }
+
+  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    // both edge directions from ONE pass over the pair tier: a
+    // two-branch union would re-evaluate the whole MinHash lineage
+    // per branch (no CSE across DataFrame branches)
+    val edges = pairs.as[(Long, Long)]
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .toDF("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = minLabelComponents(edges)
     val size = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     // eager local checkpoint materializes the (dedup-output-scale)
     // result; the loop rounds' checkpoint blocks are freed by the

@@ -344,4 +344,54 @@ object Graph {
        |FROM reach r JOIN m ON m.node = r.node AND m.dist = r.dist
        |GROUP BY r.node, m.dist
        |ORDER BY r.node""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Connected components: per-component census of the shared graph
+  // ----------------------------------------------------------------
+
+  /** Connected components of the shared co-occurrence [[edges]] set,
+    * rolled up to a per-component census: component id (the
+    * component's minimum part key), node count, undirected edge
+    * count. Runs [[Dedup.minLabelComponents]] — the ONE CC kernel in
+    * the engine (min-label propagation + path halving, per-round
+    * eager checkpoint), shared with `dedup_cluster` rather than
+    * re-derived — over a different graph. After convergence both
+    * rollups are single map-side-combinable hash aggs; the symmetric
+    * edge set counts each undirected edge twice, halved exactly.
+    */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val es = edges(spark, dir).toDF("u", "v")
+    val labels = Dedup.minLabelComponents(es)
+    val nodes = labels.groupBy(col("lbl").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val ec = es.join(labels, "u")
+      .groupBy(col("lbl").as("component_id"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"))
+    nodes.join(ec, "component_id")
+      .select(col("component_id"), col("n_nodes"), col("n_edges"))
+      .orderBy("component_id")
+  }
+
+  val graphComponentsSql: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |reach AS (
+       |  SELECT src AS u, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.u = e.src),
+       |comp AS (SELECT u, min(lbl) AS component_id FROM reach GROUP BY u),
+       |nodes AS (
+       |  SELECT component_id, count(*) AS n_nodes FROM comp GROUP BY 1),
+       |ec AS (
+       |  SELECT c.component_id, count(*) // 2 AS n_edges
+       |  FROM edges e JOIN comp c ON c.u = e.src GROUP BY 1)
+       |SELECT n.component_id, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(ec.n_edges AS BIGINT) AS n_edges
+       |FROM nodes n JOIN ec ON ec.component_id = n.component_id
+       |ORDER BY n.component_id""".stripMargin
 }

@@ -671,7 +671,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("sim_mips", () => Similarity.simMips(spark, d)),
       ("text_winnow", () => TextAnalysis.textWinnow(spark, d)),
       ("layout_zonemap", () => Layout.layoutZonemap(spark, d)),
-      ("ts_ewma", () => TimeSeries.tsEwma(spark, d)))
+      ("ts_ewma", () => TimeSeries.tsEwma(spark, d)),
+      ("graph_components", () => Graph.graphComponents(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
@@ -723,6 +724,20 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     Graph.graphTriangles(spark, d).collect()
     Graph.graphPagerank(spark, d).collect()
     assert(Graph.edgeBuildCount.get() == after, "edge memo rebuilt")
+  }
+
+  test("graphComponents: exact census on a crafted two-component graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-corpus").toString
+    // orders (keys % 8 == 0): cliques {1,2,3} and {2,3,4} share nodes
+    // (one component, 5 distinct edges); {10,11} is disjoint
+    val li = Seq((0L, 1L), (0L, 2L), (0L, 3L), (8L, 2L), (8L, 3L), (8L, 4L),
+      (16L, 10L), (16L, 11L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Graph.graphComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 4L, 5L), (10L, 2L, 1L)), out.mkString(", "))
   }
 
   test("graphTriangles: exact counts on a crafted two-triangle graph") {
