@@ -146,6 +146,7 @@ object SparkEntry {
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_rank" -> (TextAnalysis.textRank(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
+    "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -348,6 +349,9 @@ object SparkEntry {
     // one encoded integer key carries min hash + rightmost tie: the
     // window-min winnowing selection replays as a plain min-fold
     "text_winnow" -> TextAnalysis.textWinnowSql,
+    // integral pair counts, (cnt, left, right)-pinned argmax, one
+    // shared greedy fold: all 8 BPE merges replay as generated CTEs
+    "text_bpe" -> TextAnalysis.textBpeSql,
     // integer zone bounds + exact fused match counts: pruning
     // arithmetic has no float to drift
     "layout_zonemap" -> Layout.layoutZonemapSql,

@@ -1438,6 +1438,124 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  // ----------------------------------------------------------------
+  // BPE merge induction: learn a subword vocabulary from the corpus
+  // ----------------------------------------------------------------
+
+  private val BpeMerges = 8
+  private val BpeMinCount = 3L
+  private val BpeMinLen = 2
+  private val BpeMaxLen = 20
+  private val BpeSep = "\u001F" // US control char: never in kept words
+
+  /** Byte-pair-encoding merge induction (Sennrich, Haddow, Birch, ACL
+    * 2016) — the tokenizer-training step of an LLM data pipeline:
+    * learn the [[BpeMerges]] highest-frequency adjacent-symbol merges
+    * over the corpus, exactly as a BPE trainer would. The 100 TB
+    * shape is the one real BPE trainers use: the corpus meets ONE
+    * map-side-combinable word-count aggregation, after which every
+    * merge iteration runs on the WORD-COUNT relation — vocabulary
+    * scale, Heaps-law-bounded, independent of corpus row count. Each
+    * iteration is a pair-count hash agg plus a one-ROW argmax to the
+    * driver (statistics-only traffic, the IVF-model pattern), and
+    * the merge itself is a rowwise left fold over the word's symbol
+    * string: when the accumulated last symbol equals the merge's
+    * left and the next equals its right, append WITHOUT the
+    * separator — greedy non-overlapping BPE application in one
+    * `aggregate` call, no UDF. Ties pin on (count desc, left asc,
+    * right asc); counts are integral — nothing can drift, and the
+    * oracle replays all [[BpeMerges]] iterations as generated CTEs
+    * sharing the identical fold. Kept words: [[BpeMinLen]]–
+    * [[BpeMaxLen]] chars, frequency ≥ [[BpeMinCount]], no embedded
+    * separator byte.
+    */
+  def textBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab0 = docs(spark, dir)
+      .select(explode(expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
+      .filter(length(col("word")).between(BpeMinLen, BpeMaxLen) &&
+        !col("word").contains(BpeSep))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= BpeMinCount)
+      .select(col("n"),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
+          .as("syms"))
+      .localCheckpoint(true)
+    var v = vocab0
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to BpeMerges if !exhausted) {
+      val best = v
+        .select(col("n"), split(col("syms"), BpeSep).as("ls"))
+        .filter(size(col("ls")) >= 2)
+        .select(col("n"), explode(expr(
+          """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
+            |         (a, b) -> named_struct('a', a, 'b', b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // ONE row: the argmax pair
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i.toLong, a, b, cnt))
+        val folded = aggregate(split(col("syms"), BpeSep), lit(""),
+          (acc, x) => when(acc === "", x)
+            .when(element_at(split(acc, BpeSep), -1) === a && x === b,
+              concat(acc, x))
+            .otherwise(concat(acc, lit(BpeSep), x)))
+        v = v.select(col("n"), folded.as("syms")).localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  val textBpeSql: String = {
+    val iters = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT ls[j] AS a, ls[j + 1] AS b, sum(n) AS cnt FROM (
+         |    SELECT n, ls, unnest(generate_series(1, len(ls) - 1)) AS j
+         |    FROM (SELECT n, string_split(syms, chr(31)) AS ls FROM v${i - 1})
+         |    WHERE len(ls) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS (
+         |  SELECT n,
+         |    CASE WHEN mb.a IS NULL THEN syms
+         |         ELSE list_reduce(string_split(syms, chr(31)),
+         |           (acc, x) -> CASE
+         |             WHEN string_split(acc, chr(31))[-1] = mb.a AND x = mb.b
+         |             THEN acc || x ELSE acc || chr(31) || x END)
+         |    END AS syms
+         |  FROM v${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, a, b, cnt FROM b$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT count(*) AS n,
+       |    array_to_string([substr(word, i, 1)
+       |      for i in generate_series(1, length(word))], chr(31)) AS syms
+       |  FROM (
+       |    SELECT unnest(list_filter(string_split_regex(text, ' +'),
+       |      x -> x != '')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN $BpeMinLen AND $BpeMaxLen
+       |    AND NOT contains(word, chr(31))
+       |  GROUP BY word HAVING count(*) >= $BpeMinCount),
+       |$iters
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, a AS left_sym,
+       |  b AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+       |FROM (
+       |  $out)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val textWinnowSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, substr(text, 1, $WinCap) AS p FROM documents),

@@ -672,7 +672,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("text_winnow", () => TextAnalysis.textWinnow(spark, d)),
       ("layout_zonemap", () => Layout.layoutZonemap(spark, d)),
       ("ts_ewma", () => TimeSeries.tsEwma(spark, d)),
-      ("graph_components", () => Graph.graphComponents(spark, d)))
+      ("graph_components", () => Graph.graphComponents(spark, d)),
+      ("text_bpe", () => TextAnalysis.textBpe(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
@@ -724,6 +725,50 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     Graph.graphTriangles(spark, d).collect()
     Graph.graphPagerank(spark, d).collect()
     assert(Graph.edgeBuildCount.get() == after, "edge memo rebuilt")
+  }
+
+  test("textBpe: merges match an independent BPE trainer on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val wc = graft.sources.Tables.table(spark, d, "documents")
+      .select(explode(expr("filter(split(text, ' +'), x -> x != '')")).as("w"))
+      .filter(length(col("w")).between(2, 20) && !col("w").contains("\u001F"))
+      .groupBy("w").agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference trainer: greedy non-overlapping merge, ties (cnt desc, a, b)
+    def train(words: Map[String, Long], iters: Int): Seq[(String, String, Long)] = {
+      var vocab: Seq[(Vector[String], Long)] =
+        words.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var stop = false
+      for (_ <- 1 to iters if !stop) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        for ((syms, n) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += n
+        if (counts.isEmpty) stop = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+          out += ((a, b, c))
+          vocab = vocab.map { case (syms, n) =>
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            (buf.result(), n)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val expect = train(wc, 8)
+    val got = TextAnalysis.textBpe(spark, d).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got.length == 8)
   }
 
   test("graphComponents: exact census on a crafted two-component graph") {
