@@ -64,7 +64,8 @@ object Bench {
     // don't compare them against recomputing queries (ADVICE r3).
     val memoized = Seq("sim_ivf", "sim_pq", "dedup_cluster", "pipeline_prep",
       "graph_pagerank", "graph_triangles", "graph_jaccard", "graph_bfs",
-      "pipeline_holdout", "dedup_semantic", "text_rank")
+      "graph_components", "pipeline_holdout", "dedup_semantic", "text_rank",
+      "text_bpe", "text_bpe_encode")
       .filter(SparkEntry.queries.contains).map(q => s"\"$q\"")
       .mkString("[", ",", "]")
     // The reference-semantics subset (the document pipeline — the

@@ -147,6 +147,7 @@ object SparkEntry {
     "text_rank" -> (TextAnalysis.textRank(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
+    "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -352,6 +353,9 @@ object SparkEntry {
     // integral pair counts, (cnt, left, right)-pinned argmax, one
     // shared greedy fold: all 8 BPE merges replay as generated CTEs
     "text_bpe" -> TextAnalysis.textBpeSql,
+    // the encode replays train + apply end-to-end: same fold, same
+    // merge table, integer compression ratio
+    "text_bpe_encode" -> TextAnalysis.textBpeEncodeSql,
     // integer zone bounds + exact fused match counts: pruning
     // arithmetic has no float to drift
     "layout_zonemap" -> Layout.layoutZonemapSql,

@@ -1469,52 +1469,99 @@ object TextAnalysis {
     * [[BpeMaxLen]] chars, frequency ≥ [[BpeMinCount]], no embedded
     * separator byte.
     */
+  /** The greedy non-overlapping BPE application of merge (a, b) as a
+    * left fold over a [[BpeSep]]-joined symbol string — ONE
+    * definition shared by the trainer's per-iteration rewrite and
+    * the encoder's per-word application.
+    */
+  private def bpeFold(syms: Column, a: String, b: String): Column =
+    aggregate(split(syms, BpeSep), lit(""),
+      (acc, x) => when(acc === "", x)
+        .when(element_at(split(acc, BpeSep), -1) === a && x === b,
+          concat(acc, x))
+        .otherwise(concat(acc, lit(BpeSep), x)))
+
+  /** Session+fingerprint-keyed memo of the learned merge table (the
+    * model-memo pattern of the IVF centroids / cluster labeling):
+    * the 8-iteration train runs once per corpus; `text_bpe` and
+    * `text_bpe_encode` both serve from it. Model-scale driver
+    * traffic only — [[BpeMerges]] single-row argmaxes.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, String, String, Long)]]
+  private[ext] val bpeBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def bpeMergeTable(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    if (bpeCache.size > 16) bpeCache.clear()
+    bpeCache.getOrElseUpdate(
+      (Dedup.sessionId(spark),
+        graft.sources.Tables.fingerprint(spark, dir, "documents")), {
+        bpeBuildCount.incrementAndGet()
+        val vocab0 = docs(spark, dir)
+          .select(explode(
+            expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
+          .filter(length(col("word")).between(BpeMinLen, BpeMaxLen) &&
+            !col("word").contains(BpeSep))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= BpeMinCount)
+          .select(col("n"),
+            array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
+              .as("syms"))
+          .localCheckpoint(true)
+        var v = vocab0
+        val merges =
+          scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+        var exhausted = false
+        for (i <- 1 to BpeMerges if !exhausted) {
+          val best = v
+            .select(col("n"), split(col("syms"), BpeSep).as("ls"))
+            .filter(size(col("ls")) >= 2)
+            .select(col("n"), explode(expr(
+              """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
+                |         (a, b) -> named_struct('a', a, 'b', b))""".stripMargin))
+              .as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect() // ONE row: the argmax pair
+          if (best.isEmpty) exhausted = true
+          else {
+            val (a, b, cnt) =
+              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            merges += ((i.toLong, a, b, cnt))
+            v = v.select(col("n"), bpeFold(col("syms"), a, b).as("syms"))
+              .localCheckpoint(true)
+          }
+        }
+        merges.toList
+      })
+  }
+
   def textBpe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vocab0 = docs(spark, dir)
-      .select(explode(expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
-      .filter(length(col("word")).between(BpeMinLen, BpeMaxLen) &&
-        !col("word").contains(BpeSep))
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= BpeMinCount)
-      .select(col("n"),
-        array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
-          .as("syms"))
-      .localCheckpoint(true)
-    var v = vocab0
-    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-    var exhausted = false
-    for (i <- 1 to BpeMerges if !exhausted) {
-      val best = v
-        .select(col("n"), split(col("syms"), BpeSep).as("ls"))
-        .filter(size(col("ls")) >= 2)
-        .select(col("n"), explode(expr(
-          """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
-            |         (a, b) -> named_struct('a', a, 'b', b))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect() // ONE row: the argmax pair
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((i.toLong, a, b, cnt))
-        val folded = aggregate(split(col("syms"), BpeSep), lit(""),
-          (acc, x) => when(acc === "", x)
-            .when(element_at(split(acc, BpeSep), -1) === a && x === b,
-              concat(acc, x))
-            .otherwise(concat(acc, lit(BpeSep), x)))
-        v = v.select(col("n"), folded.as("syms")).localCheckpoint(true)
-      }
-    }
-    merges.toSeq
+    bpeMergeTable(spark, dir)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy("merge_rank")
   }
 
-  val textBpeSql: String = {
+  /** The greedy fold of [[bpeFold]] as DuckDB SQL over symbol string
+    * `syms`, merging the pair carried by joined row `mb`.
+    */
+  private def bpeFoldSql: String =
+    """CASE WHEN mb.a IS NULL THEN syms
+      |         ELSE list_reduce(string_split(syms, chr(31)),
+      |           (acc, x) -> CASE
+      |             WHEN string_split(acc, chr(31))[-1] = mb.a AND x = mb.b
+      |             THEN acc || x ELSE acc || chr(31) || x END)
+      |    END""".stripMargin
+
+  /** The full training replay — word-count base `v0`, then per
+    * iteration the pair-count agg `p_i`, argmax `b_i`, and rewritten
+    * vocab `v_i` — shared by the trainer's and the encoder's oracles.
+    */
+  private def bpeTrainCtesSql: String = {
     val iters = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          |  SELECT ls[j] AS a, ls[j + 1] AS b, sum(n) AS cnt FROM (
@@ -1525,19 +1572,10 @@ object TextAnalysis {
          |b$i AS (SELECT a, b, cnt FROM p$i
          |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
          |v$i AS (
-         |  SELECT n,
-         |    CASE WHEN mb.a IS NULL THEN syms
-         |         ELSE list_reduce(string_split(syms, chr(31)),
-         |           (acc, x) -> CASE
-         |             WHEN string_split(acc, chr(31))[-1] = mb.a AND x = mb.b
-         |             THEN acc || x ELSE acc || chr(31) || x END)
-         |    END AS syms
+         |  SELECT n, $bpeFoldSql AS syms
          |  FROM v${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMerges).map { i =>
-      s"SELECT $i AS merge_rank, a, b, cnt FROM b$i"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT count(*) AS n,
        |    array_to_string([substr(word, i, 1)
        |      for i in generate_series(1, length(word))], chr(31)) AS syms
@@ -1548,12 +1586,81 @@ object TextAnalysis {
        |  WHERE length(word) BETWEEN $BpeMinLen AND $BpeMaxLen
        |    AND NOT contains(word, chr(31))
        |  GROUP BY word HAVING count(*) >= $BpeMinCount),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val textBpeSql: String = {
+    val out = (1 to BpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, a, b, cnt FROM b$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainCtesSql
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, a AS left_sym,
        |  b AS right_sym, CAST(cnt AS BIGINT) AS pair_count
        |FROM (
        |  $out)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Tokenizer APPLICATION — the other half of the BPE pair: encode
+    * every document with the learned merge table and report the
+    * per-document compression it buys (chars → subword tokens). The
+    * merge table is a broadcast-scale model (≤ [[BpeMerges]] string
+    * pairs, served from the session memo); the encode is a rowwise
+    * chain of the SAME [[bpeFold]] the trainer uses — words explode,
+    * [[BpeMerges]] fold projections run inside one codegen stage,
+    * and ONE map-side-combinable hash agg rolls tokens up per doc.
+    * Words carrying the separator byte are excluded by the same
+    * contract as training. `saved_ppm` is an integer floor division
+    * — no float ratio to drift.
+    */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeTable(spark, dir)
+    val words = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
+      .filter(!col("word").contains(BpeSep))
+    var enc = words.select(
+      col("doc_id"), length(col("word")).cast("long").as("n_chars"),
+      array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
+        .as("syms"))
+    for ((_, a, b, _) <- merges)
+      enc = enc.withColumn("syms", bpeFold(col("syms"), a, b))
+    enc
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("syms"), BpeSep)).cast("long").as("n_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("(n_chars - n_tokens) * 1000000 div n_chars").as("saved_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val textBpeEncodeSql: String = {
+    val steps = (1 to BpeMerges).map { i =>
+      s"""w$i AS (
+         |  SELECT doc_id, n_chars, $bpeFoldSql AS syms
+         |  FROM w${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtesSql,
+       |w0 AS (
+       |  SELECT doc_id, length(word) AS n_chars,
+       |    array_to_string([substr(word, i, 1)
+       |      for i in generate_series(1, length(word))], chr(31)) AS syms
+       |  FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split_regex(text, ' +'),
+       |      x -> x != '')) AS word
+       |    FROM documents)
+       |  WHERE NOT contains(word, chr(31))),
+       |$steps
+       |SELECT doc_id, n_words, n_chars, n_tokens,
+       |  (n_chars - n_tokens) * 1000000 // n_chars AS saved_ppm
+       |FROM (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n_tokens
+       |  FROM w$BpeMerges GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   val textWinnowSql: String =

@@ -673,7 +673,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("layout_zonemap", () => Layout.layoutZonemap(spark, d)),
       ("ts_ewma", () => TimeSeries.tsEwma(spark, d)),
       ("graph_components", () => Graph.graphComponents(spark, d)),
-      ("text_bpe", () => TextAnalysis.textBpe(spark, d)))
+      ("text_bpe", () => TextAnalysis.textBpe(spark, d)),
+      ("text_bpe_encode", () => TextAnalysis.textBpeEncode(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
@@ -769,6 +770,25 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == expect, s"got $got\nexpect $expect")
     assert(got.length == 8)
+  }
+
+  test("textBpe/textBpeEncode: exact merges + compression on a crafted corpus; one train per corpus") {
+    val dir = corpus(Seq((1L, "aaaa aaaa aaaa", "s")))
+    val before = TextAnalysis.bpeBuildCount.get()
+    val merges = TextAnalysis.textBpe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // word "aaaa" (n=3): merge 1 = (a,a) weight 9, merge 2 = (aa,aa)
+    // weight 3, then no pairs remain — trainer stops early
+    assert(merges.toSeq == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)),
+      merges.mkString(", "))
+    val enc = TextAnalysis.textBpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // 3 words x 4 chars -> 3 single-symbol tokens: 750000 ppm saved
+    assert(enc.toSeq == Seq((1L, 3L, 12L, 3L, 750000L)), enc.mkString(", "))
+    TextAnalysis.textBpe(spark, dir).collect()
+    assert(TextAnalysis.bpeBuildCount.get() == before + 1,
+      "merge table retrained despite the session memo")
   }
 
   test("graphComponents: exact census on a crafted two-component graph") {
