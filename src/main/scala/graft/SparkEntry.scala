@@ -173,6 +173,7 @@ object SparkEntry {
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
+    "embed_class_sep" -> (Similarity.embedClassSep(_, _)),
     "sim_pq" -> (Similarity.simPq(_, _)),
     "sim_knn" -> (Similarity.simKnn(_, _)),
     "sim_sparse" -> (Similarity.simSparse(_, _)),
@@ -402,6 +403,9 @@ object SparkEntry {
     "sim_ivf" -> Similarity.simIvfSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
+    // fixed-point centroids/distances + (dist, label)-pinned argmin:
+    // the separation audit replays bit-for-bit
+    "embed_class_sep" -> Similarity.embedClassSepSql,
     // per-subspace fixed-point Lloyd + m-ordered ADC folds: the PQ
     // train/encode/rank replays exactly like sim_ivf
     "sim_pq" -> Similarity.simPqSql,

@@ -903,6 +903,101 @@ object Similarity {
        |FROM r WHERE rn <= $OutTopK ORDER BY rn""".stripMargin
 
   // ----------------------------------------------------------------
+  // Class-separation audit: is the embedding space worth training on?
+  // ----------------------------------------------------------------
+
+  private val SepScale = 1048576L // 2^20 fixed-point quantum
+
+  /** EMBEDDING-QUALITY audit per label class — the Fisher-style
+    * check run before trusting an embedding column for dedup,
+    * retrieval, or classifier training: each class's centroid
+    * tightness (mean squared member→centroid distance) against its
+    * margin (squared distance to the NEAREST other centroid), and
+    * their ratio. A class whose nearest-centroid margin does not
+    * clear its intra-class spread is one the downstream ANN/dedup
+    * thresholds will mangle — this relation says so per label, with
+    * which neighbor.
+    *
+    * All arithmetic rides the [[embedOutlier]] fixed-point
+    * discipline: coordinates quantize to 2^20 Longs, centroids are
+    * floored per-dim means (the floored-double-division trick —
+    * same envelope), distances are exact integer sums of squares,
+    * the final ratio an integer floor division ×1000. Scale shape:
+    * ONE map-side-combinable (label, dim) hash agg touches the
+    * vectors; everything after runs at classes×dims scale.
+    * Nearest-centroid ties pin on (distance, label).
+    */
+  def embedClassSep(spark: SparkSession, dir: String): DataFrame = {
+    val q = emb(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x").cast("double") * SepScale).cast("long").as("qx"))
+    val cent = q.groupBy("label", "i")
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        floor(col("s") / col("n").cast("double")).cast("long").as("cfp"))
+    val intra = q.join(broadcast(cent), Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("qx") - col("cfp")) * (col("qx") - col("cfp"))).as("d2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2) div count(1)").as("intra_fp"))
+    val pair = cent
+      .join(cent.select(col("label").as("label2"), col("i"),
+        col("cfp").as("cfp2")), "i")
+      .filter(col("label") =!= col("label2"))
+      .groupBy("label", "label2")
+      .agg(sum((col("cfp") - col("cfp2")) * (col("cfp") - col("cfp2")))
+        .as("cd2"))
+    val near = pair.groupBy("label")
+      .agg(min(struct(col("cd2"), col("label2"))).as("m"))
+      .select(col("label"), col("m.label2").as("nearest_label"),
+        col("m.cd2").as("inter_fp"))
+    intra.join(near, "label")
+      .select(col("label"), col("n_vecs"), col("intra_fp"),
+        col("nearest_label"), col("inter_fp"),
+        expr("inter_fp * 1000 div greatest(intra_fp, 1)").as("sep_x1000"))
+      .orderBy("label")
+  }
+
+  val embedClassSepSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    unnest(generate_series(1, len(embedding))) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $SepScale.0)
+       |      AS BIGINT) AS qx
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(sum(qx) AS DOUBLE) / count(*)) AS BIGINT) AS cfp
+       |  FROM q GROUP BY 1, 2),
+       |vd AS (
+       |  SELECT q.vec_id, q.label,
+       |    sum((q.qx - c.cfp) * (q.qx - c.cfp)) AS d2
+       |  FROM q JOIN cent c ON c.label = q.label AND c.i = q.i
+       |  GROUP BY 1, 2),
+       |intra AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |    CAST(sum(d2) AS BIGINT) // count(*) AS intra_fp
+       |  FROM vd GROUP BY 1),
+       |pair AS (
+       |  SELECT a.label, b.label AS label2,
+       |    sum((a.cfp - b.cfp) * (a.cfp - b.cfp)) AS cd2
+       |  FROM cent a JOIN cent b ON a.i = b.i AND a.label != b.label
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT label, label2 AS nearest_label, CAST(cd2 AS BIGINT) AS inter_fp
+       |  FROM pair
+       |  QUALIFY row_number() OVER (PARTITION BY label
+       |    ORDER BY cd2, label2) = 1)
+       |SELECT i.label, CAST(i.n_vecs AS BIGINT) AS n_vecs, i.intra_fp,
+       |  n.nearest_label, n.inter_fp,
+       |  n.inter_fp * 1000 // greatest(i.intra_fp, 1) AS sep_x1000
+       |FROM intra i JOIN near n ON n.label = i.label
+       |ORDER BY i.label""".stripMargin
+
+  // ----------------------------------------------------------------
   // Batch k-NN JOIN: every vector's top-k neighbors (the kNN graph)
   // ----------------------------------------------------------------
 

@@ -189,6 +189,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(again.sameElements(rows.map(_.getLong(1))))
   }
 
+  test("embedClassSep: exact fixed-point census on a crafted two-class space") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sep-corpus").toString
+    // class 0: (0,0) and (2,0) -> centroid (1,0), intra mean 2^40;
+    // class 1: (10,0) twice -> centroid (10,0), intra 0; margin 81*2^40
+    Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(2f, 0f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(10f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val q = 1L << 40 // (2^20)^2
+    val out = Similarity.embedClassSep(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, q, 1L, 81L * q, 81000L),
+      (1L, 2L, 0L, 0L, 81L * q, 81L * q * 1000L)), out.mkString(", "))
+  }
+
   /** In-memory kNN reference: round-6 cosine, (cos desc, nbr asc). */
   private def knnRef(vecs: Seq[(Long, Array[Float])], k: Int)
       : Seq[(Long, Long, Long, Double)] = {
