@@ -170,6 +170,7 @@ object SparkEntry {
     // Similarity search (north star)
     "sim_topk" -> (Similarity.simTopk(_, _)),
     "sim_mips" -> (Similarity.simMips(_, _)),
+    "sim_range" -> (Similarity.simRange(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
@@ -396,6 +397,8 @@ object SparkEntry {
     "dedup_semantic" -> Dedup.dedupSemanticSql,
     "sim_topk" -> Similarity.simTopkSql,
     "sim_mips" -> Similarity.simMipsSql,
+    // 6dp rounding BEFORE the threshold: ball membership can't flip
+    "sim_range" -> Similarity.simRangeSql,
     // deterministic hash-derived planes make the ANN query exact-reproducible
     "sim_lsh" -> Similarity.simLshSql,
     // fixed-point Lloyd sums + strided seeds make the whole IVF train

@@ -69,6 +69,48 @@ object Similarity {
        |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
 
+  private val RangeThreshold = 0.25
+
+  /** RADIUS (range) search — the third retrieval contract beside
+    * [[simTopk]] (top-k) and [[simMips]] (inner product): every
+    * candidate within cos ≥ [[RangeThreshold]] of each probe,
+    * however many there are. The result-size contract differs from
+    * top-k in the way that matters operationally (dedup sweeps and
+    * recall audits want ALL neighbors in a ball, not a fixed k), and
+    * the plan differs accordingly: no window at all — a broadcast
+    * probe join, the shared codegen'd cosine, one filter. Rounding
+    * to 6dp happens BEFORE the threshold compare on both engines, so
+    * a boundary-straddling ulp cannot flip membership.
+    */
+  def simRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .filter(col("cos_sim") >= RangeThreshold)
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+      .orderBy("q_id", "c_id")
+  }
+
+  val simRangeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+       |SELECT q_id, c_id, cos_sim FROM p
+       |WHERE cos_sim >= $RangeThreshold
+       |ORDER BY q_id, c_id""".stripMargin
+
   /** Maximum-INNER-PRODUCT top-k (MIPS) — the retrieval contract
     * where magnitude matters (recommendation scoring: user · item
     * with popularity encoded in the item norm), distinct from

@@ -189,6 +189,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(again.sameElements(rows.map(_.getLong(1))))
   }
 
+  test("simRange: exactly the ball members; agrees with top-k where they overlap") {
+    val d = "/root/testdata/sf0.001"
+    val range = Similarity.simRange(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(range.nonEmpty, "threshold yields nothing at sf0.001")
+    assert(range.values.forall(_ >= 0.25))
+    // every top-k hit at or above the threshold must be in the ball
+    val topk = Similarity.simTopk(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    for (((q, c), cs) <- topk if cs >= 0.25)
+      assert(range.get((q, c)).contains(cs), s"top-k pair ($q,$c) missing")
+  }
+
   test("embedClassSep: exact fixed-point census on a crafted two-class space") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sep-corpus").toString

@@ -675,7 +675,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("graph_components", () => Graph.graphComponents(spark, d)),
       ("text_bpe", () => TextAnalysis.textBpe(spark, d)),
       ("text_bpe_encode", () => TextAnalysis.textBpeEncode(spark, d)),
-      ("embed_class_sep", () => Similarity.embedClassSep(spark, d)))
+      ("embed_class_sep", () => Similarity.embedClassSep(spark, d)),
+      ("sim_range", () => Similarity.simRange(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
