@@ -148,6 +148,7 @@ object SparkEntry {
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
+    "text_logodds" -> (TextAnalysis.textLogodds(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -358,6 +359,9 @@ object SparkEntry {
     // the encode replays train + apply end-to-end: same fold, same
     // merge table, integer compression ratio
     "text_bpe_encode" -> TextAnalysis.textBpeEncodeSql,
+    // two one-shot lns over identical integer ratios, 6dp-rounded
+    // before ranking, term tie-break
+    "text_logodds" -> TextAnalysis.textLogoddsSql,
     // integer zone bounds + exact fused match counts: pruning
     // arithmetic has no float to drift
     "layout_zonemap" -> Layout.layoutZonemapSql,

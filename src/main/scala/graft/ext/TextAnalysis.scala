@@ -1036,6 +1036,84 @@ object TextAnalysis {
        |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
        |FROM r, tot WHERE rank <= $VocabK ORDER BY rank""".stripMargin
 
+  // ----------------------------------------------------------------
+  // Distinctive terms per source: smoothed log-odds vs rest-of-corpus
+  // ----------------------------------------------------------------
+
+  private val LoTopK = 5
+  private val LoMinLen = 2
+
+  /** DISTINCTIVE-term extraction per source — the corpus-comparison
+    * lens (Monroe, Colaresi, Quinn 2008's log-odds family, add-one
+    * smoothed, source vs rest-of-corpus): for each source, the
+    * [[LoTopK]] terms whose smoothed log-odds ratio
+    * `ln((y+1)/(n_s−y+1)) − ln((y_rest+1)/(n_rest−y_rest+1))` is
+    * highest — "what does this source say that the rest does not",
+    * the audit run before weighting a source in a training mixture
+    * (TF-IDF ranks within a document; this contrasts CORPORA).
+    *
+    * Shape: one explode feeds one (source, term) hash agg — the only
+    * corpus-scale pass; term totals derive from THAT relation
+    * (vocab-scale re-agg, never a second corpus read), source totals
+    * broadcast as five rows, and the top-k window walks vocab-scale
+    * rows. Both lns are one-shot transcendentals over identical
+    * integer-ratio operands, ranked only AFTER 6-dp rounding with
+    * the term as tie-break (the BM25/TF-IDF discipline).
+    */
+  def textLogodds(spark: SparkSession, dir: String): DataFrame = {
+    val sw = docs(spark, dir)
+      .select(col("source"), explode(
+        expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+      .filter(length(col("term")) >= LoMinLen)
+      .groupBy("source", "term").agg(count(lit(1)).as("y"))
+    val tw = sw.groupBy("term").agg(sum(col("y")).as("yw"))
+    val ns = sw.groupBy("source").agg(sum(col("y")).as("ns"))
+    val tot = ns.agg(sum(col("ns")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("delta").desc, col("term").asc)
+    sw.join(tw, "term")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("delta", round(
+        log((col("y") + 1).cast("double") / (col("ns") - col("y") + 1)) -
+          log((col("yw") - col("y") + 1).cast("double") /
+            (col("nn") - col("ns") - col("yw") + col("y") + 1)), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= LoTopK)
+      .select(col("source"), col("rn"), col("term"),
+        col("y").as("n_in_source"), (col("yw") - col("y")).as("n_in_rest"),
+        col("delta"))
+      .orderBy("source", "rn")
+  }
+
+  val textLogoddsSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(text, ' +'),
+       |                       x -> x != '')) AS term
+       |  FROM documents),
+       |sw AS (
+       |  SELECT source, term, count(*) AS y FROM t
+       |  WHERE length(term) >= $LoMinLen GROUP BY 1, 2),
+       |tw AS (SELECT term, sum(y) AS yw FROM sw GROUP BY 1),
+       |ns AS (SELECT source, sum(y) AS ns FROM sw GROUP BY 1),
+       |tot AS (SELECT sum(ns) AS nn FROM ns),
+       |d AS (
+       |  SELECT sw.source, sw.term, sw.y, tw.yw, ns.ns,
+       |    round(ln(CAST(sw.y + 1 AS DOUBLE) / (ns.ns - sw.y + 1))
+       |      - ln(CAST(tw.yw - sw.y + 1 AS DOUBLE)
+       |           / (tot.nn - ns.ns - tw.yw + sw.y + 1)), 6) AS delta
+       |  FROM sw JOIN tw USING (term) JOIN ns USING (source), tot),
+       |r AS (
+       |  SELECT source, term, y, yw, delta,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY delta DESC, term ASC) AS rn
+       |  FROM d)
+       |SELECT source, CAST(rn AS BIGINT) AS rn, term,
+       |  CAST(y AS BIGINT) AS n_in_source,
+       |  CAST(yw - y AS BIGINT) AS n_in_rest, delta
+       |FROM r WHERE rn <= $LoTopK ORDER BY source, rn""".stripMargin
+
   val textBm25Sql: String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>

@@ -676,7 +676,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("text_bpe", () => TextAnalysis.textBpe(spark, d)),
       ("text_bpe_encode", () => TextAnalysis.textBpeEncode(spark, d)),
       ("embed_class_sep", () => Similarity.embedClassSep(spark, d)),
-      ("sim_range", () => Similarity.simRange(spark, d)))
+      ("sim_range", () => Similarity.simRange(spark, d)),
+      ("text_logodds", () => TextAnalysis.textLogodds(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
@@ -772,6 +773,28 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == expect, s"got $got\nexpect $expect")
     assert(got.length == 8)
+  }
+
+  test("textLogodds: a planted source-exclusive term tops its source") {
+    // source A says 'zebrafish' constantly; B never does. Shared
+    // filler keeps totals comparable.
+    val filler = "the data and the model and the data"
+    val dir = corpus(Seq(
+      (1L, s"zebrafish $filler zebrafish zebrafish", "A"),
+      (2L, s"zebrafish $filler zebrafish", "A"),
+      (3L, s"$filler protein protein protein protein protein", "B"),
+      (4L, s"$filler protein", "B")))
+    val out = TextAnalysis.textLogodds(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val topA = out.filter(_._1 == "A").minBy(_._2)
+    val topB = out.filter(_._1 == "B").minBy(_._2)
+    assert(topA._3 == "zebrafish" && topA._4 == 5L && topA._5 == 0L, topA)
+    assert(topB._3 == "protein" && topB._4 == 6L && topB._5 == 0L, topB)
+    // deltas positive for exclusive terms, ranks contiguous per source
+    assert(topA._6 > 0 && topB._6 > 0)
+    for ((_, rs) <- out.groupBy(_._1))
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
   }
 
   test("textBpe/textBpeEncode: exact merges + compression on a crafted corpus; one train per corpus") {
