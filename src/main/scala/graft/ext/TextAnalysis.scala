@@ -1061,11 +1061,17 @@ object TextAnalysis {
     * the term as tie-break (the BM25/TF-IDF discipline).
     */
   def textLogodds(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the (source, term) counts ONCE: tw/ns/tot all
+    // derive from this relation, and without the eager cut each
+    // branch would re-run the corpus explode+agg (no CSE across
+    // DataFrame branches — four corpus passes, caught by the
+    // PlanQualitySpec Generate pin). The frame is vocab-scale.
     val sw = docs(spark, dir)
       .select(col("source"), explode(
         expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
       .filter(length(col("term")) >= LoMinLen)
       .groupBy("source", "term").agg(count(lit(1)).as("y"))
+      .localCheckpoint(true)
     val tw = sw.groupBy("term").agg(sum(col("y")).as("yw"))
     val ns = sw.groupBy("source").agg(sum(col("y")).as("ns"))
     val tot = ns.agg(sum(col("ns")).as("nn"))

@@ -474,4 +474,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("embed_class_sep: centroids broadcast back; no sort-merge join anywhere") {
+    val plan = graft.ext.Similarity.embedClassSep(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sim_range: probes broadcast, no window, no sort-merge join") {
+    val plan = graft.ext.Similarity.simRange(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("text_logodds: one corpus-scale agg; source totals broadcast") {
+    val plan = graft.ext.TextAnalysis.textLogodds(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus explode+agg runs ONCE, inside the eager checkpoint
+    // of the (source, term) relation — the served plan derives every
+    // branch from that cut (zero Generate nodes; without the cut,
+    // four corpus passes appeared here)
+    assert("Generate".r.findAllIn(plan).size == 0, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
