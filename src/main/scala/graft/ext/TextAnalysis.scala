@@ -1578,12 +1578,32 @@ object TextAnalysis {
 
   private def bpeMergeTable(
       spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
     if (bpeCache.size > 16) bpeCache.clear()
     bpeCache.getOrElseUpdate(
       (Dedup.sessionId(spark),
         graft.sources.Tables.fingerprint(spark, dir, "documents")), {
-        bpeBuildCount.incrementAndGet()
-        val vocab0 = docs(spark, dir)
+        // durable tier below the session memo (the cluster/IVF
+        // discipline): the learned table publishes as a
+        // fingerprint-keyed parquet artifact — a restarted session
+        // reloads 8 rows instead of re-running the train; an
+        // in-place corpus rewrite re-keys and retrains
+        graft.sources.ArtifactStore
+          .loadOrBuild(spark, dir, "documents", "bpe-merges-v1") {
+            buildBpeMerges(spark, dir)
+              .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+          }
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+          .sortBy(_._1).toList
+      })
+  }
+
+  private def buildBpeMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    bpeBuildCount.incrementAndGet()
+    val vocab0 = docs(spark, dir)
           .select(explode(
             expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
           .filter(length(col("word")).between(BpeMinLen, BpeMaxLen) &&
@@ -1620,7 +1640,6 @@ object TextAnalysis {
           }
         }
         merges.toList
-      })
   }
 
   def textBpe(spark: SparkSession, dir: String): DataFrame = {
