@@ -150,6 +150,8 @@ object SparkEntry {
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "text_logodds" -> (TextAnalysis.textLogodds(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
+    "layout_bucket" -> (Layout.layoutBucket(_, _)),
+    "dedup_substring" -> (Dedup.dedupSubstring(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
@@ -179,6 +181,7 @@ object SparkEntry {
     "sim_pq" -> (Similarity.simPq(_, _)),
     "sim_knn" -> (Similarity.simKnn(_, _)),
     "sim_sparse" -> (Similarity.simSparse(_, _)),
+    "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -365,6 +368,10 @@ object SparkEntry {
     // integer zone bounds + exact fused match counts: pruning
     // arithmetic has no float to drift
     "layout_zonemap" -> Layout.layoutZonemapSql,
+    // layout-independent result: a plain join+agg oracles the bucketed plan
+    "layout_bucket" -> Layout.layoutBucketSql,
+    // seed-gram islands per diagonal = suffix-array maximal spans
+    "dedup_substring" -> Dedup.dedupSubstringSql,
     // α=1/2 smoothing is add + floor-halve on cents: the sequential
     // fold replays exactly as a recursive CTE
     "ts_ewma" -> TimeSeries.tsEwmaSql,
@@ -408,6 +415,8 @@ object SparkEntry {
     // fixed-point Lloyd sums + strided seeds make the whole IVF train
     // + probe + top-k replayable in DuckDB (three unrolled iterations)
     "sim_ivf" -> Similarity.simIvfSql,
+    // rank-only fusion: integer RRF over two 6dp-rounded rankings
+    "retrieval_rrf" -> Similarity.retrievalRrfSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
     // fixed-point centroids/distances + (dist, label)-pinned argmin:

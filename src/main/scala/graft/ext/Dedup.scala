@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -998,6 +999,96 @@ object Dedup {
        |    AS dup_frac
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Exact shared-substring dedup: maximal common spans per doc pair
+  // ----------------------------------------------------------------
+
+  private val SubGram = 8 // seed word-gram width; also the min span
+
+  /** EXACT maximal-shared-span extraction (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring-dedup contract, re-expressed relationally): for every
+    * document pair sharing a run of ≥ [[SubGram]] consecutive words,
+    * emit each MAXIMAL shared span — both start positions and the
+    * span length in words. Where [[dedupSpans]] scores how much of a
+    * doc is duplicated anywhere, this names the exact spans to CUT:
+    * the suffix-array result, from a join.
+    *
+    * Mechanics: seed matches are equality joins on [[SubGram]]-word
+    * grams carrying their positions; a shared span of w words shows
+    * up as w − [[SubGram]] + 1 consecutive seed matches on one
+    * DIAGONAL (pos_a − pos_b constant — the dot-plot view), so
+    * gaps-and-islands over (a, b, diagonal) ordered by pos_a merges
+    * seeds into maximal spans: length = run + [[SubGram]] − 1.
+    * Maximality needs no post-filter — a longer containing span
+    * would have produced a longer run on the same diagonal.
+    *
+    * Scale shape: gram expansion is rowwise over per-doc word
+    * arrays; the seed join is gram-keyed (the postings pattern); the
+    * island window and the span aggregate share one (a, b, diag)
+    * partitioning — two shuffles total beyond the scan, no
+    * cartesian, no driver participation. Boundary: the join keys on
+    * the gram STRING (exact, collision-free); at 100 TB you key on
+    * a 64-bit gram fingerprint plus a residual equality check, and
+    * cap per-gram document frequency (boilerplate grams — the skew
+    * hazard of any postings join) at a documented recall cost; at
+    * gate scale the exact form is the oracle.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+      .filter(size(col("ws")) >= SubGram)
+      .select(col("doc_id"), explode(
+        expr(s"""transform(sequence(1, size(ws) - ${SubGram - 1}),
+                 |         s -> struct(s AS pos, concat_ws(' ', slice(ws, s, $SubGram)) AS gram))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gram"))
+    val a = grams.select(col("doc_id").as("doc_a"),
+      col("pos").as("pa"), col("gram"))
+    val b = grams.select(col("doc_id").as("doc_b"),
+      col("pos").as("pb"), col("gram"))
+    val m = a.join(b, "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (SubGram - 1)).as("span_words"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_words"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, len(ws) - ${SubGram - 1}),
+       |      s -> struct_pack(pos := s,
+       |             gram := array_to_string(ws[s:s + ${SubGram - 1}], ' ')))) AS g
+       |  FROM w WHERE len(ws) >= $SubGram),
+       |p AS (SELECT doc_id, CAST(g.pos AS BIGINT) AS pos, g.gram AS gram FROM g),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+       |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+       |                            ORDER BY pa) AS grp
+       |  FROM m)
+       |SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |  CAST(count(*) + ${SubGram - 1} AS BIGINT) AS span_words
+       |FROM isl GROUP BY doc_a, doc_b, diag, grp
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
   // ----------------------------------------------------------------
   // Incremental dedup: new batch vs existing corpus (ingestion shape)

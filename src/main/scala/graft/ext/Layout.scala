@@ -323,4 +323,85 @@ object Layout {
        |FROM scan s LEFT JOIN matched m ON m.pred_id = s.pred_id
        |ORDER BY pred_id""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Bucketed co-located join (shuffle-elimination layout)
+  // ----------------------------------------------------------------
+
+  private val BucketCount = 8
+
+  /** BUCKETED co-located join — the layout that deletes the join
+    * shuffle outright. Both fact (`orders`) and dimension
+    * (`customer`) publish as catalog tables hash-bucketed INTO
+    * [[BucketCount]] buckets ON THE JOIN KEY (`CLUSTERED BY` in the
+    * warehouse; Spark's `bucketBy` + `sortBy`). Because both sides
+    * report `HashPartitioning(custkey, 8)` from the SCAN, the
+    * sort-merge join needs NO Exchange on either side, and the
+    * per-customer aggregate after it rides the SAME partitioning
+    * (custkey functionally determines the grouping key) — the whole
+    * join+agg runs with ZERO hash shuffles, asserted in
+    * `PlanQualitySpec`. At 100 TB this is the difference between
+    * re-shuffling the fact table on every query and paying the
+    * layout cost once at write time: the recurring-join tables of a
+    * warehouse (fact↔dimension on a stable key) are exactly the
+    * bucketing candidates.
+    *
+    * The query forces SMJ via a `merge` hint: at gate scale the
+    * dimension fits a broadcast (which also avoids shuffles but
+    * proves nothing about layout); at 100 TB neither side
+    * broadcasts, and the bucketed SMJ shape shown here is the plan
+    * that survives.
+    *
+    * Each call republishes the two bucketed tables from the corpus
+    * (idempotent overwrite into the session warehouse) — write cost
+    * is the one-time layout price the read path amortizes. The
+    * RESULT is layout-independent (same rows bucketed or not),
+    * which is what lets a plain DuckDB join oracle the query.
+    */
+  def layoutBucket(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    publishBucketed(spark, orders, "graft_bkt_orders", "o_custkey")
+    publishBucketed(spark, cust, "graft_bkt_customer", "c_custkey")
+    val bo = spark.table("graft_bkt_orders")
+    val bc = spark.table("graft_bkt_customer")
+    bo.hint("merge")
+      .join(bc, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+          .cast("long").as("total_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Overwrite-publish `df` as a parquet catalog table bucketed on
+    * `key`. The warehouse directory is cleared first: a fresh
+    * session's in-memory catalog does not know about a previous
+    * session's managed-table location, and CREATE refuses a
+    * non-empty location it never registered.
+    */
+  private def publishBucketed(
+      spark: SparkSession, df: DataFrame, table: String, key: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(warehouse, true)
+    df.write.mode("overwrite")
+      .bucketBy(BucketCount, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
+  val layoutBucketSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS total_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -157,6 +157,107 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
 
   // ----------------------------------------------------------------
+  // Hybrid retrieval: reciprocal rank fusion (lexical ⊕ dense)
+  // ----------------------------------------------------------------
+
+  private val RrfK = 60L
+  private val RrfListN = 30
+  private val RrfTopK = 10
+  private val RrfProbeId = 0L
+
+  /** HYBRID retrieval — the fourth retrieval contract beside top-k /
+    * MIPS / radius: fuse a lexical (BM25) ranking and a dense
+    * (embedding-cosine) ranking of the same corpus by reciprocal
+    * rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * `score(d) = Σ_systems 1/(k + rank_system(d))`, k = 60. RRF is
+    * the standard RAG-stack fusion because it needs NO score
+    * calibration between systems — only ranks cross the boundary,
+    * so a BM25 log-scale score and a bounded cosine never meet.
+    *
+    * The lexical arm re-ranks [[TextAnalysis.bm25CandidateScores]]'s
+    * relation (the exact relation `text_bm25` ranks) for the fixed
+    * probe terms; the dense arm ranks candidates by cosine against
+    * the probe document's embedding (row [[RrfProbeId]] of
+    * `embeddings` — the corpus convention is vec_id ≡ doc_id). Both
+    * arms keep only their top [[RrfListN]]: each side plans as
+    * TakeOrderedAndProject (partition-local top-N, driver merges N
+    * rows — never a global sort), and the fusion full-outer join
+    * runs over two N-row lists, O(N) regardless of corpus size.
+    *
+    * Determinism: both arms rank on 6dp-ROUNDED scores with id
+    * tie-breaks, and the fused score is exact INTEGER arithmetic —
+    * `1e6 DIV (k + rank)` per arm (floor division on BIGINTs in
+    * both engines), summed as BIGINTs — so fusion order can never
+    * hinge on a float ulp.
+    */
+  def retrievalRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lexW = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = TextAnalysis.bm25CandidateScores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(RrfListN)
+      .withColumn("rank_lex", row_number().over(lexW).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val probe = e.filter(col("vec_id") === RrfProbeId)
+      .select(col("embedding").as("qe"))
+    val denseW = Window.orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val dense = e.filter(col("vec_id") =!= RrfProbeId)
+      .crossJoin(broadcast(probe))
+      .withColumn("cos_sim",
+        round(NativeFunctions.cosineSim(col("qe"), col("embedding")), 6))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(RrfListN)
+      .withColumn("rank_dense", row_number().over(denseW).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    val w = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000L DIV ($RrfK + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($RrfK + rank_dense)"), lit(0L)))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(RrfTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf_score"),
+        col("rank_lex"), col("rank_dense"))
+      .orderBy("rank")
+  }
+
+  val retrievalRrfSql: String =
+    s"""WITH ${TextAnalysis.bm25CandidateCtes},
+       |lex AS (
+       |  SELECT doc_id, rank_lex FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+       |    FROM ranked) WHERE rank_lex <= $RrfListN),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |cos AS (
+       |  SELECT c.vec_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM e q JOIN e c
+       |    ON q.vec_id = $RrfProbeId AND c.vec_id != $RrfProbeId),
+       |dense AS (
+       |  SELECT vec_id AS doc_id, rank_dense FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank_dense
+       |    FROM cos) WHERE rank_dense <= $RrfListN),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    l.rank_lex, d.rank_dense,
+       |    COALESCE(CAST(1000000 AS BIGINT) // ($RrfK + l.rank_lex), 0)
+       |      + COALESCE(CAST(1000000 AS BIGINT) // ($RrfK + d.rank_dense), 0)
+       |      AS rrf_score
+       |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, rrf_score, rank_lex, rank_dense,
+       |    row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+       |  FROM fused)
+       |SELECT rank, doc_id, rrf_score, rank_lex, rank_dense FROM r
+       |WHERE rank <= $RrfTopK ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------------------
   // LSH-bucketed ANN (scale path)
   // ----------------------------------------------------------------
 

@@ -601,6 +601,27 @@ object TextAnalysis {
     * is an equi-join on a ≤|terms| key set, never a scan product.
     */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    // global top-k via orderBy+limit → TakeOrderedAndProject (each
+    // partition contributes its local top-k; the driver merges K
+    // rows) — a global row_number window would sort every scored doc
+    // in ONE task; the rank window then runs over K rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25CandidateScores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** The (doc_id, score) candidate relation behind [[textBm25]] —
+    * every document matching at least one fixed query term, scored.
+    * Shared with [[Similarity.retrievalRrf]]'s lexical arm so the
+    * fusion ranks the exact relation the BM25 query ranks.
+    */
+  private[ext] def bm25CandidateScores(
+      spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val words = d.select(col("doc_id"), explode(split(col("text"), " +")).as("word"))
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -628,19 +649,9 @@ object TextAnalysis {
     val total = Bm25Terms.indices
       .map(i => coalesce(col(s"s$i"), lit(0.0)))
       .reduceLeft(_ + _)
-    // global top-k via orderBy+limit → TakeOrderedAndProject (each
-    // partition contributes its local top-k; the driver merges K
-    // rows) — a global row_number window would sort every scored doc
-    // in ONE task; the rank window then runs over K rows only
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
     summed
       .withColumn("score", round(total, 6))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(Bm25TopK)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("doc_id"), col("score"))
-      .orderBy("rank")
+      .select(col("doc_id"), col("score"))
   }
 
   /** The query RELATION for [[textBm25Multi]]: (query_id, term)
@@ -1120,14 +1131,18 @@ object TextAnalysis {
        |  CAST(yw - y AS BIGINT) AS n_in_rest, delta
        |FROM r WHERE rn <= $LoTopK ORDER BY source, rn""".stripMargin
 
-  val textBm25Sql: String = {
+  /** The CTE chain computing [[bm25CandidateScores]]'s relation as
+    * `ranked(doc_id, score)` — shared verbatim between the
+    * `text_bm25` oracle and the `retrieval_rrf` oracle's lexical arm.
+    */
+  private[ext] val bm25CandidateCtes: String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN word = '$t' THEN term_score END) AS s$i"
     }.mkString(", ")
     val total = Bm25Terms.indices
       .map(i => s"COALESCE(s$i, 0.0)").reduceLeft((a, b) => s"($a + $b)")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word
        |  FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
@@ -1147,13 +1162,16 @@ object TextAnalysis {
        |  CROSS JOIN scalars),
        |summed AS (SELECT doc_id, $perTerm FROM scored GROUP BY doc_id),
        |ranked AS (
-       |  SELECT doc_id, round($total, 6) AS score FROM summed),
+       |  SELECT doc_id, round($total, 6) AS score FROM summed)""".stripMargin
+  }
+
+  val textBm25Sql: String =
+    s"""WITH $bm25CandidateCtes,
        |r AS (SELECT doc_id, score,
        |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
        |      FROM ranked)
        |SELECT rank, doc_id, score FROM r WHERE rank <= $Bm25TopK
        |ORDER BY rank""".stripMargin
-  }
 
   // ----------------------------------------------------------------
   // PMI collocations: statistically-bound word pairs

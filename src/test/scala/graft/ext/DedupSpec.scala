@@ -323,4 +323,44 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.trainCount.get() == before,
       "sim_ivf retrained a model dedup_semantic already built")
   }
+
+  test("dedupSubstring: maximal shared spans exact on a crafted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedupsub").toString
+    // doc1↔doc2 share c1..c10 (10 words) at 1-based starts (3, 2);
+    // doc2↔doc3 share d1..d8 (exactly the 8-gram seed) at (13, 1);
+    // doc3↔doc1 share nothing ≥ 8 words
+    Seq(
+      (1L, "p1 p2 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 t1 t2"),
+      (2L, "z1 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 z2 d1 d2 d3 d4 d5 d6 d7 d8"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupSubstring(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 2L, 10L),
+      (2L, 3L, 13L, 1L, 8L)), out.mkString(", "))
+  }
+
+  test("dedupSubstring: two disjoint spans on one pair stay separate islands") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedupsub2").toString
+    // shared block A (8 words) and block B (9 words), separated by
+    // unique words on both sides -> two rows, not one merged span
+    val blockA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 9).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, s"$blockA x1 x2 $blockB"),
+      (2L, s"y1 $blockA y2 y3 y4 $blockB y5"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.dedupSubstring(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 2L, 8L),
+      (1L, 2L, 11L, 13L, 9L)), out.mkString(", "))
+  }
 }

@@ -134,4 +134,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     // pred 7: pk in [1,16] (maxpk=100) -> both files scanned, 2*16 matched
     assert(out(6) == (7L, 1L, 16L, 2L, 2L, 128L, 32L), out(6).toString)
   }
+
+  test("layoutBucket: equals the plain shuffle join; republish is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    def tuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val out = tuples(Layout.layoutBucket(spark, dir).collect())
+    val plain = tuples(
+      graft.sources.Tables.table(spark, dir, "orders")
+        .join(graft.sources.Tables.table(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+            .cast("long").as("total_cents"))
+        .collect())
+    assert(out.toSet == plain.toSet)
+    assert(out.sortBy(_._1).sameElements(out), "presentation order is c_custkey")
+    // a second publish over the same corpus must serve the same rows
+    assert(tuples(Layout.layoutBucket(spark, dir).collect()).toSeq == out.toSeq)
+  }
 }

@@ -295,4 +295,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cos.take(2).toSeq == Seq((1L, 10L), (2L, 11L)),
       s"cosine order wrong: ${cos.toSeq}")
   }
+
+  test("retrievalRrf: fusion equals an independent local recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.retrievalRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // dense arm recomputed locally: same fused-loop cosine, same
+    // 6dp HALF_UP rounding, same (score desc, id asc) ordering
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val denseRank = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cos(q, v))) }
+      .sortBy { case (id, s) => (-s, id) }.take(30).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // lexical arm from the registered candidate relation
+    val lexRank = TextAnalysis.bm25CandidateScores(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(30).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (lexRank.keySet ++ denseRank.keySet).toSeq
+      .map { id =>
+        val s = lexRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          denseRank.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L)
+        (id, s, lexRank.getOrElse(id, -1L), denseRank.getOrElse(id, -1L))
+      }
+      .sortBy { case (id, s, _, _) => (-s, id) }.take(10).zipWithIndex
+      .map { case ((id, s, lr, dr), i) => (i + 1L, id, s, lr, dr) }
+    assert(out.toSeq == expected, s"got ${out.mkString(", ")}")
+  }
 }

@@ -677,7 +677,11 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("text_bpe_encode", () => TextAnalysis.textBpeEncode(spark, d)),
       ("embed_class_sep", () => Similarity.embedClassSep(spark, d)),
       ("sim_range", () => Similarity.simRange(spark, d)),
-      ("text_logodds", () => TextAnalysis.textLogodds(spark, d)))
+      ("text_logodds", () => TextAnalysis.textLogodds(spark, d)),
+      // the round-6 additions
+      ("retrieval_rrf", () => Similarity.retrievalRrf(spark, d)),
+      ("layout_bucket", () => Layout.layoutBucket(spark, d)),
+      ("dedup_substring", () => Dedup.dedupSubstring(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

@@ -503,4 +503,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("layout_bucket: join AND per-customer agg ride the buckets — zero hash exchanges") {
+    val plan = graft.ext.Layout.layoutBucket(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both scans report HashPartitioning(custkey, 8) from the bucket
+    // layout: the forced SMJ sorts in place, and the (custkey,
+    // segment) aggregate is satisfied by the same partitioning —
+    // the only Exchange left is the presentation sort's range one
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
+  }
+
+  test("retrieval_rrf: every ranking is a TakeOrderedAndProject, fusion is list-scale") {
+    val plan = graft.ext.Similarity.retrievalRrf(spark, dir)
+      .queryExecution.executedPlan.toString
+    // lex arm, dense arm, fused top-k: three orderBy+limit, each a
+    // partition-local top-N merge — never a global sort of the
+    // corpus; the 1-row probe rides a broadcast, not a product
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_substring: gram-keyed seed join; islands window feeds the span agg unshuffled") {
+    val plan = graft.ext.Dedup.dedupSubstring(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // ≤ 3 hash exchanges: the join's two inputs and the island
+    // window's (a, b, diag) — the span aggregate reuses the window's
+    // partitioning (its keys are a superset), adding none
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
+  }
 }
