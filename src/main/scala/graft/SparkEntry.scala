@@ -179,6 +179,7 @@ object SparkEntry {
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
     "embed_class_sep" -> (Similarity.embedClassSep(_, _)),
     "sim_pq" -> (Similarity.simPq(_, _)),
+    "sim_ivfpq" -> (Similarity.simIvfPq(_, _)),
     "sim_knn" -> (Similarity.simKnn(_, _)),
     "sim_sparse" -> (Similarity.simSparse(_, _)),
     "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
@@ -425,6 +426,8 @@ object SparkEntry {
     // per-subspace fixed-point Lloyd + m-ordered ADC folds: the PQ
     // train/encode/rank replays exactly like sim_ivf
     "sim_pq" -> Similarity.simPqSql,
+    // the two proven replay chains composed by one candidate CTE
+    "sim_ivfpq" -> Similarity.simIvfPqSql,
     // cell-local bounded top-k merges exactly: 6-dp rounding before
     // selection keeps the tie order portable
     "sim_knn" -> Similarity.simKnnSql,

@@ -807,32 +807,44 @@ object Similarity {
     * left-to-right; the ranking uses the 6-dp-rounded distance with
     * id tie-breaks, the suite's cross-engine ordering discipline.
     */
-  def simPq(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-subspace codebook model accessor (the [[centroidModel]]
+    * discipline): fingerprint-keyed memo over the durable parquet
+    * artifact over the per-subspace Lloyd runs. Factored out of
+    * [[simPq]] so [[simIvfPq]] re-ranks with the SAME codebooks.
+    */
+  private[ext] def pqModel(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     import spark.implicits._
     val vecs = emb(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val n = vecs.count()
     if (pqCache.size > 16) pqCache.clear()
-    val model: Array[Array[Array[Double]]] =
-      pqCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
-        graft.sources.ArtifactStore
-          .loadOrBuild(spark, dir, "embeddings", "pq-model-v1") {
-            trainCount.incrementAndGet()
-            val subModels = (0 until PqM).flatMap { m =>
-              val sub = vecs.map { case (id, v) =>
-                val d = v.length / PqM
-                (id, v.slice(m * d, (m + 1) * d))
-              }.toDF("vec_id", "embedding").as[(Long, Array[Float])]
-              trainCentroids(sub, PqK).zipWithIndex.map {
-                case (c, k) => (m, k, c.toIndexedSeq)
-              }
+    pqCache.getOrElseUpdate((corpusFingerprint(spark, dir), n), {
+      graft.sources.ArtifactStore
+        .loadOrBuild(spark, dir, "embeddings", "pq-model-v1") {
+          trainCount.incrementAndGet()
+          val subModels = (0 until PqM).flatMap { m =>
+            val sub = vecs.map { case (id, v) =>
+              val d = v.length / PqM
+              (id, v.slice(m * d, (m + 1) * d))
+            }.toDF("vec_id", "embedding").as[(Long, Array[Float])]
+            trainCentroids(sub, PqK).zipWithIndex.map {
+              case (c, k) => (m, k, c.toIndexedSeq)
             }
-            spark.createDataFrame(subModels).toDF("sub", "centroid_id", "coords")
           }
-          .as[(Int, Int, Array[Double])].collect()
-          .groupBy(_._1).toArray.sortBy(_._1)
-          .map(_._2.sortBy(_._2).map(_._3))
-      })
+          spark.createDataFrame(subModels).toDF("sub", "centroid_id", "coords")
+        }
+        .as[(Int, Int, Array[Double])].collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    })
+  }
+
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val model: Array[Array[Array[Double]]] = pqModel(spark, dir)
     val bcModel = spark.sparkContext.broadcast(model)
     val bcQueries = spark.sparkContext.broadcast(
       vecs.filter(_._1 < NumQueries).collect().sortBy(_._1))
@@ -886,22 +898,34 @@ object Similarity {
     * discipline over sliced sub-vectors. The ADC sum is an
     * m-ordered list fold, matching the kernel's subspace loop.
     */
-  val simPqSql: String = {
-    def assign(t: Int, prev: String): String =
-      s"""pd$t AS (
-         |  SELECT s.vec_id, s.m, ct.c,
-         |    list_sum(list_transform(generate_series(1, len(s.sv)),
-         |      i -> (CAST(s.sv[i] AS DOUBLE) - ct.vals[i])
-         |         * (CAST(s.sv[i] AS DOUBLE) - ct.vals[i]))) AS d
-         |  FROM sub s JOIN $prev ct ON ct.m = s.m),
-         |pa$t AS (
-         |  SELECT vec_id, m, c FROM (
-         |    SELECT vec_id, m, c,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |                         ORDER BY d ASC, c ASC) AS rn
-         |    FROM pd$t) WHERE rn = 1)""".stripMargin
+  private def pqAssignBlock(t: Int, prev: String): String =
+    s"""pd$t AS (
+       |  SELECT s.vec_id, s.m, ct.c,
+       |    list_sum(list_transform(generate_series(1, len(s.sv)),
+       |      i -> (CAST(s.sv[i] AS DOUBLE) - ct.vals[i])
+       |         * (CAST(s.sv[i] AS DOUBLE) - ct.vals[i]))) AS d
+       |  FROM sub s JOIN $prev ct ON ct.m = s.m),
+       |pa$t AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT vec_id, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |                         ORDER BY d ASC, c ASC) AS rn
+       |    FROM pd$t) WHERE rn = 1)""".stripMargin
+
+  /** Name of the final-code CTE produced by [[pqTrainCtes]]:
+    * `(vec_id, m, c)` — every vector's code per subspace.
+    */
+  private[ext] val PqCodeCte: String = s"pa${IvfIters + 1}"
+
+  /** CTE chain (no `WITH`) replaying the per-subspace codebook
+    * training and encoding in DuckDB; also exposes `sub` (sliced
+    * sub-vectors) and `pcent$IvfIters` (final codebooks) for LUT
+    * construction. CTE names are disjoint from [[ivfAssignCtes]]'s,
+    * so [[simIvfPqSql]] composes both chains in one query.
+    */
+  private[ext] val pqTrainCtes: String = {
     val iters = (1 to IvfIters).map { t =>
-      s"""${assign(t, s"pcent${t - 1}")},
+      s"""${pqAssignBlock(t, s"pcent${t - 1}")},
          |pcnt$t AS (SELECT m, c, count(*) AS cnt FROM pa$t GROUP BY m, c),
          |psum$t AS (
          |  SELECT a.m, a.c, co.i,
@@ -920,8 +944,7 @@ object Similarity {
          |  FROM pcent${t - 1} p
          |  LEFT JOIN pnew$t n ON n.m = p.m AND n.c = p.c)""".stripMargin
     }.mkString(",\n")
-    val F = IvfIters + 1
-    s"""WITH prm AS (
+    s"""pprm AS (
        |  SELECT count(*) AS n,
        |    greatest(1, count(*) // $PqK) AS stride
        |  FROM embeddings),
@@ -936,16 +959,21 @@ object Similarity {
        |  SELECT vec_id, m, unnest(generate_series(1, len(sv))) AS i,
        |    CAST(unnest(sv) AS DOUBLE) AS x
        |  FROM sub),
-       |seeds AS (
+       |pseeds AS (
        |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS c,
        |    sv
-       |  FROM sub WHERE vec_id % (SELECT stride FROM prm) = 0
+       |  FROM sub WHERE vec_id % (SELECT stride FROM pprm) = 0
        |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= $PqK),
        |pcent0 AS (
        |  SELECT m, c, list_transform(sv, x -> CAST(x AS DOUBLE)) AS vals
-       |  FROM seeds),
+       |  FROM pseeds),
        |$iters,
-       |${assign(F, s"pcent$IvfIters")},
+       |${pqAssignBlock(IvfIters + 1, s"pcent$IvfIters")}""".stripMargin
+  }
+
+  val simPqSql: String = {
+    val F = IvfIters + 1
+    s"""WITH $pqTrainCtes,
        |lut AS (
        |  SELECT q.vec_id AS q_id, ct.m, ct.c,
        |    list_sum(list_transform(generate_series(1, len(q.sv)),
@@ -959,6 +987,128 @@ object Similarity {
        |  FROM pa$F a JOIN lut l ON l.m = a.m AND l.c = a.c
        |  WHERE a.vec_id != l.q_id
        |  GROUP BY l.q_id, a.vec_id),
+       |r AS (
+       |  SELECT q_id, c_id, adist,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY adist ASC, c_id ASC) AS rn
+       |  FROM adc)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, c_id, adist
+       |FROM r WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The per-query ADC lookup table: lut(m)(k) = ‖q_sub_m − c_mk‖²,
+    * folded left-to-right (the [[simPq]] kernel's loop, DuckDB's
+    * `list_sum`).
+    */
+  private def pqLut(
+      cs: Array[Array[Array[Double]]], qv: Array[Float]): Array[Array[Double]] = {
+    val d = qv.length / PqM
+    Array.tabulate(PqM)(m => Array.tabulate(cs(m).length) { k =>
+      val cv = cs(m)(k)
+      var s = 0.0
+      var i = 0
+      while (i < d && i < cv.length) {
+        val diff = qv(m * d + i) - cv(i); s += diff * diff; i += 1
+      }
+      s
+    })
+  }
+
+  /** IVF-PQ — the composition production ANN indexes actually ship
+    * (the Jégou et al. 2011 IVFADC system, the FAISS `IVFx,PQy`
+    * index string): the COARSE quantizer ([[centroidModel]]) prunes
+    * the candidate set to [[IvfProbes]] inverted lists, and the
+    * PRODUCT quantizer ([[pqModel]]) scores those candidates from
+    * 4-byte codes instead of raw vectors. [[simIvf]] answers "scan
+    * less"; [[simPq]] answers "store less"; at 10⁹+ vectors you need
+    * both at once — lists bound the scan to ~probes/K of the corpus
+    * while codes bound the bytes-per-candidate to M lookups.
+    *
+    * Reuses both trained artifacts verbatim (fingerprint-keyed
+    * memos over durable parquet models — composing adds ZERO
+    * training passes when either constituent query has run), so the
+    * oracle composes the two proven CTE chains ([[ivfAssignCtes]] +
+    * [[pqTrainCtes]]) and can never train a diverging model. Plan:
+    * the probe set broadcasts into a bucket equi-join against the
+    * list assignment (the [[simIvf]] candidate shape), then ADC
+    * scoring is one map pass with per-query LUTs memoized per task.
+    */
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val bcCoarse = spark.sparkContext.broadcast(centroidModel(spark, dir))
+    val bcPq = spark.sparkContext.broadcast(pqModel(spark, dir))
+    val q = vecs.filter(_._1 < NumQueries)
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        it.flatMap { case (id, v) =>
+          probeList(cs, v, IvfProbes).iterator.map(b => (id, v, b))
+        }
+      }.toDF("q_id", "qe", "bucket")
+    val assigned = assignedBuckets(spark, dir).toDF("c_id", "ce", "bucket")
+    val scored = assigned.join(broadcast(q), Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("qe"), col("c_id"), col("ce"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcPq.value
+        val luts = scala.collection.mutable.LongMap.empty[Array[Array[Double]]]
+        it.map { case (qid, qv, cid, cv) =>
+          val lut = luts.getOrElseUpdate(qid, pqLut(cs, qv))
+          val d = cv.length / PqM
+          var s = 0.0
+          var m = 0
+          while (m < PqM) {
+            s += lut(m)(nearestCentroid(cs(m), cv.slice(m * d, (m + 1) * d)))
+            m += 1
+          }
+          (qid, cid, s)
+        }
+      }.toDF("q_id", "c_id", "adist")
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("c_id").asc)
+    scored
+      .withColumn("adist", round(col("adist"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("rn"), col("c_id"), col("adist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Oracle: the [[ivfAssignCtes]] coarse chain picks each query's
+    * probed lists, the [[pqTrainCtes]] chain trains/encodes the
+    * codebooks, and the ADC ranking runs over ONLY the candidates
+    * in probed lists — the two proven replays joined by one
+    * candidate CTE.
+    */
+  val simIvfPqSql: String = {
+    val F = IvfIters + 1
+    s"""WITH $ivfAssignCtes,
+       |$pqTrainCtes,
+       |probes AS (
+       |  SELECT vec_id AS q_id, c FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+       |    FROM $IvfDistCte WHERE vec_id < $NumQueries)
+       |  WHERE rn <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN $IvfAssignCte a ON a.c = p.c
+       |  WHERE a.vec_id != p.q_id),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, ct.m, ct.c,
+       |    list_sum(list_transform(generate_series(1, len(q.sv)),
+       |      i -> (CAST(q.sv[i] AS DOUBLE) - ct.vals[i])
+       |         * (CAST(q.sv[i] AS DOUBLE) - ct.vals[i]))) AS dsq
+       |  FROM sub q JOIN pcent$IvfIters ct ON ct.m = q.m
+       |  WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT cd.q_id, cd.c_id,
+       |    round(list_sum(list(l.dsq ORDER BY l.m)), 6) AS adist
+       |  FROM cand cd
+       |  JOIN pa$F a ON a.vec_id = cd.c_id
+       |  JOIN lut l ON l.q_id = cd.q_id AND l.m = a.m AND l.c = a.c
+       |  GROUP BY cd.q_id, cd.c_id),
        |r AS (
        |  SELECT q_id, c_id, adist,
        |    row_number() OVER (PARTITION BY q_id

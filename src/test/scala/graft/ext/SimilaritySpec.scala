@@ -296,6 +296,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"cosine order wrong: ${cos.toSeq}")
   }
 
+  test("simIvfPq: equals a local IVF-prune + ADC mirror over the shared models") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.simIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val coarse = Similarity.centroidModel(spark, dir)
+    val pq = Similarity.pqModel(spark, dir)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dist(c: Array[Double], v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length && i < c.length) {
+        val d = v(i) - c(i); s += d * d; i += 1
+      }
+      s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = pq.length
+    val bucket = vecs.map { case (id, v) =>
+      id -> coarse.indices.map(c => (dist(coarse(c), v), c)).min._2
+    }.toMap
+    def codes(v: Array[Float]): Array[Int] = {
+      val d = v.length / m
+      Array.tabulate(m)(s =>
+        pq(s).indices.map(k => (dist(pq(s)(k), v.slice(s * d, (s + 1) * d)), k)).min._2)
+    }
+    val expected = vecs.filter(_._1 < 5).sortBy(_._1).flatMap { case (qid, qv) =>
+      val probes = coarse.indices
+        .map(c => (dist(coarse(c), qv), c)).sorted.take(4).map(_._2).toSet
+      val d = qv.length / m
+      val lut = Array.tabulate(m)(s => pq(s).map(cv =>
+        dist(cv, qv.slice(s * d, (s + 1) * d))))
+      vecs.filter { case (cid, _) => cid != qid && probes(bucket(cid)) }
+        .map { case (cid, cv) =>
+          val cd = codes(cv)
+          var s = 0.0; var i = 0
+          while (i < m) { s += lut(i)(cd(i)); i += 1 }
+          (cid, r6(s))
+        }
+        .sortBy { case (cid, ad) => (ad, cid) }.take(10).zipWithIndex
+        .map { case ((cid, ad), i) => (qid, i + 1L, cid, ad) }
+    }
+    assert(out.toSeq == expected.toSeq, s"got ${out.take(5).mkString(", ")}")
+  }
+
   test("retrievalRrf: fusion equals an independent local recompute") {
     val dir = "/root/testdata/sf0.001"
     val out = Similarity.retrievalRrf(spark, dir).collect()

@@ -525,6 +525,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim_ivfpq: probe set broadcasts into the list equi-join; no product") {
+    val plan = graft.ext.Similarity.simIvfPq(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_substring: gram-keyed seed join; islands window feeds the span agg unshuffled") {
     val plan = graft.ext.Dedup.dedupSubstring(spark, dir)
       .queryExecution.executedPlan.toString
