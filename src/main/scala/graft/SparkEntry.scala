@@ -177,6 +177,7 @@ object SparkEntry {
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
+    "embed_pca" -> (Similarity.embedPca(_, _)),
     "embed_class_sep" -> (Similarity.embedClassSep(_, _)),
     "sim_pq" -> (Similarity.simPq(_, _)),
     "sim_ivfpq" -> (Similarity.simIvfPq(_, _)),
@@ -420,6 +421,8 @@ object SparkEntry {
     "retrieval_rrf" -> Similarity.retrievalRrfSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
+    // integer Gram matrix + unrolled ordered-fold power iteration
+    "embed_pca" -> Similarity.embedPcaSql,
     // fixed-point centroids/distances + (dist, label)-pinned argmin:
     // the separation audit replays bit-for-bit
     "embed_class_sep" -> Similarity.embedClassSepSql,

@@ -1119,6 +1119,141 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // PCA: dominant principal direction by Gram pass + power iteration
+  // ----------------------------------------------------------------
+
+  private val PcaQ = 1024.0 // floor(x·2^10): exact Long products at corpus scale
+  private val PcaIters = 6  // power-iteration rounds (fixed, unrolled in the oracle)
+
+  /** Dominant-direction PCA over the embedding corpus — the
+    * dimensionality-reduction primitive (compress-before-ANN,
+    * whitening, drift visualization): every vector's projection onto
+    * the top eigenvector of the corpus second-moment matrix XᵀX
+    * (uncentered PCA — on ~normalized embedding spaces the
+    * second-moment and covariance top directions agree; centering
+    * would break the integer-exactness below and is documented out).
+    *
+    * The 100 TB shape is the classic two-scale split: the ONLY
+    * corpus-scale work is one mapPartitions pass accumulating a
+    * d × d Gram partial per partition (coordinates quantized to
+    * `floor(x·2^10)` Longs, so partials are EXACT integers —
+    * order-independent across partitions, the [[trainCentroids]]
+    * discipline); the driver merges d² longs per partition
+    * (model-scale traffic) and runs [[PcaIters]] power-iteration
+    * rounds on the d × d matrix (microseconds at d = 64); the final
+    * direction broadcasts back into a rowwise projection fold.
+    * No shuffle anywhere — scan, partials, map.
+    *
+    * Determinism: the Gram matrix is exact integers on both
+    * engines; each power round is ascending-index double folds
+    * (matrix·vector, norm, divide) that DuckDB replays verbatim as
+    * ordered `list_sum` folds from the same integers; projections
+    * round to 6dp at the boundary. Sign is pinned by the fixed
+    * all-ones start vector.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val partials = vecs.mapPartitions { it =>
+      var dim = 0
+      var acc: Array[Long] = null
+      it.foreach { case (_, v) =>
+        if (acc == null) { dim = v.length; acc = new Array[Long](dim * dim) }
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          q(i) = math.floor(v(i).toDouble * PcaQ).toLong; i += 1
+        }
+        var a = 0
+        while (a < dim) {
+          val qa = q(a); val off = a * dim
+          var b = 0
+          while (b < dim) { acc(off + b) += qa * q(b); b += 1 }
+          a += 1
+        }
+      }
+      if (acc == null) Iterator.empty else Iterator.single((dim, acc))
+    }.collect()
+    val dim = partials.head._1
+    val gram = new Array[Long](dim * dim)
+    partials.foreach { case (_, p) =>
+      var i = 0
+      while (i < gram.length) { gram(i) += p(i); i += 1 }
+    }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 0 until PcaIters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += gram(i * dim + j).toDouble * v(j); j += 1 }
+        s
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += w(i) * w(i); i += 1 }
+      val n = math.sqrt(n2)
+      v = w.map(_ / n)
+    }
+    val bcV = spark.sparkContext.broadcast(v)
+    vecs.map { case (id, x) =>
+      val vv = bcV.value
+      var s = 0.0
+      var i = 0
+      while (i < vv.length && i < x.length) { s += x(i).toDouble * vv(i); i += 1 }
+      (id, s)
+    }.toDF("vec_id", "pc1_raw")
+      // the suite's proven cross-engine rounding boundary (SQL round
+      // on both sides), not JVM BigDecimal semantics
+      .select(col("vec_id"), round(col("pc1_raw"), 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the integer Gram matrix from quantized coordinate
+    * pairs, [[PcaIters]] unrolled power rounds as ordered list
+    * folds, then the projection — every double op in the same
+    * order as the kernel.
+    */
+  val embedPcaSql: String = {
+    val iters = (1 to PcaIters).map { t =>
+      s"""wt$t AS (
+         |  SELECT g.i,
+         |    list_sum(list_transform(generate_series(1, (SELECT d FROM pdim)),
+         |      j -> g.grow[j] * pv${t - 1}.v[j])) AS w
+         |  FROM gr g CROSS JOIN pv${t - 1}),
+         |wl$t AS (SELECT list(w ORDER BY i) AS wl FROM wt$t),
+         |pv$t AS (
+         |  SELECT list_transform(wl, x ->
+         |    x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v
+         |  FROM wl$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pdim AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+       |pcoord AS (
+       |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |pq AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(x * ${PcaQ.toLong}.0) AS BIGINT) AS q
+       |  FROM pcoord),
+       |gram AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+       |  FROM pq a JOIN pq b USING (vec_id) GROUP BY a.i, b.i),
+       |gr AS (
+       |  SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS grow
+       |  FROM gram GROUP BY i),
+       |pv0 AS (
+       |  SELECT list_transform(generate_series(1, (SELECT d FROM pdim)),
+       |    x -> 1.0) AS v),
+       |$iters
+       |SELECT e.vec_id,
+       |  round(list_sum(list_transform(generate_series(1, (SELECT d FROM pdim)),
+       |    i -> CAST(e.embedding[i] AS DOUBLE) * pv$PcaIters.v[i])), 6) AS pc1
+       |FROM embeddings e CROSS JOIN pv$PcaIters
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Embedding outliers: distance-to-centroid anomaly ranking
   // ----------------------------------------------------------------
 

@@ -342,6 +342,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == expected.toSeq, s"got ${out.take(5).mkString(", ")}")
   }
 
+  test("embedPca: recovers a planted dominant axis; deterministic across runs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pca").toString
+    // variance 100× larger along axis 0 than anywhere else; the
+    // projection must reproduce coordinate 0 (positive sign pinned
+    // by the all-ones start vector's positive overlap)
+    val rows = (0L until 40L).map { i =>
+      val x0 = (if (i % 2 == 0) 1.0f else -1.0f) * (1.0f + (i % 5).toFloat)
+      (i, Array(x0, 0.01f * (i % 3).toFloat, -0.02f * (i % 7).toFloat, 0.03f))
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.embedPca(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, v) <- rows) {
+      assert(math.abs(out(id) - v(0)) < 0.05,
+        s"vec $id: pc1 ${out(id)} vs axis-0 ${v(0)}")
+    }
+    // byte-for-byte repeatability (exact integer Gram, fixed rounds)
+    val again = Similarity.embedPca(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
   test("retrievalRrf: fusion equals an independent local recompute") {
     val dir = "/root/testdata/sf0.001"
     val out = Similarity.retrievalRrf(spark, dir).collect()

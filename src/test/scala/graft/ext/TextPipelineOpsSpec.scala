@@ -682,7 +682,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("retrieval_rrf", () => Similarity.retrievalRrf(spark, d)),
       ("layout_bucket", () => Layout.layoutBucket(spark, d)),
       ("dedup_substring", () => Dedup.dedupSubstring(spark, d)),
-      ("sim_ivfpq", () => Similarity.simIvfPq(spark, d)))
+      ("sim_ivfpq", () => Similarity.simIvfPq(spark, d)),
+      ("embed_pca", () => Similarity.embedPca(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

@@ -525,6 +525,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("embed_pca: projection is a pure map over the scan — no joins, no hash exchange") {
+    val plan = graft.ext.Similarity.embedPca(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("sim_ivfpq: probe set broadcasts into the list equi-join; no product") {
     val plan = graft.ext.Similarity.simIvfPq(spark, dir)
       .queryExecution.executedPlan.toString
