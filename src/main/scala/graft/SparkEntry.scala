@@ -190,6 +190,7 @@ object SparkEntry {
     "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
     "sample_weighted" -> (PipelineOps.sampleWeighted(_, _)),
+    "sample_per_key" -> (PipelineOps.samplePerKey(_, _)),
     "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
     "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
@@ -440,6 +441,8 @@ object SparkEntry {
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
     "sample_weighted" -> PipelineOps.sampleWeightedSql,
+    // portable-hash ranks drawn by the TopKPerKey bounded heap
+    "sample_per_key" -> PipelineOps.samplePerKeySql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
     // BIGINT prefix-sum placement: seq ids/offsets replay exactly
     "pipeline_pack" -> PipelineOps.pipelinePackSql,

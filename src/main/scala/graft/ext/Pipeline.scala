@@ -611,4 +611,53 @@ object PipelineOps {
        |       ELSE 'main' END AS phase,
        |  score
        |FROM g ORDER BY position""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Deterministic k-per-key inspection sample (bounded-heap operator)
+  // ----------------------------------------------------------------
+
+  private val SamplePerKeyK = 5
+
+  /** "Show me k random docs from every source" — the inspection /
+    * spot-check sample every curation loop runs. Uniform-ish and
+    * REPRODUCIBLE: rows rank by the portable polynomial hash of
+    * their id (content-independent, so the same ids are drawn on
+    * every engine and every run — the [[splitAssign]] discipline,
+    * not `rand()`), and the k smallest per key win.
+    *
+    * Scale shape: this is the suite's custom TopKPerKey physical
+    * operator doing the job it was built for — per-partition
+    * bounded heaps of k rows per key, then a k·keys-scale final
+    * combine. NO per-source sort, no window over the fact, and the
+    * only exchange carries k rows per key per partition. An `ntile`/
+    * `row_number` formulation would sort every row of each source in
+    * one task; the heap never holds more than k.
+    */
+  def samplePerKey(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", TextAnalysis.polyHashCol(col("doc_id").cast("string")))
+    val top = graft.plans.TopK.topKPerKey(
+      d, Seq("source"), Seq("h" -> false, "doc_id" -> false), SamplePerKeyK)
+    // rank window runs over ≤ k rows per source (post-heap), never the fact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    top.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .select(col("source"), col("sample_rank"), col("doc_id"), col("h"))
+      .orderBy("source", "sample_rank")
+  }
+
+  val samplePerKeySql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    ${TextAnalysis.polyHashSql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, h,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY h ASC, doc_id ASC) AS sample_rank
+       |  FROM h)
+       |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, h
+       |FROM r WHERE sample_rank <= $SamplePerKeyK
+       |ORDER BY source, sample_rank""".stripMargin
 }

@@ -602,6 +602,30 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"in-distribution ${out(0L)} not above gibberish ${out(1L)}")
   }
 
+  test("samplePerKey: heap selection equals the window formulation; executes TopKPerKey") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val df = PipelineOps.samplePerKey(spark, d)
+    val out = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val ref = graft.sources.Tables.table(spark, d, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", TextAnalysis.polyHashCol(col("doc_id").cast("string")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 5)
+      .select(col("source"), col("sample_rank"), col("doc_id"), col("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == ref.toSet)
+    assert(out.groupBy(_._1).values.forall(_.length <= 5))
+    // the custom bounded-heap operator does the selection (the rank
+    // window that follows runs over ≤ k rows per key, post-heap)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("round-5 operators are shuffle-partition-count invariant") {
     val d = "/root/testdata/sf0.001"
     def withPartitions[T](n: Int)(f: => T): T = {
@@ -683,7 +707,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("layout_bucket", () => Layout.layoutBucket(spark, d)),
       ("dedup_substring", () => Dedup.dedupSubstring(spark, d)),
       ("sim_ivfpq", () => Similarity.simIvfPq(spark, d)),
-      ("embed_pca", () => Similarity.embedPca(spark, d)))
+      ("embed_pca", () => Similarity.embedPca(spark, d)),
+      ("sample_per_key", () => PipelineOps.samplePerKey(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
