@@ -151,6 +151,7 @@ object SparkEntry {
     "text_logodds" -> (TextAnalysis.textLogodds(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "layout_bucket" -> (Layout.layoutBucket(_, _)),
+    "layout_partition" -> (Layout.layoutPartition(_, _)),
     "dedup_substring" -> (Dedup.dedupSubstring(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -373,6 +374,8 @@ object SparkEntry {
     "layout_zonemap" -> Layout.layoutZonemapSql,
     // layout-independent result: a plain join+agg oracles the bucketed plan
     "layout_bucket" -> Layout.layoutBucketSql,
+    // layout-independent result oracles the pruned partitioned scan
+    "layout_partition" -> Layout.layoutPartitionSql,
     // seed-gram islands per diagonal = suffix-array maximal spans
     "dedup_substring" -> Dedup.dedupSubstringSql,
     // α=1/2 smoothing is add + floor-halve on cents: the sequential

@@ -708,7 +708,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("dedup_substring", () => Dedup.dedupSubstring(spark, d)),
       ("sim_ivfpq", () => Similarity.simIvfPq(spark, d)),
       ("embed_pca", () => Similarity.embedPca(spark, d)),
-      ("sample_per_key", () => PipelineOps.samplePerKey(spark, d)))
+      ("sample_per_key", () => PipelineOps.samplePerKey(spark, d)),
+      ("layout_partition", () => Layout.layoutPartition(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

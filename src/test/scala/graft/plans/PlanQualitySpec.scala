@@ -515,6 +515,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
   }
 
+  test("layout_partition: the type filter prunes at the listing, not in the scan") {
+    val plan = graft.ext.Layout.layoutPartition(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("event_type"), plan)
+  }
+
   test("retrieval_rrf: every ranking is a TakeOrderedAndProject, fusion is list-scale") {
     val plan = graft.ext.Similarity.retrievalRrf(spark, dir)
       .queryExecution.executedPlan.toString
