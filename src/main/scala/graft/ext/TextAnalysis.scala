@@ -1526,12 +1526,21 @@ object TextAnalysis {
         polyHashCol(p.substr(pos, lit(WinK))) * 1024L +
           (lit(1023) - pos).cast("long")))
       .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
-    val nw = size(keys) - WinW + 1
+    // `keys` MUST be materialized as its own projection before the
+    // window stage: referencing the expression directly inside the
+    // window lambda would inline the whole 249-gram hash fold into the
+    // per-window slice, re-evaluating it for every one of ~246 windows
+    // (measured: 200 ms/doc — 100 s at sf0.01 — vs sub-ms once
+    // materialized). The ≥3 non-cheap references below keep
+    // CollapseProject from re-inlining it.
+    val k = col("gram_keys")
+    val nw = size(k) - WinW + 1
     val sel = when(nw >= 1,
       array_distinct(transform(sequence(lit(1), nw), s =>
-        array_min(slice(keys, s, lit(WinW))))))
+        array_min(slice(k, s, lit(WinW))))))
       .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
     docs(spark, dir)
+      .select(col("doc_id"), keys.as("gram_keys"))
       .select(col("doc_id"), explode(sel).as("key"))
       .select(
         col("doc_id"),

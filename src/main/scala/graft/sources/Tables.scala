@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import scala.util.Try
 
@@ -43,13 +43,26 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsField = raw.schema("ts")
-    if (tsField.dataType == LongType) {
-      raw
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    } else {
-      raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    // The generated table has shipped `ts` as parquet TIMESTAMP(NANOS)
+    // (read as Long under nanosAsLong), TIMESTAMP(MICROS) without UTC
+    // adjustment (TIMESTAMP_NTZ — the current generation), and could
+    // legitimately ship as instant MICROS. Normalize ALL flavors to one
+    // shape — `ts_ns` BIGINT nanos + `ts` TimestampType(µs) — so every
+    // downstream operator and its DuckDB oracle (which reads the naive
+    // value via epoch_ns(ts)) see identical values. NTZ wall time is
+    // interpreted in the session timezone, which graft pins to UTC —
+    // matching DuckDB's treat-naive-as-UTC epoch_ns exactly.
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        raw
+          .withColumn("ts_ns", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
 }

@@ -29,10 +29,21 @@ object EventStreams {
     scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    // same three-flavor normalization as Tables.events: nanos-as-Long,
+    // TIMESTAMP_NTZ micros (current generation; wall time = UTC under
+    // the pinned session timezone), or instant micros
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw
+          .withColumn("ts_ns",
+            unix_micros(col("ts").cast("timestamp")) * 1000L)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   /** Tumbling 1-hour counts + value sums per event type with a
