@@ -359,9 +359,30 @@ object Graph {
     * rollups are single map-side-combinable hash aggs; the symmetric
     * edge set counts each undirected edge twice, halved exactly.
     */
+  /** CC labeling of the shared graph, memoized like the edge set
+    * itself: the fixpoint propagation costs several join+checkpoint
+    * rounds, and before this memo every hot `graph_components` call
+    * re-ran it (~3 s hot at sf0.1 — the suite's slowest "memoized"
+    * query); serving the labeling as a fingerprint-keyed parquet
+    * artifact makes the hot path two scans + three hash aggs.
+    */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def componentLabels(spark: SparkSession, dir: String): DataFrame =
+    ccCache.synchronized {
+      if (ccCache.size > 16) ccCache.clear()
+      ccCache.getOrElseUpdate(
+        (Dedup.sessionId(spark), Tables.fingerprint(spark, dir, "lineitem")), {
+          graft.sources.ArtifactStore
+            .loadOrBuild(spark, dir, "lineitem", "graph-cc-v1") {
+              Dedup.minLabelComponents(edges(spark, dir).toDF("u", "v"))
+            }
+        })
+    }
+
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
     val es = edges(spark, dir).toDF("u", "v")
-    val labels = Dedup.minLabelComponents(es)
+    val labels = componentLabels(spark, dir)
     val nodes = labels.groupBy(col("lbl").as("component_id"))
       .agg(count(lit(1)).as("n_nodes"))
     val ec = es.join(labels, "u")

@@ -1520,33 +1520,64 @@ object TextAnalysis {
     * than k + w − 1 prefix chars emit nothing by contract.
     */
   def textWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val p = col("text").substr(lit(1), lit(WinCap))
-    val keys = when(length(p) >= WinK,
-      transform(sequence(lit(1), length(p) - WinK + 1), pos =>
-        polyHashCol(p.substr(pos, lit(WinK))) * 1024L +
-          (lit(1023) - pos).cast("long")))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
-    // `keys` MUST be materialized as its own projection before the
-    // window stage: referencing the expression directly inside the
-    // window lambda would inline the whole 249-gram hash fold into the
-    // per-window slice, re-evaluating it for every one of ~246 windows
-    // (measured: 200 ms/doc — 100 s at sf0.01 — vs sub-ms once
-    // materialized). The ≥3 non-cheap references below keep
-    // CollapseProject from re-inlining it.
-    val k = col("gram_keys")
-    val nw = size(k) - WinW + 1
-    val sel = when(nw >= 1,
-      array_distinct(transform(sequence(lit(1), nw), s =>
-        array_min(slice(k, s, lit(WinW))))))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    import spark.implicits._
     docs(spark, dir)
-      .select(col("doc_id"), keys.as("gram_keys"))
-      .select(col("doc_id"), explode(sel).as("key"))
-      .select(
-        col("doc_id"),
-        (lit(1023L) - col("key") % 1024L).as("pos"),
-        shiftright(col("key"), 10).as("gram_hash"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          winnowSelect(text).iterator.map { key =>
+            (id, 1023L - key % 1024L, key >> 10)
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gram_hash")
       .orderBy("doc_id", "pos")
+  }
+
+  /** Kernel form of the winnowing selection — the full fingerprint
+    * pipeline (gram hashes over the capped prefix → rightmost-min per
+    * window via the single `hash·1024 + (1023 − pos)` integer key →
+    * distinct) in one tight loop per document. A typed kernel, not the
+    * Column/higher-order-function form, for the same measured reason
+    * as [[graft.ext.Dedup]]'s shingle kernel: nested array lambdas
+    * (`transform`/`slice`/`array_min`) evaluate interpreted, and even
+    * with the gram-hash array materialized once the HOF form ran
+    * 4.0 s hot at sf0.1 where this loop is ~0.3 s. Returned keys are
+    * the window minima, de-duplicated, order irrelevant (the operator
+    * sorts on output columns).
+    */
+  private[ext] def winnowSelect(text: String): Array[Long] = {
+    val cps = text.codePoints().limit(WinCap).toArray
+    val n = cps.length
+    if (n < WinK) return Array.empty[Long]
+    val nGrams = n - WinK + 1
+    val nWin = nGrams - WinW + 1
+    if (nWin < 1) return Array.empty[Long]
+    val keys = new Array[Long](nGrams)
+    var pos = 0
+    while (pos < nGrams) {
+      var acc = 0L
+      var i = 0
+      while (i < WinK) { acc = (acc * 31L + cps(pos + i)) % P; i += 1 }
+      // 1-based gram position rides the low 10 bits inverted, so one
+      // integer min is simultaneously (min hash, rightmost position)
+      keys(pos) = acc * 1024L + (1023L - (pos + 1))
+      pos += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nWin) {
+      var m = keys(s)
+      var j = 1
+      while (j < WinW) { val v = keys(s + j); if (v < m) m = v; j += 1 }
+      out.add(m)
+      s += 1
+    }
+    val res = new Array[Long](out.size)
+    val oit = out.iterator()
+    var w = 0
+    while (oit.hasNext) { res(w) = oit.next(); w += 1 }
+    res
   }
 
   // ----------------------------------------------------------------
