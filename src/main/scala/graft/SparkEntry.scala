@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Privacy, Relational, Similarity, TextAnalysis, TimeSeries}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -148,7 +148,10 @@ object SparkEntry {
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
+    "text_fertility" -> (TextAnalysis.textFertility(_, _)),
     "text_logodds" -> (TextAnalysis.textLogodds(_, _)),
+    "privacy_kanon" -> (Privacy.privacyKanon(_, _)),
+    "privacy_risk" -> (Privacy.privacyRisk(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "layout_bucket" -> (Layout.layoutBucket(_, _)),
     "layout_partition" -> (Layout.layoutPartition(_, _)),
@@ -366,6 +369,14 @@ object SparkEntry {
     // the encode replays train + apply end-to-end: same fold, same
     // merge table, integer compression ratio
     "text_bpe_encode" -> TextAnalysis.textBpeEncodeSql,
+    // the encode pass regrouped by language: same train + fold CTEs,
+    // integer ppm fertility ratios
+    "text_fertility" -> TextAnalysis.textFertilitySql,
+    // one QI hash agg; flag is a projection over integral counts
+    "privacy_kanon" -> Privacy.privacyKanonSql,
+    // class-size bands over the same QI agg; integer ppm shares and
+    // 1e6/min-k prosecutor risk, one-row total broadcast
+    "privacy_risk" -> Privacy.privacyRiskSql,
     // two one-shot lns over identical integer ratios, 6dp-rounded
     // before ranking, term tie-break
     "text_logodds" -> TextAnalysis.textLogoddsSql,

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Privacy auditing over the document corpus — the release-readiness
+  * checks a training-data pipeline runs before a corpus (or a
+  * metadata join of one) ships: k-anonymity over quasi-identifiers
+  * and the re-identification risk profile of the equivalence-class
+  * size distribution (Sweeney, IJUFKS 2002; the class-size histogram
+  * is the standard "prosecutor risk" input — worst-case
+  * re-identification probability is 1/k for the smallest class).
+  *
+  * Extension surface (absent in the reference, which processes file
+  * CONTENT only — `/root/reference/pdf_reader.py` has no notion of
+  * record-level identity); sits beside the PII-scrub projection in
+  * [[TextAnalysis]] as the record-level half of the privacy story.
+  *
+  * 100 TB shape: both audits are chained map-side-combinable hash
+  * aggregations at quasi-identifier cardinality (bounded: languages ×
+  * sources × length buckets), no joins but a one-row total broadcast
+  * — the corpus is read once, nothing wide ever shuffles.
+  */
+object Privacy {
+
+  /** Minimum acceptable equivalence-class size (the k in
+    * k-anonymity).
+    */
+  private val K = 5L
+
+  /** Quasi-identifier length-bucket width in chars: coarse enough to
+    * stay an identifier class, fine enough to stress the audit.
+    */
+  private val LenBucket = 256L
+
+  private def classes(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $LenBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+
+  /** k-anonymity audit: every document belongs to the equivalence
+    * class of its quasi-identifier tuple (lang, source, length
+    * bucket); classes smaller than [[K]] mark records a linking
+    * attack could single out. One hash agg; the flag is a plain
+    * projection over it.
+    */
+  def privacyKanon(spark: SparkSession, dir: String): DataFrame =
+    classes(spark, dir)
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("class_size"), (col("class_size") < K).as("at_risk"))
+      .orderBy("lang", "source", "len_bucket")
+
+  val privacyKanonSql: String =
+    s"""SELECT lang, source, n_chars // $LenBucket AS len_bucket,
+       |  CAST(count(*) AS BIGINT) AS class_size,
+       |  count(*) < $K AS at_risk
+       |FROM documents
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Re-identification risk profile: the equivalence classes of
+    * [[privacyKanon]] rolled into standard size bands (unique,
+    * small, medium, large), with each band's share of the corpus in
+    * integer ppm and its worst-case prosecutor risk `1e6 / min k`.
+    * Second-level agg runs at class cardinality, and the corpus
+    * total is a window sum over the BAND relation (≤4 rows) — the
+    * corpus itself is scanned exactly once.
+    */
+  def privacyRisk(spark: SparkSession, dir: String): DataFrame =
+    classes(spark, dir)
+      .withColumn("band",
+        when(col("class_size") === 1, "1_unique")
+          .when(col("class_size") < 5, "2_small")
+          .when(col("class_size") < 20, "3_medium")
+          .otherwise("4_large"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_docs"),
+        min(col("class_size")).as("min_class_size"))
+      .select(col("band"), col("n_classes"), col("n_docs"),
+        expr("n_docs * 1000000 div sum(n_docs) OVER ()").as("share_ppm"),
+        expr("1000000 div min_class_size").as("worst_risk_ppm"))
+      .orderBy("band")
+
+  val privacyRiskSql: String =
+    s"""WITH cls AS (
+       |  SELECT count(*) AS class_size
+       |  FROM documents
+       |  GROUP BY lang, source, n_chars // $LenBucket),
+       |banded AS (
+       |  SELECT CASE WHEN class_size = 1 THEN '1_unique'
+       |              WHEN class_size < 5 THEN '2_small'
+       |              WHEN class_size < 20 THEN '3_medium'
+       |              ELSE '4_large' END AS band,
+       |    class_size
+       |  FROM cls),
+       |total AS (SELECT sum(class_size) AS total_docs FROM cls)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(sum(class_size) AS BIGINT) AS n_docs,
+       |  CAST(sum(class_size) * 1000000 // total_docs AS BIGINT) AS share_ppm,
+       |  CAST(1000000 // min(class_size) AS BIGINT) AS worst_risk_ppm
+       |FROM banded, total
+       |GROUP BY band, total_docs
+       |ORDER BY band""".stripMargin
+}

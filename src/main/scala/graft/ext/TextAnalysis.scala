@@ -1824,6 +1824,70 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility per language — tokens-per-word and
+    * chars-per-token under the learned BPE vocabulary, the metric a
+    * tokenizer team reads to see which languages the vocabulary
+    * under-serves (high fertility = more tokens per word = costlier
+    * training and inference for that language; Rust et al., ACL 2021
+    * popularized the term). Reuses the memoized merge table and the
+    * SAME greedy fold as the encoder, then rolls up by language
+    * instead of document: one explode + [[BpeMerges]] codegen fold
+    * projections + ONE map-side-combinable hash agg at language
+    * cardinality — the 100 TB cost is the encode pass itself, the
+    * rollup is free. Integer ppm ratios — no float drift.
+    */
+  def textFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeTable(spark, dir)
+    val words = docs(spark, dir)
+      .select(col("lang"),
+        explode(expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
+      .filter(!col("word").contains(BpeSep))
+    var enc = words.select(
+      col("lang"), length(col("word")).cast("long").as("n_chars"),
+      array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
+        .as("syms"))
+    for ((_, a, b, _) <- merges)
+      enc = enc.withColumn("syms", bpeFold(col("syms"), a, b))
+    enc
+      .select(col("lang"), col("n_chars"),
+        size(split(col("syms"), BpeSep)).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+      .orderBy("lang")
+  }
+
+  val textFertilitySql: String = {
+    val steps = (1 to BpeMerges).map { i =>
+      s"""f$i AS (
+         |  SELECT lang, n_chars, $bpeFoldSql AS syms
+         |  FROM f${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtesSql,
+       |f0 AS (
+       |  SELECT lang, length(word) AS n_chars,
+       |    array_to_string([substr(word, i, 1)
+       |      for i in generate_series(1, length(word))], chr(31)) AS syms
+       |  FROM (
+       |    SELECT lang, unnest(list_filter(string_split_regex(text, ' +'),
+       |      x -> x != '')) AS word
+       |    FROM documents)
+       |  WHERE NOT contains(word, chr(31))),
+       |$steps
+       |SELECT lang, n_words, n_chars, n_tokens,
+       |  n_tokens * 1000000 // n_words AS fertility_ppm,
+       |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm
+       |FROM (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n_tokens
+       |  FROM f$BpeMerges GROUP BY lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   val textWinnowSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, substr(text, 1, $WinCap) AS p FROM documents),

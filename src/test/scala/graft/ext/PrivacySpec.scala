@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Privacy-audit semantics on crafted corpora (the oracle gate
+  * carries the hash-equality check at sf scale).
+  */
+class PrivacySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Crafted documents table: (doc_id, lang, source, n_chars). Text
+    * is padding of the declared length so n_chars stays honest.
+    */
+  private def corpus(rows: Seq[(Long, String, String, Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("priv-corpus").toString
+    rows.map { case (id, lang, src, n) => (id, "x" * n, lang, src, n.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("privacyKanon: classes below k flagged, class sizes exact") {
+    // QI = (lang, source, n_chars div 256): 6 docs in one class,
+    // 2 in another, 1 unique
+    val dir = corpus(
+      (1L to 6L).map(i => (i, "en", "web", 100)) ++
+        Seq((7L, "en", "web", 300), (8L, "en", "web", 310),
+          (9L, "fr", "books", 100)))
+    val out = Privacy.privacyKanon(spark, dir).collect()
+    assert(out.length === 3)
+    val bySize = out.map(r =>
+      ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(bySize(("en", "web", 0L)) === ((6L, false)))
+    assert(bySize(("en", "web", 1L)) === ((2L, true)))
+    assert(bySize(("fr", "books", 0L)) === ((1L, true)))
+  }
+
+  test("privacyRisk: bands partition the corpus; shares sum to ~1e6") {
+    val dir = corpus(
+      (1L to 25L).map(i => (i, "en", "web", 100)) ++ // 4_large (25)
+        (26L to 31L).map(i => (i, "en", "books", 100)) ++ // 3_medium (6)
+        Seq((32L, "fr", "web", 100), (33L, "fr", "web", 120), // 2_small (2)
+          (34L, "de", "web", 100))) // 1_unique
+    val out = Privacy.privacyRisk(spark, dir).collect()
+    val byBand = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byBand.keySet ===
+      Set("1_unique", "2_small", "3_medium", "4_large"))
+    assert(byBand("1_unique") === ((1L, 1L, 1000000L / 34, 1000000L)))
+    assert(byBand("2_small")._2 === 2L)
+    assert(byBand("2_small")._4 === 500000L)
+    assert(byBand("3_medium") === ((1L, 6L, 6L * 1000000L / 34, 1000000L / 6)))
+    assert(byBand("4_large")._2 === 25L)
+    // every document lands in exactly one band
+    assert(out.map(_.getLong(2)).sum === 34L)
+    // integer-floor shares can undershoot 1e6 by at most #bands
+    val shares = out.map(_.getLong(3)).sum
+    assert(shares <= 1000000L && shares > 1000000L - 4)
+  }
+
+  test("textFertility: ppm ratios recompute from the rollup and " +
+    "n_tokens never exceeds n_chars") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.textFertility(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (words, chars, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(toks >= words, "a word is at least one token")
+      assert(toks <= chars, "a token is at least one char")
+      assert(r.getLong(4) === toks * 1000000L / words)
+      assert(r.getLong(5) === chars * 1000000L / toks)
+    }
+  }
+}
