@@ -709,7 +709,11 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("sim_ivfpq", () => Similarity.simIvfPq(spark, d)),
       ("embed_pca", () => Similarity.embedPca(spark, d)),
       ("sample_per_key", () => PipelineOps.samplePerKey(spark, d)),
-      ("layout_partition", () => Layout.layoutPartition(spark, d)))
+      ("layout_partition", () => Layout.layoutPartition(spark, d)),
+      // the privacy/fertility additions
+      ("privacy_kanon", () => Privacy.privacyKanon(spark, d)),
+      ("privacy_risk", () => Privacy.privacyRisk(spark, d)),
+      ("text_fertility", () => TextAnalysis.textFertility(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

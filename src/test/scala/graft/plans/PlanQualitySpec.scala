@@ -475,6 +475,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("privacy_kanon: one QI hash agg, no joins") {
+    val plan = graft.ext.Privacy.privacyKanon(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, plan) // partial+final
+  }
+
+  test("privacy_risk: one corpus scan; total is a band-scale window, no join") {
+    val plan = graft.ext.Privacy.privacyRisk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // one scan of documents: the corpus total must NOT re-read the table
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("text_fertility: encode folds stay rowwise; one language-keyed agg") {
+    val plan = graft.ext.TextAnalysis.textFertility(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // words explode once; the merge-table fold is projections, not joins
+    assert("Generate".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("embed_class_sep: centroids broadcast back; no sort-merge join anywhere") {
     val plan = graft.ext.Similarity.embedClassSep(spark, dir)
       .queryExecution.executedPlan.toString
