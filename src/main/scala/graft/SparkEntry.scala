@@ -196,6 +196,7 @@ object SparkEntry {
     "sample_weighted" -> (PipelineOps.sampleWeighted(_, _)),
     "sample_per_key" -> (PipelineOps.samplePerKey(_, _)),
     "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
+    "pipeline_survivor" -> (PipelineOps.pipelineSurvivor(_, _)),
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
     "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
@@ -458,6 +459,9 @@ object SparkEntry {
     // portable-hash ranks drawn by the TopKPerKey bounded heap
     "sample_per_key" -> PipelineOps.samplePerKeySql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
+    // argmax-quality survivor per near-dup family on packed BIGINT
+    // keys; cluster + logreg oracles ride as subqueries
+    "pipeline_survivor" -> PipelineOps.pipelineSurvivorSql,
     // BIGINT prefix-sum placement: seq ids/offsets replay exactly
     "pipeline_pack" -> PipelineOps.pipelinePackSql,
     "pipeline_mixture" -> PipelineOps.pipelineMixtureSql,

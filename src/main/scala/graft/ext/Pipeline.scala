@@ -397,6 +397,79 @@ object PipelineOps {
        |FROM documents d JOIN keep USING (doc_id)
        |GROUP BY d.source ORDER BY source""".stripMargin
 
+  /** Quality-aware survivor selection — which member of each near-dup
+    * family survives dedup. Min-id canonicalization (what
+    * [[pipelinePrep]] and most dedup writeups use) is arbitrary; a
+    * production pipeline keeps the BEST copy, so the survivor here is
+    * the family member with the highest `quality_logreg` score. Both
+    * the argmax and the min-id baseline ride packed BIGINT keys
+    * (`score_ppm·2³³ + (2³³−1−id)` maximized ⟹ (max score, min id
+    * tie-break); `id·2²¹ + score_ppm` minimized ⟹ min id carrying its
+    * score), so the whole operator is ONE hash agg over integral
+    * keys — addition-order-independent, partition-invariant, and
+    * replayed bit-for-bit by the oracle. `gain_ppm` quantifies what
+    * quality-aware selection buys over min-id per family.
+    *
+    * Scale shape: families come from the durable cluster artifact
+    * (build-once), scores from the rowwise logreg expression; one
+    * left join + one equi-join + one family-keyed hash agg. Packing
+    * bounds: score_ppm ≤ 10⁶ < 2²¹ and doc_id < 2³³ (8.6 B docs) keep
+    * both keys inside BIGINT with headroom.
+    */
+  def pipelineSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val Shift33 = 1L << 33
+    val Shift21 = 1L << 21
+    val scores = TextAnalysis.qualityLogreg(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(score * 1000000) AS BIGINT)").as("score_ppm"))
+    val clusters = Dedup.dedupCluster(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("family_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(scores, "doc_id")
+      .groupBy("family_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(col("score_ppm") * Shift33 +
+          (lit(Shift33 - 1) - col("doc_id"))).as("bk"),
+        min(col("doc_id") * Shift21 + col("score_ppm")).as("mk"))
+      .select(
+        col("family_id"), col("n_members"),
+        (lit(Shift33 - 1) - col("bk") % Shift33).as("survivor_id"),
+        expr(s"bk div $Shift33").as("survivor_score_ppm"),
+        expr(s"mk div $Shift21").as("minid_id"),
+        expr(s"bk div $Shift33 - mk % $Shift21").as("gain_ppm"))
+      .orderBy("family_id")
+  }
+
+  val pipelineSurvivorSql: String = {
+    val s33 = 1L << 33
+    val s21 = 1L << 21
+    s"""WITH sc AS (
+       |  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_ppm
+       |  FROM (${TextAnalysis.qualityLogregSql})),
+       |clus AS (
+       |  SELECT doc_id, cluster_id FROM (${Dedup.dedupClusterSql})),
+       |fam AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS family_id,
+       |    s.score_ppm
+       |  FROM documents d
+       |  LEFT JOIN clus c USING (doc_id)
+       |  JOIN sc s USING (doc_id)),
+       |agg AS (
+       |  SELECT family_id, count(*) AS n_members,
+       |    max(score_ppm * $s33 + (${s33 - 1} - doc_id)) AS bk,
+       |    min(doc_id * $s21 + score_ppm) AS mk
+       |  FROM fam GROUP BY family_id)
+       |SELECT family_id, CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(${s33 - 1} - (bk % $s33) AS BIGINT) AS survivor_id,
+       |  CAST(bk // $s33 AS BIGINT) AS survivor_score_ppm,
+       |  CAST(mk // $s21 AS BIGINT) AS minid_id,
+       |  CAST(bk // $s33 - mk % $s21 AS BIGINT) AS gain_ppm
+       |FROM agg ORDER BY family_id""".stripMargin
+  }
+
   /** Per-source DATA CARD — the one-relation corpus summary shipped
     * beside a training dataset (Gebru et al. "Datasheets for
     * Datasets" is the practice's citation): volume (docs, tokens),

@@ -61,6 +61,35 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(shares <= 1000000L && shares > 1000000L - 4)
   }
 
+  test("pipelineSurvivor: argmax-quality survivor matches an " +
+    "independent recomputation; gain never negative") {
+    val dir = "/root/testdata/sf0.001"
+    val scores = TextAnalysis.qualityLogreg(spark, dir).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1000000))
+      .toMap
+    val fam = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = scores.keys.groupBy(id => fam.getOrElse(id, id)).map {
+      case (f, ids) =>
+        val best = ids.maxBy(id => (scores(id), -id))
+        val minId = ids.min
+        f -> (ids.size.toLong, best, scores(best),
+          minId, scores(best) - scores(minId))
+    }
+    val out = PipelineOps.pipelineSurvivor(spark, dir).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === e, s"family ${r.getLong(0)}")
+      assert(r.getLong(5) >= 0, "quality gain must be non-negative")
+    }
+    // the operator is only interesting if some family's best copy is
+    // NOT the min-id member on this corpus
+    assert(out.exists(r => r.getLong(2) != r.getLong(4)),
+      "corpus has no family where quality-aware differs from min-id")
+  }
+
   test("textFertility: ppm ratios recompute from the rollup and " +
     "n_tokens never exceeds n_chars") {
     val dir = "/root/testdata/sf0.001"

@@ -500,6 +500,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert("Generate".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("pipeline_survivor: one family-keyed hash agg on packed keys — no window, no product") {
+    val plan = graft.ext.PipelineOps.pipelineSurvivor(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // argmax and min-id baseline both ride the SAME agg: exactly one
+    // family-keyed exchange in the post-join stage
+    assert("Exchange hashpartitioning\\(family_id".r.findAllIn(plan).size <= 1,
+      plan)
+  }
+
   test("embed_class_sep: centroids broadcast back; no sort-merge join anywhere") {
     val plan = graft.ext.Similarity.embedClassSep(spark, dir)
       .queryExecution.executedPlan.toString
