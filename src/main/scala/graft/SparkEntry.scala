@@ -149,6 +149,7 @@ object SparkEntry {
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "text_fertility" -> (TextAnalysis.textFertility(_, _)),
+    "chunk_token_budget" -> (TextAnalysis.chunkTokenBudget(_, _)),
     "text_logodds" -> (TextAnalysis.textLogodds(_, _)),
     "privacy_kanon" -> (Privacy.privacyKanon(_, _)),
     "privacy_risk" -> (Privacy.privacyRisk(_, _)),
@@ -373,6 +374,9 @@ object SparkEntry {
     // the encode pass regrouped by language: same train + fold CTEs,
     // integer ppm fertility ratios
     "text_fertility" -> TextAnalysis.textFertilitySql,
+    // greedy word-atomic token packing: one packed-BIGINT fold
+    // (nc*2^42 + mx*2^21 + cur) identical in both engines
+    "chunk_token_budget" -> TextAnalysis.chunkTokenBudgetSql,
     // one QI hash agg; flag is a projection over integral counts
     "privacy_kanon" -> Privacy.privacyKanonSql,
     // class-size bands over the same QI agg; integer ppm shares and

@@ -1888,6 +1888,117 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  private val ChunkTokBudget = 64L
+
+  /** Token-budget chunking — the reference's RAG-chunking contract
+    * re-expressed in TOKENS: how many ≤[[ChunkTokBudget]]-token
+    * chunks does each document pack into under the learned BPE
+    * vocabulary (greedy first-fit in word order, the layout a
+    * token-limited embedding model actually ingests), and how full
+    * are they. Character chunking (`doc_chunks`) sizes storage;
+    * token chunking sizes the embedding/LLM calls.
+    *
+    * Per-word token counts apply the SAME greedy merge fold as the
+    * encoder inside one rowwise `transform` (bounded: words are ≤20
+    * chars, 8 merges). The greedy packing is a single integer fold:
+    * the accumulator packs (n_chunks, max_fill, cur_fill) into one
+    * BIGINT (`nc·2⁴² + mx·2²¹ + cur`) so BOTH engines run a plain
+    * BIGINT `list_reduce`/`aggregate` — no struct accumulators to
+    * diverge, bit-exact replay. Packing bounds: per-chunk fill ≤
+    * budget + one word < 2²¹, n_chunks ≤ n_words < 2²¹ (a 2M-word
+    * single document would overflow the lane — document-scale, not
+    * corpus-scale, and far past any real chunking input). A word
+    * alone exceeding the budget occupies its own oversized chunk
+    * (`max_chunk_tokens` shows it) rather than being split — the
+    * greedy word-atomic contract. Zero shuffle before the
+    * presentation sort.
+    */
+  def chunkTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeTable(spark, dir)
+    def wordTokens(w: Column): Column = {
+      var syms = array_join(filter(split(w, ""), c => c =!= ""), BpeSep)
+      for ((_, a, b, _) <- merges) syms = bpeFold(syms, a, b)
+      size(split(syms, BpeSep)).cast("long")
+    }
+    val s42 = 1L << 42
+    val s21 = 1L << 21
+    val packFold =
+      s"""aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> CASE
+         |  WHEN acc div $s42 = 0 THEN $s42 + t * $s21 + t
+         |  WHEN acc % $s21 + t <= $ChunkTokBudget THEN
+         |    (acc div $s42) * $s42
+         |    + greatest((acc div $s21) % $s21, acc % $s21 + t) * $s21
+         |    + (acc % $s21 + t)
+         |  ELSE (acc div $s42 + 1) * $s42
+         |    + greatest((acc div $s21) % $s21, t) * $s21 + t
+         |END)""".stripMargin
+    docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " +"),
+          x => x =!= "" && !x.contains(BpeSep)).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        transform(col("ws"), wordTokens(_)).as("toks"))
+      .select(col("doc_id"), col("n_words"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + t)")
+          .as("n_tokens"),
+        expr(packFold).as("packed"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        expr(s"packed div $s42").as("n_chunks"),
+        expr(s"(packed div $s21) % $s21").as("max_chunk_tokens"),
+        expr(s"n_tokens * 1000000 div (packed div $s42 * $ChunkTokBudget)")
+          .as("fill_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val chunkTokenBudgetSql: String = {
+    val s42 = 1L << 42
+    val s21 = 1L << 21
+    // the encoder fold nested once per merge, each against its own
+    // single-row b_i CTE alias
+    val tokOfW = (1 to BpeMerges).foldLeft(
+      "array_to_string([substr(w, i, 1) " +
+        "for i in generate_series(1, length(w))], chr(31))") { (acc, i) =>
+      s"""CASE WHEN mb$i.a IS NULL THEN ($acc)
+         |  ELSE list_reduce(string_split(($acc), chr(31)),
+         |    (acc, x) -> CASE
+         |      WHEN string_split(acc, chr(31))[-1] = mb$i.a AND x = mb$i.b
+         |      THEN acc || x ELSE acc || chr(31) || x END) END""".stripMargin
+    }
+    val crossB = (1 to BpeMerges).map(i => s"CROSS JOIN b$i mb$i").mkString(" ")
+    s"""WITH $bpeTrainCtesSql,
+       |base AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+       |    x -> x != '' AND NOT contains(x, chr(31))) AS ws
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    [CAST(len(string_split(($tokOfW), chr(31))) AS BIGINT)
+       |     for w in ws] AS toks
+       |  FROM base $crossB
+       |  WHERE len(ws) >= 1),
+       |packed AS (
+       |  SELECT doc_id, n_words,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+       |      (acc, t) -> CASE
+       |        WHEN acc // $s42 = 0 THEN $s42 + t * $s21 + t
+       |        WHEN acc % $s21 + t <= $ChunkTokBudget THEN
+       |          (acc // $s42) * $s42
+       |          + greatest((acc // $s21) % $s21, acc % $s21 + t) * $s21
+       |          + (acc % $s21 + t)
+       |        ELSE (acc // $s42 + 1) * $s42
+       |          + greatest((acc // $s21) % $s21, t) * $s21 + t
+       |      END) AS p,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+       |      (a, t) -> a + t) AS n_tokens
+       |  FROM tok)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_tokens,
+       |  p // $s42 AS n_chunks,
+       |  (p // $s21) % $s21 AS max_chunk_tokens,
+       |  n_tokens * 1000000 // (p // $s42 * $ChunkTokBudget) AS fill_ppm
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   val textWinnowSql: String =
     s"""WITH p AS (
        |  SELECT doc_id, substr(text, 1, $WinCap) AS p FROM documents),

@@ -90,6 +90,53 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       "corpus has no family where quality-aware differs from min-id")
   }
 
+  test("chunkTokenBudget: greedy packing matches an independent " +
+    "BPE + first-fit recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = TextAnalysis.textBpe(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    def wordTokens(w: String): Long = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      for ((a, b) <- merges) syms = applyMerge(syms, a, b)
+      syms.size.toLong
+    }
+    val budget = 64L
+    val expected = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .flatMap { r =>
+        val ws = r.getString(1).split(" +", -1)
+          .filter(w => w.nonEmpty && !w.contains('\u001F'))
+        if (ws.isEmpty) None
+        else {
+          val toks = ws.map(wordTokens)
+          var nc = 0L; var cur = 0L; var mx = 0L
+          toks.foreach { t =>
+            if (nc == 0 || cur + t > budget) { nc += 1; cur = t }
+            else cur += t
+            mx = math.max(mx, cur)
+          }
+          val tot = toks.sum
+          Some(r.getLong(0) ->
+            (ws.length.toLong, tot, nc, mx, tot * 1000000L / (nc * budget)))
+        }
+      }.toMap
+    val out = TextAnalysis.chunkTokenBudget(spark, dir).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // the budget must actually bind on this corpus
+    assert(out.exists(_.getLong(3) > 1), "no doc needed more than one chunk")
+  }
+
   test("textFertility: ppm ratios recompute from the rollup and " +
     "n_tokens never exceeds n_chars") {
     val dir = "/root/testdata/sf0.001"

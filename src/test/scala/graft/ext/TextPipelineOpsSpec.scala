@@ -714,7 +714,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("privacy_kanon", () => Privacy.privacyKanon(spark, d)),
       ("privacy_risk", () => Privacy.privacyRisk(spark, d)),
       ("text_fertility", () => TextAnalysis.textFertility(spark, d)),
-      ("pipeline_survivor", () => PipelineOps.pipelineSurvivor(spark, d)))
+      ("pipeline_survivor", () => PipelineOps.pipelineSurvivor(spark, d)),
+      ("chunk_token_budget", () => TextAnalysis.chunkTokenBudget(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

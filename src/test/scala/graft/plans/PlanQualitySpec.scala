@@ -511,6 +511,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       plan)
   }
 
+  test("chunk_token_budget: fully rowwise — no joins, no aggs, no explode") {
+    val plan = graft.ext.TextAnalysis.chunkTokenBudget(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("embed_class_sep: centroids broadcast back; no sort-merge join anywhere") {
     val plan = graft.ext.Similarity.embedClassSep(spark, dir)
       .queryExecution.executedPlan.toString
