@@ -181,6 +181,7 @@ object SparkEntry {
     "sim_range" -> (Similarity.simRange(_, _)),
     "sim_lsh" -> (Similarity.simLsh(_, _)),
     "sim_ivf" -> (Similarity.simIvf(_, _)),
+    "sim_recall" -> (Similarity.simRecall(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
     "embed_pca" -> (Similarity.embedPca(_, _)),
     "embed_class_sep" -> (Similarity.embedClassSep(_, _)),
@@ -437,6 +438,9 @@ object SparkEntry {
     // fixed-point Lloyd sums + strided seeds make the whole IVF train
     // + probe + top-k replayable in DuckDB (three unrolled iterations)
     "sim_ivf" -> Similarity.simIvfSql,
+    // the recall/cost trade curve per probe width, one shared model
+    // replay + the exact baseline joined relationally
+    "sim_recall" -> Similarity.simRecallSql,
     // rank-only fusion: integer RRF over two 6dp-rounded rankings
     "retrieval_rrf" -> Similarity.retrievalRrfSql,
     // integer fixed-point centroid + distances: bit-exact replay

@@ -779,6 +779,126 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  private val RecallProbesList = Seq(1, 2, 4)
+
+  /** ANN TUNING AUDIT — the measurement an operator needs before
+    * trusting an approximate index at scale: recall@[[K]] against the
+    * exact [[simTopk]] baseline, and the candidate rows scanned, for
+    * each probe width in [[RecallProbesList]]. The output IS the
+    * recall/cost trade curve ("how many lists must I probe for 90%
+    * recall, and what does each probe cost") that sizes `nprobe` in
+    * production. Entirely deterministic: the shared fixed-point IVF
+    * model, 6-dp-rounded cosine ranking, id tie-breaks — so unlike
+    * typical recall baselines this one is a full DuckDB-oracled
+    * relation, not a spec-only assertion.
+    *
+    * One composed plan, no driver-side scalars: probe rows for all
+    * widths union (queries × Σwidths rows, broadcast), candidates
+    * arrive through the ONE bucket equi-join, recall joins against
+    * the 50-row exact relation semi-style, and the two rollups are
+    * map-side-combinable counts at (nprobe) cardinality.
+    */
+  def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = emb(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(centroidModel(spark, dir))
+    val assigned = assignedBuckets(spark, dir).toDF("c_id", "ce", "bucket")
+    val exact = simTopk(spark, dir).select(col("q_id"), col("c_id"))
+    val probeRows = RecallProbesList.map { np =>
+      vecs.filter(_._1 < NumQueries)
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.flatMap { case (id, v) =>
+            probeList(cs, v, np).iterator.map(b => (id, v, b))
+          }
+        }.toDF("q_id", "qe", "bucket")
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ union _)
+    val cands = assigned.join(broadcast(probeRows), Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+    val w = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val top = cands
+      .withColumn("cos_sim",
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("nprobe"), col("q_id"), col("c_id"))
+    val hits = top.join(broadcast(exact), Seq("q_id", "c_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    cands.groupBy("nprobe").agg(count(lit(1)).as("cand_rows"))
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(NumQueries.toLong).as("n_queries"),
+        col("cand_rows"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000 div ${NumQueries.toLong * K}")
+          .as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
+  /** Oracle: one replayed model (shared [[ivfAssignCtes]]), probe
+    * sets per width from the final distance CTE, the exact baseline
+    * from the [[simTopkSql]] formulation — recall joined relationally.
+    */
+  val simRecallSql: String = {
+    val nps = RecallProbesList.mkString(", ")
+    s"""WITH $ivfAssignCtes,
+       |nps AS (SELECT CAST(unnest([$nps]) AS BIGINT) AS nprobe),
+       |pranked AS (
+       |  SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+       |  FROM $IvfDistCte WHERE vec_id < $NumQueries),
+       |pr AS (
+       |  SELECT np.nprobe, p.vec_id AS q_id, p.c
+       |  FROM pranked p JOIN nps np ON p.rn <= np.nprobe),
+       |cand AS (
+       |  SELECT p.nprobe, p.q_id, a.vec_id AS c_id
+       |  FROM pr p JOIN $IvfAssignCte a USING (c)
+       |  WHERE a.vec_id != p.q_id),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT cd.nprobe, cd.q_id, cd.c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(eq.embedding)),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE) * ec.embedding[i]))
+       |      / (eq.nrm * ec.nrm), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN e eq ON eq.vec_id = cd.q_id
+       |  JOIN e ec ON ec.vec_id = cd.c_id),
+       |top AS (
+       |  SELECT nprobe, q_id, c_id FROM (
+       |    SELECT nprobe, q_id, c_id,
+       |      row_number() OVER (PARTITION BY nprobe, q_id
+       |                         ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |    FROM scored) WHERE rn <= $K),
+       |exp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+       |ex AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |    FROM exp) WHERE rn <= $K),
+       |hits AS (
+       |  SELECT t.nprobe, count(*) AS n_hits
+       |  FROM top t JOIN ex USING (q_id, c_id) GROUP BY 1),
+       |cc AS (SELECT nprobe, count(*) AS cand_rows FROM cand GROUP BY 1)
+       |SELECT cc.nprobe, CAST($NumQueries AS BIGINT) AS n_queries,
+       |  CAST(cc.cand_rows AS BIGINT) AS cand_rows,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) * 1000000 // ${NumQueries.toLong * K}
+       |    AS BIGINT) AS recall_ppm
+       |FROM cc LEFT JOIN hits h USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // Product quantization: compressed codes + asymmetric distance
   // ----------------------------------------------------------------

@@ -407,4 +407,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map { case ((id, s, lr, dr), i) => (i + 1L, id, s, lr, dr) }
     assert(out.toSeq == expected, s"got ${out.mkString(", ")}")
   }
+
+  test("simRecall: recall and cost grow with nprobe; widest width " +
+    "matches the registered IVF query's own overlap") {
+    val rows = Similarity.simRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    rows.foreach { case (_, nq, cands, hits, ppm) =>
+      assert(nq === 5L)
+      assert(hits <= 50L)
+      assert(ppm === hits * 1000000L / 50L, "ppm must recompute from hits")
+      assert(cands >= hits, "hits come from scanned candidates")
+    }
+    // the trade curve is monotone: more probes never lose recall or
+    // scan fewer candidates
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
+    // at nprobe = IvfProbes (4) the audit's hit count must equal the
+    // overlap of the REGISTERED sim_ivf output with the exact top-k:
+    // same model, same ranking, counted two independent ways
+    val exact = Similarity.simTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.simIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows.last._4 === (ivf & exact).size.toLong)
+  }
 }

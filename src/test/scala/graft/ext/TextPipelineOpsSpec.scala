@@ -715,7 +715,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("privacy_risk", () => Privacy.privacyRisk(spark, d)),
       ("text_fertility", () => TextAnalysis.textFertility(spark, d)),
       ("pipeline_survivor", () => PipelineOps.pipelineSurvivor(spark, d)),
-      ("chunk_token_budget", () => TextAnalysis.chunkTokenBudget(spark, d)))
+      ("chunk_token_budget", () => TextAnalysis.chunkTokenBudget(spark, d)),
+      ("sim_recall", () => Similarity.simRecall(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))

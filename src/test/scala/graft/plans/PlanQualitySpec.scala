@@ -520,6 +520,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("sim_recall: probe rows broadcast into one bucket equi-join; no product") {
+    val plan = graft.ext.Similarity.simRecall(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("embed_class_sep: centroids broadcast back; no sort-merge join anywhere") {
     val plan = graft.ext.Similarity.embedClassSep(spark, dir)
       .queryExecution.executedPlan.toString
