@@ -72,6 +72,7 @@ object SparkEntry {
     "cdc_diff" -> (Relational.cdcDiff(_, _)),
     "join_division" -> (Relational.joinDivision(_, _)),
     "dq_checks" -> (Relational.dqChecks(_, _)),
+    "dq_profile" -> (Relational.dqProfile(_, _)),
     "diag_skew" -> (Relational.diagSkew(_, _)),
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     "window_growth" -> (Relational.windowGrowth(_, _)),
@@ -253,6 +254,8 @@ object SparkEntry {
     // count-matching reduction == Codd division when pairs ⊆ divisor
     "join_division" -> Relational.joinDivisionSql,
     "dq_checks" -> Relational.dqChecksSql,
+    // one-scan column profile; BIGINT/VARCHAR casts render identically
+    "dq_profile" -> Relational.dqProfileSql,
     // integer ppm shares and ×mean ratios: no float percentages
     "diag_skew" -> Relational.diagSkewSql,
     // exact DECIMAL cumulative-coverage selection: no interpolation

@@ -2377,6 +2377,60 @@ object Relational {
       |  t(check_name, n_violations, n_checked)
       |ORDER BY check_name""".stripMargin
 
+  /** Columns profiled by [[dqProfile]] — the metadata columns of the
+    * document corpus. `text` is deliberately absent: profiling the
+    * content column lexicographically would ship megabyte min/max
+    * strings to the report; its distribution is covered by the
+    * length column and the dedicated text-analysis operators.
+    */
+  private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  /** Column PROFILING (the Deequ-analyzer shape beside [[dqChecks]]'
+    * contract assertions): per column, the completeness, exact
+    * cardinality, and value bounds a pipeline reads before writing
+    * contracts at all. ONE scan — every per-column aggregate fuses
+    * into a single agg (Spark plans the multi-column distincts via
+    * one Expand pass, map-side combinable), then `stack` pivots the
+    * one-row wide result to the long report. At 100 TB the exact
+    * distinct counts are the costly cell — the approximate tier is
+    * `agg_hll`'s mergeable registers, same scan shape. Bounds
+    * stringify through BIGINT/VARCHAR casts that render identically
+    * in both engines.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_filled"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val stackArgs = ProfileCols.map { c =>
+      s"'$c', ${c}_filled, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max"
+    }.mkString(", ")
+    d.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(column_name, n_filled, n_null, n_distinct, min_val, max_val)")
+      .orderBy("column_name")
+  }
+
+  val dqProfileSql: String = {
+    val perCol = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count($c) AS BIGINT) AS n_filled,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$perCol)
+       |ORDER BY column_name""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   // CDC snapshot reconciliation
   // ----------------------------------------------------------------

@@ -137,6 +137,25 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(out.exists(_.getLong(3) > 1), "no doc needed more than one chunk")
   }
 
+  test("dqProfile: metrics recompute from a direct scan") {
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Relational.dqProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(out.keySet === Set("doc_id", "lang", "source", "n_chars"))
+    val n = d.count()
+    for ((c, (filled, nulls, distinct, mn, mx)) <- out) {
+      assert(filled + nulls === n, c)
+      assert(distinct ===
+        d.select(c).filter(d(c).isNotNull).distinct().count(), c)
+      import org.apache.spark.sql.functions.{min => mnF, max => mxF, col}
+      val Array(em, ex) = d.agg(mnF(col(c)).cast("string"),
+        mxF(col(c)).cast("string")).collect().head.toSeq.toArray
+      assert(mn === em && mx === ex, c)
+    }
+  }
+
   test("textFertility: ppm ratios recompute from the rollup and " +
     "n_tokens never exceeds n_chars") {
     val dir = "/root/testdata/sf0.001"
