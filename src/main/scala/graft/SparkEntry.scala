@@ -141,6 +141,7 @@ object SparkEntry {
     "text_vocab" -> (TextAnalysis.textVocab(_, _)),
     "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
     "quality_logreg" -> (TextAnalysis.qualityLogreg(_, _)),
+    "quality_cascade" -> (TextAnalysis.qualityCascade(_, _)),
     "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
     "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     "text_gini" -> (TextAnalysis.textGini(_, _)),
@@ -355,6 +356,9 @@ object SparkEntry {
     "text_vocab" -> TextAnalysis.textVocabSql,
     "quality_normalize" -> TextAnalysis.qualityNormalizeSql,
     "quality_logreg" -> TextAnalysis.qualityLogregSql,
+    // first-failing-rule attribution over the registered signals'
+    // own relations; 6dp-rounded doubles make branches bit-identical
+    "quality_cascade" -> TextAnalysis.qualityCascadeSql,
     // order-pinned folds + the BM25 ln/round discipline: the trained
     // bigram LM and its scores replay exactly
     "text_lm_score" -> TextAnalysis.textLmScoreSql,

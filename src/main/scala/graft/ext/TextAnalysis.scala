@@ -1888,6 +1888,59 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  private val CascMinChars = 200L
+  private val CascMaxBigram = 0.08
+  private val CascMinScore = 0.5
+
+  /** Reason-coded FILTER CASCADE — how production corpus cleaning
+    * actually ships: rules fire in a fixed order (length → repetition
+    * → learned quality) and every dropped document records the FIRST
+    * rule that killed it, so the drop report is actionable ("12% of
+    * src7 died to repetition") instead of a bare keep bit. Each
+    * signal is the REGISTERED operator's own relation
+    * ([[textRepetition]], [[qualityLogreg]]) — the cascade cannot
+    * drift from the operators it composes, and the oracle rides
+    * their oracles as subqueries. Thresholds compare 6-dp-rounded
+    * doubles that both engines already hash-match, so the branch
+    * decisions are bit-identical. Two doc-keyed equi-joins + a
+    * rowwise CASE: at 100 TB the cost is the component passes.
+    */
+  def qualityCascade(spark: SparkSession, dir: String): DataFrame = {
+    val rep = textRepetition(spark, dir)
+      .select(col("doc_id"), col("top_bigram_frac"))
+    val lr = qualityLogreg(spark, dir).select(col("doc_id"), col("score"))
+    val reason = when(col("n_chars") < CascMinChars, "too_short")
+      .when(col("top_bigram_frac") > CascMaxBigram, "repetition")
+      .when(col("score") < CascMinScore, "low_quality")
+      .otherwise("pass")
+    docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(rep, "doc_id")
+      .join(lr, "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("score"),
+        col("top_bigram_frac"), reason.as("reason"),
+        (reason === "pass").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityCascadeSql: String =
+    s"""WITH rep AS (
+       |  SELECT doc_id, top_bigram_frac FROM ($textRepetitionSql)),
+       |lr AS (
+       |  SELECT doc_id, score FROM ($qualityLogregSql))
+       |SELECT d.doc_id, d.n_chars, lr.score, rep.top_bigram_frac,
+       |  CASE WHEN d.n_chars < $CascMinChars THEN 'too_short'
+       |       WHEN rep.top_bigram_frac > $CascMaxBigram THEN 'repetition'
+       |       WHEN lr.score < $CascMinScore THEN 'low_quality'
+       |       ELSE 'pass' END AS reason,
+       |  (CASE WHEN d.n_chars < $CascMinChars THEN 'too_short'
+       |        WHEN rep.top_bigram_frac > $CascMaxBigram THEN 'repetition'
+       |        WHEN lr.score < $CascMinScore THEN 'low_quality'
+       |        ELSE 'pass' END) = 'pass' AS keep
+       |FROM documents d
+       |JOIN rep USING (doc_id)
+       |JOIN lr USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private val ChunkTokBudget = 64L
 
   /** Token-budget chunking — the reference's RAG-chunking contract

@@ -137,6 +137,45 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(out.exists(_.getLong(3) > 1), "no doc needed more than one chunk")
   }
 
+  test("qualityCascade: first failing rule wins; keep iff pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("casc-corpus").toString
+    val longSpam = Seq.fill(60)("spam spam").mkString(" ") // ~539 chars, one bigram
+    val natural = ("the cat sat on the mat and looked at the dog " +
+      "while a bird flew over the quiet garden in the late afternoon ") * 3
+    Seq(
+      (1L, "tiny doc", "en", "s"),           // < 200 chars -> too_short
+      (2L, longSpam, "en", "s"),             // long + repeated -> repetition
+      (3L, natural, "en", "s"))              // stopword-rich long -> pass
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qualityCascade(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getBoolean(5))).toMap
+    assert(out(1L) === (("too_short", false)))
+    // doc 2 is ALSO low-quality by the learned scorer, but repetition
+    // fires first - the attribution order is the contract
+    assert(out(2L) === (("repetition", false)))
+    assert(out(3L) === (("pass", true)))
+    // components agree with the registered operators on real data
+    val rdir = "/root/testdata/sf0.001"
+    val casc = TextAnalysis.qualityCascade(spark, rdir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+    val lr = TextAnalysis.qualityLogreg(spark, rdir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    casc.foreach { case (id, (nChars, score, bigram, reason)) =>
+      assert(score === lr(id), s"doc $id score drifted from quality_logreg")
+      val expected =
+        if (nChars < 200) "too_short"
+        else if (bigram > 0.08) "repetition"
+        else if (score < 0.5) "low_quality"
+        else "pass"
+      assert(reason === expected, s"doc $id")
+    }
+  }
+
   test("dqProfile: metrics recompute from a direct scan") {
     val dir = "/root/testdata/sf0.001"
     val d = spark.read.parquet(s"$dir/documents.parquet")

@@ -717,7 +717,8 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       ("pipeline_survivor", () => PipelineOps.pipelineSurvivor(spark, d)),
       ("chunk_token_budget", () => TextAnalysis.chunkTokenBudget(spark, d)),
       ("sim_recall", () => Similarity.simRecall(spark, d)),
-      ("dq_profile", () => Relational.dqProfile(spark, d)))
+      ("dq_profile", () => Relational.dqProfile(spark, d)),
+      ("quality_cascade", () => TextAnalysis.qualityCascade(spark, d)))
     for ((name, fn) <- queries) {
       val narrow = withPartitions(3)(fn().collect().map(_.toString))
       val wide = withPartitions(17)(fn().collect().map(_.toString))
