@@ -30,14 +30,23 @@ import java.util.concurrent.atomic.AtomicBoolean
   *    in `skipped`, never conflated with failures.
   */
 object Bench {
-  private val jvmStart = System.nanoTime()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "270").toDouble
-    val deadline = jvmStart + (deadlineSec * 1e9).toLong
+    // The external driver timeout measures the WHOLE sbt process, so the
+    // deadline anchors at JVM start (uptime), not at main entry — sbt
+    // startup and incremental compile spend the same budget. A floor of
+    // 150 s from main entry keeps a pathological cold compile from
+    // zeroing the bench: better a late partial artifact than none.
+    val uptimeNs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime * 1000000L
+    val mainStart = System.nanoTime()
+    val deadline = math.max(
+      mainStart - uptimeNs + (deadlineSec * 1e9).toLong,
+      mainStart + (150 * 1e9).toLong)
     def timeLeftSec: Double = (deadline - System.nanoTime()) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,7 +107,8 @@ object Bench {
     val memoized = Seq("sim_ivf", "sim_pq", "sim_ivfpq", "dedup_cluster",
       "pipeline_prep", "graph_pagerank", "graph_triangles", "graph_jaccard",
       "graph_bfs", "graph_components", "pipeline_holdout", "dedup_semantic",
-      "text_rank", "text_bpe", "text_bpe_encode")
+      "text_rank", "text_bpe", "text_bpe_encode", "sim_recall",
+      "pipeline_survivor", "text_fertility", "chunk_token_budget")
       .filter(fns.contains)
 
     // Locale.ROOT: the default locale could be decimal-comma → bad JSON.
@@ -171,21 +181,28 @@ object Bench {
     val artifacts =
       if (only.isEmpty) Seq("target/bench.json", "BENCH_FULL.json")
       else Seq("target/bench.json")
-    def writeArtifacts(): Unit = {
-      val json = fullJson()
-      for (p <- artifacts) {
-        try {
-          val out = java.nio.file.Paths.get(p)
-          Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-          java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-        } catch { case scala.util.control.NonFatal(_) => () }
+    // One lock serializes every artifact write, and nothing writes after
+    // finalize: otherwise the shutdown hook's last write could interleave
+    // with an in-flight main-thread write on the same path and the JVM
+    // halt mid-truncate would leave a torn file — the artifact-loss mode
+    // this protocol exists to prevent.
+    val writeLock = new Object
+    val finalized = new AtomicBoolean(false)
+    def writeArtifacts(): Unit = writeLock.synchronized {
+      if (!finalized.get()) {
+        val json = fullJson()
+        for (p <- artifacts) {
+          try {
+            val out = java.nio.file.Paths.get(p)
+            Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+            java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
-
-    val finalized = new AtomicBoolean(false)
-    def finalize_(): Unit = if (finalized.compareAndSet(false, true)) {
+    def finalize_(): Unit = {
       writeArtifacts()
-      println(compactLine())
+      if (finalized.compareAndSet(false, true)) println(compactLine())
     }
     // Last line of defense: if the driver's timeout SIGTERMs the JVM
     // anyway, still flush consistent artifacts and the stdout line.

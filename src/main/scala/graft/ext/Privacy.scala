@@ -73,7 +73,7 @@ object Privacy {
     classes(spark, dir)
       .withColumn("band",
         when(col("class_size") === 1, "1_unique")
-          .when(col("class_size") < 5, "2_small")
+          .when(col("class_size") < K, "2_small") // same cut as at_risk
           .when(col("class_size") < 20, "3_medium")
           .otherwise("4_large"))
       .groupBy("band")
@@ -93,7 +93,7 @@ object Privacy {
        |  GROUP BY lang, source, n_chars // $LenBucket),
        |banded AS (
        |  SELECT CASE WHEN class_size = 1 THEN '1_unique'
-       |              WHEN class_size < 5 THEN '2_small'
+       |              WHEN class_size < $K THEN '2_small'
        |              WHEN class_size < 20 THEN '3_medium'
        |              ELSE '4_large' END AS band,
        |    class_size

@@ -1547,6 +1547,7 @@ object TextAnalysis {
     * sorts on output columns).
     */
   private[ext] def winnowSelect(text: String): Array[Long] = {
+    if (text == null) return Array.empty[Long] // Column form emitted no rows
     val cps = text.codePoints().limit(WinCap).toArray
     val n = cps.length
     if (n < WinK) return Array.empty[Long]
@@ -1774,19 +1775,31 @@ object TextAnalysis {
     * contract as training. `saved_ppm` is an integer floor division
     * — no float ratio to drift.
     */
-  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** Words of every document encoded by the learned merge table —
+    * the ONE encode pipeline (split, separator filter, syms build,
+    * the [[BpeMerges]] fold projections) shared by [[textBpeEncode]]
+    * (per-doc rollup) and [[textFertility]] (per-language rollup), so
+    * a change to word filtering or the fold can never desynchronize
+    * the encoder from the fertility metric.
+    */
+  private def bpeEncodedWords(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMergeTable(spark, dir)
     val words = docs(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         explode(expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
       .filter(!col("word").contains(BpeSep))
     var enc = words.select(
-      col("doc_id"), length(col("word")).cast("long").as("n_chars"),
+      col("doc_id"), col("lang"),
+      length(col("word")).cast("long").as("n_chars"),
       array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
         .as("syms"))
     for ((_, a, b, _) <- merges)
       enc = enc.withColumn("syms", bpeFold(col("syms"), a, b))
     enc
+  }
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    bpeEncodedWords(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         size(split(col("syms"), BpeSep)).cast("long").as("n_tokens"))
       .groupBy("doc_id")
@@ -1797,23 +1810,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val textBpeEncodeSql: String = {
+  /** w0..w[[BpeMerges]] CTE chain encoding every word, carrying the
+    * grouping column `carry` — the SQL twin of [[bpeEncodedWords]],
+    * shared by the encoder's and the fertility oracle.
+    */
+  private def bpeEncodeCtesSql(carry: String): String = {
     val steps = (1 to BpeMerges).map { i =>
       s"""w$i AS (
-         |  SELECT doc_id, n_chars, $bpeFoldSql AS syms
+         |  SELECT $carry, n_chars, $bpeFoldSql AS syms
          |  FROM w${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeTrainCtesSql,
-       |w0 AS (
-       |  SELECT doc_id, length(word) AS n_chars,
+    s"""w0 AS (
+       |  SELECT $carry, length(word) AS n_chars,
        |    array_to_string([substr(word, i, 1)
        |      for i in generate_series(1, length(word))], chr(31)) AS syms
        |  FROM (
-       |    SELECT doc_id, unnest(list_filter(string_split_regex(text, ' +'),
+       |    SELECT $carry, unnest(list_filter(string_split_regex(text, ' +'),
        |      x -> x != '')) AS word
        |    FROM documents)
        |  WHERE NOT contains(word, chr(31))),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  val textBpeEncodeSql: String = {
+    s"""WITH $bpeTrainCtesSql,
+       |${bpeEncodeCtesSql("doc_id")}
        |SELECT doc_id, n_words, n_chars, n_tokens,
        |  (n_chars - n_tokens) * 1000000 // n_chars AS saved_ppm
        |FROM (
@@ -1837,18 +1858,7 @@ object TextAnalysis {
     * rollup is free. Integer ppm ratios — no float drift.
     */
   def textFertility(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMergeTable(spark, dir)
-    val words = docs(spark, dir)
-      .select(col("lang"),
-        explode(expr("filter(split(text, ' +'), x -> x != '')")).as("word"))
-      .filter(!col("word").contains(BpeSep))
-    var enc = words.select(
-      col("lang"), length(col("word")).cast("long").as("n_chars"),
-      array_join(filter(split(col("word"), ""), c => c =!= ""), BpeSep)
-        .as("syms"))
-    for ((_, a, b, _) <- merges)
-      enc = enc.withColumn("syms", bpeFold(col("syms"), a, b))
-    enc
+    bpeEncodedWords(spark, dir)
       .select(col("lang"), col("n_chars"),
         size(split(col("syms"), BpeSep)).cast("long").as("n_tokens"))
       .groupBy("lang")
@@ -1861,22 +1871,8 @@ object TextAnalysis {
   }
 
   val textFertilitySql: String = {
-    val steps = (1 to BpeMerges).map { i =>
-      s"""f$i AS (
-         |  SELECT lang, n_chars, $bpeFoldSql AS syms
-         |  FROM f${i - 1} LEFT JOIN b$i mb ON TRUE)""".stripMargin
-    }.mkString(",\n")
     s"""WITH $bpeTrainCtesSql,
-       |f0 AS (
-       |  SELECT lang, length(word) AS n_chars,
-       |    array_to_string([substr(word, i, 1)
-       |      for i in generate_series(1, length(word))], chr(31)) AS syms
-       |  FROM (
-       |    SELECT lang, unnest(list_filter(string_split_regex(text, ' +'),
-       |      x -> x != '')) AS word
-       |    FROM documents)
-       |  WHERE NOT contains(word, chr(31))),
-       |$steps
+       |${bpeEncodeCtesSql("lang")}
        |SELECT lang, n_words, n_chars, n_tokens,
        |  n_tokens * 1000000 // n_words AS fertility_ppm,
        |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm
@@ -1884,7 +1880,7 @@ object TextAnalysis {
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
        |    CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT) AS n_tokens
-       |  FROM f$BpeMerges GROUP BY lang)
+       |  FROM w$BpeMerges GROUP BY lang)
        |ORDER BY lang""".stripMargin
   }
 
