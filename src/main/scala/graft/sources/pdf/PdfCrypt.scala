@@ -16,9 +16,15 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *   - V 1/2, R 2/3 — RC4, 40..128-bit file key (§7.6.2 Algorithm 2)
   *   - V 4, R 4 — crypt filters /V2 (RC4) and /AESV2 (AES-128-CBC,
   *     16-byte IV prefix, PKCS#7 padding), /Identity passthrough
-  * Out of scope (fails loudly, never garbles): non-empty user
-  * passwords (Algorithm 6 check rejects), V 5 / R 5-6 (PDF 2.0
-  * AES-256), and per-stream /Crypt filter overrides.
+  *   - V 5, R 5/6 — AES-256 (/AESV3): ISO 32000-2 §7.6.4 SHA-2 key
+  *     derivation (R6 = Algorithm 2.B hardened hash; R5 = the
+  *     deprecated single-SHA-256 ExtensionLevel 3 scheme), /U + /UE
+  *     validation/unwrap for the empty USER password with an
+  *     empty-OWNER-password fallback via /O + /OE, and /Perms
+  *     verification (AES-ECB, "adb" tag) as a wrong-key tripwire
+  * Out of scope (fails loudly, never garbles): non-empty
+  * passwords (the validation hashes reject), and per-stream /Crypt
+  * filter overrides.
   */
 final class PdfCrypt private (
     fileKey: Array[Byte],
@@ -38,6 +44,9 @@ final class PdfCrypt private (
       case "Identity" => bytes
       case "V2" => PdfCrypt.rc4(objectKey(num, gen, aes = false), bytes)
       case "AESV2" => aesCbcDecrypt(objectKey(num, gen, aes = true), bytes)
+      // AES-256 (V5): the FILE key is used directly — §7.6.4 drops the
+      // per-object MD5 key derivation of Algorithm 1 entirely.
+      case "AESV3" => aesCbcDecrypt(fileKey, bytes)
       case other => throw new PdfParseException(s"unsupported crypt filter method /$other")
     }
 
@@ -108,9 +117,32 @@ object PdfCrypt {
     }
     val v = num("V", 0)
     val r = num("R", 2)
-    if (v < 1 || v > 4 || r < 2 || r > 4)
-      throw new PdfParseException(
-        s"unsupported encryption V=$v R=$r (V5/R6 AES-256 not implemented)")
+    if (!(v >= 1 && v <= 4 && r >= 2 && r <= 4) && !(v == 5 && (r == 5 || r == 6)))
+      throw new PdfParseException(s"unsupported encryption V=$v R=$r")
+
+    // V4/V5 crypt filters: resolve /StmF and /StrF through /CF to a CFM
+    // name; V1/V2 are implicit whole-file RC4.
+    def cfmFor(which: String): String =
+      if (v < 4) "V2"
+      else resolve(enc.get(which).getOrElse(PName("Identity"))) match {
+        case PName("Identity") => "Identity" // spec default when absent
+        case PName(cfName) =>
+          val cf = resolve(enc.get("CF").getOrElse(PNull)) match {
+            case d: PDict => d
+            case _ => throw new PdfParseException("/Encrypt V4+ missing /CF")
+          }
+          resolve(cf.get(cfName).getOrElse(PNull)) match {
+            case d: PDict => resolve(d.get("CFM").getOrElse(PNull)) match {
+              case PName(m) => m
+              case _ => throw new PdfParseException(s"crypt filter $cfName missing /CFM")
+            }
+            case _ => throw new PdfParseException(s"unknown crypt filter $cfName")
+          }
+        case other => throw new PdfParseException(s"bad $which: $other")
+      }
+
+    if (v == 5)
+      return forAes256(enc, r, num("P", -1), str, cfmFor)
 
     val o = str("O")
     val p = num("P", -1)
@@ -131,28 +163,115 @@ object PdfCrypt {
       throw new PdfParseException(
         "encrypted PDF requires a non-empty user password (unsupported)")
 
-    // V4 crypt filters: resolve /StmF and /StrF through /CF to a CFM
-    // name; V1/V2 are implicit whole-file RC4.
-    def cfmFor(which: String): String =
-      if (v < 4) "V2"
-      else resolve(enc.get(which).getOrElse(PName("Identity"))) match {
-        case PName("Identity") => "Identity" // spec default when absent
-        case PName(cfName) =>
-          val cf = resolve(enc.get("CF").getOrElse(PNull)) match {
-            case d: PDict => d
-            case _ => throw new PdfParseException("/Encrypt V4 missing /CF")
-          }
-          resolve(cf.get(cfName).getOrElse(PNull)) match {
-            case d: PDict => resolve(d.get("CFM").getOrElse(PNull)) match {
-              case PName(m) => m
-              case _ => throw new PdfParseException(s"crypt filter $cfName missing /CFM")
-            }
-            case _ => throw new PdfParseException(s"unknown crypt filter $cfName")
-          }
-        case other => throw new PdfParseException(s"bad $which: $other")
+    new PdfCrypt(fileKey, cfmFor("StmF"), cfmFor("StrF"))
+  }
+
+  /** ISO 32000-2 §7.6.4 (AES-256, V5 R5/R6): validate the EMPTY user
+    * password against /U and unwrap the 32-byte file key from /UE; if
+    * the user slot was set, fall back to an empty OWNER password via
+    * /O + /OE (udata = the full 48-byte /U). /Perms, when present, is
+    * decrypted with the unwrapped key as a wrong-key tripwire ("adb"
+    * tag + /P echo). pypdf (the reference's extractor,
+    * `/root/reference/pdf_reader.py:442-443`) opens the same shapes.
+    */
+  private def forAes256(
+      enc: PDict,
+      r: Int,
+      p: Int,
+      str: String => Array[Byte],
+      cfmFor: String => String): PdfCrypt = {
+    val u = str("U")
+    val o = str("O")
+    if (u.length < 48 || o.length < 48)
+      throw new PdfParseException(s"AES-256 /U and /O must be 48 bytes (got ${u.length}/${o.length})")
+    val empty = Array.emptyByteArray
+    val noUdata = Array.emptyByteArray
+
+    // Algorithm 2.A steps (b)-(d): hash(pwd, validation-salt, udata)
+    // must equal the first 32 bytes of the entry; then the key salt
+    // yields the intermediate key that AES-unwraps /UE (resp. /OE).
+    // IV is 16 zero bytes and padding is absent by construction.
+    def unwrap(entry: Array[Byte], wrapped: Array[Byte], udata: Array[Byte]): Option[Array[Byte]] = {
+      val vSalt = java.util.Arrays.copyOfRange(entry, 32, 40)
+      val kSalt = java.util.Arrays.copyOfRange(entry, 40, 48)
+      if (!java.util.Arrays.equals(hash2B(empty, vSalt, udata, r), entry.take(32))) None
+      else {
+        val ik = hash2B(empty, kSalt, udata, r)
+        val c = Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ik, "AES"),
+          new IvParameterSpec(new Array[Byte](16)))
+        Some(c.doFinal(wrapped))
       }
+    }
+
+    val fileKey =
+      unwrap(u, str("UE"), noUdata)
+        .orElse(unwrap(o, str("OE"), u.take(48)))
+        .getOrElse(throw new PdfParseException(
+          "encrypted PDF requires a non-empty password (unsupported)"))
+    if (fileKey.length != 32)
+      throw new PdfParseException(s"AES-256 file key must be 32 bytes, got ${fileKey.length}")
+
+    // §7.6.4.4.9 Algorithm 13: /Perms decrypts (AES-ECB, file key) to
+    // P[4 LE] + 0xFFFFFFFF + T/F + "adb" + 4 arbitrary bytes. A bad
+    // "adb" tag means the unwrapped key is wrong — fail the parse.
+    enc.get("Perms").foreach { _ =>
+      val perms = str("Perms")
+      if (perms.length >= 16) {
+        val c = Cipher.getInstance("AES/ECB/NoPadding")
+        c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(fileKey, "AES"))
+        val plain = c.doFinal(perms, 0, 16)
+        if (!(plain(9) == 'a' && plain(10) == 'd' && plain(11) == 'b'))
+          throw new PdfParseException("/Perms tag mismatch (wrong AES-256 key?)")
+        val pOk = (0 until 4).forall(i => plain(i) == ((p >> (8 * i)) & 0xff).toByte)
+        if (!pOk)
+          throw new PdfParseException("/Perms permissions disagree with /P")
+      }
+    }
 
     new PdfCrypt(fileKey, cfmFor("StmF"), cfmFor("StrF"))
+  }
+
+  /** §7.6.4.3.4 Algorithm 2.B (R6) hardened hash — and its R5
+    * predecessor, a single SHA-256 (the deprecated Adobe
+    * ExtensionLevel 3 scheme pypdf also accepts). `udata` is the
+    * 48-byte /U entry when hashing an owner password, empty for user.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte], udata: Array[Byte], r: Int): Array[Byte] = {
+    val sha256 = MessageDigest.getInstance("SHA-256")
+    sha256.update(password); sha256.update(salt); sha256.update(udata)
+    var k = sha256.digest()
+    if (r == 5) return k
+    var round = 0
+    var lastByte = 0
+    do {
+      round += 1
+      // K1 = (password ‖ K ‖ udata) × 64, AES-128-CBC-encrypted with
+      // key = K[0,16) and IV = K[16,32); always a multiple of 16 bytes.
+      val unit = new Array[Byte](password.length + k.length + udata.length)
+      System.arraycopy(password, 0, unit, 0, password.length)
+      System.arraycopy(k, 0, unit, password.length, k.length)
+      System.arraycopy(udata, 0, unit, password.length + k.length, udata.length)
+      val k1 = new Array[Byte](unit.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(unit, 0, k1, i * unit.length, unit.length); i += 1 }
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(k, 0, 16, "AES"),
+        new IvParameterSpec(k, 16, 16))
+      val e = c.doFinal(k1)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      val algo = (sum % 3: @unchecked) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case 2 => "SHA-512"
+      }
+      k = MessageDigest.getInstance(algo).digest(e)
+      lastByte = e(e.length - 1) & 0xff
+    } while (round < 64 || lastByte > round - 32)
+    k.take(32)
   }
 
   /** §7.6.3.3 Algorithm 2: derive the file encryption key from the

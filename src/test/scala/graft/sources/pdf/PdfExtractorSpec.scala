@@ -219,6 +219,43 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("AES-256 (V5/R6, /AESV3) encrypted PDF extracts end-to-end, incl. compressed") {
+    for (compress <- Seq(false, true)) {
+      val pdf = PdfFixtures.encryptedPdf(twoPages, PdfFixtures.EncAes256, compress = compress)
+      assert(PdfTextExtractor.extract("a256.pdf", pdf).map(_._2) == twoPages,
+        s"compress=$compress")
+    }
+  }
+
+  test("AES-256 R6: non-empty password fails loudly; corrupted /Perms trips the tripwire") {
+    val locked = PdfFixtures.encryptedPdf(Seq("pg"), PdfFixtures.EncAes256,
+      userPassword = "hunter2".getBytes)
+    val ex = intercept[PdfParseException](new PdfDocument(locked))
+    assert(ex.getMessage.toLowerCase.contains("password"))
+    assert(PdfTextExtractor.extract("p.pdf", locked) == Nil)
+
+    // flip a byte inside the hex-encoded /Perms entry: key unwrap still
+    // succeeds (U/UE untouched) but Algorithm 13 must now reject
+    val good = PdfFixtures.encryptedPdf(Seq("pg"), PdfFixtures.EncAes256)
+    val s = new String(good.map(_.toChar))
+    val at = s.indexOf("/Perms <") + "/Perms <".length
+    val mutated = good.clone()
+    mutated(at) = (if (good(at) == '0') '1' else '0').toByte
+    val ex2 = intercept[PdfParseException](new PdfDocument(mutated))
+    assert(ex2.getMessage.contains("Perms"))
+  }
+
+  test("AES-256 R6: Algorithm 2.B decoder and fixture twin agree on random inputs") {
+    val rnd = new scala.util.Random(42)
+    for (i <- 0 until 5) {
+      val pwd = Array.fill(rnd.nextInt(12))(rnd.nextInt(256).toByte)
+      val salt = Array.fill(8)(rnd.nextInt(256).toByte)
+      val udata = if (i % 2 == 0) Array.emptyByteArray else Array.fill(48)(rnd.nextInt(256).toByte)
+      assert(PdfCrypt.hash2B(pwd, salt, udata, r = 6)
+        .sameElements(PdfFixtures.PdfEncryptor.hardenedHash(pwd, salt, udata)), s"case $i")
+    }
+  }
+
   test("encrypted PDF 1.5: ObjStm payload decrypts, xref stream stays exempt") {
     val pdf = PdfFixtures.encryptedXrefStreamPdf(Seq("alpha beta", "gamma\ndelta"))
     val out = PdfTextExtractor.extract("ex.pdf", pdf)
@@ -226,7 +263,7 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("document strings (Info /Title) decrypt through the string path") {
-    for (variant <- Seq(PdfFixtures.EncRc4_128, PdfFixtures.EncAes128)) {
+    for (variant <- Seq(PdfFixtures.EncRc4_128, PdfFixtures.EncAes128, PdfFixtures.EncAes256)) {
       // single page: font=5, info=6, encrypt=7
       val pdf = PdfFixtures.encryptedPdf(Seq("pg"), variant, title = "Top Secret ®")
       new PdfDocument(pdf).fetch(6) match {
@@ -263,17 +300,20 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
   test("Engine.fileStats counts encrypted-PDF text like the reference's pypdf path") {
     val dir = java.nio.file.Files.createTempDirectory("pdfenc")
     val text = "guarded words inside the vault"
-    java.nio.file.Files.write(dir.resolve("enc.pdf"),
+    // one file per cipher generation, incl. the PDF 2.0 AES-256 shape
+    java.nio.file.Files.write(dir.resolve("enc128.pdf"),
       PdfFixtures.encryptedPdf(Seq(text), PdfFixtures.EncAes128, compress = true))
+    java.nio.file.Files.write(dir.resolve("enc256.pdf"),
+      PdfFixtures.encryptedPdf(Seq(text), PdfFixtures.EncAes256, compress = true))
     val opts = graft.Engine.Options(
       glob = "*.pdf",
       split = SplitConfig(chunkSize = 10, chunkOverlap = 0),
       extractor = PdfTextExtractor)
     val stats = graft.Engine.fileStats(spark, dir.toString, opts).collect()
-    assert(stats.length == 1 && stats.head.pages == 1)
+    assert(stats.length == 2 && stats.forall(_.pages == 1))
     val chunks = graft.split.RecursiveCharacterSplitter.splitText(text, opts.split)
-    assert(stats.head.chunks == chunks.length)
-    assert(stats.head.textSize == chunks.map(_.length).sum)
+    assert(stats.forall(_.chunks == chunks.length))
+    assert(stats.forall(_.textSize == chunks.map(_.length).sum))
   }
 
   test("damaged bytes yield no pages instead of throwing") {

@@ -328,6 +328,10 @@ object PdfFixtures {
   case object EncRc4_128 extends EncVariant(2, 3, 128, false)
   /** V4/R4 crypt filters, /StdCF = /AESV2 (AES-128-CBC). */
   case object EncAes128 extends EncVariant(4, 4, 128, true)
+  /** V5/R6 (PDF 2.0), /StdCF = /AESV3 (AES-256-CBC, SHA-2 Algorithm
+    * 2.B key derivation, /UE//OE-wrapped file key, /Perms).
+    */
+  case object EncAes256 extends EncVariant(5, 6, 256, true)
 
   /** ISO 32000-1 §7.6 standard security handler, ENCRYPT side —
     * written from the spec independently of the decoder under test
@@ -421,10 +425,74 @@ object PdfFixtures {
       md5(fk, tail, salt).take(math.min(fk.length + 5, 16))
     }
 
+    // ---- ISO 32000-2 §7.6.4 AES-256 (V5/R6) encrypt side, written
+    // independently of PdfCrypt (functional style, Seq.fill repeat) ----
+
+    def sha(bits: Int, chunks: Array[Byte]*): Array[Byte] = {
+      val d = MessageDigest.getInstance(s"SHA-$bits")
+      chunks.foreach(d.update)
+      d.digest()
+    }
+
+    /** Algorithm 2.B hardened hash (R6). */
+    def hardenedHash(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+      var k = sha(256, pwd, salt, udata)
+      var i = 0
+      var done = false
+      while (!done) {
+        i += 1
+        val data = Array.concat(Seq.fill(64)(pwd ++ k ++ udata): _*)
+        val c = Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(Cipher.ENCRYPT_MODE,
+          new SecretKeySpec(k.take(16), "AES"), new IvParameterSpec(k.slice(16, 32)))
+        val e = c.doFinal(data)
+        k = sha(Seq(256, 384, 512)(e.take(16).map(_ & 0xff).sum % 3), e)
+        done = i >= 64 && (e.last & 0xff) <= i - 32
+      }
+      k.take(32)
+    }
+
+    /** AES-256-CBC, zero IV, no padding — the /UE//OE key wrap. */
+    def aesWrap(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(data)
+    }
+
+    /** AES-256-ECB single block — the /Perms entry. */
+    def aesEcb(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+      c.doFinal(block)
+    }
+
+    /** The six V5 security-handler entries for one password applied to
+      * BOTH slots (empty ⇒ opens transparently; set ⇒ negative
+      * fixture, since user AND owner attempts must then fail).
+      * Returns (fileKey, U, UE, O, OE, Perms).
+      */
+    def v5Entries(pwd: Array[Byte], p: Int, seed: String)
+        : (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+      def salt(tag: String) = md5(s"graft-r6-$tag-$seed".getBytes(Ascii)).take(8)
+      val fk = sha(256, s"graft-r6-filekey-$seed".getBytes(Ascii))
+      val (uv, uk, ov, ok) = (salt("uv"), salt("uk"), salt("ov"), salt("ok"))
+      val u = hardenedHash(pwd, uv, Array.emptyByteArray) ++ uv ++ uk
+      val ue = aesWrap(hardenedHash(pwd, uk, Array.emptyByteArray), fk)
+      val o = hardenedHash(pwd, ov, u) ++ ov ++ ok
+      val oe = aesWrap(hardenedHash(pwd, ok, u), fk)
+      val perms = aesEcb(fk,
+        le32(p) ++ Array.fill(4)(0xff.toByte) ++
+          "Tadbgrft".getBytes(Ascii)) // T=metadata encrypted, "adb" tag, 4 arbitrary
+      (fk, u, ue, o, oe, perms)
+    }
+
     /** Encrypt one string/stream payload owned by object `num`. */
     def encrypt(variant: EncVariant, fk: Array[Byte], num: Int,
         data: Array[Byte]): Array[Byte] = {
-      val k = objectKey(fk, num, variant.aes)
+      // V5 uses the file key directly; earlier revisions derive a
+      // per-object key (Algorithm 1).
+      val k = if (variant.v == 5) fk else objectKey(fk, num, variant.aes)
       if (!variant.aes) rc4(k, data)
       else {
         val iv = md5(le32(num), "iv".getBytes(Ascii)).take(16) // deterministic: fixtures stay byte-stable
@@ -462,11 +530,34 @@ object PdfFixtures {
     val encNum = fontNum + 2
     val keyBytes = variant.bits / 8
     val id0 = md5(s"graft-fixture-$variant-$n".getBytes(Ascii))
-    val paddedUser = padPassword(userPassword)
-    val oEntry = ownerEntry(variant.r, if (variant.r == 2) 5 else keyBytes, paddedUser)
     val p = -44
-    val fk = fileKey(paddedUser, oEntry, p, id0, variant.r, keyBytes)
-    val uEntry = userEntry(fk, id0, variant.r)
+    // (fk, /Encrypt dict body) per revision family
+    val (fk, encDictBody) =
+      if (variant.v == 5) {
+        val (k, u, ue, o, oe, perms) = v5Entries(userPassword, p, s"$variant-$n")
+        (k,
+          s"/Filter /Standard /V 5 /R ${variant.r} /Length 256 " +
+            s"/O ${hexStr(o)} /U ${hexStr(u)} /OE ${hexStr(oe)} /UE ${hexStr(ue)} " +
+            s"/Perms ${hexStr(perms)} /P $p " +
+            "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+            "/StmF /StdCF /StrF /StdCF")
+      } else {
+        val paddedUser = padPassword(userPassword)
+        val oEntry = ownerEntry(variant.r, if (variant.r == 2) 5 else keyBytes, paddedUser)
+        val k = fileKey(paddedUser, oEntry, p, id0, variant.r, keyBytes)
+        val uEntry = userEntry(k, id0, variant.r)
+        val common = s"/Filter /Standard /R ${variant.r} " +
+          s"/O ${hexStr(oEntry)} /U ${hexStr(uEntry)} /P $p"
+        val body =
+          if (variant.v < 4)
+            s"$common /V ${variant.v}" +
+              (if (variant.v == 1) "" else s" /Length ${variant.bits}")
+          else
+            s"$common /V 4 /Length ${variant.bits} " +
+              "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF"
+        (k, body)
+      }
 
     o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
     o.obj(2) {
@@ -488,17 +579,7 @@ object PdfFixtures {
     o.obj(infoNum) {
       o << s"<< /Title ${hexStr(encrypt(variant, fk, infoNum, title.getBytes(Ascii)))} >>"
     }
-    o.obj(encNum) {
-      val common = s"/Filter /Standard /R ${variant.r} " +
-        s"/O ${hexStr(oEntry)} /U ${hexStr(uEntry)} /P $p"
-      if (variant.v < 4)
-        o << s"<< $common /V ${variant.v}" +
-          (if (variant.v == 1) "" else s" /Length ${variant.bits}") + " >>"
-      else
-        o << s"<< $common /V 4 /Length ${variant.bits} " +
-          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
-          "/StmF /StdCF /StrF /StdCF >>"
-    }
+    o.obj(encNum) { o << s"<< $encDictBody >>" }
     val xrefOff = o.bytes.size()
     o << s"xref\n0 ${encNum + 1}\n0000000000 65535 f \n"
     for (num <- 1 to encNum) o << f"${o.offsets(num)}%010d 00000 n \n"
