@@ -58,6 +58,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined for Window" WARN for
+    // the bench run: it is a blanket heuristic, and every
+    // unpartitioned window left in the engine runs on a relation
+    // bounded BY CONSTRUCTION — either a post-`.orderBy().limit(K)`
+    // rank stamp over ≤ ~32 rows (top-k presentation windows in
+    // Similarity/Pipeline/Relational) or a calendar-grain frame
+    // (day/week rows in TimeSeries LOCF/gap-fill and weekly growth —
+    // bounded by the calendar, not the data). The audit for
+    // data-scale unpartitioned windows lives in PlanQualitySpec, not
+    // in this log line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the session (codegen, parquet reader, shuffle paths) so the
     // first timed query is not charged JVM/session initialization.
     spark.range(0, 1000).selectExpr("sum(id)").collect()
@@ -70,17 +86,27 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
+    // All fields volatile: the shutdown hook serializes this state
+    // from its own thread on SIGTERM; without the fences it could
+    // read a stale or torn snapshot of what the main thread last
+    // wrote (artifacts are rewritten after every run, so the blast
+    // radius was one run — but the fix is free).
     final class QState(val name: String) {
-      var cold: Double = -1.0
-      var hots: Vector[Double] = Vector.empty
-      var ok: Boolean = true      // false once any rep throws
-      var ran: Boolean = false    // false = deadline skipped it entirely
-      // MIN of reps, not median: with the deadline protocol some
-      // queries only get one rep, and a single interference spike
-      // (GC/page-cache churn from neighboring queries) read as a 4x
-      // "regression" under median-of-what-completed. Min is the
-      // standard interference-immune hot statistic and degrades
-      // gracefully at any rep count.
+      @volatile var cold: Double = -1.0
+      @volatile var hots: Vector[Double] = Vector.empty
+      @volatile var ok: Boolean = true   // false once any rep throws
+      @volatile var ran: Boolean = false // false = deadline skipped it entirely
+      // MIN of reps, not median — deliberate, sandbox-specific: this
+      // box runs the oracle, the driver, and neighboring queries'
+      // GC/page-cache churn concurrently with the bench, so a rep's
+      // time is (true cost + nonneg interference noise). Min is the
+      // unbiased estimator of the noise-free run under that additive
+      // model; median only beats it when reps ≥ 3 AND noise can be
+      // negative (it can't here). With the deadline protocol many
+      // queries get 1-2 reps (`hot_reps` records the floor per
+      // query; `min_hot_reps` the suite floor), where a single spike
+      // would read as a 4x "regression" under median-of-what-
+      // completed. Min degrades gracefully at any rep count.
       def hot: Double =
         if (!ok || hots.isEmpty) -1.0 else hots.min
       def done: Boolean = ran && ok

@@ -2126,6 +2126,8 @@ object Relational {
       .groupBy(unix_timestamp(date_trunc("week", col("o_orderdate")))
         .as("week_s"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_cents"))
+    // unpartitioned BY DESIGN: the lag walks week-grain rows (one per
+    // calendar week — bounded by elapsed time, not data size)
     val w = org.apache.spark.sql.expressions.Window.orderBy("week_s")
     weekly
       .withColumn("prev", lag(col("rev_cents"), 1).over(w))
@@ -2167,28 +2169,89 @@ object Relational {
     * window, so the cumulative sum walks distinct price points
     * (bounded domain), not raw lineitems.
     *
-    * Perf note (round-5 measurement): a two-phase cent-bin rework
-    * (bin-level cumulative finds the target bin, exact walk only
-    * inside it) was built and benched at sf0.1 — cold 8.1 s / hot
-    * 2.0 s vs this formulation's 2.5/1.6, and reverted: the fact-
-    * scale BY-PRICE pre-agg dominates both shapes, and the second
-    * lineage branch the bin probe needs re-runs it, while the
-    * "expensive" flag-partitioned window it saved sorts in parallel
-    * and is cheap. At a scale where the distinct-price domain itself
-    * overwhelms a window partition, the bin phase composes from
-    * `agg_histogram_quantile`'s sketch instead.
+    * Plan shape (round-7 rework): NO window anywhere — the previous
+    * formulation's cumulative sum ran under `partitionBy
+    * (l_returnflag)`, i.e. 3 tasks however large the corpus, the one
+    * serialization point the round-6 plan audit flagged. The
+    * replacement is a partition-parallel two-phase bisection on
+    * cumulative mass, all joins bounded:
+    *   1. one fact pass for per-flag range + total mass (3-row agg);
+    *   2. a second fact pass binning RAW rows into [[WmBins]]
+    *      integer-cent equal-width bins (BIGINT floor division —
+    *      deterministic on both engines): shuffle state is flags × B
+    *      map-side-combined groups, NOT the price domain the old
+    *      by-price pre-agg shuffled;
+    *   3. bin-level cumulative mass via a bounded self-join over the
+    *      checkpointed ≤ flags×[[WmBins]] bin relation (≤ B² pairs
+    *      per flag, partition-parallel, no sort);
+    *   4. a third fact pass keeping only the selected bin (~1/B of
+    *      rows), aggregated by price, then the exact walk as a
+    *      bounded self-join over the ~domain/B in-bin price points.
+    * Exact DECIMAL arithmetic end-to-end is unchanged (the round-5
+    * measurement that killed an earlier bin rework was the
+    * un-checkpointed by-price lineage re-running per branch — the
+    * raw-row binning removes that relation entirely). At 100 TB
+    * every stage is a pruned scan + tiny hash agg or a bins-bounded
+    * join; nothing serializes onto a 3-partition window.
+    * Plan-pinned window-free in `PlanQualitySpec`. Measured sf0.1:
+    * hot 2.6 s vs the window shape's 2.1 — the ~0.5 s is the third
+    * fact pass, the honest cost of exactness without a domain-wide
+    * shuffle; at cluster scale the three passes are embarrassingly
+    * parallel while the window shape pinned the whole cumulative
+    * walk on 3 tasks.
     */
+  private val WmBins = 1024L
+
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val byPrice = t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"), dec(col("l_extendedprice")).as("p"))
-      .agg(sum(dec(col("l_quantity"))).as("pq"))
-    val tot = byPrice.groupBy("l_returnflag").agg(sum(col("pq")).as("tq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("p")
-    byPrice
-      .withColumn("cum", sum(col("pq")).over(w))
-      .join(broadcast(tot), "l_returnflag")
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), dec(col("l_extendedprice")).as("p"),
+        dec(col("l_quantity")).as("q"))
+      .withColumn("pc", (col("p") * 100).cast("long")) // exact cents
+    // 3-row checkpoint: three joins broadcast this relation, and each
+    // un-checkpointed broadcast would re-run the whole fact pass
+    val stats = li.groupBy("l_returnflag")
+      .agg(min(col("pc")).as("mn"), max(col("pc")).as("mx"),
+        sum(col("q")).as("tq")).localCheckpoint(true)
+    // bin RAW rows: unlike a by-price pre-agg, the shuffle state here
+    // is flags × B groups (map-side combined), not the price domain
+    val binned = li.join(broadcast(stats), "l_returnflag")
+      .select(col("l_returnflag"), col("p"), col("q"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(WmBins - 1L),
+            expr(s"(pc - mn) * $WmBins div (mx - mn)"))).as("bin"))
+    // tiny (≤ flags × B rows); checkpointed so the cumulative
+    // self-join reads memory, not two more fact scans
+    val binAgg = binned.groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("q")).as("bq")).localCheckpoint(true)
+    // bin-level cumulative: b.bin <= a.bin self-join, ≤ B² pairs/flag
+    val cumB = binAgg
+      .join(binAgg.toDF("l_returnflag", "bin2", "bq2"), "l_returnflag")
+      .filter(col("bin2") <= col("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("bq2")).as("cum"),
+        sum(when(col("bin2") === col("bin"), col("bq2"))).as("obq"))
+    val selBin = cumB.join(broadcast(stats), "l_returnflag")
       .filter(col("cum") * 2 >= col("tq"))
+      .groupBy("l_returnflag").agg(min(col("bin")).as("bin_sel"))
+    val sel = selBin.join(cumB.toDF("l_returnflag", "bin_sel", "cum", "obq"),
+        Seq("l_returnflag", "bin_sel"))
+      .select(col("l_returnflag"), col("bin_sel"),
+        (col("cum") - col("obq")).as("prior")) // mass strictly below the bin
+    // third fact pass keeps only the selected bin (~1/B of rows),
+    // aggregated by price; checkpointed for the two walk branches
+    val inBin = binned.join(broadcast(sel), "l_returnflag")
+      .filter(col("bin") === col("bin_sel"))
+      .groupBy(col("l_returnflag"), col("p"), col("prior"))
+      .agg(sum(col("q")).as("pq")).localCheckpoint(true)
+    // exact in-bin walk: p2 <= p self-join over ~domain/B rows/flag
+    val walk = inBin
+      .join(inBin.select(col("l_returnflag"), col("p").as("p2"),
+        col("pq").as("pq2")), "l_returnflag")
+      .filter(col("p2") <= col("p"))
+      .groupBy(col("l_returnflag"), col("p"), col("prior"))
+      .agg(sum(col("pq2")).as("cw"))
+    walk.join(broadcast(stats.select(col("l_returnflag"), col("tq"))), "l_returnflag")
+      .filter((col("prior") + col("cw")) * 2 >= col("tq"))
       .groupBy("l_returnflag")
       .agg(max(col("tq")).cast("long").as("total_qty"),
         min(col("p")).cast("double").as("wmedian_price"))
@@ -2196,19 +2259,50 @@ object Relational {
   }
 
   val aggWeightedMedianSql: String =
-    """WITH bp AS (
-      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS pq
-      |  FROM lineitem GROUP BY 1, 2),
-      |tot AS (SELECT l_returnflag, sum(pq) AS tq FROM bp GROUP BY 1),
-      |c AS (
-      |  SELECT bp.l_returnflag, p, tq,
-      |    sum(pq) OVER (PARTITION BY bp.l_returnflag ORDER BY p) AS cum
-      |  FROM bp JOIN tot USING (l_returnflag))
-      |SELECT l_returnflag, CAST(max(tq) AS BIGINT) AS total_qty,
-      |  CAST(min(p) AS DOUBLE) AS wmedian_price
-      |FROM c WHERE cum * 2 >= tq GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+       |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT l_returnflag, min(pc) AS mn, max(pc) AS mx, sum(q) AS tq
+       |  FROM li GROUP BY 1),
+       |bp AS (
+       |  SELECT b.l_returnflag, b.p, b.q,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |         ELSE least(${WmBins - 1}, (b.pc - s.mn) * $WmBins // (s.mx - s.mn))
+       |    END AS bin
+       |  FROM li b JOIN st s USING (l_returnflag)),
+       |ba AS (SELECT l_returnflag, bin, sum(q) AS bq FROM bp GROUP BY 1, 2),
+       |cumb AS (
+       |  SELECT a.l_returnflag, a.bin, sum(b.bq) AS cum,
+       |    sum(CASE WHEN b.bin = a.bin THEN b.bq END) AS obq
+       |  FROM ba a JOIN ba b
+       |    ON b.l_returnflag = a.l_returnflag AND b.bin <= a.bin
+       |  GROUP BY 1, 2),
+       |selb AS (
+       |  SELECT c.l_returnflag, min(c.bin) AS bin_sel
+       |  FROM cumb c JOIN st USING (l_returnflag)
+       |  WHERE c.cum * 2 >= st.tq GROUP BY 1),
+       |sel AS (
+       |  SELECT s.l_returnflag, s.bin_sel, c.cum - c.obq AS prior
+       |  FROM selb s JOIN cumb c
+       |    ON c.l_returnflag = s.l_returnflag AND c.bin = s.bin_sel),
+       |ib AS (
+       |  SELECT bp.l_returnflag, bp.p, sel.prior, sum(bp.q) AS pq
+       |  FROM bp JOIN sel
+       |    ON sel.l_returnflag = bp.l_returnflag AND bp.bin = sel.bin_sel
+       |  GROUP BY 1, 2, 3),
+       |wk AS (
+       |  SELECT x.l_returnflag, x.p, x.prior, sum(y.pq) AS cw
+       |  FROM ib x JOIN ib y
+       |    ON y.l_returnflag = x.l_returnflag AND y.p <= x.p
+       |  GROUP BY 1, 2, 3)
+       |SELECT wk.l_returnflag, CAST(max(st.tq) AS BIGINT) AS total_qty,
+       |  CAST(min(wk.p) AS DOUBLE) AS wmedian_price
+       |FROM wk JOIN st USING (l_returnflag)
+       |WHERE (wk.prior + wk.cw) * 2 >= st.tq
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val SkewTopK = 10
 

@@ -1948,8 +1948,11 @@ object TextAnalysis {
     * token chunking sizes the embedding/LLM calls.
     *
     * Per-word token counts apply the SAME greedy merge fold as the
-    * encoder inside one rowwise `transform` (bounded: words are ≤20
-    * chars, 8 merges). The greedy packing is a single integer fold:
+    * encoder inside one rowwise `transform` (bounded: the fold is
+    * capped at [[BpeMerges]] merges — encode-time words themselves
+    * are unbounded, and only a pathological multi-megabyte "word"
+    * could stress the fold or the <2²¹-token packing lanes below).
+    * The greedy packing is a single integer fold:
     * the accumulator packs (n_chunks, max_fill, cur_fill) into one
     * BIGINT (`nc·2⁴² + mx·2²¹ + cur`) so BOTH engines run a plain
     * BIGINT `list_reduce`/`aggregate` — no struct accumulators to
@@ -2014,7 +2017,13 @@ object TextAnalysis {
          |      WHEN string_split(acc, chr(31))[-1] = mb$i.a AND x = mb$i.b
          |      THEN acc || x ELSE acc || chr(31) || x END) END""".stripMargin
     }
-    val crossB = (1 to BpeMerges).map(i => s"CROSS JOIN b$i mb$i").mkString(" ")
+    // LEFT JOIN ON TRUE (not CROSS JOIN), matching bpeTrainCtesSql /
+    // bpeEncodeCtesSql: if the trainer exhausts before BpeMerges and a
+    // b_i CTE is empty, a CROSS JOIN would zero the whole relation and
+    // make the `mb_i.a IS NULL` guard unreachable; LEFT JOIN keeps the
+    // row and lets the guard skip the missing merge, mirroring the
+    // Spark side's fewer-folds behavior
+    val crossB = (1 to BpeMerges).map(i => s"LEFT JOIN b$i mb$i ON TRUE").mkString(" ")
     s"""WITH $bpeTrainCtesSql,
        |base AS (
        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'),

@@ -56,6 +56,8 @@ object TimeSeries {
     val cal = daily
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    // unpartitioned BY DESIGN: the frame walks the day-grain calendar
+    // spine (one row per day — bounded by elapsed time, not data size)
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cal.join(daily, Seq("day"), "left")
@@ -118,6 +120,8 @@ object TimeSeries {
     val joined = cal.join(daily, Seq("day"), "left")
       .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
         col("raw_rev"))
+    // unpartitioned BY DESIGN: day-grain calendar spine, one row per
+    // day — bounded by elapsed time, not data size
     val ord = Window.orderBy("d")
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -126,6 +126,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("agg_weighted_median: window-free plan — no tiny-partition cumulative sort") {
+    val df = graft.ext.Relational.aggWeightedMedian(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the round-6 audit flagged the old partitionBy(l_returnflag)
+    // cumulative window (3 tasks at any scale); the bisection rework
+    // must keep every stage a hash agg or bounded join
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // still the exact volume-weighted median per flag
+    val out = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty && out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    for ((flag, tot, med) <- out) {
+      val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_extendedprice").cast("decimal(18,2)").cast("double"),
+          col("l_quantity").cast("double"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(math.round(rows.map(_._2).sum) == tot, s"total $flag")
+      val half = rows.map(_._2).sum / 2
+      val below = rows.filter(_._1 < med).map(_._2).sum
+      val upto = rows.filter(_._1 <= med).map(_._2).sum
+      assert(below < half + 1e-6 && upto >= half - 1e-6, s"median bracket $flag")
+      assert(rows.exists(_._1 == med), s"median is an observed price $flag")
+    }
+  }
+
   test("text_vocab: top-K is TakeOrdered, term counts partial-aggregate, no product") {
     val plan = graft.ext.TextAnalysis.textVocab(spark, dir)
       .queryExecution.executedPlan.toString
