@@ -211,6 +211,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures(_, _)),
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
     "mm_audio" -> (Multimodal.mmAudio(_, _)),
+    "mm_image" -> (Multimodal.mmImage(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,5 +492,6 @@ object SparkEntry {
     // oracle recomputes from row attributes: equality proves the
     // WAV encode→RIFF-walk→decode loop exact per asset
     "mm_audio" -> Multimodal.mmAudioSql,
+    "mm_image" -> Multimodal.mmImageSql,
   )
 }

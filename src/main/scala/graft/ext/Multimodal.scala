@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * The header decode tier is REAL: [[ImageHeaderDecoder]] parses
   * PNG/JPEG/GIF headers to true dimensions and
   * [[AudioHeaderDecoder]] parses WAV (RIFF/WAVE) headers to sample
-  * rate/channels/sample count, pure-JVM from the public specs.
-  * Pixel/sample decode and compressed codecs stay a clearly-marked
-  * deterministic STUB behind [[MediaDecoder]] (ffmpeg-class codecs
-  * don't ship in this offline environment); everything Spark-side —
+  * rate/channels/sample count, pure-JVM from the public specs. PNG
+  * PIXEL decode is also real ([[PngCodec]]: inflate + all five
+  * scanline filters, exercised end-to-end by `mm_image`); the
+  * remaining compressed codecs (JPEG pixels, MP3, video) stay a
+  * clearly-marked deterministic STUB behind [[MediaDecoder]]
+  * (ffmpeg-class codecs don't ship in this offline environment);
+  * everything Spark-side —
   * binary column handling, schema, partitioned decode via
   * `mapPartitions`, deterministic frame sampling, digest/size
   * metadata — is real and oracle-/test-covered. Swapping in a
@@ -329,6 +332,88 @@ object Multimodal {
         expr("n_samples * 1000 div sample_rate"))
       .orderBy("asset_id")
   }
+
+  /** Registered IMAGE pixel-decode tier: every image-slice asset gets
+    * a real 8-bit grayscale PNG whose geometry and pixel values
+    * derive deterministically from its row (w = 1 + n_chars mod 32,
+    * h = 1 + id mod 24, pixel(x,y) = (31·id + 7x + 13y) mod 256),
+    * with the scanline filter CYCLING through all five types by row —
+    * synthesized and pixel-decoded back through [[PngCodec]] inside
+    * the partition kernel (the [[mmAudio]] pattern: encode → full
+    * decode per row, no shuffle). The per-channel statistics are
+    * computed from the DECODED pixels, and the oracle recomputes them
+    * in closed form from the row attributes alone — a hash match
+    * proves the deflate→chunk→inflate→unfilter loop bit-exact on
+    * every asset and every filter type. This retires the PNG pixel
+    * stub; JPEG/video stay the documented codec boundary.
+    */
+  def mmImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // assets()'s image slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val w = (1 + nChars % 32).toInt
+        val h = (1 + id % 24).toInt
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = (((id * 31 + 7L * x + 13L * y) % 256).toInt & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = PngCodec.encodeGray8(w, h, px, filterOfRow = r => r % 5)
+        val img = PngCodec.decodeGray8(bytes)
+          .getOrElse(sys.error(s"undecodable PNG for asset $id"))
+        var sum = 0L
+        var mn = 255L
+        var mx = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xff).toLong
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (id, img.width.toLong, img.height.toLong,
+          img.pixels.length.toLong, sum, mn, mx)
+      }
+    }.toDF("asset_id", "width", "height", "n_pixels",
+        "sum_lum", "min_lum", "max_lum")
+      .withColumn("mean_lum_x1000", expr("sum_lum * 1000 div n_pixels"))
+      .orderBy("asset_id")
+  }
+
+  /** Closed form of the synthetic raster: pixel index i has
+    * x = i mod w, y = i div w.
+    */
+  val mmImageSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + n_chars % 32 AS w, 1 + doc_id % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT asset_id, w, h,
+      |    unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM img),
+      |v AS (
+      |  SELECT asset_id, w, h,
+      |    (asset_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256 AS v
+      |  FROM px)
+      |SELECT asset_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(sum(v) AS BIGINT) AS sum_lum,
+      |  CAST(min(v) AS BIGINT) AS min_lum,
+      |  CAST(max(v) AS BIGINT) AS max_lum,
+      |  CAST(sum(v) * 1000 // (w * h) AS BIGINT) AS mean_lum_x1000
+      |FROM v GROUP BY asset_id, w, h
+      |ORDER BY asset_id""".stripMargin
 
   val mmAudioSql: String =
     """SELECT doc_id AS asset_id,

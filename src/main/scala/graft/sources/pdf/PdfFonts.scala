@@ -14,9 +14,14 @@ import scala.collection.mutable
   *     the encoding produced by LaTeX, Word, and Chrome print.
   *   - no CMap: simple fonts fall back to the byte≈Latin-1 heuristic
   *     ([[PdfTextExtractor.decodeText]]); a Type0 font without
-  *     ToUnicode yields no text (its codes are font-internal glyph
-  *     ids — emitting them as chars would silently corrupt the size
-  *     ratios the tool computes; documented scope).
+  *     ToUnicode decodes through [[Utf16GlyphDecoder]] when its
+  *     predefined CMap family declares a Unicode code space
+  *     (the Uni…-UCS2-… and Uni…-UTF16-… common CJK shapes), and
+  *     otherwise yields no text (Identity-H codes are font-internal
+  *     glyph ids; charset-codespace families like GBK-EUC-H would
+  *     need real CMap data tables — emitting raw codes as chars
+  *     would silently corrupt the size ratios the tool computes;
+  *     documented scope).
   */
 private[pdf] sealed trait GlyphDecoder {
   def decode(bytes: Array[Byte]): String
@@ -54,6 +59,38 @@ private[pdf] final case class CMapGlyphDecoder(
 /** A Type0 font whose codes cannot be mapped back to text. */
 private[pdf] case object OpaqueGlyphDecoder extends GlyphDecoder {
   def decode(bytes: Array[Byte]): String = ""
+}
+
+/** Type0 font under a PREDEFINED Unicode-codespace CMap (the
+  * `Uni{JIS,GB,KS,CNS}[2004]-{UCS2,UTF16}-{H,V}` families, ISO 32000
+  * §9.7.5.2 Table 118): those CMaps declare their CODE space as
+  * UCS-2 / UTF-16BE, so for TEXT extraction the shown string's bytes
+  * already ARE Unicode — the CMap's actual payload (code→CID) only
+  * matters for glyph selection, which this tool never does. Decoding
+  * is therefore a strict UTF-16BE walk with no data tables: a
+  * surrogate pair appends the astral char (UTF16 variants), a LONE
+  * surrogate or odd trailing byte is dropped (never garbled — the
+  * unmapped-code policy of the CMap tier). This is the tier pypdf
+  * serves from its bundled predefined-CMap tables; for the
+  * non-Unicode-codespace families (GBK-EUC-H etc.) the codes are
+  * charset bytes, not Unicode, and [[OpaqueGlyphDecoder]] keeps its
+  * no-noise contract.
+  */
+private[pdf] case object Utf16GlyphDecoder extends GlyphDecoder {
+  def decode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 2 <= bytes.length) {
+      val c = (((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)).toChar
+      if (Character.isHighSurrogate(c) && i + 4 <= bytes.length) {
+        val lo = (((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)).toChar
+        if (Character.isLowSurrogate(lo)) { sb += c; sb += lo; i += 4 }
+        else i += 2 // lone high surrogate: drop
+      } else if (Character.isSurrogate(c)) i += 2 // lone surrogate: drop
+      else { sb += c; i += 2 }
+    }
+    sb.toString
+  }
 }
 
 /** Simple-font byte→string table decoder (256 entries), built from a
@@ -106,8 +143,16 @@ private[pdf] object PdfFonts {
         val width = if (isType0) math.max(srcBytes, 2) else srcBytes
         CMapGlyphDecoder(width, map)
       case _ =>
-        if (isType0) OpaqueGlyphDecoder
-        else encodingDecoder(doc, font).getOrElse(DefaultGlyphDecoder)
+        if (isType0) {
+          // predefined Unicode-codespace CMaps need no ToUnicode: the
+          // codes themselves are UCS-2/UTF-16BE (see Utf16GlyphDecoder)
+          val unicodeCodespace = doc.resolve(font.get("Encoding").getOrElse(PNull)) match {
+            case PName(n) =>
+              n.matches("Uni(JIS|GB|KS|CNS)(2004)?-(UCS2|UTF16)-[HV]")
+            case _ => false
+          }
+          if (unicodeCodespace) Utf16GlyphDecoder else OpaqueGlyphDecoder
+        } else encodingDecoder(doc, font).getOrElse(DefaultGlyphDecoder)
     }
   }
 

@@ -49,6 +49,79 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     out.toByteArray
   }
 
+  test("PngCodec: round-trips exercise all five scanline filters exactly") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (3, 2), (17, 5), (32, 24), (1, 9), (40, 1))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      for (ft <- 0 to 4) {
+        val enc = PngCodec.encodeGray8(w, h, px, _ => ft)
+        val dec = PngCodec.decodeGray8(enc).getOrElse(fail(s"decode $w x $h ft=$ft"))
+        assert(dec.width == w && dec.height == h)
+        assert(dec.pixels.sameElements(px), s"$w x $h ft=$ft")
+      }
+      // mixed filters (row-cycling, the mm_image shape)
+      val enc = PngCodec.encodeGray8(w, h, px, r => r % 5)
+      assert(PngCodec.decodeGray8(enc).get.pixels.sameElements(px))
+    }
+  }
+
+  test("PngCodec: output is a real PNG — ImageIO decodes it to the same pixels") {
+    val w = 23; val h = 11
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
+    val enc = PngCodec.encodeGray8(w, h, px, r => r % 5)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = img.getRaster.getSample(x, y, 0)
+      assert(v == (px(y * w + x) & 0xff), s"($x,$y)")
+    }
+  }
+
+  test("PngCodec: decodes a PNG written by a mainstream codec (ImageIO gray fixture)") {
+    val w = 19; val h = 13
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until w; y <- 0 until h)
+      img.getRaster.setSample(x, y, 0, (x * 29 + y * 53) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val dec = PngCodec.decodeGray8(out.toByteArray)
+      .getOrElse(fail("PngCodec rejected an ImageIO PNG"))
+    assert(dec.width == w && dec.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((dec.pixels(y * w + x) & 0xff) == (x * 29 + y * 53) % 256, s"($x,$y)")
+  }
+
+  test("PngCodec: corrupt or out-of-subset inputs yield None, never garbage") {
+    val good = PngCodec.encodeGray8(5, 4, Array.fill(20)(9.toByte))
+    assert(PngCodec.decodeGray8(good).isDefined)
+    // flipped IDAT byte breaks the chunk CRC
+    val bad = good.clone()
+    bad(bad.length - 20) = (bad(bad.length - 20) ^ 0x5a).toByte
+    assert(PngCodec.decodeGray8(bad).isEmpty)
+    assert(PngCodec.decodeGray8(good.take(30)).isEmpty) // truncated
+    assert(PngCodec.decodeGray8("no".getBytes).isEmpty)
+    // RGB (color type 2) is outside the gray8 subset -> None
+    val rgb = imageBytes("png", 6, 6)
+    assert(PngCodec.decodeGray8(rgb).isEmpty)
+  }
+
+  test("mmImage: every image asset's stats equal the closed-form raster") {
+    val rows = Multimodal.mmImage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val (w, h) = (r.getLong(1), r.getLong(2))
+      assert(h == 1 + id % 24)
+      assert(r.getLong(3) == w * h)
+      val vals = for (y <- 0L until h; x <- 0L until w)
+        yield (id * 31 + 7 * x + 13 * y) % 256
+      assert(r.getLong(4) == vals.sum, s"sum $id")
+      assert(r.getLong(5) == vals.min && r.getLong(6) == vals.max, s"minmax $id")
+      assert(r.getLong(7) == vals.sum * 1000 / (w * h), s"mean $id")
+    }
+  }
+
   test("ImageHeaderDecoder: real PNG/JPEG/GIF bytes decode to true dimensions") {
     for ((fmt, w, h) <- Seq(("png", 13, 7), ("jpg", 40, 25), ("gif", 9, 31))) {
       val bytes = imageBytes(fmt, w, h)

@@ -110,6 +110,26 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._2) == Seq("Hello"))
   }
 
+  test("Type0 with a predefined UCS2/UTF16 CMap decodes CJK text without ToUnicode") {
+    // UniGB-UCS2-H: the code space IS UCS-2, so the shown bytes are
+    // the UTF-16BE of the text — here 你好, 世界 (U+4F60 U+597D etc.)
+    val pdf = PdfFixtures.type0Pdf(
+      Seq("4F60597D", "4E16754C"), includeToUnicode = false,
+      encoding = "UniGB-UCS2-H")
+    assert(PdfTextExtractor.extract("cjk.pdf", pdf).map(_._2) == Seq("你好\n世界"))
+    // UTF16 variant: a surrogate pair decodes to the astral char; a
+    // lone surrogate is dropped, never garbled
+    val astral = PdfFixtures.type0Pdf(
+      Seq("D83DDE00D800" + "0041"), includeToUnicode = false,
+      encoding = "UniJIS-UTF16-H")
+    assert(PdfTextExtractor.extract("a.pdf", astral).map(_._2) ==
+      Seq(new String(Character.toChars(0x1F600)) + "A"))
+    // non-Unicode-codespace predefined CMap stays opaque (no noise)
+    val gbk = PdfFixtures.type0Pdf(
+      Seq("4F60597D"), includeToUnicode = false, encoding = "GBK-EUC-H")
+    assert(PdfTextExtractor.extract("g.pdf", gbk).map(_._2).forall(_.isEmpty))
+  }
+
   test("Type0 WITHOUT ToUnicode yields empty text, not glyph-id noise") {
     val out = PdfTextExtractor.extract("t0n.pdf",
       PdfFixtures.type0Pdf(Seq("00010002001000100003"), includeToUnicode = false))

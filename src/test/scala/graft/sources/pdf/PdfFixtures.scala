@@ -258,7 +258,8 @@ object PdfFixtures {
       hexShows: Seq[String],
       compressCMap: Boolean = false,
       includeToUnicode: Boolean = true,
-      inheritResources: Boolean = false): Array[Byte] = {
+      inheritResources: Boolean = false,
+      encoding: String = "Identity-H"): Array[Byte] = {
     val o = new Out
     o << "%PDF-1.4\n%âãÏÓ\n"
     val res = "/Resources << /Font << /F7 5 0 R >> >> "
@@ -276,7 +277,7 @@ object PdfFixtures {
     o.streamObj(4, "", content.getBytes(Ascii))
     o.obj(5) {
       o << "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H " +
-        "/Encoding /Identity-H /DescendantFonts [6 0 R] " +
+        s"/Encoding /$encoding /DescendantFonts [6 0 R] " +
         s"${if (includeToUnicode) "/ToUnicode 7 0 R " else ""}>>"
     }
     o.obj(6) {
