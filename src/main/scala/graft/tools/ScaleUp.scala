@@ -1,0 +1,171 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-up corpus generator for the sf1.0 audit: derives a
+  * factor-N corpus from an existing sf directory so the heavy
+  * queries' scaling exponents can be MEASURED, not argued from plan
+  * inspection. Usage:
+  *
+  *   runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  *
+  * Replica 0 is the source verbatim; replica k ≥ 1 shifts every key
+  * by k·stride (strides preserve the residue classes queries filter
+  * on — the lineitem order stride stays a multiple of 8 for the
+  * graph family's `l_orderkey % 8` subset) and applies a
+  * STRUCTURE-PRESERVING, CROSS-REPLICA-DECORRELATING transform to
+  * the payload:
+  *
+  *   - `documents.text`: per-replica Caesar rotation over letters and
+  *     digits. A character bijection preserves length, shingle-set
+  *     cardinality, and every within-replica similarity relation
+  *     (n-gram Jaccard, MinHash, SimHash bands, winnowing) EXACTLY,
+  *     while making cross-replica shingles disjoint — so near-dup
+  *     density grows linearly with the corpus instead of every
+  *     replica pair colliding.
+  *   - `embeddings.embedding`: per-replica signed coordinate
+  *     rotation (rotate indices by k·23 mod dim, flip deterministic
+  *     signs). A signed permutation is orthogonal: within-replica
+  *     cosines are bit-identical to the source, cross-replica
+  *     cosines are pseudo-random and concentrate near 0 (1/√64
+  *     scale), matching how an iid-grown corpus behaves at a fixed
+  *     threshold.
+  *   - `lineitem`: pure key shifts — ten disjoint copies of the
+  *     co-occurrence graph, the expected linear-growth regime for
+  *     the graph family.
+  *
+  * Everything is written as ONE parquet file per table (the DuckDB
+  * gate reads `<dir>/<table>.parquet` as a file), and the untouched
+  * tables are byte-copied so the directory is a complete corpus.
+  * Deterministic end-to-end: same (src, factor) ⟹ same bytes ⟹ same
+  * Tables.fingerprint, so artifact memos behave exactly as on a real
+  * corpus.
+  */
+object ScaleUp {
+
+  def caesar(s: String, k: Int): String =
+    if (k == 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        sb += (
+          if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + k) % 26).toChar
+          else if (c >= 'A' && c <= 'Z') ('A' + (c - 'A' + k) % 26).toChar
+          else if (c >= '0' && c <= '9') ('0' + (c - '0' + k) % 10).toChar
+          else c)
+        i += 1
+      }
+      sb.toString
+    }
+
+  /** Signed rotation: out(i) = sign(k,i) · in((i + 23k) mod d). */
+  def rotateSigned(v: Array[Float], k: Int): Array[Float] =
+    if (k == 0) v
+    else {
+      val d = v.length
+      val out = new Array[Float](d)
+      var i = 0
+      while (i < d) {
+        val s = if ((((i + 1L) * (2L * k + 1L) * 2654435761L >>> 16) & 1L) == 0L) 1f else -1f
+        out(i) = s * v((i + 23 * k) % d)
+        i += 1
+      }
+      out
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    require(factor >= 1 && factor <= 100, s"bad factor $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scaleup")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    /** Write df as the single file `<out>/<table>.parquet`. */
+    def writeOne(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      val tmp = s"$out/_tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$out/$table.parquet")
+      java.nio.file.Files.deleteIfExists(dst)
+      java.nio.file.Files.move(part.toPath, dst)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      println(s"[scaleup] wrote $table.parquet")
+    }
+
+    // documents: id shift + per-replica Caesar payload
+    val docStride = spark.read.parquet(s"$src/documents.parquet")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).as[Long].head() + 1
+    writeOne(
+      spark.read.parquet(s"$src/documents.parquet")
+        .as[(Long, String, String, String, Long)]
+        .flatMap { case (id, text, lang, source, n) =>
+          (0 until factor).iterator.map(k =>
+            (id + k * docStride, caesar(text, k), lang, source, n))
+        }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "documents")
+
+    // embeddings: id shift + signed rotation
+    val vecStride = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max("vec_id")).as[Long].head() + 1
+    writeOne(
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .as[(Long, Array[Float], Int)]
+        .flatMap { case (id, emb, label) =>
+          (0 until factor).iterator.map(k =>
+            (id + k * vecStride, rotateSigned(emb, k), label))
+        }.toDF("vec_id", "embedding", "label"),
+      "embeddings")
+
+    // lineitem: pure key shifts; order stride rounded up to a
+    // multiple of 8 so the `l_orderkey % 8` graph subset keeps its
+    // exact density in every replica
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val (maxOrd, maxPart, maxSupp) = li
+      .agg(org.apache.spark.sql.functions.max("l_orderkey"),
+        org.apache.spark.sql.functions.max("l_partkey"),
+        org.apache.spark.sql.functions.max("l_suppkey"))
+      .as[(Long, Long, Long)].head()
+    val ordStride = ((maxOrd + 8) / 8) * 8
+    val partStride = maxPart + 1
+    val suppStride = maxSupp + 1
+    import org.apache.spark.sql.functions._
+    val reps = spark.range(0, factor).toDF("k")
+    writeOne(
+      li.crossJoin(broadcast(reps))
+        .select(
+          (col("l_orderkey") + col("k") * ordStride).as("l_orderkey"),
+          (col("l_partkey") + col("k") * partStride).as("l_partkey"),
+          (col("l_suppkey") + col("k") * suppStride).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate")),
+      "lineitem")
+
+    // remaining tables: verbatim byte copies (complete corpus dir)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events")) {
+      val s = java.nio.file.Paths.get(s"$src/$t.parquet")
+      val d = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (java.nio.file.Files.exists(s)) {
+        java.nio.file.Files.copy(s, d,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        println(s"[scaleup] copied $t.parquet")
+      }
+    }
+    println(s"[scaleup] done: $out (factor $factor)")
+    spark.stop()
+  }
+}
