@@ -28,6 +28,14 @@ import java.util.concurrent.atomic.AtomicBoolean
   *    hook finalizes them once more, so even a hard kill leaves the last
   *    consistent state on disk; queries the deadline skipped are listed
   *    in `skipped`, never conflated with failures.
+  *
+  * Round-8 hardening (the two failure modes that invalidated
+  * BENCH_r07): durable-artifact builds are hoisted into an untimed
+  * phase 0 reported as `build_s`, a fixed synthetic calibration probe
+  * is recorded as `calib_s` so cross-round comparisons can normalize
+  * out degraded-box windows, and the rep policy degrades to 1 hot rep
+  * (suite-wide when calib says the box is slow; always for sub-0.3 s
+  * queries) so 100% cold + ≥1-rep hot coverage always fits.
   */
 object Bench {
 
@@ -79,6 +87,36 @@ object Bench {
     spark.range(0, 1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Ambient-calibration probe (round 8, VERDICT r7 "what's wrong" #1
+    // cause B): a FIXED synthetic job — seeded 1e8-row shuffle + hash
+    // agg, no data dependence, no disk reads after warm-up — timed at
+    // JVM start and recorded as `calib_s` in the artifact. A reader
+    // comparing BENCH_rN across rounds can normalize by calib_s to
+    // separate code regressions from degraded-box windows (the r7
+    // bench ran in a ~2x-slow window that a judge A/B/A control had
+    // to reconstruct after the fact; now the artifact carries its own
+    // control). Min of 2 reps: same additive-noise argument as the
+    // hot statistic below.
+    def calibRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 64)
+        .selectExpr("id % 1024 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibS = math.min(calibRun(), calibRun())
+    // Nominal value of the same probe measured on a healthy, settled
+    // box at round 8 (local[32], 128 GiB): ~1.1 s. calib_ratio > ~1.5
+    // means the box is degraded; the hot protocol degrades to 1 rep
+    // per query so the cold pass + at least one full hot pass always
+    // fit the deadline (the r7 failure: 2x box + artifact rebuilds ->
+    // 27 queries never ran at all).
+    val CalibRefSec = 1.1
+    val degraded = calibS > CalibRefSec * 1.5
+    System.err.println(
+      f"[bench] calib_s=$calibS%.2f ref=$CalibRefSec (degraded=$degraded)")
+
     // optional comma-separated query filter: profile one query's cold
     // path in a fresh JVM without the full-suite warm-up ahead of it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -113,6 +151,12 @@ object Bench {
     }
     val states = selected.map { case (n, _) => new QState(n) }
     val fns = selected.toMap
+    // declared here (before the artifact-writing closures capture
+    // them); populated by the phase-0 prebuild loop below
+    val artifactBuilders = Seq("sim_ivf", "sim_pq", "text_rank", "text_bpe",
+      "dedup_cluster", "graph_pagerank", "graph_components")
+      .filter(fns.contains)
+    val buildTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     def timedRun(st: QState): Double = {
       val t0 = System.nanoTime()
@@ -158,8 +202,13 @@ object Bench {
         .mkString("{", ",", "}")
       val reps = states.map(s => s""""${s.name}":${s.hots.size}""")
         .mkString("{", ",", "}")
+      val builds = buildTimes.map { case (n, t) => s""""$n":${r3d(t)}""" }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3d(total)},"unit":"sec",""" +
         s""""hot_total":${r3d(hotTotal)},"core_hot":${r3d(coreHot)},""" +
+        s""""calib_s":${r3d(calibS)},"calib_ref_s":$CalibRefSec,""" +
+        s""""degraded":$degraded,""" +
+        s""""build_s":${r3d(buildTimes.values.sum)},"build_queries":$builds,""" +
         s""""queries":$qs,"queries_hot":$qh,"hot_reps":$reps,""" +
         s""""hot_protocol":"min_of_reps","min_hot_reps":$minReps,""" +
         s""""n_queries":${states.size},"n_completed":${doneSt.size},""" +
@@ -191,6 +240,7 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
           s""""hot_total":${r2(hotTotal)},"core_hot":${r2(coreHot)},""" +
+          s""""calib_s":${r2(calibS)},"build_s":${r2(buildTimes.values.sum)},""" +
           s""""n_queries":${states.size},"n_completed":${doneSt.size},""" +
           s""""n_skipped":${states.count(!_.ran)},""" +
           s""""omitted_fast":${doneSt.size - kept.size},""" +
@@ -234,6 +284,38 @@ object Bench {
     // anyway, still flush consistent artifacts and the stdout line.
     Runtime.getRuntime.addShutdownHook(new Thread(() => finalize_()))
 
+    // Phase 0 (round 8, VERDICT r7 #2a): build/load every DURABLE
+    // artifact BEFORE the timed cold pass, timed separately as
+    // `build_s`. At a round boundary the corpus is regenerated, the
+    // Tables.fingerprint changes, and every ArtifactStore entry
+    // misses — in r7 those rebuilds landed INSIDE timed cold runs
+    // (pipeline_survivor 26.1 s vs 0.51 s with warm artifacts) and
+    // poisoned the artifact. One query per artifact kind: sim_ivf
+    // (ivf-model-v1), sim_pq (pq-model-v1), text_rank
+    // (textrank-edges-v1), text_bpe (bpe-merges-v1), dedup_cluster
+    // (dedup-cluster-v1), graph_pagerank (graph-edges-v1),
+    // graph_components (graph-cc-v1). With warm artifacts this phase
+    // costs ~4 s; with a fresh corpus it pays the honest build cost
+    // where a reader can SEE it. Side effect: these queries' in-
+    // session memos are warm too, so their "cold" numbers are serve
+    // time — exactly the semantics already documented for the
+    // `memoized_hot` list, which contains all of them.
+    for (name <- artifactBuilders) {
+      // Leave ≥ 150 s for the cold pass: a pathological fresh-corpus
+      // build sequence must degrade to in-cold-pass builds (the old
+      // behavior) rather than eat the whole budget here.
+      if (timeLeftSec > 150.0) {
+        val t0 = System.nanoTime()
+        try { fns(name)(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] prebuild $name FAILED: ${e.getMessage}")
+        }
+        buildTimes(name) = (System.nanoTime() - t0) / 1e9
+      }
+    }
+    System.err.println(f"[bench] build_s=${buildTimes.values.sum}%.2f " +
+      s"(${buildTimes.size}/${artifactBuilders.size} prebuilt)")
+
     // Phase 1: cold pass (coverage first). 5 s floor: below that there is
     // no time for even a cheap query — stop and keep what we have.
     val it1 = states.iterator
@@ -251,8 +333,18 @@ object Bench {
     // Headroom rule: only spend a rep if 1.3x the query's last observed
     // time fits in the remaining budget, so one huge query near the
     // deadline can't starve the cheap ones behind it.
+    // Rep policy (round 8, VERDICT r7 #8 + #2c): queries whose cold
+    // run is < 0.3 s carry no regression signal beyond their cold
+    // number — one hot rep suffices; reps 2-3 across ~70 such queries
+    // were ~50 s of pure deadline burn. And on a degraded box
+    // (calib_ratio > 1.5) everything gets exactly one hot rep: full
+    // cold + full 1-rep hot coverage beats 3-rep numbers for half the
+    // suite (the r7 failure mode).
+    def maxReps(st: QState): Int =
+      if (degraded || st.cold < 0.3) 1 else 3
     for (pass <- 1 to 3 if !halted) {
-      for (st <- states.sortBy(_.cold) if st.done && st.hots.size < pass && !halted) {
+      for (st <- states.sortBy(_.cold)
+           if st.done && st.hots.size < math.min(pass, maxReps(st)) && !halted) {
         val lastObs = if (st.hots.nonEmpty) st.hots.last else st.cold
         if (timeLeftSec < 2.0) halted = true
         else if (timeLeftSec > math.max(2.0, lastObs * 1.3)) {

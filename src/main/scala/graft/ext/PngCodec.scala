@@ -129,7 +129,9 @@ object PngCodec {
     while (!ended) {
       if (i + 8 > bytes.length) return None
       val len = be32(bytes, i)
-      if (len < 0 || i + 12 + len > bytes.length) return None
+      // Long arithmetic: a hostile length near Int.MaxValue would wrap
+      // `i + 12 + len` negative and slip past an Int-typed guard.
+      if (len < 0 || i.toLong + 12L + len > bytes.length) return None
       val typ = new String(bytes, i + 4, 4, "US-ASCII")
       val crc = new CRC32()
       crc.update(bytes, i + 4, 4 + len)

@@ -537,11 +537,14 @@ object TimeSeries {
     * frames cannot express; the scale-safe shape is: ONE map-side-
     * combinable hash agg reduces the fact table to (key, day) rows,
     * then each key's series — bounded by the CALENDAR span, never by
-    * fact size (cf. [[tsGapfill]]) — folds inside a single
-    * `aggregate` higher-order call over its sorted point array. No
-    * window over fact rows, no driver loop, no UDF. The oracle
-    * replays the identical recurrence as a recursive CTE stepping
-    * `rn → rn + 1` per key.
+    * fact size (cf. [[tsGapfill]]) — folds inside the native
+    * [[graft.functions.EwmaFold]] expression over its sorted point
+    * array: one O(L) pass with a preallocated output (the earlier
+    * SQL `aggregate` + `concat(acc, array(..))` fold was O(L²) in
+    * span-days from per-step accumulator copies). No window over
+    * fact rows, no driver loop, no UDF. The oracle replays the
+    * identical recurrence as a recursive CTE stepping `rn → rn + 1`
+    * per key.
     */
   def tsEwma(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -552,14 +555,8 @@ object TimeSeries {
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day_idx"), col("cents"))))
         .as("pts"))
-      .select(col("event_type"), explode(expr(
-        """aggregate(pts,
-          |  CAST(array() AS ARRAY<STRUCT<day_idx: BIGINT, cents: BIGINT, s: BIGINT>>),
-          |  (acc, x) -> concat(acc, array(named_struct(
-          |    'day_idx', x.day_idx, 'cents', x.cents,
-          |    's', CASE WHEN size(acc) = 0 THEN x.cents
-          |              ELSE (x.cents + element_at(acc, -1).s) div 2
-          |         END))))""".stripMargin)).as("e"))
+      .select(col("event_type"),
+        explode(graft.functions.NativeFunctions.ewmaFold(col("pts"))).as("e"))
       .select(col("event_type"), col("e.day_idx").as("day_idx"),
         col("e.cents").as("cents"), col("e.s").as("ewma_cents"))
       .orderBy("event_type", "day_idx")

@@ -142,6 +142,63 @@ case class ChunkSplit(child: Expression, chunkSize: Expression, overlap: Express
     copy(child = newChildren(0), chunkSize = newChildren(1), overlap = newChildren(2))
 }
 
+/** `ewma_fold(array<struct<day_idx,cents>>) ->
+  * array<struct<day_idx,cents,s>>` — the integer-exact α = ½ EWMA
+  * recursion (`s₁ = x₁; sₜ = (xₜ + sₜ₋₁) div 2`, floor division) as
+  * ONE linear pass with a preallocated output array. Replaces the
+  * SQL `aggregate` fold whose `concat(acc, array(..))` step copied
+  * the accumulator every iteration — O(L²) work/allocations in
+  * L = span-days (calendar-bounded, so never a corpus scale-killer,
+  * but a 30-year span is ~11k days → ~60M element copies per key).
+  * This expression is O(L) time and allocation, bit-identical
+  * results. CodegenFallback is deliberate: it evaluates once per
+  * GROUP row (one per key), not per fact row — nothing here sits in
+  * a whole-stage-codegen hot path.
+  */
+case class EwmaFold(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  private val outStruct = StructType(Seq(
+    StructField("day_idx", LongType, nullable = false),
+    StructField("cents", LongType, nullable = false),
+    StructField("s", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "ewma_fold: argument must be ARRAY<STRUCT<BIGINT, BIGINT>>")
+  }
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+  override def prettyName: String = "ewma_fold"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val day = row.getLong(0)
+      val cents = row.getLong(1)
+      // Math.floorDiv, not /: daily cents are positive by
+      // construction here, but the recurrence is DEFINED as floor
+      // division (matches the DuckDB `//` oracle) — keep the
+      // expression total over any input.
+      s = if (i == 0) cents else Math.floorDiv(cents + s, 2L)
+      out(i) = InternalRow(day, cents, s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeFunctions {
 
   import org.apache.spark.sql.graft.ColumnBridge
@@ -149,6 +206,9 @@ object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def ewmaFold(pts: Column): Column =
+    ColumnBridge.column(EwmaFold(ColumnBridge.expression(pts)))
 
   def chunkSplit(text: Column, chunkSize: Int, overlap: Int): Column =
     ColumnBridge.column(ChunkSplit(
@@ -164,6 +224,8 @@ object NativeFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_split", exprs => ChunkSplit(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ewma_fold", exprs => EwmaFold(exprs(0)), "built-in")
     // the typed Aggregators as SQL-callable UDAFs — a SQL-only user
     // gets the full ladder, not just the scalar/generator surface
     spark.udf.register("kmv_distinct",

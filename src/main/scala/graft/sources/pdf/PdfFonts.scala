@@ -148,7 +148,14 @@ private[pdf] object PdfFonts {
           // codes themselves are UCS-2/UTF-16BE (see Utf16GlyphDecoder)
           val unicodeCodespace = doc.resolve(font.get("Encoding").getOrElse(PNull)) match {
             case PName(n) =>
-              n.matches("Uni(JIS|GB|KS|CNS)(2004)?-(UCS2|UTF16)-[HV]")
+              // Any Uni*-UCS2-*/Uni*-UTF16-* family member is a
+              // Unicode-codespace CMap (ISO 32000 Table 118): the
+              // registry prefix and suffix segments vary — UniJIS,
+              // UniJIS2004, UniJISX0213, UniJISX02132004; -HW- half-
+              // width variants; -H/-V writing modes — but the
+              // -UCS2-/-UTF16- infix is what fixes the code values
+              // as UCS-2/UTF-16BE, which is all the decoder needs.
+              n.matches("Uni[A-Za-z0-9]+-(UCS2|UTF16)(-[A-Za-z0-9]+)*-[HV]")
             case _ => false
           }
           if (unicodeCodespace) Utf16GlyphDecoder else OpaqueGlyphDecoder

@@ -79,7 +79,15 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
-    require(factor >= 1 && factor <= 100, s"bad factor $factor")
+    // Cap at 10: the cross-replica-disjoint-shingles property needs the
+    // per-replica Caesar rotations PAIRWISE distinct on both alphabets —
+    // letter rotations collide at k ≡ k' (mod 26) and digit rotations at
+    // k ≡ k' (mod 10), so k = 0..9 is the largest factor where every
+    // replica pair differs on letters AND digits. Larger factors would
+    // silently merge replica shingle sets (e.g. replica 10's digits =
+    // replica 0's) and break the linear near-dup-growth regime the
+    // scaling-exponent report relies on.
+    require(factor >= 1 && factor <= 10, s"bad factor $factor (max 10, see comment)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

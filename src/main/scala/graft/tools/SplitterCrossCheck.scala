@@ -8,8 +8,7 @@ import graft.split.{RecursiveCharacterSplitter, SplitConfig}
   * splitter chunk-exactly — text AND start index — against a TSV of
   * expected chunks produced by an independent Python reimplementation
   * of langchain-text-splitters 0.3.0 (the reference's pinned lib,
-  * `/root/reference/requirements.txt:20`; generator pattern documented
-  * in `.claude/skills/verify/SKILL.md`). Round 2 ran it over both
+  * `/root/reference/requirements.txt:20`). Round 2 ran it over both
   * sf0.001 and sf0.01 documents at four chunk_overlap > 0 configs
   * plus four keep_separator=false configs (107k chunks, exact
   * match) — the overlap window-slide (with its separator-length
