@@ -212,6 +212,7 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
     "mm_audio" -> (Multimodal.mmAudio(_, _)),
     "mm_image" -> (Multimodal.mmImage(_, _)),
+    "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -493,5 +494,6 @@ object SparkEntry {
     // WAV encode→RIFF-walk→decode loop exact per asset
     "mm_audio" -> Multimodal.mmAudioSql,
     "mm_image" -> Multimodal.mmImageSql,
+    "mm_image_jpeg" -> Multimodal.mmImageJpegSql,
   )
 }

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF headers to true dimensions and
   * [[AudioHeaderDecoder]] parses WAV (RIFF/WAVE) headers to sample
   * rate/channels/sample count, pure-JVM from the public specs. PNG
-  * PIXEL decode is also real ([[PngCodec]]: inflate + all five
-  * scanline filters, exercised end-to-end by `mm_image`); the
-  * remaining compressed codecs (JPEG pixels, MP3, video) stay a
+  * PIXEL decode is real ([[PngCodec]]: inflate + all five scanline
+  * filters, exercised end-to-end by `mm_image`), and so is baseline
+  * JPEG PIXEL decode ([[JpegCodec]]: Huffman + dequant + IDCT from
+  * ISO/IEC 10918-1, exercised by `mm_image_jpeg`); the remaining
+  * compressed codecs (progressive JPEG, MP3, video) stay a
   * clearly-marked deterministic STUB behind [[MediaDecoder]]
   * (ffmpeg-class codecs don't ship in this offline environment);
   * everything Spark-side —
@@ -389,6 +391,107 @@ object Multimodal {
       .withColumn("mean_lum_x1000", expr("sum_lum * 1000 div n_pixels"))
       .orderBy("asset_id")
   }
+
+  /** Registered JPEG pixel-decode tier (round 8 — retires the JPEG
+    * tier of the pixel stub the same way [[mmImage]] retired PNG's):
+    * every image-slice asset gets a real baseline JFIF JPEG built
+    * from 8×8-aligned CONSTANT blocks (wb = 1 + n_chars mod 4 blocks
+    * wide, hb = 1 + id mod 3 high; block(bx,by) = (17·id + 5·bx +
+    * 11·by) mod 256) encoded with the flat-8 quantization table —
+    * the one family where the lossy DCT pipeline is provably
+    * LOSSLESS: a constant level-shifted block has DC = 8·(v−128) and
+    * zero AC, quantizer 8 inverts the DC gain exactly, and the IDCT
+    * of a DC-only block is an exact constant fill. So
+    * FDCT→quant→Huffman→parse→Huffman⁻¹→dequant→IDCT reconstructs
+    * every pixel bit-exactly, and the oracle states the decoded
+    * statistics in closed form over the block grid. Encode and full
+    * pixel decode run through [[JpegCodec]] inside the partition
+    * kernel ([[mmAudio]]'s pattern — per-row imperative binary work,
+    * no shuffle). Progressive JPEG / MP3 / video remain the
+    * documented boundary.
+    */
+  def mmImageJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // assets()'s image slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val wb = (1 + nChars % 4).toInt
+        val hb = (1 + id % 3).toInt
+        val w = wb * 8
+        val h = hb * 8
+        val px = new Array[Byte](w * h)
+        var by = 0
+        while (by < hb) {
+          var bx = 0
+          while (bx < wb) {
+            val v = (((17L * id + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                px((by * 8 + y) * w + bx * 8 + x) = v
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = JpegCodec.encodeGray8(w, h, px, JpegCodec.flatQuant(8))
+        val img = JpegCodec.decodeGray8(bytes)
+          .getOrElse(sys.error(s"undecodable JPEG for asset $id"))
+        var sum = 0L
+        var mn = 255L
+        var mx = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xff).toLong
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (id, img.width.toLong, img.height.toLong,
+          img.pixels.length.toLong, sum, mn, mx, bytes.length.toLong)
+      }
+    }.toDF("asset_id", "width", "height", "n_pixels",
+        "sum_lum", "min_lum", "max_lum", "n_bytes")
+      .withColumn("mean_lum_x1000",
+        expr("sum_lum * 1000 div n_pixels"))
+      .drop("n_bytes") // sanity field for local debugging, not oracled
+      .orderBy("asset_id")
+  }
+
+  /** Closed form over the BLOCK grid (each 8×8 block contributes 64
+    * identical pixels, so sum = 64·Σv and min/max range over block
+    * values).
+    */
+  val mmImageJpegSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + n_chars % 4 AS wb, 1 + doc_id % 3 AS hb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |blk AS (
+      |  SELECT asset_id, wb, hb,
+      |    unnest(generate_series(0, wb * hb - 1)) AS i
+      |  FROM img),
+      |v AS (
+      |  SELECT asset_id, wb, hb,
+      |    (17 * asset_id + 5 * (i % wb) + 11 * (i // wb)) % 256 AS v
+      |  FROM blk)
+      |SELECT asset_id,
+      |  CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+      |  CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+      |  CAST(sum(v) * 64 AS BIGINT) AS sum_lum,
+      |  CAST(min(v) AS BIGINT) AS min_lum,
+      |  CAST(max(v) AS BIGINT) AS max_lum,
+      |  CAST(sum(v) * 64 * 1000 // (wb * hb * 64) AS BIGINT) AS mean_lum_x1000
+      |FROM v GROUP BY asset_id, wb, hb
+      |ORDER BY asset_id""".stripMargin
 
   /** Closed form of the synthetic raster: pixel index i has
     * x = i mod w, y = i div w.
