@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Assemble SCALEUP_r07.json from two Bench artifacts (sf0.1 and the
+"""Assemble SCALEUP_rNN.json from two Bench artifacts (sf0.1 and the
 ScaleUp-derived factor-10 corpus) plus a parity map produced by
 scripts/check.py runs against the scaled corpus.
 
@@ -40,7 +40,7 @@ def main():
         }
 
     report = {
-        "round": 7,
+        "round": 8,
         "factor": factor,
         "method": (
             "factor-10 corpus derived from sf0.1 by graft.tools.ScaleUp: "

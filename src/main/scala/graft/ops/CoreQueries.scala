@@ -115,7 +115,8 @@ object CoreQueries {
 
   val docChunkStatsSql: String =
     s"""$fixturePerDocSql
-       |SELECT path, pages, chunks, file_size, text_size, ratio
+       |SELECT path, pages, chunks, file_size, text_size, ratio,
+       |       CAST(0 AS BIGINT) AS unmapped_fonts
        |FROM stats ORDER BY path""".stripMargin
 
   /** The reference's formatted report: thousands-separated counts
@@ -131,7 +132,8 @@ object CoreQueries {
        |       format('{:,}', file_size) AS "File Size",
        |       format('{:,}', text_size) AS "Text Size",
        |       CASE WHEN ratio IS NULL THEN 'N/A'
-       |            ELSE printf('%.2f', ratio) END AS "Ratio"
+       |            ELSE printf('%.2f', ratio) END AS "Ratio",
+       |       '0' AS "Unmapped Fonts"
        |FROM stats ORDER BY "Filename"""".stripMargin
 
   val sqlChunkSplitSql: String =

@@ -18,10 +18,25 @@ import graft.Page
   * implementation would likewise drop in without touching the
   * pipeline.
   */
+/** One decoded page plus decode telemetry. `unmappedFonts` counts
+  * the distinct font resources whose shown text was dropped as
+  * opaque (see [[graft.Page.unmappedFonts]]); non-font-aware
+  * extractors leave it 0.
+  */
+final case class ExtractedPage(
+    page: Int, text: String, unmappedFonts: Long = 0L)
+
 trait PageExtractor extends Serializable {
 
   /** Decode one file's payload into (0-based page, raw page text). */
   def extract(path: String, bytes: Array[Byte]): Seq[(Int, String)]
+
+  /** Decode with per-page telemetry. Default: wrap [[extract]] with
+    * zero counts; codec-backed extractors override to report what
+    * they dropped.
+    */
+  def extractDetailed(path: String, bytes: Array[Byte]): Seq[ExtractedPage] =
+    extract(path, bytes).map { case (p, t) => ExtractedPage(p, t) }
 }
 
 /** UTF-8 plain text: whole payload is a single page 0. Page breaks on
@@ -63,8 +78,8 @@ object FileSources {
     files.select(col("path"), col("length"), col("content"))
       .as[(String, Long, Array[Byte])]
       .flatMap { case (path, length, content) =>
-        extractor.extract(path, content).map { case (pageNo, text) =>
-          Page(path, pageNo, text, length)
+        extractor.extractDetailed(path, content).map { p =>
+          Page(path, p.page, p.text, length, p.unmappedFonts)
         }
       }
   }

@@ -26,16 +26,28 @@ object PdfTextExtractor extends PageExtractor {
     * reference's per-file error handling, `pdf_reader.py:567-575`).
     */
   def extract(path: String, bytes: Array[Byte]): Seq[(Int, String)] =
+    extractDetailed(path, bytes).map(p => (p.page, p.text))
+
+  /** Page text plus honest telemetry: `unmappedFonts` counts the
+    * distinct font resources on the page whose shown text was
+    * DROPPED as opaque (Type0 without ToUnicode under a non-Unicode
+    * predefined CMap such as GBK-EUC-H, or with a corrupt CMap) —
+    * the no-noise contract means such pages extract silently empty,
+    * and this count is what makes that visible in `fileStats`
+    * (VERDICT r6/r7 honest-telemetry ask).
+    */
+  override def extractDetailed(
+      path: String, bytes: Array[Byte]): Seq[graft.sources.ExtractedPage] =
     try {
       val doc = new PdfDocument(bytes)
       doc.pagesWithResources.zipWithIndex.map { case ((page, res), i) =>
-        val text = try {
+        val (text, dropped) = try {
           val fonts = PdfFonts.forPage(doc, res)
-          extractText(doc.pageContent(page), fonts)
+          extractTextTelemetry(doc.pageContent(page), fonts)
         } catch {
-          case scala.util.control.NonFatal(_) => ""
+          case scala.util.control.NonFatal(_) => ("", 0L)
         }
-        (i, text)
+        graft.sources.ExtractedPage(i, text, dropped)
       }
     } catch {
       // any malformation (parse errors, corrupt flate data, bad
@@ -53,22 +65,35 @@ object PdfTextExtractor extends PageExtractor {
     * with no font in scope, the BOM/Latin-1 heuristic applies.
     */
   private[pdf] def extractText(
-      content: Array[Byte], fonts: Map[String, GlyphDecoder]): String = {
+      content: Array[Byte], fonts: Map[String, GlyphDecoder]): String =
+    extractTextTelemetry(content, fonts)._1
+
+  /** The walk, also reporting how many DISTINCT font resources had
+    * shown text dropped by [[OpaqueGlyphDecoder]] (nonempty string
+    * payloads only — an opaque font that never shows text is not a
+    * data-loss event).
+    */
+  private[pdf] def extractTextTelemetry(
+      content: Array[Byte], fonts: Map[String, GlyphDecoder]): (String, Long) = {
     val lx = new PdfLexer(content)
     val sb = new StringBuilder
     var operands = List.empty[PdfObj]
     var shownOnLine = false
     var decoder: GlyphDecoder = DefaultGlyphDecoder
+    var decoderName = "" // resource name of the current font ("" = none)
+    val droppedFonts = scala.collection.mutable.Set.empty[String]
     // q/Q save/restore: the text font is part of the graphics state,
     // and real producers wrap text blocks in q..Q — a Q must restore
     // the font selected before the matching q
-    var gsStack = List.empty[GlyphDecoder]
+    var gsStack = List.empty[(GlyphDecoder, String)]
 
     def newline(): Unit = {
       if (shownOnLine) { sb += '\n'; shownOnLine = false }
     }
     def show(obj: PdfObj): Unit = obj match {
       case PStr(b) =>
+        if ((decoder eq OpaqueGlyphDecoder) && b.nonEmpty)
+          droppedFonts += decoderName
         sb ++= decoder.decode(b)
         shownOnLine = true
       case _ => ()
@@ -98,10 +123,12 @@ object PdfTextExtractor extends PageExtractor {
             // operands are pushed head-first: List(size, fontName)
             operands.collectFirst { case PName(n) => n }.foreach { name =>
               decoder = fonts.getOrElse(name, DefaultGlyphDecoder)
+              decoderName = name
             }
-          case "q" => gsStack = decoder :: gsStack
+          case "q" => gsStack = (decoder, decoderName) :: gsStack
           case "Q" => gsStack match {
-            case d :: rest => decoder = d; gsStack = rest
+            case (d, n) :: rest =>
+              decoder = d; decoderName = n; gsStack = rest
             case Nil => () // unbalanced Q: tolerate
           }
           case "Td" | "TD" | "T*" | "Tm" => newline()
@@ -114,7 +141,7 @@ object PdfTextExtractor extends PageExtractor {
         operands = Nil
       }
     }
-    sb.toString
+    (sb.toString, droppedFonts.size.toLong)
   }
 
   /** PDF text-string decoding: UTF-16BE with BOM, else Latin-1 (the

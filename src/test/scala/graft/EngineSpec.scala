@@ -69,7 +69,10 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       .filter(_.endsWith(".csv"))
     assert(csv.length == 1)
     val lines = Files.readAllLines(Paths.get(csv.head))
-    assert(lines.get(0) == "Filename,Pages,Chunks,File Size,Text Size,Ratio")
+    // the 7th column is the engine's deliberate extension beyond the
+    // reference's six (unmapped-font honest telemetry, VERDICT r6/r7)
+    assert(lines.get(0) ==
+      "Filename,Pages,Chunks,File Size,Text Size,Ratio,Unmapped Fonts")
     assert(lines.get(lines.size - 1).startsWith("SUM TOTAL"))
   }
 
@@ -88,7 +91,7 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     val back = spark.read.json(s"$out/meta")
     assert(back.count() == stats.count())
     assert(back.columns.sorted.toSeq ==
-      Seq("chunks", "fileSize", "pages", "path", "ratio", "textSize"))
+      Seq("chunks", "fileSize", "pages", "path", "ratio", "textSize", "unmappedFonts"))
   }
 
   test("report shows basenames, not full paths (P2)") {

@@ -419,4 +419,56 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     assert(stats("b.pdf").fileSize ==
       java.nio.file.Files.size(dir.resolve("b.pdf")))
   }
+
+  test("unmapped_font telemetry: GBK-EUC-H drops are counted, mapped fonts are not") {
+    // charset-codespace predefined CMap: text dropped as opaque (the
+    // no-noise contract) — the page must REPORT the silent drop
+    val gbk = PdfFixtures.type0Pdf(
+      Seq("4F60597D"), includeToUnicode = false, encoding = "GBK-EUC-H")
+    val gbkPages = PdfTextExtractor.extractDetailed("g.pdf", gbk)
+    assert(gbkPages.map(_.text) == Seq(""))
+    assert(gbkPages.map(_.unmappedFonts) == Seq(1L))
+    // same count for Identity-H without ToUnicode (glyph-id drop)
+    val idh = PdfFixtures.type0Pdf(
+      Seq("00010002"), includeToUnicode = false)
+    assert(PdfTextExtractor.extractDetailed("i.pdf", idh)
+      .map(_.unmappedFonts) == Seq(1L))
+    // fully-mapped fonts report zero: ToUnicode, predefined Unicode
+    // codespace, and plain simple-font pages
+    for (pdf <- Seq(
+        PdfFixtures.type0Pdf(Seq("00010002001000100003")),
+        PdfFixtures.type0Pdf(Seq("4F60597D"),
+          includeToUnicode = false, encoding = "UniGB-UCS2-H"),
+        PdfFixtures.classicPdf(Seq("hello world"))))
+      assert(PdfTextExtractor.extractDetailed("ok.pdf", pdf)
+        .map(_.unmappedFonts) == Seq(0L))
+    // one font counted once across many shows; distinct per font
+    val multi = PdfFixtures.type0Pdf(
+      Seq("4F60", "597D", "4E16"), includeToUnicode = false,
+      encoding = "GBK-EUC-H")
+    assert(PdfTextExtractor.extractDetailed("m.pdf", multi)
+      .map(_.unmappedFonts) == Seq(1L))
+  }
+
+  test("unmapped_font flows to FileStats and the report column (honest telemetry)") {
+    val dir = java.nio.file.Files.createTempDirectory("gbkpdf")
+    java.nio.file.Files.write(dir.resolve("cjk.pdf"),
+      PdfFixtures.type0Pdf(Seq("4F60597D"),
+        includeToUnicode = false, encoding = "GBK-EUC-H"))
+    java.nio.file.Files.write(dir.resolve("ok.pdf"),
+      PdfFixtures.classicPdf(Seq("some latin text here")))
+    val opts = graft.Engine.Options(glob = "*.pdf",
+      extractor = PdfTextExtractor,
+      split = SplitConfig(chunkSize = 50, chunkOverlap = 0))
+    val stats = graft.Engine.fileStats(spark, dir.toString, opts)
+      .collect().map(s => s.path.split('/').last -> s).toMap
+    assert(stats("cjk.pdf").unmappedFonts == 1L)
+    assert(stats("cjk.pdf").chunks == 0L) // silently-empty without the flag
+    assert(stats("ok.pdf").unmappedFonts == 0L)
+    val report = graft.Engine.report(spark, dir.toString, opts)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("Unmapped Fonts")).toMap
+    assert(report("cjk.pdf") == "1")
+    assert(report("ok.pdf") == "0")
+    assert(report("SUM TOTAL") == "1") // rollup sums the telemetry
+  }
 }
