@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Scale-aware parity gate for the ScaleUp-derived corpus.
+
+The standard gate (scripts/check.py) replays every DuckDB oracle on the
+scaled corpus, but a handful of oracles are deliberately brute-force
+all-pairs relations (docs x docs shingle Jaccard, embeddings x
+embeddings cosine) that are valid only at verification scale: at
+factor 10 (50k docs -> 1.25e9 pairs, 20k vectors -> 2e8 64-dim dots)
+DuckDB cannot finish them in useful time. For THOSE, this script uses a
+construction-based oracle instead: graft.tools.ScaleUp builds the
+scaled corpus as 10 key-shifted replicas whose payload transform is a
+character bijection (text) / signed coordinate permutation
+(embeddings), so
+
+  * within-replica n-gram shingle sets map bijectively -> every
+    within-replica Jaccard is EXACTLY the sf0.1 value;
+  * within-replica cosines equal the sf0.1 values up to float
+    summation order (compared with tolerance 2e-6 after the oracles'
+    round-to-6);
+  * cross-replica pairs are impossible above threshold (disjoint
+    shingle alphabets; near-orthogonal cross-replica cosines at the
+    1/sqrt(64) scale vs thresholds >= 0.45).
+
+Hence the TRUE pair relation at sf1 is exactly the sf0.1 oracle
+relation replicated 10x with ids shifted by k*stride — computable from
+the (feasible) sf0.1 oracle. Queries whose scaled truth is NOT a
+replica union (hash-bucket corpus/batch splits, data-dependent k-means
+clusterings) are honestly reported as oracle_infeasible_at_scale.
+
+Usage:
+  python3 scripts/scaleup_parity.py <sf1Dir> <sf1VerifyDir> <sf01Dir> \
+      <out.json> [perQueryTimeoutSec]
+
+Parity labels emitted:
+  pass / fail            — scripts/check.py verdict on the scaled corpus
+  oracle_timeout         — oracle exceeded the per-query budget
+  replica_pass / replica_fail — construction-based oracle verdict
+  oracle_infeasible_at_scale  — quadratic oracle, no replica argument
+"""
+import json
+import subprocess
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+FACTOR = 10
+
+# All-pairs oracle markers (see ext/Dedup.scala shingleCteSql /
+# embeddingPairsSql): any oracle containing one of these is quadratic
+# in the scaled table and skips the direct DuckDB replay.
+QUADRATIC_MARKERS = ("JOIN sh b", "e a JOIN e b")
+
+# Quadratic-oracle queries whose sf1 truth IS the replicated sf0.1
+# oracle (replica-equivariant: pair relation + min-label clustering;
+# see module docstring). Each maps to the id columns to shift and the
+# stride table. dedup_cluster labels are min-doc-id per component, so
+# they shift like ids.
+REPLICA_EQUIVARIANT = {
+    "dedup_minhash": ("doc",),
+    "dedup_ngram": ("doc",),
+    "dedup_simhash": ("doc",),
+    "dedup_cluster": ("doc",),
+    "dedup_embedding": ("vec",),
+    "dedup_embedding_ann": ("vec",),
+    "dedup_embedding_ann_hi": ("vec",),
+}
+ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster"),
+           "vec": ("vec_id", "vec_a", "vec_b")}
+
+
+def stride_of(con, sf01_dir, kind):
+    tbl, col = (("documents", "doc_id") if kind == "doc"
+                else ("embeddings", "vec_id"))
+    return con.sql(
+        f"SELECT max({col}) + 1 FROM "
+        f"read_parquet('{sf01_dir}/{tbl}.parquet')").fetchone()[0]
+
+
+def replica_check(con, name, sql, kinds, sf1_verify, sf01_dir):
+    small = con.sql(sql).df()
+    shift_cols = [c for k in kinds for c in ID_COLS[k] if c in small.columns]
+    strides = {c: stride_of(con, sf01_dir, k)
+               for k in kinds for c in ID_COLS[k] if c in small.columns}
+    reps = []
+    for k in range(FACTOR):
+        r = small.copy()
+        for c in shift_cols:
+            r[c] = r[c] + k * strides[c]
+        reps.append(r)
+    exp = pd.concat(reps, ignore_index=True)
+    act = pd.read_parquet(f"{sf1_verify}/{name}")
+    if sorted(exp.columns) != sorted(act.columns):
+        return "replica_fail", f"columns {list(exp.columns)} vs {list(act.columns)}"
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    act = act.reindex(sorted(act.columns), axis=1)
+    if len(exp) != len(act):
+        return "replica_fail", f"rows exp={len(exp)} act={len(act)}"
+    key = [c for c in exp.columns if c in shift_cols] or list(exp.columns)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    act = act.sort_values(key).reset_index(drop=True)
+    for c in exp.columns:
+        e, a = exp[c], act[c]
+        if np.issubdtype(e.dtype, np.floating) or np.issubdtype(a.dtype, np.floating):
+            bad = ~np.isclose(e.astype(float), a.astype(float),
+                              rtol=0, atol=2e-6, equal_nan=True)
+        else:
+            bad = e.astype(str).values != a.astype(str).values
+        n_bad = int(np.sum(bad))
+        if n_bad:
+            i = int(np.argmax(bad))
+            return "replica_fail", (f"col {c}: {n_bad} diffs, first at row {i}: "
+                                    f"exp={e.iloc[i]} act={a.iloc[i]}")
+    return "replica_pass", f"{len(exp)} rows = {FACTOR}x{len(small)}"
+
+
+def main():
+    sf1_dir, sf1_verify, sf01_dir, out_path = sys.argv[1:5]
+    per_q_timeout = int(sys.argv[5]) if len(sys.argv) > 5 else 300
+    oracle = json.load(open(f"{sf1_verify}/oracle_sql.json"))
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf01_dir}/{t}.parquet')")
+
+    parity, notes = {}, {}
+    quadratic = {n for n, sql in oracle.items()
+                 if any(m in sql for m in QUADRATIC_MARKERS)}
+    feasible = sorted(set(oracle) - quadratic)
+    print(f"[parity] {len(feasible)} direct, {len(quadratic)} quadratic "
+          f"({sorted(quadratic)})")
+
+    for name in feasible:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "scripts/check.py", sf1_dir, sf1_verify, name],
+                capture_output=True, text=True, timeout=per_q_timeout)
+            verdict = "pass" if f"PASS {name}" in proc.stdout else "fail"
+            if verdict == "fail":
+                notes[name] = "\n".join(proc.stdout.splitlines()[:4])
+        except subprocess.TimeoutExpired:
+            verdict = "oracle_timeout"
+        parity[name] = verdict
+        print(f"[parity] {name}: {verdict}")
+
+    for name in sorted(quadratic):
+        if name in REPLICA_EQUIVARIANT:
+            verdict, note = replica_check(
+                con, name, oracle[name], REPLICA_EQUIVARIANT[name],
+                sf1_verify, sf01_dir)
+            parity[name], notes[name] = verdict, note
+        else:
+            parity[name] = "oracle_infeasible_at_scale"
+        print(f"[parity] {name}: {parity[name]}  {notes.get(name, '')}")
+
+    with open(out_path, "w") as f:
+        json.dump({"parity": parity, "notes": notes}, f, indent=1,
+                  sort_keys=True)
+    counts = pd.Series(list(parity.values())).value_counts().to_dict()
+    print(f"[parity] wrote {out_path}: {counts}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,10 @@ def main():
     a = json.load(open(sys.argv[1]))
     b = json.load(open(sys.argv[2]))
     parity = json.load(open(sys.argv[3]))
+    parity_notes = {}
+    if "parity" in parity and isinstance(parity["parity"], dict):
+        parity_notes = parity.get("notes", {})
+        parity = parity["parity"]
     out_path = sys.argv[4]
     factor = float(sys.argv[5]) if len(sys.argv) > 5 else 10.0
 
@@ -38,6 +42,8 @@ def main():
             "exponent_hot": expo(sh, bh),
             "parity": parity.get(name, "not_checked"),
         }
+        if name in parity_notes:
+            queries[name]["parity_note"] = parity_notes[name]
 
     report = {
         "round": 8,
@@ -48,11 +54,17 @@ def main():
             "bijection: within-replica n-gram/MinHash/SimHash similarity "
             "structure preserved exactly, cross-replica shingles disjoint) "
             "+ per-replica signed coordinate rotation of embeddings "
-            "(orthogonal: within-replica cosines bit-identical, "
-            "cross-replica near-orthogonal); lineitem key shifts keep the "
-            "orderkey%8 graph subset density and yield 10 disjoint graph "
-            "copies. Parity = the same DuckDB oracle gate (scripts/"
-            "check.py) replayed on the scaled corpus."
+            "(orthogonal: within-replica cosines preserved, cross-replica "
+            "near-orthogonal); lineitem/orders/customer/supplier/part key "
+            "shifts share one stride per key family so every FK joins "
+            "within its replica (10 disjoint relational + graph copies, "
+            "orderkey%8 subset density preserved); events key shifts give "
+            "10 disjoint user populations with identical temporal "
+            "structure. Parity = the DuckDB oracle gate (scripts/check.py) "
+            "replayed on the scaled corpus where the oracle is feasible, "
+            "and a construction-based replica oracle (scripts/"
+            "scaleup_parity.py) for the deliberately-quadratic all-pairs "
+            "oracles."
         ),
         "hot_protocol": "min_of_reps",
         "note": (

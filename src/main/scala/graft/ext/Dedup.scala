@@ -328,7 +328,16 @@ object Dedup {
     * Zero-norm vectors have no defined cosine: skipped, matching the
     * oracle's NULL-division drop.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingGridAt(spark, dir, CosineThreshold)
+
+  /** The grid kernel at an arbitrary threshold — shared by
+    * [[dedupEmbedding]] and [[dedupEmbeddingAnnAt]]'s tier selection
+    * (the banded arm delegates here when its own cost model says the
+    * banding cannot win; see the tier rule there).
+    */
+  private[graft] def dedupEmbeddingGridAt(
+      spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     import spark.implicits._
     val emb = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -338,7 +347,6 @@ object Dedup {
       .select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
         lit(0.0).as("cos_sim")).limit(0)
     val numBlocks = (((n - 1) / GridBlockRows) + 1).toInt
-    val threshold = CosineThreshold
 
     // Block boundaries from approximate id quantiles (numBlocks-1
     // longs to the driver — statistics, not data), so blocks stay
@@ -507,7 +515,12 @@ object Dedup {
     * low-threshold EXHAUSTIVE contract at scale, [[dedupEmbedding]]'s
     * block grid is the right tier — that boundary is inherent (at
     * cos 0.45 per-plane agreement is 0.65 vs a 0.5 background; no
-    * sublinear method separates them with certainty).
+    * sublinear method separates them with certainty). Round 8: the
+    * operator now makes that choice ITSELF — the cost rule in
+    * [[dedupEmbeddingAnnAt]] delegates to the grid kernel whenever
+    * B·2⁻ʷ·C_join ≥ 1 (true for every 0.45-envelope geometry, at
+    * every scale — measured 775.6 s → 8.6 s at the factor-10 audit),
+    * while the hi-threshold regime keeps the banded arm it wins in.
     *
     * Shuffle-shape note (measured): the local cost center is the
     * global `distinct` over multi-band collisions (~⅓ of runtime at
@@ -543,6 +556,17 @@ object Dedup {
     * At arbitrary scale the contract is the 1e-2 envelope, not
     * exhaustiveness — the scoping `dedupMinhashSql` documents for
     * the same reason.
+    *
+    * Measured scaling (r8 factor-10 audit): hot exponent ≈ 1.25.
+    * The super-linear step is the recall envelope's geometry
+    * staircase, not a candidate blowup: between n=2k and n=20k
+    * [[annWidthFor]] steps 8 → 12 (occupancy held at ~8, background
+    * candidates stay LINEAR — 2⁻ʷ halves per step faster than B
+    * grows), but holding the 1e-2 miss target across the wider band
+    * multiplies the band count 26 → 70 and the mid-similarity
+    * (cluster-mate) candidate rate by (p_mid/p_t)^Δw — a bounded,
+    * envelope-priced constant per decade, ~n^1.2-1.3 measured across
+    * any single decade, not compounding quadratically.
     */
   def dedupEmbeddingAnnHi(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.Tables.table(spark, dir, "embeddings").count()
@@ -551,9 +575,39 @@ object Dedup {
       annBandsFor(CosineThresholdHi, width, 1e-2))
   }
 
+  /** Per-candidate cost of the join/verify formulation relative to
+    * one grid-kernel pair score (measured at r6: the per-pair
+    * join/SMJ shape copies both 64-float arrays through UnsafeRow
+    * per pair and ran 5× the tight double-loop).
+    */
+  private val JoinRowCostVsKernel = 5.0
+
   private[graft] def dedupEmbeddingAnnAt(
       spark: SparkSession, dir: String,
       threshold: Double, width: Int, bands: Int): DataFrame = {
+    // TIER SELECTION (round-8 scale-up audit finding): for a RANDOM
+    // pair, per-plane agreement is exactly ½ (signed hyperplanes over
+    // centered data), so the banding emits ≈ n²/2 · B · 2⁻ʷ candidate
+    // rows before the distinct — each costing ~JoinRowCostVsKernel
+    // grid-kernel pair scores in join machinery — while the grid
+    // kernel scores the same n²/2 pairs once each in a tight loop.
+    // When B·2⁻ʷ·C_join ≥ 1 the banding can therefore NEVER beat the
+    // grid (it also pays the banding shuffle and the distinct),
+    // REGARDLESS of data: delegate to the grid kernel, same exhaustive
+    // relation, same oracle. The measured r8 factor-10 audit is the
+    // motivating datapoint: at n=20k the 0.45-threshold envelope
+    // geometry (w=5, B=95) has background collision probability
+    // 1−(1−2⁻⁵)⁹⁵ ≈ 95% — the "candidate" set was effectively ALL
+    // pairs, routed through join machinery: 775.6 s vs the grid's
+    // 8.6 s (scaling exponent 2.13 vs 0.75). This is the inherent
+    // boundary the Scaladoc above describes — at cos 0.45, per-plane
+    // agreement is 0.65 vs the 0.5 background, and no banding
+    // geometry separates them exhaustively at sublinear cost (LSH
+    // ρ = ln(1/0.65)/ln(2) ≈ 0.62 is the non-exhaustive floor). The
+    // hi-threshold production regime (per-plane 0.795, w=12, B=70:
+    // B·2⁻ʷ·C_join ≈ 0.09) keeps the banded arm.
+    if (bands * math.pow(0.5, width) * JoinRowCostVsKernel >= 1.0)
+      return dedupEmbeddingGridAt(spark, dir, threshold)
     val emb = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val banded = annBands(spark, dir, width, bands)

@@ -30,9 +30,17 @@ import org.apache.spark.sql.SparkSession
   *     cosines are pseudo-random and concentrate near 0 (1/√64
   *     scale), matching how an iid-grown corpus behaves at a fixed
   *     threshold.
-  *   - `lineitem`: pure key shifts — ten disjoint copies of the
-  *     co-occurrence graph, the expected linear-growth regime for
-  *     the graph family.
+  *   - `lineitem`/`orders`/`customer`/`supplier`/`part`: pure key
+  *     shifts with one shared stride per key family, so every FK
+  *     joins within its replica and nothing dangles — N disjoint
+  *     copies of the relational schema (and of the co-occurrence
+  *     graph: the expected linear-growth regime for joins and the
+  *     graph family). `nation`/`region` stay fixed like real TPC-H
+  *     bounded dims.
+  *   - `events`: event/user key shifts — N disjoint user populations
+  *     with identical temporal structure, an honest factor-N
+  *     workload for sessionization, per-user windows, and streaming
+  *     replay.
   *
   * Everything is written as ONE parquet file per table (the DuckDB
   * gate reads `<dir>/<table>.parquet` as a file), and the untouched
@@ -137,34 +145,63 @@ object ScaleUp {
         }.toDF("vec_id", "embedding", "label"),
       "embeddings")
 
-    // lineitem: pure key shifts; order stride rounded up to a
+    // Relational fact + dim replication: pure key shifts with ONE
+    // stride per key FAMILY, computed from the dimension (key-superset)
+    // table and applied identically on both sides of every FK — so
+    // replica k's lineitem joins replica k's orders/part/supplier and
+    // NOTHING dangles (a verbatim-copied orders would leave replicas
+    // 1..9 of lineitem unmatched and silently deflate every join
+    // query's scaled workload). The order stride is rounded up to a
     // multiple of 8 so the `l_orderkey % 8` graph subset keeps its
-    // exact density in every replica
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val (maxOrd, maxPart, maxSupp) = li
-      .agg(org.apache.spark.sql.functions.max("l_orderkey"),
-        org.apache.spark.sql.functions.max("l_partkey"),
-        org.apache.spark.sql.functions.max("l_suppkey"))
-      .as[(Long, Long, Long)].head()
-    val ordStride = ((maxOrd + 8) / 8) * 8
-    val partStride = maxPart + 1
-    val suppStride = maxSupp + 1
+    // exact density in every replica. nation/region stay fixed —
+    // bounded dims, exactly how real TPC-H scaling treats them.
     import org.apache.spark.sql.functions._
     val reps = spark.range(0, factor).toDF("k")
-    writeOne(
-      li.crossJoin(broadcast(reps))
-        .select(
-          (col("l_orderkey") + col("k") * ordStride).as("l_orderkey"),
-          (col("l_partkey") + col("k") * partStride).as("l_partkey"),
-          (col("l_suppkey") + col("k") * suppStride).as("l_suppkey"),
-          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"), col("l_returnflag"),
-          col("l_linestatus"), col("l_shipdate")),
-      "lineitem")
+
+    def maxKey(table: String, col0: String): Long =
+      spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col0)).as[Long].head()
+
+    val ordStride = ((maxKey("orders", "o_orderkey") + 8) / 8) * 8
+    val custStride = maxKey("customer", "c_custkey") + 1
+    val suppStride = maxKey("supplier", "s_suppkey") + 1
+    val partStride = maxKey("part", "p_partkey") + 1
+
+    /** Replicate `table` factor times, shifting each (col -> stride)
+      * key by k*stride and keeping every other column verbatim. */
+    def replicate(table: String, shifts: (String, Long)*): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val shiftMap = shifts.toMap
+      writeOne(
+        df.crossJoin(broadcast(reps))
+          .select(df.columns.map { c =>
+            shiftMap.get(c) match {
+              case Some(stride) => (col(c) + col("k") * stride).as(c)
+              case None => col(c)
+            }
+          }.toIndexedSeq: _*),
+        table)
+    }
+
+    replicate("lineitem", "l_orderkey" -> ordStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride)
+    replicate("orders", "o_orderkey" -> ordStride, "o_custkey" -> custStride)
+    replicate("customer", "c_custkey" -> custStride)
+    replicate("supplier", "s_suppkey" -> suppStride)
+    replicate("part", "p_partkey" -> partStride)
+
+    // events: replicate into factor DISJOINT user populations with
+    // identical temporal structure (ts/event_type/value/props kept) —
+    // sessionization, per-user windows, and watermarked streaming
+    // replay all see an honest factor-x workload, while calendar-grain
+    // relations (day/week rows) stay calendar-bounded as they would in
+    // a genuinely larger deployment.
+    replicate("events",
+      "event_id" -> (maxKey("events", "event_id") + 1),
+      "user_id" -> (maxKey("events", "user_id") + 1))
 
     // remaining tables: verbatim byte copies (complete corpus dir)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "events")) {
+    for (t <- Seq("region", "nation")) {
       val s = java.nio.file.Paths.get(s"$src/$t.parquet")
       val d = java.nio.file.Paths.get(s"$out/$t.parquet")
       if (java.nio.file.Files.exists(s)) {

@@ -89,14 +89,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     // themselves are never replicated per band (nor per grid block)
     assert(graft.ext.Dedup.annBands(spark, dir, 4, 8).schema.fieldNames.toSeq ==
       Seq("vec_id", "band", "sig"))
+    // Tier rule (r8 scale-up audit): the 0.45-envelope geometry has
+    // B·2⁻ʷ·C_join ≥ 1 at every scale, so the operator delegates to
+    // the grid kernel — the executed plan must NOT be the band join
+    // (at factor 10 the band join measured 775.6 s vs the grid's
+    // 8.6 s; exponent 2.13 vs 0.75).
     val df = graft.ext.Dedup.dedupEmbeddingAnn(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // candidate generation is a bucket equi-join on (band, sig)
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
-    // the composition reproduces the exact all-pairs relation
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "0.45 envelope geometry must tier-select the grid kernel:\n" + plan)
+    // The BANDED arm (taken when B·2⁻ʷ·C_join < 1, the hi-threshold
+    // regime): candidate generation is a bucket equi-join on
+    // (band, sig), and the composition reproduces the exact relation.
+    val banded = graft.ext.Dedup.dedupEmbeddingAnnAt(spark, dir, 0.45, 12, 8)
+    val bandedPlan = banded.queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("CartesianProduct"), bandedPlan)
+    assert(!bandedPlan.contains("BroadcastNestedLoopJoin"), bandedPlan)
+    assert(bandedPlan.contains("SortMergeJoin") ||
+      bandedPlan.contains("ShuffledHashJoin") ||
+      bandedPlan.contains("BroadcastHashJoin"), bandedPlan)
+    // the tier-selected grid reproduces the exact all-pairs relation
     val ann = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = graft.ext.Dedup.dedupEmbedding(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
