@@ -213,6 +213,8 @@ object SparkEntry {
     "mm_audio" -> (Multimodal.mmAudio(_, _)),
     "mm_image" -> (Multimodal.mmImage(_, _)),
     "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
+    "mm_video" -> (Multimodal.mmVideo(_, _)),
+    "mm_audio_mp3" -> (Multimodal.mmAudioMp3(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -495,5 +497,7 @@ object SparkEntry {
     "mm_audio" -> Multimodal.mmAudioSql,
     "mm_image" -> Multimodal.mmImageSql,
     "mm_image_jpeg" -> Multimodal.mmImageJpegSql,
+    "mm_video" -> Multimodal.mmVideoSql,
+    "mm_audio_mp3" -> Multimodal.mmAudioMp3Sql,
   )
 }

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * PIXEL decode is real ([[PngCodec]]: inflate + all five scanline
   * filters, exercised end-to-end by `mm_image`), and so is baseline
   * JPEG PIXEL decode ([[JpegCodec]]: Huffman + dequant + IDCT from
-  * ISO/IEC 10918-1, exercised by `mm_image_jpeg`); the remaining
-  * compressed codecs (progressive JPEG, MP3, video) stay a
+  * ISO/IEC 10918-1, exercised by `mm_image_jpeg`). VIDEO is real at
+  * the container + Motion-JPEG tier ([[Mp4Codec]]: ISO/IEC 14496-12
+  * box mux/demux with per-frame [[JpegCodec]] pixel decode,
+  * exercised by `mm_video`); the remaining compressed codecs
+  * (progressive JPEG, MP3, inter-frame video: H.264/HEVC/VP9) stay a
   * clearly-marked deterministic STUB behind [[MediaDecoder]]
   * (ffmpeg-class codecs don't ship in this offline environment);
   * everything Spark-side —
@@ -465,6 +468,215 @@ object Multimodal {
       .drop("n_bytes") // sanity field for local debugging, not oracled
       .orderBy("asset_id")
   }
+
+  /** Registered COMPRESSED-AUDIO metadata tier (round 8): every
+    * audio-slice asset gets a real MPEG-1 Layer III frame sequence —
+    * `nf = 1 + n_chars mod 7` frames whose bitrate index cycles
+    * `1 + (id + f) mod 14` with padding `(id + f) mod 2`, sampling
+    * rate keyed by id, and (for even ids) a leading ID3v2.3 tag of
+    * `id mod 32` body bytes — synthesized by [[Mp3Frames.frameBytes]]
+    * and walked back by [[Mp3Frames.walk]] inside the partition
+    * kernel. Frame count, per-frame byte lengths (the §2.4.3.1
+    * `144·bitrate/rate + padding` law), bitrate sum, and exact
+    * duration all come from the HEADERS, which is precisely what a
+    * corpus pipeline reads from compressed audio; sample decode
+    * (Huffman spectrum + IMDCT) stays the documented stub boundary.
+    * The oracle restates every output in closed form from the row
+    * attributes, so a hash match proves the synth→tag-skip→walk loop
+    * exact on every asset.
+    */
+  def mmAudioMp3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // assets()'s audio slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val rateIdx = (id % 3).toInt
+        val nf = (1 + nChars % 7).toInt
+        val frames = Array.tabulate(nf) { f =>
+          Mp3Frames.frameBytes(
+            bitrateIdx = (1 + (id + f) % 14).toInt,
+            rateIdx = rateIdx,
+            padding = ((id + f) % 2).toInt)
+        }
+        val tag =
+          if (id % 2 == 0) Mp3Frames.id3v2((id % 32).toInt)
+          else Array.emptyByteArray
+        val bytes = tag ++ frames.flatten
+        val meta = Mp3Frames.walk(bytes)
+          .getOrElse(sys.error(s"unwalkable MP3 for asset $id"))
+        if (meta.frames.size != nf)
+          sys.error(s"MP3 frame-count mismatch for asset $id")
+        (id, nf.toLong, meta.sampleRateHz.toLong, meta.durationMs,
+          meta.frames.map(_.nBytes.toLong).sum,
+          meta.frames.map(_.bitrateKbps.toLong).sum,
+          meta.frames.map(_.padding.toLong).sum)
+      }
+    }.toDF("asset_id", "n_frames", "sample_rate", "duration_ms",
+        "frame_bytes", "sum_kbps", "n_padded")
+      .orderBy("asset_id")
+  }
+
+  /** Closed form from the header law: frame length =
+    * `144000·kbps // rate + padding` (§2.4.3.1), duration =
+    * `frames·1152·1000 // rate`.
+    */
+  val mmAudioMp3Sql: String =
+    """WITH au AS (
+      |  SELECT doc_id AS asset_id,
+      |    ([44100, 48000, 32000])[CAST(1 + doc_id % 3 AS INT)] AS rate,
+      |    1 + n_chars % 7 AS nf
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |fr AS (
+      |  SELECT asset_id, rate, nf,
+      |    unnest(generate_series(0, nf - 1)) AS f
+      |  FROM au),
+      |k AS (
+      |  SELECT asset_id, rate, nf,
+      |    ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+      |      )[CAST(1 + (asset_id + f) % 14 AS INT)] AS kbps,
+      |    (asset_id + f) % 2 AS pad
+      |  FROM fr)
+      |SELECT asset_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(sum(144000 * kbps // rate + pad) AS BIGINT) AS frame_bytes,
+      |  CAST(sum(kbps) AS BIGINT) AS sum_kbps,
+      |  CAST(sum(pad) AS BIGINT) AS n_padded
+      |FROM k GROUP BY asset_id, rate, nf
+      |ORDER BY asset_id""".stripMargin
+
+  /** Registered VIDEO decode tier (round 8 — retires the video tier
+    * of the decode stub at the container + Motion-JPEG level): every
+    * video-slice asset gets a real single-track MJPEG MP4 —
+    * `nf = 1 + id mod 5` frames of constant-8×8-block baseline JPEGs
+    * (the [[mmImageJpeg]] lossless-DC construction, with the block
+    * value additionally keyed by the frame index) muxed by
+    * [[Mp4Codec.muxMjpeg]] with per-frame durations
+    * `24 + (id + f) mod 2` ticks at timescale 600 (so the `stts`
+    * run-length coder sees both single- and multi-run shapes) — and
+    * the decode half demuxes the box tree back (mvhd duration, tkhd
+    * dims, stsd fourcc, stts/stsc/stsz/stco sample walk), slices
+    * every frame out of `mdat`, and pixel-decodes it through
+    * [[JpegCodec]]. The oracle restates the decoded statistics in
+    * closed form over the (frame × block) grid, so a hash match
+    * proves the full mux→demux→per-frame-Huffman⁻¹→IDCT loop
+    * bit-exact on every asset. Inter-frame codecs (H.264-class)
+    * remain the documented boundary.
+    */
+  def mmVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // assets()'s video slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val wb = (1 + nChars % 4).toInt
+        val hb = (1 + id % 3).toInt
+        val w = wb * 8
+        val h = hb * 8
+        val nf = (1 + id % 5).toInt
+        val frames = Array.tabulate(nf) { f =>
+          val px = new Array[Byte](w * h)
+          var by = 0
+          while (by < hb) {
+            var bx = 0
+            while (bx < wb) {
+              val v = (((17L * id + 23L * f + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  px((by * 8 + y) * w + bx * 8 + x) = v
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          JpegCodec.encodeGray8(w, h, px, JpegCodec.flatQuant(8))
+        }
+        val durs = Array.tabulate(nf)(f => (24 + (id + f) % 2).toInt)
+        val mp4 = Mp4Codec.muxMjpeg(w, h, 600, durs, frames)
+        val meta = Mp4Codec.demux(mp4)
+          .getOrElse(sys.error(s"undemuxable MP4 for asset $id"))
+        if (meta.format != "jpeg" || meta.width != w || meta.height != h ||
+          meta.samples.size != nf)
+          sys.error(s"MP4 metadata mismatch for asset $id")
+        var sum = 0L
+        var mn = 255L
+        var mx = 0L
+        for (s <- meta.samples) {
+          val fb = java.util.Arrays.copyOfRange(
+            mp4, s.offset.toInt, (s.offset + s.size).toInt)
+          val img = JpegCodec.decodeGray8(fb)
+            .getOrElse(sys.error(s"undecodable MJPEG frame for asset $id"))
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = (img.pixels(i) & 0xff).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+        }
+        (id, nf.toLong, w.toLong, h.toLong, meta.durationTicks,
+          nf.toLong * w * h, sum, mn, mx)
+      }
+    }.toDF("asset_id", "n_frames", "width", "height", "duration_ticks",
+        "n_pixels", "sum_lum", "min_lum", "max_lum")
+      .withColumn("duration_ms", expr("duration_ticks * 1000 div 600"))
+      .withColumn("mean_lum_x1000", expr("sum_lum * 1000 div n_pixels"))
+      .orderBy("asset_id")
+  }
+
+  /** Closed form over the (frame × block) grid: each 8×8 block
+    * contributes 64 identical pixels; the container fields restate
+    * the synthesis parameters (Σ per-frame tick durations, tkhd
+    * dims, sample count).
+    */
+  val mmVideoSql: String =
+    """WITH vid AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + n_chars % 4 AS wb, 1 + doc_id % 3 AS hb,
+      |    1 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT asset_id, wb, hb, nf,
+      |    unnest(generate_series(0, nf - 1)) AS f
+      |  FROM vid),
+      |dur AS (
+      |  SELECT asset_id, SUM(24 + (asset_id + f) % 2) AS ticks
+      |  FROM fr GROUP BY asset_id),
+      |blk AS (
+      |  SELECT asset_id, wb, hb, nf, f,
+      |    unnest(generate_series(0, wb * hb - 1)) AS i
+      |  FROM fr),
+      |v AS (
+      |  SELECT asset_id, wb, hb, nf,
+      |    (17 * asset_id + 23 * f + 5 * (i % wb) + 11 * (i // wb)) % 256 AS v
+      |  FROM blk)
+      |SELECT v.asset_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(wb * 8 AS BIGINT) AS width,
+      |  CAST(hb * 8 AS BIGINT) AS height,
+      |  CAST(ticks AS BIGINT) AS duration_ticks,
+      |  CAST(nf * wb * hb * 64 AS BIGINT) AS n_pixels,
+      |  CAST(sum(v.v) * 64 AS BIGINT) AS sum_lum,
+      |  CAST(min(v.v) AS BIGINT) AS min_lum,
+      |  CAST(max(v.v) AS BIGINT) AS max_lum,
+      |  CAST(ticks * 1000 // 600 AS BIGINT) AS duration_ms,
+      |  CAST(sum(v.v) * 64 * 1000 // (nf * wb * hb * 64) AS BIGINT)
+      |    AS mean_lum_x1000
+      |FROM v JOIN dur ON v.asset_id = dur.asset_id
+      |GROUP BY v.asset_id, wb, hb, nf, ticks
+      |ORDER BY v.asset_id""".stripMargin
 
   /** Closed form over the BLOCK grid (each 8×8 block contributes 64
     * identical pixels, so sum = 64·Σv and min/max range over block
