@@ -69,6 +69,106 @@ REPLICA_EQUIVARIANT = {
 ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster"),
            "vec": ("vec_id", "vec_a", "vec_b")}
 
+# Golden-fixture queries: their oracles join fixtures/golden_chunks*.parquet
+# on an exact (corpus_docs, corpus_chars) key, so the direct replay matches
+# NOTHING on a scaled corpus (empty fixture slice -> a lone rollup row).
+# But the ScaleUp text transform (tools/ScaleUp.caesar) is length- and
+# separator-preserving, so the recursive splitter's chunk boundaries are
+# replica-invariant: the sf1 truth is the sf0.1 oracle relation with doc
+# ids shifted, text columns Caesar-rotated per replica, and any SUM TOTAL
+# row re-aggregated across the 10 replicas.
+FIXTURE_QUERIES = {
+    "doc_chunks": {"shift": ["doc_id"], "rot": ["norm_text"]},
+    "doc_chunks_overlap": {"shift": ["doc_id"], "rot": ["norm_text"]},
+    "sql_chunk_split": {"shift": ["doc_id"], "rot": ["chunk"]},
+    "doc_chunk_stats": "stats",
+    "doc_report": "report",
+}
+
+
+def caesar(s, k):
+    """tools/ScaleUp.caesar, reimplemented (letters mod 26, digits mod 10)."""
+    if k == 0 or not isinstance(s, str):
+        return s
+    out = []
+    for c in s:
+        if "a" <= c <= "z":
+            out.append(chr(97 + (ord(c) - 97 + k) % 26))
+        elif "A" <= c <= "Z":
+            out.append(chr(65 + (ord(c) - 65 + k) % 26))
+        elif "0" <= c <= "9":
+            out.append(chr(48 + (ord(c) - 48 + k) % 10))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def compare_frames(exp, act, key_cols, n_small):
+    """Column-sorted, key-sorted exact compare (floats at 2e-6)."""
+    if sorted(exp.columns) != sorted(act.columns):
+        return "replica_fail", f"columns {list(exp.columns)} vs {list(act.columns)}"
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    act = act.reindex(sorted(act.columns), axis=1)
+    if len(exp) != len(act):
+        return "replica_fail", f"rows exp={len(exp)} act={len(act)}"
+    key = [c for c in exp.columns if c in key_cols] or list(exp.columns)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    act = act.sort_values(key).reset_index(drop=True)
+    for c in exp.columns:
+        e, a = exp[c], act[c]
+        if np.issubdtype(e.dtype, np.floating) or np.issubdtype(a.dtype, np.floating):
+            bad = ~np.isclose(e.astype(float), a.astype(float),
+                              rtol=0, atol=2e-6, equal_nan=True)
+        else:
+            bad = e.astype(str).values != a.astype(str).values
+        n_bad = int(np.sum(bad))
+        if n_bad:
+            i = int(np.argmax(bad))
+            return "replica_fail", (f"col {c}: {n_bad} diffs, first at row {i}: "
+                                    f"exp={e.iloc[i]} act={a.iloc[i]}")
+    return "replica_pass", f"{len(exp)} rows = {FACTOR}x{n_small}"
+
+
+def fixture_replica_check(con, name, sql, spec, sf1_verify, sf01_dir):
+    small = con.sql(sql).df()
+    stride = stride_of(con, sf01_dir, "doc")
+    act = pd.read_parquet(f"{sf1_verify}/{name}")
+    if isinstance(spec, dict):
+        reps = []
+        for k in range(FACTOR):
+            r = small.copy()
+            for c in spec["shift"]:
+                r[c] = r[c] + k * stride
+            for c in spec["rot"]:
+                r[c] = r[c].map(lambda s, kk=k: caesar(s, kk))
+            reps.append(r)
+        exp = pd.concat(reps, ignore_index=True)
+        return compare_frames(exp, act, spec["shift"], len(small))
+    # stats/report shapes: per-doc rows keyed by a stringified doc id plus
+    # one 'SUM TOTAL' rollup row; numeric (or '{:,}'-formatted) quantities
+    # are rotation-invariant, so replicas copy them and the TOTAL row is
+    # the original total scaled by FACTOR.
+    key_col = "path" if spec == "stats" else "Filename"
+    per_doc = small[small[key_col] != "SUM TOTAL"]
+    total = small[small[key_col] == "SUM TOTAL"]
+    if len(total) != 1:
+        return "replica_fail", "no SUM TOTAL row in the sf0.1 oracle output"
+    reps = []
+    for k in range(FACTOR):
+        r = per_doc.copy()
+        r[key_col] = (r[key_col].astype("int64") + k * stride).astype(str)
+        reps.append(r)
+    t = total.copy()
+    if spec == "stats":
+        for c in ("pages", "chunks", "file_size", "text_size", "unmapped_fonts"):
+            t[c] = t[c] * FACTOR  # ratio is a quotient: invariant
+    else:
+        for c in ("Pages", "Chunks", "File Size", "Text Size"):
+            t[c] = t[c].map(lambda s: f"{int(str(s).replace(',', '')) * FACTOR:,}")
+        # 'Ratio' quotient and 'Unmapped Fonts' ('0') are invariant
+    exp = pd.concat(reps + [t], ignore_index=True)
+    return compare_frames(exp, act, [key_col], len(small))
+
 
 def stride_of(con, sf01_dir, kind):
     tbl, col = (("documents", "doc_id") if kind == "doc"
@@ -91,28 +191,7 @@ def replica_check(con, name, sql, kinds, sf1_verify, sf01_dir):
         reps.append(r)
     exp = pd.concat(reps, ignore_index=True)
     act = pd.read_parquet(f"{sf1_verify}/{name}")
-    if sorted(exp.columns) != sorted(act.columns):
-        return "replica_fail", f"columns {list(exp.columns)} vs {list(act.columns)}"
-    exp = exp.reindex(sorted(exp.columns), axis=1)
-    act = act.reindex(sorted(act.columns), axis=1)
-    if len(exp) != len(act):
-        return "replica_fail", f"rows exp={len(exp)} act={len(act)}"
-    key = [c for c in exp.columns if c in shift_cols] or list(exp.columns)
-    exp = exp.sort_values(key).reset_index(drop=True)
-    act = act.sort_values(key).reset_index(drop=True)
-    for c in exp.columns:
-        e, a = exp[c], act[c]
-        if np.issubdtype(e.dtype, np.floating) or np.issubdtype(a.dtype, np.floating):
-            bad = ~np.isclose(e.astype(float), a.astype(float),
-                              rtol=0, atol=2e-6, equal_nan=True)
-        else:
-            bad = e.astype(str).values != a.astype(str).values
-        n_bad = int(np.sum(bad))
-        if n_bad:
-            i = int(np.argmax(bad))
-            return "replica_fail", (f"col {c}: {n_bad} diffs, first at row {i}: "
-                                    f"exp={e.iloc[i]} act={a.iloc[i]}")
-    return "replica_pass", f"{len(exp)} rows = {FACTOR}x{len(small)}"
+    return compare_frames(exp, act, shift_cols, len(small))
 
 
 def main():
@@ -126,14 +205,31 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf01_dir}/{t}.parquet')")
 
+    # Incremental mode: extra args after the timeout are query names —
+    # process only those and MERGE into an existing out_path artifact
+    # (re-checks after a fix or with a bigger budget, without redoing
+    # the whole sweep).
+    only = set(sys.argv[6:])
     parity, notes = {}, {}
+    if only:
+        try:
+            prev = json.load(open(out_path))
+            parity, notes = prev.get("parity", {}), prev.get("notes", {})
+        except (OSError, ValueError):
+            pass
+
+    def selected(names):
+        return [n for n in names if not only or n in only]
+
     quadratic = {n for n, sql in oracle.items()
                  if any(m in sql for m in QUADRATIC_MARKERS)}
-    feasible = sorted(set(oracle) - quadratic)
+    fixture = set(FIXTURE_QUERIES) & set(oracle)
+    feasible = sorted(set(oracle) - quadratic - fixture)
     print(f"[parity] {len(feasible)} direct, {len(quadratic)} quadratic "
-          f"({sorted(quadratic)})")
+          f"({sorted(quadratic)}), {len(fixture)} fixture-gated "
+          f"({sorted(fixture)})")
 
-    for name in feasible:
+    for name in selected(feasible):
         try:
             proc = subprocess.run(
                 [sys.executable, "scripts/check.py", sf1_dir, sf1_verify, name],
@@ -146,7 +242,7 @@ def main():
         parity[name] = verdict
         print(f"[parity] {name}: {verdict}")
 
-    for name in sorted(quadratic):
+    for name in selected(sorted(quadratic)):
         if name in REPLICA_EQUIVARIANT:
             verdict, note = replica_check(
                 con, name, oracle[name], REPLICA_EQUIVARIANT[name],
@@ -155,6 +251,13 @@ def main():
         else:
             parity[name] = "oracle_infeasible_at_scale"
         print(f"[parity] {name}: {parity[name]}  {notes.get(name, '')}")
+
+    for name in selected(sorted(fixture)):
+        verdict, note = fixture_replica_check(
+            con, name, oracle[name], FIXTURE_QUERIES[name],
+            sf1_verify, sf01_dir)
+        parity[name], notes[name] = verdict, note
+        print(f"[parity] {name}: {verdict}  {note}")
 
     with open(out_path, "w") as f:
         json.dump({"parity": parity, "notes": notes}, f, indent=1,
