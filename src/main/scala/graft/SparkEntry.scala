@@ -215,6 +215,7 @@ object SparkEntry {
     "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
     "mm_video" -> (Multimodal.mmVideo(_, _)),
     "mm_audio_mp3" -> (Multimodal.mmAudioMp3(_, _)),
+    "mm_image_prog" -> (Multimodal.mmImageProg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -499,5 +500,6 @@ object SparkEntry {
     "mm_image_jpeg" -> Multimodal.mmImageJpegSql,
     "mm_video" -> Multimodal.mmVideoSql,
     "mm_audio_mp3" -> Multimodal.mmAudioMp3Sql,
+    "mm_image_prog" -> Multimodal.mmImageProgSql,
   )
 }

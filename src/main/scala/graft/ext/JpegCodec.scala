@@ -4,11 +4,18 @@ package graft.ext
   * DCT, Huffman entropy coding) — the same move that retired the PNG
   * pixel stub in round 7 ([[PngCodec]]): everything here derives from
   * the public spec, no codec jars. This retires the JPEG tier of the
-  * pixel-decode stub in [[Multimodal]]; progressive JPEG (SOF2),
-  * arithmetic coding, 12-bit precision, and MP3/video stay the
-  * documented boundary.
+  * pixel-decode stub in [[Multimodal]]; arithmetic coding, 12-bit
+  * precision, hierarchical/lossless modes, and MP3-sample/inter-frame
+  * video decode stay the documented boundary.
   *
   * Scope:
+  *  - '''decode (progressive, round 8)''': SOF2 multi-scan streams
+  *    per Annex G — spectral selection × successive approximation,
+  *    DC/AC first and refinement passes, EOB-run batching, between-
+  *    scan table redefinition, restart markers — for the same 1- or
+  *    3-component 8-bit subset as baseline (see
+  *    [[decodeProgressiveImpl]]); validated against the JDK encoder's
+  *    own progressive scan scripts in both gray and YCbCr.
   *  - '''decode''': baseline interleaved single-scan JPEG with 1
   *    component (grayscale) or 3 components (JFIF YCbCr, any
   *    sampling factors ≤ 2×2, i.e. 4:4:4 / 4:2:2 / 4:2:0), with
@@ -313,6 +320,173 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** AC Huffman table for the progressive encoder. The Annex K
+    * baseline AC table lacks the EOBn symbols (0x10..0xE0) that
+    * progressive EOB-run batching emits (G.1.2.2), so the twin
+    * encoder declares its own COMPLETE table: all 256 AC symbols,
+    * 255 at length 8 and the last at length 9 — Kraft-complete
+    * (255/256 + 1/512 < 1) and the final 9-bit code is 111111110,
+    * respecting Annex C's reserved all-1-bits prefix. Compression is
+    * not the point of the twin; validity and coverage are.
+    */
+  private val ProgAcBits =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals = Array.tabulate(256)(identity)
+
+  /** Encode row-major 8-bit grayscale pixels as a PROGRESSIVE (SOF2)
+    * JFIF JPEG — the encoder twin for the progressive decode tier,
+    * scoped to the three-scan script that exercises each Annex G
+    * procedure family: scan 1 transmits DC at successive-
+    * approximation Al=1 (diff-coded arithmetic-shifted values,
+    * G.1.2.1), scan 2 the full 1..63 AC band at Al=0 with EOB-run
+    * batching across blocks (G.1.2.2), scan 3 the DC refinement bit.
+    * Coefficients are therefore delivered EXACTLY (DC split over two
+    * passes reassembles bit-for-bit; AC in one full-precision band),
+    * so for any input this encodes the same quantized spectrum as
+    * [[encodeGray8]] — decoded pixels from the two encodings are
+    * identical, which is what the cross-validation specs pin.
+    */
+  def encodeGray8Progressive(
+      width: Int, height: Int, pixels: Array[Byte],
+      quant: Array[Int] = AnnexKLumQuant): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"bad gray8 geometry ${width}x$height vs ${pixels.length}")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1,255]")
+    // quantize every block up front (progressive revisits them per scan)
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    val qBlocks = new Array[Array[Int]](bw8 * bh8)
+    val block = new Array[Double](64)
+    val coef = new Array[Double](64)
+    var bi = 0
+    while (bi < qBlocks.length) {
+      val bx = bi % bw8
+      val by = bi / bw8
+      var i = 0
+      while (i < 64) {
+        val sx = math.min(bx * 8 + i % 8, width - 1)
+        val sy = math.min(by * 8 + i / 8, height - 1)
+        block(i) = (pixels(sy * width + sx) & 0xff) - 128.0
+        i += 1
+      }
+      fdct(block, coef)
+      val q = new Array[Int](64)
+      i = 0
+      while (i < 64) { q(i) = math.round(coef(i) / quant(i)).toInt; i += 1 }
+      qBlocks(bi) = q
+      bi += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024 + pixels.length / 2)
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xe0)
+    u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1)
+    out.write(0); out.write(0)
+    marker(0xdb)
+    u16(2 + 1 + 64)
+    out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(quant(ZigZag(k))); k += 1 }
+    marker(0xc2) // SOF2: progressive, 1 component, 1x1
+    u16(8 + 3)
+    out.write(8); u16(height); u16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + vals.length)
+      out.write(clazz << 4)
+      var i = 1
+      while (i <= 16) { out.write(bits(i)); i += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0, DcLumBits, DcLumVals)
+    dht(1, ProgAcBits, ProgAcVals)
+    val dcTab = buildEncodeTable(DcLumBits, DcLumVals)
+    val acTab = buildEncodeTable(ProgAcBits, ProgAcVals)
+    def sos(ss: Int, se: Int, ahal: Int): Unit = {
+      marker(0xda)
+      u16(6 + 2)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(ahal)
+    }
+    // ---- scan 1: DC first pass, Al = 1 ----
+    sos(0, 0, 0x01)
+    var bw = new BitWriter(out)
+    var pred = 0
+    bi = 0
+    while (bi < qBlocks.length) {
+      val v = qBlocks(bi)(0) >> 1 // DC point transform: arithmetic shift
+      val diff = v - pred
+      pred = v
+      val s = csize(diff)
+      val (c, l) = dcTab(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      bi += 1
+    }
+    bw.flush()
+    // ---- scan 2: full AC band 1..63, Ah = Al = 0, EOB-run batched ----
+    sos(1, 63, 0x00)
+    bw = new BitWriter(out)
+    var eobrun = 0
+    def emitEobrun(): Unit = if (eobrun > 0) {
+      var nb = 0
+      var t = eobrun
+      while ({ t >>= 1; t != 0 }) nb += 1
+      val (c, l) = acTab(nb << 4)
+      bw.put(c, l)
+      if (nb > 0) bw.put(eobrun & ((1 << nb) - 1), nb)
+      eobrun = 0
+    }
+    bi = 0
+    while (bi < qBlocks.length) {
+      val q = qBlocks(bi)
+      var run = 0
+      var emitted = false
+      var kk = 1
+      while (kk < 64) {
+        val v = q(ZigZag(kk))
+        if (v == 0) run += 1
+        else {
+          emitEobrun() // a pending EOB run must close before new coeffs
+          while (run > 15) {
+            val (c, l) = acTab(0xf0); bw.put(c, l); run -= 16
+          }
+          val s = csize(v)
+          val (c, l) = acTab((run << 4) | s)
+          bw.put(c, l)
+          bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+          run = 0
+          emitted = true
+        }
+        kk += 1
+      }
+      if (run > 0 || !emitted) { // trailing zeros (or an all-zero band)
+        eobrun += 1
+        if (eobrun == 0x7fff) emitEobrun()
+      }
+      bi += 1
+    }
+    emitEobrun()
+    bw.flush()
+    // ---- scan 3: DC refinement, Ah = 1, Al = 0 ----
+    sos(0, 0, 0x10)
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < qBlocks.length) {
+      bw.put(qBlocks(bi)(0) & 1, 1)
+      bi += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Decode
   // ------------------------------------------------------------------
@@ -390,6 +564,18 @@ object JpegCodec {
       }
       -1
     }
+    /** RECEIVE (F.2.2.4): `s` raw bits as an unsigned value, -1 at end. */
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val b = bit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
     /** RECEIVE+EXTEND (F.2.2.1): read `s` magnitude bits. */
     def extend(s: Int): Int = {
       if (s == 0) return 0
@@ -409,9 +595,11 @@ object JpegCodec {
       id: Int, h: Int, v: Int, tq: Int,
       var dcTab: Int = 0, var acTab: Int = 0, var pred: Int = 0)
 
-  /** Decode the luma plane of a baseline JPEG. Supported: SOF0, 8-bit,
-    * 1 or 3 components, sampling factors ≤ 2, single interleaved scan,
-    * optional restart intervals. Anything else → None. Never throws.
+  /** Decode the luma plane of a baseline (SOF0) or progressive (SOF2)
+    * JPEG. Supported: 8-bit, 1 or 3 components, sampling factors ≤ 2,
+    * optional restart intervals; baseline's single interleaved scan or
+    * progressive's full Annex G scan algebra. Anything else → None.
+    * Never throws.
     */
   def decodeGray8(bytes: Array[Byte]): Option[Gray8] =
     try decodeImpl(bytes)
@@ -463,9 +651,11 @@ object JpegCodec {
           if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
               c.tq > 3)) return None
           pos += len
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc2 => // SOF2 progressive: dedicated multi-scan decoder
+          return decodeProgressiveImpl(bytes)
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // non-baseline SOF: documented boundary
+          return None // extended/lossless/arithmetic SOF: documented boundary
         case 0xdb => // DQT
           if (pos + 2 > bytes.length) return None
           val len = u16(pos)
@@ -558,6 +748,10 @@ object JpegCodec {
     val mcusX = (width + mcuW - 1) / mcuW
     val mcusY = (height + mcuH - 1) / mcuH
     val luma = comps(0)
+    // the luma crop below assumes component 0 carries the max sampling
+    // factors (true of every real encoder; subsampled-luma files would
+    // garble the crop, so refuse them instead)
+    if (luma.h != hMax || luma.v != vMax) return None
     // luma plane buffer at its natural (full) resolution incl. MCU pad
     val lw = mcusX * luma.h * 8
     val lpix = new Array[Byte](lw * mcusY * luma.v * 8)
@@ -640,5 +834,426 @@ object JpegCodec {
       yy += 1
     }
     Some(Gray8(width, height, outPix))
+  }
+
+  // ------------------------------------------------------------------
+  // Progressive decode (SOF2, ISO/IEC 10918-1 Annex G)
+  // ------------------------------------------------------------------
+
+  /** Decode a progressive (SOF2) JPEG's luma plane. Unlike baseline's
+    * single streaming scan, progressive transmits each component's
+    * coefficients over MULTIPLE scans — spectral selection (Ss..Se
+    * bands) times successive approximation (first pass at Al, then
+    * one-bit refinements) — so every component's coefficients are
+    * held in full until EOI, then dequantized + IDCT'd once (luma
+    * only, as in the baseline path). The scan procedures follow
+    * G.2 / F.2.2: DC first = diff-coded values shifted by Al; DC
+    * refine = one appended bit per block; AC first = run-length with
+    * EOB-run batching across blocks (G.1.2.2); AC refine =
+    * correction bits on nonzero history plus newly significant ±2^Al
+    * insertions, EOB runs carrying correction bits to the band end.
+    * Component dimension rules per A.2: interleaved (multi-component)
+    * scans cover the padded MCU grid; single-component scans cover
+    * exactly that component's ceil(dim/8) block grid.
+    *
+    * The marker walk here deliberately duplicates the baseline
+    * walk's DQT/DHT/DRI parsing rather than sharing it: progressive
+    * must KEEP walking after every scan (tables may be redefined
+    * between scans), and keeping baseline's hot path untouched is
+    * worth ~70 duplicated lines of table parsing.
+    */
+  private def decodeProgressiveImpl(bytes: Array[Byte]): Option[Gray8] = {
+    if (bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var coefs: Array[Array[Int]] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var hMax = 0
+    var vMax = 0
+    var mcusX = 0
+    var mcusY = 0
+    var eobrun = 0
+
+    def u16(at: Int): Int = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+    def sbw(c: Component): Int = mcusX * c.h // plane stride in blocks
+    def cbw(c: Component): Int = // non-interleaved block cols (A.2.2)
+      (((width * c.h + hMax - 1) / hMax) + 7) / 8
+    def cbh(c: Component): Int =
+      (((height * c.v + vMax - 1) / vMax) + 7) / 8
+
+    // ---- per-datum procedures (G.2) ----
+    def dcUnit(c: Component, plane: Array[Int], off: Int,
+        ah: Int, al: Int, br: BitReader): Boolean = {
+      if (ah == 0) { // first pass: diff-coded, scaled by 2^Al
+        val t = dcTables(c.dcTab)
+        if (t == null) return false
+        val s = br.decodeHuff(t)
+        if (s < 0 || s > 11) return false
+        val diff = br.extend(s)
+        if (diff == Int.MinValue) return false
+        c.pred += diff
+        plane(off) = c.pred << al
+      } else { // refinement: one appended bit
+        val b = br.bit()
+        if (b < 0) return false
+        if (b == 1) plane(off) |= (1 << al)
+      }
+      true
+    }
+
+    def acFirst(plane: Array[Int], off: Int, ss: Int, se: Int, al: Int,
+        br: BitReader, acT: HuffTable): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeHuff(acT)
+        if (rs < 0) return false
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r < 15) { // EOBn: this block ends; r extra bits extend the run
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val eb = br.receive(r)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            return true
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) return false
+          val v = br.extend(s)
+          if (v == Int.MinValue) return false
+          plane(off + ZigZag(k)) = v << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefine(plane: Array[Int], off: Int, ss: Int, se: Int, al: Int,
+        br: BitReader, acT: HuffTable): Boolean = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def correct(z: Int): Boolean = {
+        val b = br.bit()
+        if (b < 0) return false
+        if (b == 1 && (plane(z) & p1) == 0)
+          plane(z) += (if (plane(z) >= 0) p1 else m1)
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = br.decodeHuff(acT)
+          if (rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) { // EOB run starts HERE: k is not advanced
+              eobrun = 1 << r
+              if (r > 0) {
+                val eb = br.receive(r)
+                if (eb < 0) return false
+                eobrun += eb
+              }
+              atEob = true
+            }
+            // r == 15: pass over 16 zero-HISTORY coefficients
+          } else {
+            if (s != 1) return false // refinements carry single bits only
+            val b = br.bit()
+            if (b < 0) return false
+            newval = if (b == 1) p1 else m1
+          }
+          if (!atEob) {
+            // advance over the band: correction bits on nonzero history,
+            // r zero-history skips, then place the new coefficient
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + ZigZag(k)
+              if (plane(z) != 0) {
+                if (!correct(z)) return false
+              } else if (r == 0) {
+                if (newval != 0) plane(z) = newval
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && newval != 0) return false // band overrun
+          }
+        }
+        if (atEob) {
+          // the EOB-starting block still carries correction bits to Se
+          while (k <= se) {
+            val z = off + ZigZag(k)
+            if (plane(z) != 0 && !correct(z)) return false
+            k += 1
+          }
+          eobrun -= 1
+        }
+      } else {
+        while (k <= se) {
+          val z = off + ZigZag(k)
+          if (plane(z) != 0 && !correct(z)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    // ---- one scan's entropy-coded data ----
+    def decodeScan(scanIdx: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+        br: BitReader): Boolean = {
+      comps.foreach(_.pred = 0)
+      eobrun = 0
+      if (scanIdx.length > 1) { // interleaved: DC scans only (G.1.1.1)
+        if (ss != 0 || se != 0) return false
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!br.restart()) return false
+            comps.foreach(_.pred = 0)
+            eobrun = 0
+          }
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanIdx.length) {
+            val c = comps(scanIdx(ci))
+            val plane = coefs(scanIdx(ci))
+            var b = 0
+            while (b < c.h * c.v) {
+              val bx = mx * c.h + b % c.h
+              val by = my * c.v + b / c.h
+              if (!dcUnit(c, plane, (by * sbw(c) + bx) * 64, ah, al, br))
+                return false
+              b += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else { // non-interleaved: the component's own block grid
+        val c = comps(scanIdx(0))
+        val plane = coefs(scanIdx(0))
+        val bw = cbw(c)
+        val n = bw * cbh(c)
+        val isDc = ss == 0
+        if (isDc && se != 0) return false
+        if (!isDc && (ss < 1 || se < ss || se > 63)) return false
+        val acT = if (isDc) null else acTables(c.acTab)
+        if (!isDc && acT == null) return false
+        var i = 0
+        while (i < n) {
+          if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+            if (!br.restart()) return false
+            c.pred = 0
+            eobrun = 0
+          }
+          val off = ((i / bw) * sbw(c) + (i % bw)) * 64
+          val ok =
+            if (isDc) dcUnit(c, plane, off, ah, al, br)
+            else if (ah == 0) acFirst(plane, off, ss, se, al, br, acT)
+            else acRefine(plane, off, ss, se, al, br, acT)
+          if (!ok) return false
+          i += 1
+        }
+      }
+      true
+    }
+
+    // ---- marker walk across ALL scans up to EOI ----
+    while (true) {
+      while (pos < bytes.length && (bytes(pos) & 0xff) != 0xff) return None
+      while (pos < bytes.length && (bytes(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= bytes.length) return None
+      val m = bytes(pos) & 0xff
+      pos += 1
+      m match {
+        case 0xd9 => // EOI: dequant + IDCT the luma plane
+          if (coefs == null) return None
+          val luma = comps(0)
+          if (luma.h != hMax || luma.v != vMax) return None
+          if (!quantSeen(luma.tq)) return None
+          val qt = quant(luma.tq)
+          val plane = coefs(0)
+          val bw = cbw(luma)
+          val bh = cbh(luma)
+          val lw = bw * 8
+          val lpix = new Array[Byte](lw * bh * 8)
+          val coefD = new Array[Double](64)
+          val pixD = new Array[Double](64)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val off = (by * sbw(luma) + bx) * 64
+              var i = 0
+              while (i < 64) { coefD(i) = plane(off + i).toDouble * qt(i); i += 1 }
+              idct(coefD, pixD)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  val v = math.round(pixD(yy * 8 + xx) + 128.0).toInt
+                  lpix((by * 8 + yy) * lw + bx * 8 + xx) =
+                    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val outPix = new Array[Byte](width * height)
+          var yy = 0
+          while (yy < height) {
+            System.arraycopy(lpix, yy * lw, outPix, yy * width, width)
+            yy += 1
+          }
+          return Some(Gray8(width, height, outPix))
+        case 0xc2 => // SOF2
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos)
+          if (pos + len > bytes.length || comps != null) return None
+          val prec = bytes(pos + 2) & 0xff
+          height = u16(pos + 3)
+          width = u16(pos + 5)
+          val nc = bytes(pos + 7) & 0xff
+          if (prec != 8 || width == 0 || height == 0 ||
+              (nc != 1 && nc != 3) || len < 8 + 3 * nc) return None
+          // full-image coefficient storage: cap tighter than baseline's
+          // streaming path (16 MP ≈ 96 MB of planes at 4:2:0)
+          if (width.toLong * height > 16L * 1024 * 1024) return None
+          comps = Array.tabulate(nc) { i =>
+            val o = pos + 8 + 3 * i
+            val hv = bytes(o + 1) & 0xff
+            Component(bytes(o) & 0xff, (hv >> 4) & 0xf, hv & 0xf,
+              bytes(o + 2) & 0xff)
+          }
+          if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
+              c.tq > 3)) return None
+          hMax = comps.map(_.h).max
+          vMax = comps.map(_.v).max
+          mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          coefs = comps.map(c => new Array[Int](sbw(c) * mcusY * c.v * 64))
+          pos += len
+        case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          return None
+        case 0xdb => // DQT (tables may also arrive between scans)
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos)
+          if (pos + len > bytes.length) return None
+          var o = pos + 2
+          while (o < pos + len) {
+            val pq = (bytes(o) & 0xff) >> 4
+            val tq = bytes(o) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            val step = if (pq == 0) 1 else 2
+            if (o + 1 + 64 * step > pos + len) return None
+            var kk = 0
+            while (kk < 64) {
+              val v =
+                if (pq == 0) bytes(o + 1 + kk) & 0xff
+                else u16(o + 1 + 2 * kk)
+              if (v == 0) return None
+              quant(tq)(ZigZag(kk)) = v
+              kk += 1
+            }
+            quantSeen(tq) = true
+            o += 1 + 64 * step
+          }
+          pos += len
+        case 0xc4 => // DHT
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos)
+          if (pos + len > bytes.length) return None
+          var o = pos + 2
+          while (o < pos + len) {
+            val tc = (bytes(o) & 0xff) >> 4
+            val th = bytes(o) & 0x0f
+            if (tc > 1 || th > 3 || o + 17 > pos + len) return None
+            val bits = new Array[Int](17)
+            var total = 0
+            var i = 1
+            while (i <= 16) {
+              bits(i) = bytes(o + i) & 0xff; total += bits(i); i += 1
+            }
+            if (total > 256 || o + 17 + total > pos + len) return None
+            val vals = new Array[Int](total)
+            i = 0
+            while (i < total) { vals(i) = bytes(o + 17 + i) & 0xff; i += 1 }
+            val t = new HuffTable(bits, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            o += 17 + total
+          }
+          pos += len
+        case 0xdd => // DRI
+          if (pos + 4 > bytes.length) return None
+          restartInterval = u16(pos + 2)
+          pos += u16(pos)
+        case 0xda => // SOS: one scan of the progression
+          if (pos + 2 > bytes.length) return None
+          val len = u16(pos)
+          if (pos + len > bytes.length || comps == null) return None
+          val ns = bytes(pos + 2) & 0xff
+          if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+          val scanIdx = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cs = bytes(pos + 3 + 2 * i) & 0xff
+            val tt = bytes(pos + 4 + 2 * i) & 0xff
+            val gi = comps.indexWhere(_.id == cs)
+            if (gi < 0) return None
+            comps(gi).dcTab = (tt >> 4) & 0xf
+            comps(gi).acTab = tt & 0xf
+            scanIdx(i) = gi
+            i += 1
+          }
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+          val ah = (ahal >> 4) & 0xf
+          val al = ahal & 0xf
+          if (al > 13 || ah > 13) return None
+          // DC-first scans need their Huffman tables up front
+          if (ss == 0 && ah == 0 &&
+              scanIdx.exists(gi => dcTables(comps(gi).dcTab) == null))
+            return None
+          val br = new BitReader(bytes, pos + len)
+          if (!decodeScan(scanIdx, ss, se, ah, al, br)) return None
+          br.reset()
+          pos = br.pos // the next 0xFF marker (or padding) starts here
+        case mm if mm >= 0xe0 && mm <= 0xef =>
+          if (pos + 2 > bytes.length) return None
+          pos += u16(pos)
+        case 0xfe =>
+          if (pos + 2 > bytes.length) return None
+          pos += u16(pos)
+        case 0x01 => ()
+        case mm if mm >= 0xd0 && mm <= 0xd7 => ()
+        case _ =>
+          if (pos + 2 > bytes.length) return None
+          pos += u16(pos)
+      }
+    }
+    None // unreachable
   }
 }

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * ISO/IEC 10918-1, exercised by `mm_image_jpeg`). VIDEO is real at
   * the container + Motion-JPEG tier ([[Mp4Codec]]: ISO/IEC 14496-12
   * box mux/demux with per-frame [[JpegCodec]] pixel decode,
-  * exercised by `mm_video`); the remaining compressed codecs
-  * (progressive JPEG, MP3, inter-frame video: H.264/HEVC/VP9) stay a
+  * exercised by `mm_video`), and progressive (SOF2) JPEG decodes for
+  * real too (Annex G multi-scan, exercised by `mm_image_prog`); the
+  * remaining compressed codecs (MP3 sample decode — headers are real,
+  * see `mm_audio_mp3` — and inter-frame video: H.264/HEVC/VP9) stay a
   * clearly-marked deterministic STUB behind [[MediaDecoder]]
   * (ffmpeg-class codecs don't ship in this offline environment);
   * everything Spark-side —
@@ -547,6 +549,101 @@ object Multimodal {
       |  CAST(sum(kbps) AS BIGINT) AS sum_kbps,
       |  CAST(sum(pad) AS BIGINT) AS n_padded
       |FROM k GROUP BY asset_id, rate, nf
+      |ORDER BY asset_id""".stripMargin
+
+  /** Registered PROGRESSIVE-JPEG pixel-decode tier (round 8 —
+    * retires the progressive tier of the JPEG boundary): every
+    * image-slice asset gets a real SOF2 progressive JFIF JPEG —
+    * constant 8×8 blocks (`wb = 1 + id mod 4` wide,
+    * `hb = 1 + n_chars mod 3` high, block value
+    * `(23·id + 7·bx + 19·by) mod 256`) encoded by
+    * [[JpegCodec.encodeGray8Progressive]]'s three-scan script (DC at
+    * Al=1, the full AC band with EOB-run batching, DC refinement)
+    * and pixel-decoded back through the Annex G multi-scan decoder.
+    * The flat-8 DC-exactness argument carries (the split DC passes
+    * reassemble bit-for-bit), so the closed-form block-grid oracle
+    * hash-proves the whole progression loop exact on every asset.
+    * The JDK's own progressive scan scripts (spectral bands + AC
+    * successive approximation) are pinned in `JpegCodecSpec`.
+    */
+  def mmImageProg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // assets()'s image slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val wb = (1 + id % 4).toInt
+        val hb = (1 + nChars % 3).toInt
+        val w = wb * 8
+        val h = hb * 8
+        val px = new Array[Byte](w * h)
+        var by = 0
+        while (by < hb) {
+          var bx = 0
+          while (bx < wb) {
+            val v = (((23L * id + 7L * bx + 19L * by) % 256).toInt & 0xff).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                px((by * 8 + y) * w + bx * 8 + x) = v
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = JpegCodec.encodeGray8Progressive(w, h, px, JpegCodec.flatQuant(8))
+        val img = JpegCodec.decodeGray8(bytes)
+          .getOrElse(sys.error(s"undecodable progressive JPEG for asset $id"))
+        var sum = 0L
+        var mn = 255L
+        var mx = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = (img.pixels(i) & 0xff).toLong
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (id, img.width.toLong, img.height.toLong,
+          img.pixels.length.toLong, sum, mn, mx)
+      }
+    }.toDF("asset_id", "width", "height", "n_pixels",
+        "sum_lum", "min_lum", "max_lum")
+      .withColumn("mean_lum_x1000", expr("sum_lum * 1000 div n_pixels"))
+      .orderBy("asset_id")
+  }
+
+  /** Closed form over the block grid (the [[mmImageJpegSql]] shape
+    * with the progressive query's parameterization).
+    */
+  val mmImageProgSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + doc_id % 4 AS wb, 1 + n_chars % 3 AS hb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |blk AS (
+      |  SELECT asset_id, wb, hb,
+      |    unnest(generate_series(0, wb * hb - 1)) AS i
+      |  FROM img),
+      |v AS (
+      |  SELECT asset_id, wb, hb,
+      |    (23 * asset_id + 7 * (i % wb) + 19 * (i // wb)) % 256 AS v
+      |  FROM blk)
+      |SELECT asset_id,
+      |  CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+      |  CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
+      |  CAST(sum(v) * 64 AS BIGINT) AS sum_lum,
+      |  CAST(min(v) AS BIGINT) AS min_lum,
+      |  CAST(max(v) AS BIGINT) AS max_lum,
+      |  CAST(sum(v) * 64 * 1000 // (wb * hb * 64) AS BIGINT) AS mean_lum_x1000
+      |FROM v GROUP BY asset_id, wb, hb
       |ORDER BY asset_id""".stripMargin
 
   /** Registered VIDEO decode tier (round 8 — retires the video tier

@@ -143,6 +143,121 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- progressive (SOF2, Annex G) ----
+
+  private def imageIoEncodeProgressive(
+      img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("progressive: own 3-scan encode decodes IDENTICALLY to own baseline") {
+    val rnd = new scala.util.Random(13)
+    for ((w, h) <- Seq((8, 8), (24, 16), (37, 22))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val base = JpegCodec.decodeGray8(JpegCodec.encodeGray8(w, h, px))
+        .getOrElse(fail("baseline decode failed"))
+      val prog = JpegCodec.decodeGray8(JpegCodec.encodeGray8Progressive(w, h, px))
+        .getOrElse(fail("progressive decode failed"))
+      // same quantized spectrum, same IDCT: bit-identical pixels
+      assert(prog.width == w && prog.height == h)
+      assert(prog.pixels.sameElements(base.pixels), s"$w x $h differs")
+    }
+  }
+
+  test("progressive: constant blocks with flat-8 quant round-trip EXACTLY") {
+    // DC split over Al=1 + refinement reassembles bit-for-bit, ACs are
+    // zero: the DC-only-losslessness property carries to progressive.
+    for (v <- Seq(0, 17, 128, 255)) {
+      val px = Array.fill(16 * 8)(v.toByte)
+      val bytes = JpegCodec.encodeGray8Progressive(16, 8, px, JpegCodec.flatQuant(8))
+      val img = JpegCodec.decodeGray8(bytes).getOrElse(fail("decode failed"))
+      assert(img.pixels.forall(p => (p & 0xff) == v), s"value $v not exact")
+    }
+  }
+
+  test("progressive: own encode -> ImageIO decode within IDCT tolerance") {
+    val rnd = new scala.util.Random(21)
+    for ((w, h) <- Seq((16, 16), (29, 18))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val bytes = JpegCodec.encodeGray8Progressive(w, h, px)
+      val own = JpegCodec.decodeGray8(bytes).getOrElse(fail("own decode failed"))
+      val (iw, ih, ipx) = imageIoDecodeGray(bytes)
+      assert(iw == w && ih == h, "ImageIO rejected our progressive stream")
+      val d = maxAbsDiff(own.pixels.map(_ & 0xff), ipx)
+      assert(d <= 1, s"$w x $h: max |own - ImageIO| = $d")
+    }
+  }
+
+  test("progressive: ImageIO encode (grayscale, its own scan script) -> own decode") {
+    // the JDK writer's progressive script uses spectral bands and
+    // successive approximation shapes our encoder never emits —
+    // including AC refinement scans — so this pins the full G.2
+    // procedure set against an independent encoder.
+    val rnd = new scala.util.Random(29)
+    for ((w, h) <- Seq((16, 16), (40, 23), (7, 31))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (x <- 0 until w; y <- 0 until h)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      for (q <- Seq(0.95f, 0.7f)) {
+        val bytes = imageIoEncodeProgressive(img, q)
+        val own = JpegCodec.decodeGray8(bytes)
+          .getOrElse(fail(s"$w x $h q=$q: own decoder rejected progressive"))
+        val (iw, ih, ipx) = imageIoDecodeGray(bytes)
+        assert(own.width == iw && own.height == ih)
+        val d = maxAbsDiff(own.pixels.map(_ & 0xff), ipx)
+        assert(d <= 1, s"$w x $h q=$q: max diff $d")
+      }
+    }
+  }
+
+  test("progressive: ImageIO RGB 3-component progressive -> own luma decode") {
+    val rnd = new scala.util.Random(31)
+    for ((w, h) <- Seq((32, 32), (21, 13))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val src = Array.fill(w * h)(rnd.nextInt(200) + 28)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = src(y * w + x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bytes = imageIoEncodeProgressive(img, 0.95f)
+      val own = JpegCodec.decodeGray8(bytes)
+        .getOrElse(fail(s"$w x $h: own decoder rejected 3-comp progressive"))
+      val (iw, ih, ipx) = imageIoDecodeGray(bytes)
+      assert(iw == w && ih == h)
+      val dRef = maxAbsDiff(own.pixels.map(_ & 0xff), ipx)
+      assert(dRef <= 2, s"$w x $h: max |own luma - ImageIO| = $dRef")
+      val d = maxAbsDiff(own.pixels.map(_ & 0xff), src)
+      assert(d <= 8, s"$w x $h: max |luma - gray source| = $d")
+    }
+  }
+
+  test("progressive: truncation and corruption return None, never throw") {
+    val px = Array.tabulate(24 * 16)(i => (i * 7 % 256).toByte)
+    val good = JpegCodec.encodeGray8Progressive(24, 16, px)
+    var n = 0
+    while (n < good.length) {
+      JpegCodec.decodeGray8(java.util.Arrays.copyOf(good, n)) // must not throw
+      n += 5
+    }
+    for (i <- 2 until good.length by 7) {
+      val c = good.clone()
+      c(i) = (c(i) ^ 0x5a).toByte
+      JpegCodec.decodeGray8(c) // Option either way; must not throw
+    }
+  }
+
   // ---- decode contract: None, never throw, outside the subset ----
 
   test("hostile and unsupported inputs return None") {
