@@ -17,9 +17,15 @@ character bijection (text) / signed coordinate permutation
   * within-replica cosines equal the sf0.1 values up to float
     summation order (compared with tolerance 2e-6 after the oracles'
     round-to-6);
-  * cross-replica pairs are impossible above threshold (disjoint
-    shingle alphabets; near-orthogonal cross-replica cosines at the
-    1/sqrt(64) scale vs thresholds >= 0.45).
+  * cross-replica TEXT pairs are impossible above threshold
+    (deterministically disjoint shingle alphabets). Cross-replica
+    COSINES, however, are only Gaussian-suppressed (the signed
+    rotation is orthogonal; clustered vectors put ~8e-5 of the 2e8
+    cross pairs above 0.45 — measured), so the replica argument
+    holds for embeddings only at the 0.8 threshold; the exhaustive
+    0.45 family is verified by direct replay / grid-twin equality /
+    union-find recomputation instead (see REPLICA_EQUIVARIANT,
+    DIRECT_RETRY, TWIN_OF, UNION_FIND).
 
 Hence the TRUE pair relation at sf1 is exactly the sf0.1 oracle
 relation replicated 10x with ids shifted by k*stride — computable from
@@ -53,21 +59,68 @@ FACTOR = 10
 QUADRATIC_MARKERS = ("JOIN sh b", "e a JOIN e b")
 
 # Quadratic-oracle queries whose sf1 truth IS the replicated sf0.1
-# oracle (replica-equivariant: pair relation + min-label clustering;
-# see module docstring). Each maps to the id columns to shift and the
-# stride table. dedup_cluster labels are min-doc-id per component, so
-# they shift like ids.
+# oracle (replica-equivariant; see module docstring). TEXT transforms
+# (Caesar) give DETERMINISTIC cross-replica shingle disjointness, so
+# the text families qualify. The EMBEDDING transform is an orthogonal
+# signed rotation, and for clustered embeddings cross-replica cosines
+# are Gaussian-tailed (measured ~8e-5 of the 2e8 cross pairs exceed
+# 0.45 — thousands of true pairs the replica construction would
+# wrongly exclude), so the replica argument is only sound at the HI
+# threshold (0.8: tail ~1e-10). The exhaustive-0.45 embedding family
+# is verified by stronger means below: dedup_embedding by a direct
+# (long-budget) DuckDB replay, dedup_embedding_ann by equality with
+# the exact grid's own sf1 dump, dedup_cluster by an independent
+# union-find recomputation over the sf1 pair dump.
 REPLICA_EQUIVARIANT = {
     "dedup_minhash": ("doc",),
     "dedup_ngram": ("doc",),
     "dedup_simhash": ("doc",),
-    "dedup_cluster": ("doc",),
-    "dedup_embedding": ("vec",),
-    "dedup_embedding_ann": ("vec",),
     "dedup_embedding_ann_hi": ("vec",),
 }
-ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster"),
+ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster", "cluster_id"),
            "vec": ("vec_id", "vec_a", "vec_b")}
+
+# Quadratic queries verified by construction-independent means.
+DIRECT_RETRY = {"dedup_embedding"}           # brute-force oracle, big budget
+TWIN_OF = {"dedup_embedding_ann": "dedup_embedding"}  # contract: same relation
+UNION_FIND = {"dedup_cluster": "dedup_minhash"}       # CC over the pair dump
+
+
+def union_find_check(sf1_verify, name, pair_query):
+    """Independently recompute dedup_cluster's labeling: union-find
+    (path compression) over the sf1 pair dump, label = component min,
+    sizes by count — checked against the Spark min-label-propagation
+    output. Valid with NO replica assumption.
+    """
+    pairs = pd.read_parquet(f"{sf1_verify}/{pair_query}")[["doc_a", "doc_b"]]
+    act = pd.read_parquet(f"{sf1_verify}/{name}")
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["doc_a"].astype("int64"))
+                   | set(pairs["doc_b"].astype("int64")))
+    lbl = {n: find(n) for n in nodes}
+    sizes = pd.Series(list(lbl.values())).value_counts().to_dict()
+    exp = pd.DataFrame({
+        "doc_id": nodes,
+        "cluster_id": [lbl[n] for n in nodes],
+        "cluster_size": [sizes[lbl[n]] for n in nodes]})
+    verdict, note = compare_frames(exp, act, ["doc_id"], len(exp))
+    if verdict == "replica_pass":
+        return "recomputed_pass", (f"union-find over {pair_query} sf1 dump: "
+                                   f"{len(exp)} rows match")
+    return "recomputed_fail", f"union-find over {pair_query} sf1 dump: {note}"
 
 # Golden-fixture queries: their oracles join fixtures/golden_chunks*.parquet
 # on an exact (corpus_docs, corpus_chars) key, so the direct replay matches
@@ -247,6 +300,36 @@ def main():
             verdict, note = replica_check(
                 con, name, oracle[name], REPLICA_EQUIVARIANT[name],
                 sf1_verify, sf01_dir)
+            parity[name], notes[name] = verdict, note
+        elif name in DIRECT_RETRY:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "scripts/check.py", sf1_dir, sf1_verify,
+                     name],
+                    capture_output=True, text=True, timeout=per_q_timeout)
+                parity[name] = ("pass" if f"PASS {name}" in proc.stdout
+                                else "fail")
+                notes[name] = "direct brute-force replay at sf1"
+                if parity[name] == "fail":
+                    notes[name] += "\n" + "\n".join(
+                        proc.stdout.splitlines()[:4])
+            except subprocess.TimeoutExpired:
+                parity[name] = "oracle_timeout"
+        elif name in TWIN_OF:
+            twin = TWIN_OF[name]
+            a = pd.read_parquet(f"{sf1_verify}/{name}")
+            b = pd.read_parquet(f"{sf1_verify}/{twin}")
+            verdict, note = compare_frames(a, b, list(a.columns), len(b))
+            if verdict == "replica_pass":
+                parity[name] = "twin_pass"
+                notes[name] = (f"exhaustiveness vs the exact grid: equal to "
+                               f"the {twin} sf1 dump, {len(b)} rows")
+            else:
+                parity[name] = "twin_fail"
+                notes[name] = (f"exhaustiveness vs the exact grid "
+                               f"({twin} sf1 dump): {note}")
+        elif name in UNION_FIND:
+            verdict, note = union_find_check(sf1_verify, name, UNION_FIND[name])
             parity[name], notes[name] = verdict, note
         else:
             parity[name] = "oracle_infeasible_at_scale"

@@ -26,10 +26,18 @@ import org.apache.spark.sql.SparkSession
   *   - `embeddings.embedding`: per-replica signed coordinate
   *     rotation (rotate indices by k·23 mod dim, flip deterministic
   *     signs). A signed permutation is orthogonal: within-replica
-  *     cosines are bit-identical to the source, cross-replica
-  *     cosines are pseudo-random and concentrate near 0 (1/√64
-  *     scale), matching how an iid-grown corpus behaves at a fixed
-  *     threshold.
+  *     cosines are bit-identical to the source; cross-replica
+  *     cosines are pseudo-random and CONCENTRATE near 0 (1/√64
+  *     scale) but are only Gaussian-suppressed, not zero — with
+  *     clustered vectors the tail above a LOW threshold is real
+  *     (measured at factor 10: ~8e-5 of the 2e8 cross pairs exceed
+  *     cos 0.45, i.e. thousands of genuine cross-replica near-dups,
+  *     matching how an iid-grown corpus behaves). Replica-union
+  *     oracles for embeddings are therefore sound only at high
+  *     thresholds (0.8: tail ~1e-10); the scale-up parity gate
+  *     verifies the exhaustive low-threshold family by direct
+  *     replay / twin-equality / union-find instead
+  *     (scripts/scaleup_parity.py).
   *   - `lineitem`/`orders`/`customer`/`supplier`/`part`: pure key
   *     shifts with one shared stride per key family, so every FK
   *     joins within its replica and nothing dangles — N disjoint
