@@ -19,7 +19,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, float):
-            return repr(round(v, 9))
+            # 9 dp absolute AND 12 significant digits: at magnitudes like
+            # 1e10 (large-SF money sums) 9 dp sits beyond double precision,
+            # so summation-order noise in the 16th significant digit must
+            # not read as a mismatch.
+            return repr(float(f"{round(v, 9):.12g}"))
         return str(v)
     out = df.applymap(cell)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)

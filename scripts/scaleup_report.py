@@ -54,17 +54,25 @@ def main():
             "bijection: within-replica n-gram/MinHash/SimHash similarity "
             "structure preserved exactly, cross-replica shingles disjoint) "
             "+ per-replica signed coordinate rotation of embeddings "
-            "(orthogonal: within-replica cosines preserved, cross-replica "
-            "near-orthogonal); lineitem/orders/customer/supplier/part key "
+            "(orthogonal: within-replica cosines preserved; cross-replica "
+            "cosines Gaussian-suppressed but with a real tail above low "
+            "thresholds, so the corpus carries genuine cross-replica "
+            "near-dups like an iid-grown one); lineitem/orders/customer/"
+            "supplier/part key "
             "shifts share one stride per key family so every FK joins "
             "within its replica (10 disjoint relational + graph copies, "
             "orderkey%8 subset density preserved); events key shifts give "
             "10 disjoint user populations with identical temporal "
             "structure. Parity = the DuckDB oracle gate (scripts/check.py) "
-            "replayed on the scaled corpus where the oracle is feasible, "
-            "and a construction-based replica oracle (scripts/"
-            "scaleup_parity.py) for the deliberately-quadratic all-pairs "
-            "oracles."
+            "replayed on the scaled corpus where the oracle is feasible "
+            "(incl. a long-budget brute-force replay of dedup_embedding), "
+            "construction-based replica oracles (scripts/scaleup_parity.py) "
+            "for quadratic oracles where the replica argument is sound "
+            "(text shingles: deterministic disjointness; embeddings at the "
+            "0.8 threshold), fixture-replica checks for the golden-chunks "
+            "queries (ids shifted, text Caesar-rotated, totals "
+            "re-aggregated), grid-twin equality for dedup_embedding_ann, "
+            "and an independent union-find recomputation for dedup_cluster."
         ),
         "hot_protocol": "min_of_reps",
         "note": (
@@ -73,6 +81,12 @@ def main():
             "models) and is reported for completeness; hot is the serving "
             "path the exponent argument is about."
         ),
+        "parity_counts": {
+            v: sum(1 for q in queries.values() if q["parity"] == v)
+            for v in sorted({q["parity"] for q in queries.values()})},
+        "exponent_hot_max": max(
+            (q["exponent_hot"] for q in queries.values()
+             if q["exponent_hot"] is not None), default=None),
         "queries": queries,
     }
     with open(out_path, "w") as f:
