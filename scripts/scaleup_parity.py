@@ -84,6 +84,89 @@ ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster", "cluster_id"),
 DIRECT_RETRY = {"dedup_embedding"}           # brute-force oracle, big budget
 TWIN_OF = {"dedup_embedding_ann": "dedup_embedding"}  # contract: same relation
 UNION_FIND = {"dedup_cluster": "dedup_minhash"}       # CC over the pair dump
+RECOMPUTE = {"sim_knn", "dedup_sorted_nbhd"}  # independent numpy/pandas replay
+
+
+def knn_recompute_check(sf1_dir, sf1_verify):
+    """Independent brute-force kNN in numpy (BLAS) against the Spark
+    dump: cosine over all pairs, rounded to 6 dp like the oracle,
+    rank by (cos desc, nbr asc), top 3.
+    """
+    emb = pd.read_parquet(f"{sf1_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    ok = nrm != 0
+    Mn = M[ok] / nrm[ok, None]
+    okIds = ids[ok]
+    k, m = 3, 16  # top-k after rounding, from a raw-top-m shortlist
+    rows = []
+    B = 2048
+    for s in range(0, len(okIds), B):
+        sims = Mn[s:s + B] @ Mn.T  # (b, n)
+        for j in range(sims.shape[0]):
+            i = s + j
+            row = sims[j].copy()
+            row[i] = -np.inf  # exclude self
+            top = np.argpartition(-row, m)[:m]
+            cand = sorted(
+                ((-round(float(row[t]), 6), int(okIds[t])) for t in top))
+            for rn, (negc, nbr) in enumerate(cand[:k], start=1):
+                rows.append((int(okIds[i]), rn, nbr, -negc))
+    exp = pd.DataFrame(rows, columns=["vec_id", "rn", "nbr", "cos_sim"])
+    act = pd.read_parquet(f"{sf1_verify}/sim_knn")
+    verdict, note = compare_frames(exp, act, ["vec_id", "rn"], len(exp))
+    if verdict == "replica_pass":
+        return "recomputed_pass", f"numpy brute-force kNN: {len(exp)} rows match"
+    return "recomputed_fail", f"numpy brute-force kNN: {note}"
+
+
+def sorted_nbhd_recompute_check(sf1_dir, sf1_verify):
+    """Independent pandas/python replay of the sorted-neighborhood
+    join: normalized 64-char key, 8-char block, rank window w=5,
+    candidates verified with exact word-3-gram Jaccard >= 0.8 (the
+    oracle's shingle definition).
+    """
+    import re
+    docs = pd.read_parquet(f"{sf1_dir}/documents.parquet")[["doc_id", "text"]]
+    docs["snkey"] = docs["text"].map(
+        lambda t: re.sub(r"[^a-z0-9]", "", t.lower())[:64])
+    docs["block"] = docs["snkey"].str[:8]
+    docs = docs.sort_values(["block", "snkey", "doc_id"]).reset_index(drop=True)
+    cands = set()
+    for _, grp in docs.groupby("block", sort=False):
+        g = grp["doc_id"].to_numpy()
+        for d in range(1, 5):
+            for a, b in zip(g[:-d], g[d:]):
+                cands.add((min(int(a), int(b)), max(int(a), int(b))))
+    text_of = dict(zip(docs["doc_id"].astype("int64"), docs["text"]))
+
+    def shingles(t):
+        w = re.split(" +", t)
+        if len(w) >= 3:
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {t}
+
+    sh = {}
+    rows = []
+    for a, b in sorted(cands):
+        sa = sh.get(a)
+        if sa is None:
+            sa = sh[a] = shingles(text_of[a])
+        sb = sh.get(b)
+        if sb is None:
+            sb = sh[b] = shingles(text_of[b])
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.8:
+            rows.append((a, b, j))
+    exp = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    act = pd.read_parquet(f"{sf1_verify}/dedup_sorted_nbhd")
+    verdict, note = compare_frames(exp, act, ["doc_a", "doc_b"], len(exp))
+    if verdict == "replica_pass":
+        return "recomputed_pass", (f"pandas sorted-neighborhood replay: "
+                                   f"{len(exp)} rows match")
+    return "recomputed_fail", f"pandas sorted-neighborhood replay: {note}"
 
 
 def union_find_check(sf1_verify, name, pair_query):
@@ -330,6 +413,11 @@ def main():
                                f"({twin} sf1 dump): {note}")
         elif name in UNION_FIND:
             verdict, note = union_find_check(sf1_verify, name, UNION_FIND[name])
+            parity[name], notes[name] = verdict, note
+        elif name in RECOMPUTE:
+            fn = (knn_recompute_check if name == "sim_knn"
+                  else sorted_nbhd_recompute_check)
+            verdict, note = fn(sf1_dir, sf1_verify)
             parity[name], notes[name] = verdict, note
         else:
             parity[name] = "oracle_infeasible_at_scale"
