@@ -86,6 +86,74 @@ TWIN_OF = {"dedup_embedding_ann": "dedup_embedding"}  # contract: same relation
 UNION_FIND = {"dedup_cluster": "dedup_minhash"}       # CC over the pair dump
 RECOMPUTE = {"sim_knn", "dedup_sorted_nbhd"}  # independent numpy/pandas replay
 
+# Labels that stay infeasible, with the reason recorded in the artifact.
+INFEASIBLE_NOTES = {
+    "pipeline_holdout": (
+        "derives from the dedup_cluster labeling (union-find-verified at "
+        "sf1) via family-atomic assignment; the assignment logic itself is "
+        "direct-gate-verified at sf0.01"),
+    "pipeline_prep": (
+        "joins the dedup_cluster labeling (union-find-verified at sf1) "
+        "back to documents; join logic direct-gate-verified at sf0.01"),
+    "pipeline_survivor": (
+        "survivor election over dedup_cluster components (union-find-"
+        "verified at sf1); election logic direct-gate-verified at sf0.01"),
+    "dedup_incremental": (
+        "the bucketed old-batch x new-batch shingle join is DuckDB-"
+        "infeasible at factor 10 (exceeds a 2400 s budget); its shingle-"
+        "Jaccard tier is independently confirmed at sf1 via dedup_minhash "
+        "(replica) and dedup_sorted_nbhd (recompute), and the bucket-split "
+        "logic is direct-gate-verified at sf0.01"),
+}
+
+
+def graph_components_recompute(sf1_dir, sf1_verify):
+    """graph_components' oracle OOMs DuckDB at factor 10 (the recursive
+    reach CTE materializes nodes x labels for a ~20k-node component).
+    The EDGE relation is cheap; only the closure explodes — so extract
+    the edges in DuckDB and do the closure with a Python union-find,
+    then recompute per-component node/edge counts.
+    """
+    c2 = duckdb.connect()
+    edges = c2.sql(f"""
+        WITH li AS (SELECT l_orderkey, l_partkey
+                    FROM read_parquet('{sf1_dir}/lineitem.parquet')
+                    WHERE l_orderkey % 8 = 0)
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey != b.l_partkey""").df()
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edges[["src", "dst"]].itertuples(index=False):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    comp = {n: find(int(n)) for n in set(edges["src"].astype("int64"))}
+    n_nodes, n_dir_edges = {}, {}
+    for n, c in comp.items():
+        n_nodes[c] = n_nodes.get(c, 0) + 1
+    for s in edges["src"].astype("int64"):
+        c = comp[int(s)]
+        n_dir_edges[c] = n_dir_edges.get(c, 0) + 1
+    exp = pd.DataFrame(
+        [(c, n_nodes[c], n_dir_edges[c] // 2) for c in sorted(n_nodes)],
+        columns=["component_id", "n_nodes", "n_edges"])
+    act = pd.read_parquet(f"{sf1_verify}/graph_components")
+    verdict, note = compare_frames(exp, act, ["component_id"], len(exp))
+    if verdict == "replica_pass":
+        return "recomputed_pass", (f"DuckDB edge extraction + python "
+                                   f"union-find closure: {len(exp)} "
+                                   f"components match")
+    return "recomputed_fail", f"union-find closure: {note}"
+
 
 def knn_recompute_check(sf1_dir, sf1_verify):
     """Independent brute-force kNN in numpy (BLAS) against the Spark
@@ -366,6 +434,11 @@ def main():
           f"({sorted(fixture)})")
 
     for name in selected(feasible):
+        if name == "graph_components":
+            verdict, note = graph_components_recompute(sf1_dir, sf1_verify)
+            parity[name], notes[name] = verdict, note
+            print(f"[parity] {name}: {verdict}  {note}")
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, "scripts/check.py", sf1_dir, sf1_verify, name],
@@ -375,6 +448,9 @@ def main():
                 notes[name] = "\n".join(proc.stdout.splitlines()[:4])
         except subprocess.TimeoutExpired:
             verdict = "oracle_timeout"
+            notes[name] = f"direct replay exceeded {per_q_timeout}s in DuckDB"
+            if name in INFEASIBLE_NOTES:
+                notes[name] += "; " + INFEASIBLE_NOTES[name]
         parity[name] = verdict
         print(f"[parity] {name}: {verdict}")
 
@@ -421,6 +497,8 @@ def main():
             parity[name], notes[name] = verdict, note
         else:
             parity[name] = "oracle_infeasible_at_scale"
+            if name in INFEASIBLE_NOTES:
+                notes[name] = INFEASIBLE_NOTES[name]
         print(f"[parity] {name}: {parity[name]}  {notes.get(name, '')}")
 
     for name in selected(sorted(fixture)):
