@@ -84,7 +84,8 @@ ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster", "cluster_id"),
 DIRECT_RETRY = {"dedup_embedding"}           # brute-force oracle, big budget
 TWIN_OF = {"dedup_embedding_ann": "dedup_embedding"}  # contract: same relation
 UNION_FIND = {"dedup_cluster": "dedup_minhash"}       # CC over the pair dump
-RECOMPUTE = {"sim_knn", "dedup_sorted_nbhd"}  # independent numpy/pandas replay
+# independent numpy/pandas replays
+RECOMPUTE = {"sim_knn", "dedup_sorted_nbhd", "dedup_incremental"}
 
 # Labels that stay infeasible, with the reason recorded in the artifact.
 INFEASIBLE_NOTES = {
@@ -153,6 +154,60 @@ def graph_components_recompute(sf1_dir, sf1_verify):
                                    f"union-find closure: {len(exp)} "
                                    f"components match")
     return "recomputed_fail", f"union-find closure: {note}"
+
+
+def incremental_recompute_check(sf1_dir, sf1_verify):
+    """dedup_incremental's old-batch x new-batch shingle join exceeds
+    any realistic DuckDB budget at factor 10, but an inverted-index
+    replay is cheap: postings (doc, shingle) for old and new batches,
+    merged on the shingle id, give the exact |A∩B| for every pair
+    sharing at least one shingle (a 0.8-Jaccard pair shares ~90% of
+    its shingles, so no qualifying pair can be missed), and set sizes
+    complete the exact Jaccard. Bucket split replays the oracle's
+    polynomial string hash of the doc id.
+    """
+    import re
+    docs = pd.read_parquet(f"{sf1_dir}/documents.parquet")[["doc_id", "text"]]
+
+    def bucket(doc_id):
+        h = 0
+        for ch in str(doc_id):
+            h = (h * 31 + ord(ch)) % 1000000007
+        return h % 10
+
+    def shingles(t):
+        w = re.split(" +", t)
+        if len(w) >= 3:
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {t}
+
+    size, is_new, post_doc, post_sh = {}, {}, [], []
+    sid = {}
+    for doc_id, text in docs.itertuples(index=False):
+        d = int(doc_id)
+        s = shingles(text)
+        size[d] = len(s)
+        is_new[d] = bucket(d) >= 8
+        for sh in s:
+            post_doc.append(d)
+            post_sh.append(sid.setdefault(sh, len(sid)))
+    post = pd.DataFrame({"doc": post_doc, "sh": post_sh})
+    newf = post["doc"].map(is_new)
+    old_p = post[~newf]
+    new_p = post[newf]
+    m = old_p.merge(new_p, on="sh", suffixes=("_old", "_new"))
+    counts = m.groupby(["doc_old", "doc_new"]).size().reset_index(name="c")
+    counts["jaccard"] = counts["c"] / (
+        counts["doc_old"].map(size) + counts["doc_new"].map(size) - counts["c"])
+    exp = (counts[counts["jaccard"] >= 0.8]
+           .rename(columns={"doc_old": "old_doc", "doc_new": "new_doc"})
+           [["old_doc", "new_doc", "jaccard"]].reset_index(drop=True))
+    act = pd.read_parquet(f"{sf1_verify}/dedup_incremental")
+    verdict, note = compare_frames(exp, act, ["old_doc", "new_doc"], len(exp))
+    if verdict == "replica_pass":
+        return "recomputed_pass", (f"inverted-index old x new Jaccard "
+                                   f"replay: {len(exp)} rows match")
+    return "recomputed_fail", f"inverted-index replay: {note}"
 
 
 def knn_recompute_check(sf1_dir, sf1_verify):
@@ -433,9 +488,16 @@ def main():
           f"({sorted(quadratic)}), {len(fixture)} fixture-gated "
           f"({sorted(fixture)})")
 
+    recompute_fns = {
+        "graph_components": graph_components_recompute,
+        "sim_knn": knn_recompute_check,
+        "dedup_sorted_nbhd": sorted_nbhd_recompute_check,
+        "dedup_incremental": incremental_recompute_check,
+    }
+
     for name in selected(feasible):
-        if name == "graph_components":
-            verdict, note = graph_components_recompute(sf1_dir, sf1_verify)
+        if name in recompute_fns:
+            verdict, note = recompute_fns[name](sf1_dir, sf1_verify)
             parity[name], notes[name] = verdict, note
             print(f"[parity] {name}: {verdict}  {note}")
             continue
@@ -491,9 +553,7 @@ def main():
             verdict, note = union_find_check(sf1_verify, name, UNION_FIND[name])
             parity[name], notes[name] = verdict, note
         elif name in RECOMPUTE:
-            fn = (knn_recompute_check if name == "sim_knn"
-                  else sorted_nbhd_recompute_check)
-            verdict, note = fn(sf1_dir, sf1_verify)
+            verdict, note = recompute_fns[name](sf1_dir, sf1_verify)
             parity[name], notes[name] = verdict, note
         else:
             parity[name] = "oracle_infeasible_at_scale"
