@@ -122,6 +122,67 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mmImageProg: progressive-JPEG stats equal the closed-form block grid") {
+    val rows = Multimodal.mmImageProg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val (w, h) = (r.getLong(1), r.getLong(2))
+      assert(w == (1 + id % 4) * 8)
+      val (wb, hb) = (w / 8, h / 8)
+      val vals = for (by <- 0L until hb; bx <- 0L until wb)
+        yield (23 * id + 7 * bx + 19 * by) % 256
+      assert(r.getLong(3) == w * h)
+      assert(r.getLong(4) == vals.sum * 64, s"sum $id")
+      assert(r.getLong(5) == vals.min && r.getLong(6) == vals.max, s"minmax $id")
+    }
+  }
+
+  test("mmVideo: MP4 demux + per-frame decode equals the closed-form frame grid") {
+    val rows = Multimodal.mmVideo(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getAs[Long]("asset_id")
+      val nf = r.getAs[Long]("n_frames")
+      assert(nf == 1 + id % 5)
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      // width derives from n_chars (not in this projection); height from id
+      assert(w % 8 == 0 && w >= 8 && w <= 32 && h == (1 + id % 3) * 8)
+      val (wb, hb) = (w / 8, h / 8)
+      val vals = for (f <- 0L until nf; by <- 0L until hb; bx <- 0L until wb)
+        yield (17 * id + 23 * f + 5 * bx + 11 * by) % 256
+      assert(r.getAs[Long]("n_pixels") == nf * w * h)
+      assert(r.getAs[Long]("sum_lum") == vals.sum * 64, s"sum $id")
+      assert(r.getAs[Long]("min_lum") == vals.min &&
+        r.getAs[Long]("max_lum") == vals.max, s"minmax $id")
+      val ticks = (0L until nf).map(f => 24 + (id + f) % 2).sum
+      assert(r.getAs[Long]("duration_ticks") == ticks, s"ticks $id")
+      assert(r.getAs[Long]("duration_ms") == ticks * 1000 / 600, s"ms $id")
+    }
+  }
+
+  test("mmAudioMp3: frame walk equals the header-law closed form") {
+    val rows = Multimodal.mmAudioMp3(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    for (r <- rows) {
+      val id = r.getAs[Long]("asset_id")
+      val nf = r.getAs[Long]("n_frames")
+      val rate = rates((id % 3).toInt)
+      assert(r.getAs[Long]("sample_rate") == rate)
+      assert(r.getAs[Long]("duration_ms") == nf * 1152 * 1000 / rate)
+      val perFrame = (0L until nf).map { f =>
+        val k = kbps(((id + f) % 14).toInt)
+        val pad = (id + f) % 2
+        (k.toLong, 144000L * k / rate + pad, pad)
+      }
+      assert(r.getAs[Long]("sum_kbps") == perFrame.map(_._1).sum, s"kbps $id")
+      assert(r.getAs[Long]("frame_bytes") == perFrame.map(_._2).sum, s"bytes $id")
+      assert(r.getAs[Long]("n_padded") == perFrame.map(_._3).sum, s"pad $id")
+    }
+  }
+
   test("ImageHeaderDecoder: real PNG/JPEG/GIF bytes decode to true dimensions") {
     for ((fmt, w, h) <- Seq(("png", 13, 7), ("jpg", 40, 25), ("gif", 9, 31))) {
       val bytes = imageBytes(fmt, w, h)
