@@ -283,8 +283,11 @@ object Mp4Codec {
         if stsdE - stsdS >= 16
         format = new String(bytes, stsdS.toInt + 12, 4, "US-ASCII")
         samples <- sampleTable(bytes, stblS, stblE)
+        // overflow-proof range check: a crafted co64 offset near
+        // Long.MaxValue must not wrap `offset + size` negative and
+        // sneak past `<= n`
         if samples.forall(s => s.offset >= 0 && s.size >= 0 &&
-          s.offset + s.size <= n)
+          s.size <= n && s.offset <= n - s.size)
       } yield Mp4Meta(timescale, duration, width, height, format, samples)
     } catch {
       // Crafted sizes / truncated tables must skip the asset, not

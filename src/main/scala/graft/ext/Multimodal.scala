@@ -427,25 +427,8 @@ object Multimodal {
         val hb = (1 + id % 3).toInt
         val w = wb * 8
         val h = hb * 8
-        val px = new Array[Byte](w * h)
-        var by = 0
-        while (by < hb) {
-          var bx = 0
-          while (bx < wb) {
-            val v = (((17L * id + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                px((by * 8 + y) * w + bx * 8 + x) = v
-                x += 1
-              }
-              y += 1
-            }
-            bx += 1
-          }
-          by += 1
-        }
+        val px = constBlockRaster(wb, hb)((bx, by) =>
+          (((17L * id + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte)
         val bytes = JpegCodec.encodeGray8(w, h, px, JpegCodec.flatQuant(8))
         val img = JpegCodec.decodeGray8(bytes)
           .getOrElse(sys.error(s"undecodable JPEG for asset $id"))
@@ -469,6 +452,38 @@ object Multimodal {
         expr("sum_lum * 1000 div n_pixels"))
       .drop("n_bytes") // sanity field for local debugging, not oracled
       .orderBy("asset_id")
+  }
+
+  /** Fill a (wb × hb)-block 8×8-aligned grayscale raster where block
+    * (bx, by) is the constant `value(bx, by)` — the shared synthesis
+    * kernel of the JPEG/MJPEG decode tiers (constant blocks are the
+    * family where the lossy DCT pipeline is provably lossless; each
+    * tier's closed-form oracle restates the same (wb, hb, value)
+    * parameterization).
+    */
+  private def constBlockRaster(wb: Int, hb: Int)(
+      value: (Int, Int) => Byte): Array[Byte] = {
+    val w = wb * 8
+    val px = new Array[Byte](w * hb * 8)
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        val v = value(bx, by)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            px((by * 8 + y) * w + bx * 8 + x) = v
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    px
   }
 
   /** Registered COMPRESSED-AUDIO metadata tier (round 8): every
@@ -578,25 +593,8 @@ object Multimodal {
         val hb = (1 + nChars % 3).toInt
         val w = wb * 8
         val h = hb * 8
-        val px = new Array[Byte](w * h)
-        var by = 0
-        while (by < hb) {
-          var bx = 0
-          while (bx < wb) {
-            val v = (((23L * id + 7L * bx + 19L * by) % 256).toInt & 0xff).toByte
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                px((by * 8 + y) * w + bx * 8 + x) = v
-                x += 1
-              }
-              y += 1
-            }
-            bx += 1
-          }
-          by += 1
-        }
+        val px = constBlockRaster(wb, hb)((bx, by) =>
+          (((23L * id + 7L * bx + 19L * by) % 256).toInt & 0xff).toByte)
         val bytes = JpegCodec.encodeGray8Progressive(w, h, px, JpegCodec.flatQuant(8))
         val img = JpegCodec.decodeGray8(bytes)
           .getOrElse(sys.error(s"undecodable progressive JPEG for asset $id"))
@@ -678,25 +676,8 @@ object Multimodal {
         val h = hb * 8
         val nf = (1 + id % 5).toInt
         val frames = Array.tabulate(nf) { f =>
-          val px = new Array[Byte](w * h)
-          var by = 0
-          while (by < hb) {
-            var bx = 0
-            while (bx < wb) {
-              val v = (((17L * id + 23L * f + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  px((by * 8 + y) * w + bx * 8 + x) = v
-                  x += 1
-                }
-                y += 1
-              }
-              bx += 1
-            }
-            by += 1
-          }
+          val px = constBlockRaster(wb, hb)((bx, by) =>
+            (((17L * id + 23L * f + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte)
           JpegCodec.encodeGray8(w, h, px, JpegCodec.flatQuant(8))
         }
         val durs = Array.tabulate(nf)(f => (24 + (id + f) % 2).toInt)

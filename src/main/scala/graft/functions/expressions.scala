@@ -172,6 +172,8 @@ case class EwmaFold(child: Expression)
       "ewma_fold: argument must be ARRAY<STRUCT<BIGINT, BIGINT>>")
   }
   override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+  // null-element inputs (possible from arbitrary SQL) yield a null result
+  override def nullable: Boolean = true
   override def prettyName: String = "ewma_fold"
 
   override def nullSafeEval(v: Any): Any = {
@@ -182,6 +184,10 @@ case class EwmaFold(child: Expression)
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 2)
+      // the fold's inputs are built non-null by ts_ewma, but the
+      // function is SQL-registered: a null element (or null field)
+      // from arbitrary SQL must yield a null RESULT, not an NPE
+      if (row == null || row.isNullAt(0) || row.isNullAt(1)) return null
       val day = row.getLong(0)
       val cents = row.getLong(1)
       // Math.floorDiv, not /: daily cents are positive by

@@ -129,29 +129,40 @@ object ScaleUp {
       println(s"[scaleup] wrote $table.parquet")
     }
 
+    // A partial corpus must scale what it has, not crash on what it
+    // lacks — every table is guarded (and the relational strides
+    // below are lazy so an absent table never forces a read of
+    // another absent one).
+    def has(table: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$src/$table.parquet"))
+
     // documents: id shift + per-replica Caesar payload
-    val docStride = spark.read.parquet(s"$src/documents.parquet")
-      .agg(org.apache.spark.sql.functions.max("doc_id")).as[Long].head() + 1
-    writeOne(
-      spark.read.parquet(s"$src/documents.parquet")
-        .as[(Long, String, String, String, Long)]
-        .flatMap { case (id, text, lang, source, n) =>
-          (0 until factor).iterator.map(k =>
-            (id + k * docStride, caesar(text, k), lang, source, n))
-        }.toDF("doc_id", "text", "lang", "source", "n_chars"),
-      "documents")
+    if (has("documents")) {
+      val docStride = spark.read.parquet(s"$src/documents.parquet")
+        .agg(org.apache.spark.sql.functions.max("doc_id")).as[Long].head() + 1
+      writeOne(
+        spark.read.parquet(s"$src/documents.parquet")
+          .as[(Long, String, String, String, Long)]
+          .flatMap { case (id, text, lang, source, n) =>
+            (0 until factor).iterator.map(k =>
+              (id + k * docStride, caesar(text, k), lang, source, n))
+          }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        "documents")
+    } else println("[scaleup] skip documents (absent)")
 
     // embeddings: id shift + signed rotation
-    val vecStride = spark.read.parquet(s"$src/embeddings.parquet")
-      .agg(org.apache.spark.sql.functions.max("vec_id")).as[Long].head() + 1
-    writeOne(
-      spark.read.parquet(s"$src/embeddings.parquet")
-        .as[(Long, Array[Float], Int)]
-        .flatMap { case (id, emb, label) =>
-          (0 until factor).iterator.map(k =>
-            (id + k * vecStride, rotateSigned(emb, k), label))
-        }.toDF("vec_id", "embedding", "label"),
-      "embeddings")
+    if (has("embeddings")) {
+      val vecStride = spark.read.parquet(s"$src/embeddings.parquet")
+        .agg(org.apache.spark.sql.functions.max("vec_id")).as[Long].head() + 1
+      writeOne(
+        spark.read.parquet(s"$src/embeddings.parquet")
+          .as[(Long, Array[Float], Int)]
+          .flatMap { case (id, emb, label) =>
+            (0 until factor).iterator.map(k =>
+              (id + k * vecStride, rotateSigned(emb, k), label))
+          }.toDF("vec_id", "embedding", "label"),
+        "embeddings")
+    } else println("[scaleup] skip embeddings (absent)")
 
     // Relational fact + dim replication: pure key shifts with ONE
     // stride per key FAMILY, computed from the dimension (key-superset)
@@ -167,17 +178,22 @@ object ScaleUp {
     val reps = spark.range(0, factor).toDF("k")
 
     def maxKey(table: String, col0: String): Long =
-      spark.read.parquet(s"$src/$table.parquet")
-        .agg(max(col0)).as[Long].head()
+      Option(spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col0)).head().get(0))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
 
-    val ordStride = ((maxKey("orders", "o_orderkey") + 8) / 8) * 8
-    val custStride = maxKey("customer", "c_custkey") + 1
-    val suppStride = maxKey("supplier", "s_suppkey") + 1
-    val partStride = maxKey("part", "p_partkey") + 1
+    lazy val ordStride = ((maxKey("orders", "o_orderkey") + 8) / 8) * 8
+    lazy val custStride = maxKey("customer", "c_custkey") + 1
+    lazy val suppStride = maxKey("supplier", "s_suppkey") + 1
+    lazy val partStride = maxKey("part", "p_partkey") + 1
 
     /** Replicate `table` factor times, shifting each (col -> stride)
-      * key by k*stride and keeping every other column verbatim. */
-    def replicate(table: String, shifts: (String, Long)*): Unit = {
+      * key by k*stride and keeping every other column verbatim.
+      * Missing tables are skipped (partial corpus dirs are legal). */
+    // `shifts` is by-name so an absent table never forces the lazy
+    // strides (which read OTHER tables that may also be absent)
+    def replicate(table: String, shifts: => Seq[(String, Long)]): Unit = {
+      if (!has(table)) { println(s"[scaleup] skip $table (absent)"); return }
       val df = spark.read.parquet(s"$src/$table.parquet")
       val shiftMap = shifts.toMap
       writeOne(
@@ -191,12 +207,12 @@ object ScaleUp {
         table)
     }
 
-    replicate("lineitem", "l_orderkey" -> ordStride,
-      "l_partkey" -> partStride, "l_suppkey" -> suppStride)
-    replicate("orders", "o_orderkey" -> ordStride, "o_custkey" -> custStride)
-    replicate("customer", "c_custkey" -> custStride)
-    replicate("supplier", "s_suppkey" -> suppStride)
-    replicate("part", "p_partkey" -> partStride)
+    replicate("lineitem", Seq("l_orderkey" -> ordStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride))
+    replicate("orders", Seq("o_orderkey" -> ordStride, "o_custkey" -> custStride))
+    replicate("customer", Seq("c_custkey" -> custStride))
+    replicate("supplier", Seq("s_suppkey" -> suppStride))
+    replicate("part", Seq("p_partkey" -> partStride))
 
     // events: replicate into factor DISJOINT user populations with
     // identical temporal structure (ts/event_type/value/props kept) —
@@ -204,9 +220,9 @@ object ScaleUp {
     // replay all see an honest factor-x workload, while calendar-grain
     // relations (day/week rows) stay calendar-bounded as they would in
     // a genuinely larger deployment.
-    replicate("events",
+    replicate("events", Seq(
       "event_id" -> (maxKey("events", "event_id") + 1),
-      "user_id" -> (maxKey("events", "user_id") + 1))
+      "user_id" -> (maxKey("events", "user_id") + 1)))
 
     // remaining tables: verbatim byte copies (complete corpus dir)
     for (t <- Seq("region", "nation")) {

@@ -190,5 +190,26 @@ class Mp4CodecSpec extends AnyFunSuite {
     val junk = new Array[Byte](512)
     rnd.nextBytes(junk)
     assert(Mp4Codec.demux(junk).isEmpty)
+    // crafted co64 offset near Long.MaxValue: `offset + size` would
+    // wrap negative and sneak past a naive `<= n` range check — the
+    // demuxer must reject the sample table, not return wild ranges
+    val sizes64 = Array(16)
+    val stsd = rawBox("stsd", fullPayload(0, 0,
+      be32(1) ++ rawBox("jpeg", Array.fill(78)(0.toByte))))
+    val stts = rawBox("stts", fullPayload(0, 0, be32(1) ++ be32(1) ++ be32(25)))
+    val stsc = rawBox("stsc", fullPayload(0, 0,
+      be32(1) ++ be32(1) ++ be32(1) ++ be32(1)))
+    val stsz = rawBox("stsz", fullPayload(0, 0,
+      be32(0) ++ be32(1) ++ sizes64.flatMap(s => be32(s.toLong))))
+    val co64 = rawBox("co64", fullPayload(0, 0,
+      be32(1) ++ be64(0x7ffffffffffffff0L)))
+    val stbl = rawBox("stbl", stsd ++ stts ++ stsc ++ stsz ++ co64)
+    val mvhd = rawBox("mvhd", fullPayload(0, 0,
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(25) ++ Array.fill(80)(0.toByte)))
+    val tkhd = rawBox("tkhd", fullPayload(0, 3,
+      Array.fill(72)(0.toByte) ++ be32(8L << 16) ++ be32(8L << 16)))
+    val moov = rawBox("moov", mvhd ++
+      rawBox("trak", tkhd ++ rawBox("mdia", rawBox("minf", stbl))))
+    assert(Mp4Codec.demux(moov).isEmpty, "overflowing sample range accepted")
   }
 }

@@ -64,6 +64,17 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 5)
   }
 
+  test("ewma_fold: null array elements from arbitrary SQL yield null, not an NPE") {
+    // the fold's own inputs are built non-null, but the expression is
+    // reachable from user SQL — totality is part of its contract
+    val col = graft.functions.NativeFunctions.ewmaFold(
+      org.apache.spark.sql.functions.expr(
+        "CAST(array(named_struct('day_idx', CAST(NULL AS BIGINT), " +
+          "'cents', 1L)) AS ARRAY<STRUCT<day_idx: BIGINT, cents: BIGINT>>)"))
+    val row = spark.range(1).select(col.as("out")).collect().head
+    assert(row.isNullAt(0), "null element must fold to a null result")
+  }
+
   test("tsGapfill: gap days appear zero-filled, flagged, and LOCF-carried") {
     // days 0, 1, 4 have orders; 2-3 are gaps the calendar must invent
     val dir = ordersAt(Seq((0, 10.00), (1, 20.00), (1, 5.00), (4, 7.50)))
