@@ -19,10 +19,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, float):
-            # 9 dp absolute AND 12 significant digits: at magnitudes like
-            # 1e10 (large-SF money sums) 9 dp sits beyond double precision,
-            # so summation-order noise in the 16th significant digit must
-            # not read as a mismatch.
+            # Integer-valued floats (counts, exact sums) compare EXACTLY —
+            # the sig-digit cap below would otherwise mask a genuine
+            # 13th-digit mismatch in a large count.
+            if v == int(v) and abs(v) < 2**53:
+                return repr(v)
+            # Fractional values: 9 dp absolute AND 12 significant digits —
+            # at magnitudes like 1e10 (large-SF money sums) 9 dp sits
+            # beyond double precision, so summation-order noise in the
+            # 16th significant digit must not read as a mismatch.
             return repr(float(f"{round(v, 9):.12g}"))
         return str(v)
     out = df.applymap(cell)

@@ -37,6 +37,9 @@ Usage:
   python3 scripts/scaleup_parity.py <sf1Dir> <sf1VerifyDir> <sf01Dir> \
       <out.json> [perQueryTimeoutSec]
 
+Set SCALEUP_FACTOR (default 10) to the corpus's replication factor; the
+replica oracles and the SUM-TOTAL scalings all key off it.
+
 Parity labels emitted:
   pass / fail            — scripts/check.py verdict on the scaled corpus
   oracle_timeout         — oracle exceeded the per-query budget
@@ -44,6 +47,7 @@ Parity labels emitted:
   oracle_infeasible_at_scale  — quadratic oracle, no replica argument
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -51,7 +55,10 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-FACTOR = 10
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaleup_perm import permute_text  # noqa: E402  (ScaleUp's text twin)
+
+FACTOR = int(os.environ.get("SCALEUP_FACTOR", "10"))
 
 # All-pairs oracle markers (see ext/Dedup.scala shingleCteSql /
 # embeddingPairsSql): any oracle containing one of these is quadratic
@@ -60,7 +67,7 @@ QUADRATIC_MARKERS = ("JOIN sh b", "e a JOIN e b")
 
 # Quadratic-oracle queries whose sf1 truth IS the replicated sf0.1
 # oracle (replica-equivariant; see module docstring). TEXT transforms
-# (Caesar) give DETERMINISTIC cross-replica shingle disjointness, so
+# (keyed bijections) give cross-replica shingle disjointness, so
 # the text families qualify. The EMBEDDING transform is an orthogonal
 # signed rotation, and for clustered embeddings cross-replica cosines
 # are Gaussian-tailed (measured ~8e-5 of the 2e8 cross pairs exceed
@@ -345,11 +352,12 @@ def union_find_check(sf1_verify, name, pair_query):
 # Golden-fixture queries: their oracles join fixtures/golden_chunks*.parquet
 # on an exact (corpus_docs, corpus_chars) key, so the direct replay matches
 # NOTHING on a scaled corpus (empty fixture slice -> a lone rollup row).
-# But the ScaleUp text transform (tools/ScaleUp.caesar) is length- and
-# separator-preserving, so the recursive splitter's chunk boundaries are
-# replica-invariant: the sf1 truth is the sf0.1 oracle relation with doc
-# ids shifted, text columns Caesar-rotated per replica, and any SUM TOTAL
-# row re-aggregated across the 10 replicas.
+# But the ScaleUp text transform (tools/ScaleUp.permuteText, r9's keyed
+# alphabet permutation — scaleup_perm.py is its pinned twin) is length-
+# and separator-preserving, so the recursive splitter's chunk boundaries
+# are replica-invariant: the sf1 truth is the sf0.1 oracle relation with
+# doc ids shifted, text columns permuted per replica, and any SUM TOTAL
+# row re-aggregated across the FACTOR replicas.
 FIXTURE_QUERIES = {
     "doc_chunks": {"shift": ["doc_id"], "rot": ["norm_text"]},
     "doc_chunks_overlap": {"shift": ["doc_id"], "rot": ["norm_text"]},
@@ -357,23 +365,6 @@ FIXTURE_QUERIES = {
     "doc_chunk_stats": "stats",
     "doc_report": "report",
 }
-
-
-def caesar(s, k):
-    """tools/ScaleUp.caesar, reimplemented (letters mod 26, digits mod 10)."""
-    if k == 0 or not isinstance(s, str):
-        return s
-    out = []
-    for c in s:
-        if "a" <= c <= "z":
-            out.append(chr(97 + (ord(c) - 97 + k) % 26))
-        elif "A" <= c <= "Z":
-            out.append(chr(65 + (ord(c) - 65 + k) % 26))
-        elif "0" <= c <= "9":
-            out.append(chr(48 + (ord(c) - 48 + k) % 10))
-        else:
-            out.append(c)
-    return "".join(out)
 
 
 def compare_frames(exp, act, key_cols, n_small):
@@ -413,7 +404,7 @@ def fixture_replica_check(con, name, sql, spec, sf1_verify, sf01_dir):
             for c in spec["shift"]:
                 r[c] = r[c] + k * stride
             for c in spec["rot"]:
-                r[c] = r[c].map(lambda s, kk=k: caesar(s, kk))
+                r[c] = r[c].map(lambda s, kk=k: permute_text(s, kk))
             reps.append(r)
         exp = pd.concat(reps, ignore_index=True)
         return compare_frames(exp, act, spec["shift"], len(small))

@@ -21,8 +21,11 @@ import java.util.concurrent.atomic.AtomicBoolean
   *    extra rep needs headroom of 1.3x the query's last observed time, so
   *    a near-deadline pass still picks up the cheap queries, and passes
   *    run CHEAPEST-FIRST so the many cheap queries bank multiple reps
-  *    before the expensive tail eats the budget. `hot` is the MIN of
-  *    completed reps (`hot_reps` recorded per query) — the
+  *    before the expensive tail eats the budget — EXCEPT that after
+  *    the first full hot pass the top-10 most expensive queries bank
+  *    their second rep ahead of everyone's reps 2-3 (round 9: min-of-1
+  *    on the heavy tail was the remaining noise hole). `hot` is the
+  *    MIN of completed reps (`hot_reps` recorded per query) — the
   *    interference-immune hot statistic at any rep count.
   *  - Artifacts are rewritten after EVERY timed run, and a JVM shutdown
   *    hook finalizes them once more, so even a hard kill leaves the last
@@ -346,17 +349,31 @@ object Bench {
     // suite (the r7 failure mode).
     def maxReps(st: QState): Int =
       if (degraded || st.cold < 0.3) 1 else 3
-    for (pass <- 1 to 3 if !halted) {
-      for (st <- states.sortBy(_.cold)
-           if st.done && st.hots.size < math.min(pass, maxReps(st)) && !halted) {
-        val lastObs = if (st.hots.nonEmpty) st.hots.last else st.cold
-        if (timeLeftSec < 2.0) halted = true
-        else if (timeLeftSec > math.max(2.0, lastObs * 1.3)) {
-          val t = timedRun(st)
-          if (st.ok) st.hots :+= t
-          writeArtifacts()
-        }
+    def hotRep(st: QState): Unit = {
+      val lastObs = if (st.hots.nonEmpty) st.hots.last else st.cold
+      if (timeLeftSec < 2.0) halted = true
+      else if (timeLeftSec > math.max(2.0, lastObs * 1.3)) {
+        val t = timedRun(st)
+        if (st.ok) st.hots :+= t
+        writeArtifacts()
       }
+    }
+    for (st <- states.sortBy(_.cold)
+         if st.done && st.hots.isEmpty && !halted) hotRep(st)
+    // Phase 2a (round 9, VERDICT r8 "what's wrong" #2): the expensive
+    // tail is where regression signal matters most, yet cheapest-first
+    // banking left exactly those queries at min-of-1 hot reps (a
+    // max-noise statistic). Bank the SECOND rep for the top-10 by cold
+    // cost right after the first full hot pass — before any cheap
+    // query's reps 2-3 — cheapest-of-the-ten first so a near-deadline
+    // run still banks as many of them as the budget allows.
+    for (st <- states.filter(s => s.done && maxReps(s) > 1)
+           .sortBy(-_.cold).take(10).sortBy(_.cold)
+         if st.hots.size < 2 && !halted) hotRep(st)
+    for (pass <- 2 to 3 if !halted) {
+      for (st <- states.sortBy(_.cold)
+           if st.done && st.hots.size < math.min(pass, maxReps(st)) && !halted)
+        hotRep(st)
     }
     finalize_()
     spark.stop()

@@ -557,16 +557,33 @@ object Dedup {
     * exhaustiveness — the scoping `dedupMinhashSql` documents for
     * the same reason.
     *
-    * Measured scaling (r8 factor-10 audit): hot exponent ≈ 1.25.
+    * Measured scaling (r8 factor-10 audit): hot exponent ≈ 1.25-1.34.
     * The super-linear step is the recall envelope's geometry
-    * staircase, not a candidate blowup: between n=2k and n=20k
-    * [[annWidthFor]] steps 8 → 12 (occupancy held at ~8, background
-    * candidates stay LINEAR — 2⁻ʷ halves per step faster than B
-    * grows), but holding the 1e-2 miss target across the wider band
-    * multiplies the band count 26 → 70 and the mid-similarity
-    * (cluster-mate) candidate rate by (p_mid/p_t)^Δw — a bounded,
-    * envelope-priced constant per decade, ~n^1.2-1.3 measured across
-    * any single decade, not compounding quadratically.
+    * staircase, not a candidate blowup: widening the band (occupancy
+    * held at ~8 keeps background candidates LINEAR — 2⁻ʷ halves per
+    * step faster than B grows) multiplies the band count needed for
+    * the 1e-2 miss target and the mid-similarity (cluster-mate)
+    * candidate rate by (p_mid/p_t)^Δw — a bounded, envelope-priced
+    * constant per decade, not compounding quadratically. The full
+    * staircase is a CLOSED FORM of n (pinned by `DedupSpec`'s
+    * "ann_hi geometry staircase" case, so each tread is a predicted
+    * number, not a post-hoc excuse):
+    *
+    *   n               width  bands   banding rows B·n
+    *   2 000             8      27        5.4e4
+    *   20 000           12      70        1.4e6   (the measured 1.34 tread)
+    *   200 000          15     142        2.8e7
+    *   2 000 000        18     283        5.7e8
+    *   20 000 000       22     711        1.4e10
+    *   200 000 000+     24    1126        ≤ 1126·n (width capped — the
+    *                                      staircase FLATTENS to exactly
+    *                                      linear beyond n ≈ 1.3e8)
+    *
+    * Per-decade banding-work ratio = 10·(B'/B): 26, 20, 20, 25, 16,
+    * then 10 — i.e. apparent exponent 1.2-1.4 per decade while the
+    * width grows, exactly 1.0 once the 24-bit cap binds. The r8
+    * measured 1.34 sits on the predicted 2k→20k tread (ratio 26 ⇒
+    * exponent log₁₀26 ≈ 1.41 upper bound; measured 1.34 under it).
     */
   def dedupEmbeddingAnnHi(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.Tables.table(spark, dir, "embeddings").count()

@@ -719,6 +719,9 @@ object JpegCodec {
             val cs = bytes(pos + 3 + 2 * i) & 0xff
             val tt = bytes(pos + 4 + 2 * i) & 0xff
             val c = comps.find(_.id == cs).getOrElse(return None)
+            // Td/Ta ≤ 3 (B.2.3) — validate against the 4-slot table
+            // arrays instead of leaning on the NonFatal net
+            if (((tt >> 4) & 0xf) > 3 || (tt & 0xf) > 3) return None
             c.dcTab = (tt >> 4) & 0xf
             c.acTab = tt & 0xf
             i += 1
@@ -1222,6 +1225,10 @@ object JpegCodec {
             val tt = bytes(pos + 4 + 2 * i) & 0xff
             val gi = comps.indexWhere(_.id == cs)
             if (gi < 0) return None
+            // baseline caps table selectors at 3 (B.2.3: Td/Ta ≤ 3 for
+            // the 4-slot table arrays) — reject here like al/ah below so
+            // "never throws" is validation, not the NonFatal net
+            if (((tt >> 4) & 0xf) > 3 || (tt & 0xf) > 3) return None
             comps(gi).dcTab = (tt >> 4) & 0xf
             comps(gi).acTab = tt & 0xf
             scanIdx(i) = gi

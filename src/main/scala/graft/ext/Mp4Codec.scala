@@ -101,6 +101,12 @@ object Mp4Codec {
       frameDurations: Array[Int], frames: Array[Array[Byte]]): Array[Byte] = {
     require(frames.nonEmpty && frames.length == frameDurations.length,
       "one duration per frame")
+    // tkhd stores width/height as signed 16.16 fixed point and the
+    // VisualSampleEntry as uint16 — 32768+ would overflow `w << 16`
+    // negative and truncate in toShort, emitting a silently corrupt file
+    require(width > 0 && width < 0x8000 && height > 0 && height < 0x8000,
+      s"dimensions ${width}x$height out of 16.16/uint16 range")
+    require(timescale > 0, s"bad timescale $timescale")
     val ftyp = box("ftyp", bytesOf({ b =>
       b.put("isom".getBytes("US-ASCII")); b.putInt(0x200)
       b.put("isom".getBytes("US-ASCII")); b.put("iso2".getBytes("US-ASCII"))

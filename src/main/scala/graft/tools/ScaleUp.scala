@@ -16,13 +16,31 @@ import org.apache.spark.sql.SparkSession
   * STRUCTURE-PRESERVING, CROSS-REPLICA-DECORRELATING transform to
   * the payload:
   *
-  *   - `documents.text`: per-replica Caesar rotation over letters and
-  *     digits. A character bijection preserves length, shingle-set
-  *     cardinality, and every within-replica similarity relation
-  *     (n-gram Jaccard, MinHash, SimHash bands, winnowing) EXACTLY,
-  *     while making cross-replica shingles disjoint — so near-dup
-  *     density grows linearly with the corpus instead of every
-  *     replica pair colliding.
+  *   - `documents.text`: per-replica KEYED ALPHABET PERMUTATION over
+  *     letters and digits (replica 0 = identity). A character
+  *     bijection preserves length, shingle-set cardinality, and every
+  *     within-replica similarity relation (n-gram Jaccard, MinHash,
+  *     SimHash bands, winnowing) EXACTLY, while keeping cross-replica
+  *     shingles effectively disjoint — so near-dup density grows
+  *     linearly with the corpus instead of every replica pair
+  *     colliding. Unlike the r8 Caesar rotations (whose letter images
+  *     repeat at k ≡ k' mod 26 and digit images at mod 10, capping the
+  *     factor at 10), keyed permutations are constructed PAIRWISE
+  *     DISTINCT for any factor ≤ 100 by rejection: each replica's
+  *     letter/digit permutation is drawn from a splitmix64-seeded
+  *     Fisher-Yates stream and re-drawn until it agrees with every
+  *     earlier replica's on at most [[MaxLetterAgree]] letters /
+  *     [[MaxDigitAgree]] digits (identity included as replica 0's
+  *     image). Soundness of replica-union text oracles: a shingle of
+  *     replica k collides with one of replica k' iff the source
+  *     corpus contains both s and σ(s) for σ = π_k'⁻¹∘π_k; σ has ≤ 6
+  *     letter + ≤ 3 digit fixed points by construction, so
+  *     self-collisions need every letter of the shingle inside that
+  *     6-letter set, and non-fixed collisions need the pseudo-random
+  *     image of an English shingle to itself be a corpus shingle —
+  *     both vanishing for the ≥ 5-gram shingles every text-dedup
+  *     query keys on (and the scale-up parity gate measures rather
+  *     than assumes this, scripts/scaleup_parity.py).
   *   - `embeddings.embedding`: per-replica signed coordinate
   *     rotation (rotate indices by k·23 mod dim, flip deterministic
   *     signs). A signed permutation is orthogonal: within-replica
@@ -59,17 +77,94 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleUp {
 
-  def caesar(s: String, k: Int): String =
+  /** Max letters (of 26) on which two replicas' letter permutations
+    * may agree — bounds σ's fixed points (see class doc). */
+  val MaxLetterAgree = 6
+
+  /** Max digits (of 10) on which two replicas' digit permutations may
+    * agree. */
+  val MaxDigitAgree = 3
+
+  /** splitmix64 finalizer — the shared deterministic PRNG between this
+    * generator and scripts/scaleup_parity.py's replica oracles (the
+    * Python twin masks to 64 bits; both sides must produce identical
+    * permutation tables or every replica text oracle goes red). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Fisher-Yates permutation of 0..n-1 from the splitmix64 stream
+    * seeded by (salt, attempt). `>>> 33` keeps the index draw in
+    * non-negative int range on both the JVM and the Python twin. */
+  private def fisherYates(n: Int, salt: Long, attempt: Int): Array[Int] = {
+    val a = Array.tabulate(n)(identity)
+    var s = mix64(salt * 1000003L + attempt)
+    var i = n - 1
+    while (i >= 1) {
+      s = mix64(s)
+      val j = ((s >>> 33) % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+
+  private def agree(a: Array[Int], b: Array[Int]): Int = {
+    var n = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+    n
+  }
+
+  /** Pairwise-low-agreement permutation table: row 0 is the identity
+    * (replica 0 is the source verbatim); row k is the first
+    * Fisher-Yates draw agreeing with EVERY earlier row on ≤ maxAgree
+    * positions. Sequential rejection is deterministic, so the table —
+    * and therefore the scaled corpus bytes — depend only on (n, salt,
+    * factor); expected rejections are ≈ 0 (a random n-permutation
+    * agrees with a fixed one on 1 position in expectation). */
+  private[graft] def permTable(
+      n: Int, factor: Int, salt: Long, maxAgree: Int): Array[Array[Int]] = {
+    val rows = new scala.collection.mutable.ArrayBuffer[Array[Int]]
+    rows += Array.tabulate(n)(identity)
+    var k = 1
+    while (k < factor) {
+      var attempt = 0
+      var cand = fisherYates(n, salt + k, attempt)
+      while (rows.exists(r => agree(r, cand) > maxAgree)) {
+        attempt += 1
+        require(attempt < 1000, s"permTable: rejection runaway at k=$k")
+        cand = fisherYates(n, salt + k, attempt)
+      }
+      rows += cand
+      k += 1
+    }
+    rows.toArray
+  }
+
+  private lazy val letterPerms = permTable(26, 100, 0x5CA1E7L, MaxLetterAgree)
+  private lazy val digitPerms = permTable(10, 100, 0xD1617L, MaxDigitAgree)
+
+  /** Replica-k payload transform: keyed bijection on lowercase,
+    * uppercase (same letter table), and digits; all other characters
+    * (separators, punctuation, whitespace) fixed — so the recursive
+    * splitter's boundaries, every length, and every within-replica
+    * similarity relation are preserved exactly. Replaces r8's
+    * `caesar` (pairwise-distinct only for factor ≤ 10). */
+  def permuteText(s: String, k: Int): String =
     if (k == 0) s
     else {
+      val lp = letterPerms(k); val dp = digitPerms(k)
       val sb = new StringBuilder(s.length)
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
         sb += (
-          if (c >= 'a' && c <= 'z') ('a' + (c - 'a' + k) % 26).toChar
-          else if (c >= 'A' && c <= 'Z') ('A' + (c - 'A' + k) % 26).toChar
-          else if (c >= '0' && c <= '9') ('0' + (c - '0' + k) % 10).toChar
+          if (c >= 'a' && c <= 'z') ('a' + lp(c - 'a')).toChar
+          else if (c >= 'A' && c <= 'Z') ('A' + lp(c - 'A')).toChar
+          else if (c >= '0' && c <= '9') ('0' + dp(c - '0')).toChar
           else c)
         i += 1
       }
@@ -95,15 +190,11 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
-    // Cap at 10: the cross-replica-disjoint-shingles property needs the
-    // per-replica Caesar rotations PAIRWISE distinct on both alphabets —
-    // letter rotations collide at k ≡ k' (mod 26) and digit rotations at
-    // k ≡ k' (mod 10), so k = 0..9 is the largest factor where every
-    // replica pair differs on letters AND digits. Larger factors would
-    // silently merge replica shingle sets (e.g. replica 10's digits =
-    // replica 0's) and break the linear near-dup-growth regime the
-    // scaling-exponent report relies on.
-    require(factor >= 1 && factor <= 10, s"bad factor $factor (max 10, see comment)")
+    // Cap at 100: the permutation tables are built for replicas 0..99
+    // with pairwise agreement ≤ MaxLetterAgree/MaxDigitAgree (see the
+    // class doc's soundness argument) — lifting the r8 Caesar cap of
+    // 10, whose letter images repeated mod 26 and digit images mod 10.
+    require(factor >= 1 && factor <= 100, s"bad factor $factor (max 100, see comment)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -145,7 +236,7 @@ object ScaleUp {
           .as[(Long, String, String, String, Long)]
           .flatMap { case (id, text, lang, source, n) =>
             (0 until factor).iterator.map(k =>
-              (id + k * docStride, caesar(text, k), lang, source, n))
+              (id + k * docStride, permuteText(text, k), lang, source, n))
           }.toDF("doc_id", "text", "lang", "source", "n_chars"),
         "documents")
     } else println("[scaleup] skip documents (absent)")
@@ -177,8 +268,15 @@ object ScaleUp {
     import org.apache.spark.sql.functions._
     val reps = spark.range(0, factor).toDF("k")
 
+    // Absent table -> -1 (never read), so a dir with lineitem but no
+    // orders/part/supplier fails at the require(stride > 0) below with
+    // a message, not an AnalysisException mid-plan; an EMPTY-but-
+    // present dim also lands on stride 0 and hits the same require —
+    // a zero stride would silently give all replicas identical keys
+    // and deflate the scaled join workload.
     def maxKey(table: String, col0: String): Long =
-      Option(spark.read.parquet(s"$src/$table.parquet")
+      if (!has(table)) -1L
+      else Option(spark.read.parquet(s"$src/$table.parquet")
         .agg(max(col0)).head().get(0))
         .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
 
@@ -196,6 +294,11 @@ object ScaleUp {
       if (!has(table)) { println(s"[scaleup] skip $table (absent)"); return }
       val df = spark.read.parquet(s"$src/$table.parquet")
       val shiftMap = shifts.toMap
+      for ((c, stride) <- shiftMap)
+        require(stride > 0,
+          s"replicate($table): stride $stride for $c — the key-superset " +
+            "table is absent or empty; a zero stride would collapse all " +
+            "replicas onto the same keys")
       writeOne(
         df.crossJoin(broadcast(reps))
           .select(df.columns.map { c =>

@@ -245,6 +245,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.annWidthFor(500L) == 6)
   }
 
+  test("ann_hi geometry staircase is the predicted closed form") {
+    // Pins the dedupEmbeddingAnnHi Scaladoc table: every tread of the
+    // recall-envelope staircase is a PREDICTED number (the factor-10
+    // audit's 1.34 exponent is the 2k->20k tread, upper bound
+    // log10(10*70/27) ~= 1.41), and the staircase flattens to exactly
+    // linear once the 24-bit width cap binds (n >~ 1.3e8).
+    val expect = Seq(
+      2000L -> ((8, 27)), 20000L -> ((12, 70)), 200000L -> ((15, 142)),
+      2000000L -> ((18, 283)), 20000000L -> ((22, 711)),
+      200000000L -> ((24, 1126)), 2000000000L -> ((24, 1126)))
+    for ((n, (w, b)) <- expect) {
+      assert(Dedup.annWidthFor(n) == w, s"width at n=$n")
+      assert(Dedup.annBandsFor(0.8, w, 1e-2) == b, s"bands at n=$n")
+    }
+    // the measured tread's work ratio and its successor, as documented
+    assert(math.log10(10.0 * 70 / 27) < 1.42)
+    assert(math.log10(10.0 * 142 / 70) < 1.31)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, dir).collect()
     for (r <- rows) {
