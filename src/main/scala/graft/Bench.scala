@@ -161,7 +161,8 @@ object Bench {
     // declared here (before the artifact-writing closures capture
     // them); populated by the phase-0 prebuild loop below
     val artifactBuilders = Seq("sim_ivf", "sim_pq", "text_rank", "text_bpe",
-      "dedup_cluster", "graph_pagerank", "graph_components")
+      "dedup_cluster", "graph_pagerank", "graph_components",
+      "pdf_chunk_stats") // pdf-assets-v1: per-corpus .pdf synthesis
       .filter(fns.contains)
     val buildTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 

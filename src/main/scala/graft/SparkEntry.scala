@@ -24,6 +24,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core pipeline (reference semantics, SURVEY §2.1-2.5/§7.2)
     "doc_chunk_stats" -> (CoreQueries.docChunkStats(_, _)),
+    // S3 end-to-end: synthesized .pdf files -> binaryFile -> codec ->
+    // splitter -> stats, closed-form oracle (round 9)
+    "pdf_chunk_stats" -> (graft.ops.PdfCorpus.pdfChunkStats(_, _)),
     "doc_chunks" -> (CoreQueries.docChunks(_, _)),
     "doc_chunks_overlap" -> (CoreQueries.docChunksOverlap(_, _)),
     "chunk_fixed" -> (CoreQueries.chunkFixed(_, _)),
@@ -224,6 +227,7 @@ object SparkEntry {
     "doc_chunks" -> CoreQueries.docChunksSql,
     "doc_chunks_overlap" -> CoreQueries.docChunksOverlapSql,
     "doc_chunk_stats" -> CoreQueries.docChunkStatsSql,
+    "pdf_chunk_stats" -> graft.ops.PdfCorpus.pdfChunkStatsSql,
     "doc_report" -> CoreQueries.docReportSql,
     "sql_chunk_split" -> CoreQueries.sqlChunkSplitSql,
     "chunk_fixed" -> CoreQueries.chunkFixedSql,

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ArtifactStore, FileSources, Tables}
+import graft.sources.pdf.{PdfFixtures, PdfTextExtractor}
+import graft.split.SplitConfig
+
+/** The end-to-end PDF-binary gate query (`pdf_chunk_stats`, round 9):
+  * the mm_video synthesize-and-decode discipline applied to the
+  * reference's PRIMARY source path — real `.pdf` FILES scanned with
+  * `binaryFile`, parsed/decrypted/decoded by [[PdfTextExtractor]],
+  * chunked by the recursive splitter, aggregated to per-file stats
+  * (`/root/reference/pdf_reader.py:442-443,543-615`). Every prior
+  * `doc_*` oracle ran the parquet TEXT source; this one puts the
+  * whole native codec chain under the hash gate.
+  *
+  * Synthesis: one deterministic PDF per `documents` row, the text
+  * paginated at [[PageChars]] chars/page, cycling SIX writer shapes
+  * by `doc_id % 6` — classic xref, FlateDecode, PDF 1.5 object
+  * streams + predictor'd xref stream, RC4-128, AES-128-CBC (V4), and
+  * AES-256 (V5/R6) — so a single green CORRECTNESS entry covers the
+  * parser's xref walk, filters, ObjStm path, and all three
+  * decryption families at once. The writer ([[PdfFixtures]]) shares
+  * only public ISO 32000 spec constants with the parser.
+  *
+  * Oracle (closed form over `documents.text`, no golden data):
+  *   - `pages  = ceil(length(text) / 200)` — the pagination law;
+  *   - `chunks = pages` minus whitespace-only pages (a page under
+  *     the 1200-char chunk size yields exactly one stripped chunk);
+  *   - `text_size = Σ length(normalize(strip(page_text)))` — the
+  *     splitter-then-P3-P6 chain, restated in SQL;
+  *   - `text_md5 = md5(text)` — page texts are a PARTITION of the
+  *     source text, so the in-order concatenation of extracted page
+  *     texts must hash to the source hash: one value that proves the
+  *     escape→compress/encrypt→parse→decrypt→decode loop bit-exact
+  *     for every byte of every document.
+  *
+  * Scale shape: synthesis is a fingerprint-keyed durable artifact
+  * (one write per corpus state, tasks write files in parallel via
+  * the Hadoop FS — a shared URI on a real cluster); the read side is
+  * the ordinary distributed scan→flatMap→groupBy pipeline with no
+  * driver materialization and no shuffle beyond the per-file
+  * aggregation.
+  */
+object PdfCorpus {
+
+  /** Page size in chars — below the 1200-char chunk size so the
+    * chunk count has a closed form, above typical line lengths so
+    * multi-line content-stream shows are exercised. */
+  val PageChars = 200
+
+  /** Deterministic PDF bytes for one document. */
+  private[graft] def synthesize(docId: Long, text: String): Array[Byte] = {
+    val pages: Seq[String] =
+      if (text.isEmpty) Seq("")
+      else text.grouped(PageChars).toSeq
+    (docId % 6) match {
+      case 0 => PdfFixtures.classicPdf(pages)
+      case 1 => PdfFixtures.classicPdf(pages, compress = true)
+      case 2 => PdfFixtures.xrefStreamPdf(pages)
+      case 3 => PdfFixtures.encryptedPdf(pages, PdfFixtures.EncRc4_128)
+      case 4 => PdfFixtures.encryptedPdf(pages, PdfFixtures.EncAes128, compress = true)
+      case _ => PdfFixtures.encryptedPdf(pages, PdfFixtures.EncAes256, compress = true)
+    }
+  }
+
+  /** Materialize the PDF corpus for `dir`'s documents table under the
+    * artifact root, once per corpus state ([[ArtifactStore]]'s
+    * fingerprint + atomic-rename discipline, but writing raw `.pdf`
+    * files from tasks instead of a parquet frame). Returns the
+    * directory to scan.
+    */
+  private[graft] def ensureAssets(spark: SparkSession, dir: String): String = {
+    val p = ArtifactStore.artifactPath(spark, dir, "documents", "pdf-assets-v1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new Path(p, "_SUCCESS")
+    if (!fs.exists(success)) {
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.inprogress-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(tmp)
+      val tmpStr = tmp.toString
+      import spark.implicits._
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          // fresh Configuration per task: resolves file:// locally and
+          // the cluster's fs.defaultFS when artifactDir is a shared URI
+          val tfs = new Path(tmpStr)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { case (id, text) =>
+            val out = tfs.create(new Path(tmpStr, s"doc$id.pdf"), true)
+            try out.write(synthesize(id, text))
+            finally out.close()
+          }
+        }
+      fs.create(new Path(tmp, "_SUCCESS"), true).close()
+      if (fs.exists(p)) fs.delete(p, true)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, true) // lost the publish race: same corpus, same bytes
+        if (!fs.exists(success))
+          throw new IllegalStateException(s"pdf asset publish failed: $p")
+      }
+    }
+    p.toString
+  }
+
+  /** The registered query: synthesize (memoized), scan, extract,
+    * chunk, aggregate — per-doc stats plus the SUM TOTAL rollup row.
+    */
+  def pdfChunkStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureAssets(spark, dir)
+    val files = FileSources.binaryFiles(spark, root, "*.pdf")
+    val pages = FileSources.pages(files, PdfTextExtractor)
+    val cm = ChunkPipeline.chunkMetrics(ChunkPipeline.chunk(pages, SplitConfig()))
+    val perChunk = cm.groupBy(col("path")).agg(
+      count(lit(1)).as("chunks"),
+      sum(col("chunk_len")).as("text_size"))
+    val perPage = pages.toDF().groupBy(col("path")).agg(
+      (max(col("page")) + 1).cast("long").as("pages"),
+      sum(col("unmappedFonts")).as("unmapped_fonts"),
+      // in-page-order concatenation == the source text (the pages
+      // PARTITION it), so its md5 must equal md5(documents.text)
+      expr("md5(array_join(transform(array_sort(collect_list(struct(page, text))), x -> x.text), ''))")
+        .as("text_md5"))
+    val perDoc = perPage
+      .join(perChunk, Seq("path"), "left")
+      .withColumn("doc_id",
+        regexp_extract(col("path"), "doc(\\d+)\\.pdf$", 1).cast("long"))
+      .select(
+        col("doc_id").cast("string").as("path"),
+        (col("doc_id") % 6).as("variant"),
+        col("pages"),
+        coalesce(col("chunks"), lit(0L)).as("chunks"),
+        coalesce(col("text_size"), lit(0L)).as("text_size"),
+        col("unmapped_fonts"),
+        col("text_md5"))
+    val total = perDoc.agg(
+      sum(col("pages")).as("pages"),
+      sum(col("chunks")).as("chunks"),
+      sum(col("text_size")).as("text_size"),
+      sum(col("unmapped_fonts")).as("unmapped_fonts"))
+      .select(
+        lit("SUM TOTAL").as("path"),
+        lit(-1L).as("variant"),
+        col("pages"), col("chunks"), col("text_size"), col("unmapped_fonts"),
+        lit(null).cast("string").as("text_md5"))
+    perDoc.unionByName(total).orderBy(col("variant"), col("path"))
+  }
+
+  /** The closed-form DuckDB twin (see class doc). The normalization
+    * chain restates Normalize P3-P6 + the splitter's strip. */
+  val pdfChunkStatsSql: String = s"""
+    |WITH pg0 AS (
+    |  SELECT doc_id, text, unnest(generate_series(
+    |    0, CAST(ceil(length(text) / $PageChars.0) AS INT) - 1)) AS page
+    |  FROM documents
+    |), pg AS (
+    |  SELECT doc_id, page,
+    |         substring(text, CAST(page * $PageChars + 1 AS INT), $PageChars) AS ptext
+    |  FROM pg0
+    |), nrm AS (
+    |  SELECT doc_id, page,
+    |    length(lower(regexp_replace(regexp_replace(regexp_replace(
+    |      trim(ptext, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)),
+    |      '\\n{2,}', chr(10), 'g'), '\\n+', ' ', 'g'),
+    |      '\\\\u[0-9a-fA-F]{4}', '', 'g'))) AS nlen,
+    |    length(trim(ptext, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) > 0 AS has_chunk
+    |  FROM pg
+    |), perdoc AS (
+    |  SELECT n.doc_id,
+    |    CAST(max(n.page) + 1 AS BIGINT) AS pages,
+    |    CAST(sum(CASE WHEN n.has_chunk THEN 1 ELSE 0 END) AS BIGINT) AS chunks,
+    |    CAST(sum(CASE WHEN n.has_chunk THEN n.nlen ELSE 0 END) AS BIGINT) AS text_size,
+    |    CAST(0 AS BIGINT) AS unmapped_fonts,
+    |    md5(any_value(d.text)) AS text_md5
+    |  FROM nrm n JOIN documents d ON n.doc_id = d.doc_id
+    |  GROUP BY n.doc_id
+    |)
+    |SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 6 AS variant,
+    |       pages, chunks, text_size, unmapped_fonts, text_md5
+    |FROM perdoc
+    |UNION ALL
+    |SELECT 'SUM TOTAL', CAST(-1 AS BIGINT), CAST(sum(pages) AS BIGINT),
+    |       CAST(sum(chunks) AS BIGINT), CAST(sum(text_size) AS BIGINT),
+    |       CAST(sum(unmapped_fonts) AS BIGINT), NULL
+    |FROM perdoc
+    |""".stripMargin
+}

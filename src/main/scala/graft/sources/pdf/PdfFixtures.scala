@@ -5,10 +5,21 @@ import java.util.zip.Deflater
 
 import scala.collection.mutable
 
-/** Synthetic in-test PDF builders — no library involved, so the
-  * parser under test is validated against independently hand-written
-  * file structure: classic xref tables, FlateDecode content, and
-  * PDF 1.5 xref streams with object streams + PNG Up predictor.
+/** Synthetic PDF builders — no library involved, so the parser is
+  * validated against independently hand-written file structure:
+  * classic xref tables, FlateDecode content, and PDF 1.5 xref
+  * streams with object streams + PNG Up predictor.
+  *
+  * Lives in the main tree (moved from the suite in round 9) because
+  * it is the writer twin for TWO consumers: the ScalaTest suite's
+  * fixtures, and the `pdf_chunk_stats` registered query, which
+  * synthesizes a deterministic PDF per document in-query and drives
+  * it through the real `binaryFile` → [[PdfTextExtractor]] →
+  * splitter → stats pipeline with a closed-form oracle (the mm_video
+  * discipline applied to the reference's primary source,
+  * `pdf_reader.py:442-443,543-615`). The writer shares nothing with
+  * the decoder but the public ISO 32000 spec constants, so a
+  * hash-gate match proves the full encode→container→decode loop.
   */
 object PdfFixtures {
 
