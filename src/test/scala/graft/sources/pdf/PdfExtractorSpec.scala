@@ -124,10 +124,46 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
       encoding = "UniJIS-UTF16-H")
     assert(PdfTextExtractor.extract("a.pdf", astral).map(_._2) ==
       Seq(new String(Character.toChars(0x1F600)) + "A"))
-    // non-Unicode-codespace predefined CMap stays opaque (no noise)
-    val gbk = PdfFixtures.type0Pdf(
-      Seq("4F60597D"), includeToUnicode = false, encoding = "GBK-EUC-H")
-    assert(PdfTextExtractor.extract("g.pdf", gbk).map(_._2).forall(_.isEmpty))
+    // UNKNOWN non-Unicode-codespace CMap stays opaque (no noise)
+    val unk = PdfFixtures.type0Pdf(
+      Seq("4F60597D"), includeToUnicode = false, encoding = "Custom-Glyphs-H")
+    assert(PdfTextExtractor.extract("g.pdf", unk).map(_._2).forall(_.isEmpty))
+  }
+
+  test("Type0 under charset-codespace predefined CMaps decodes charset bytes (round 9)") {
+    def hexOf(s: String, charset: String): String =
+      s.getBytes(charset).map(b => f"${b & 0xff}%02X").mkString
+    // each case: (CMap name, charset the codes ride in, text). The
+    // mixed ASCII+CJK strings exercise the variable-width codespace
+    // walk (1-byte row + 2-byte lead ranges) the charset decoder owns.
+    val cases = Seq(
+      ("GBK-EUC-H", "GBK", "AB你好c"),
+      ("GBK2K-H", "GB18030", "你好, world"),
+      ("ETen-B5-H", "Big5", "中文 mix"),
+      ("HKscs-B5-H", "Big5-HKSCS", "香港 text"),
+      ("90ms-RKSJ-H", "windows-31j", "日本語 abc"),
+      ("EUC-H", "EUC-JP", "かな kana"),
+      ("KSC-EUC-H", "EUC-KR", "한국어 xyz"),
+      ("KSCms-UHC-H", "x-windows-949", "한글 uhc"))
+    for ((cmap, charset, text) <- cases) {
+      val pdf = PdfFixtures.type0Pdf(
+        Seq(hexOf(text, charset)), includeToUnicode = false, encoding = cmap)
+      val pages = PdfTextExtractor.extractDetailed(s"$cmap.pdf", pdf)
+      assert(pages.map(_.text) == Seq(text), s"$cmap via $charset")
+      // real text extracted -> no longer an unmapped-font drop
+      assert(pages.map(_.unmappedFonts) == Seq(0L), s"$cmap telemetry")
+    }
+    // Identity-H must NOT ride this tier: glyph ids are not characters
+    assert(PdfFonts.charsetFor("Identity-H").isEmpty)
+    assert(PdfFonts.charsetFor("Identity-V").isEmpty)
+    // writing mode is irrelevant to the charset; unknowns map nowhere
+    assert(PdfFonts.charsetFor("GBK-EUC-V").contains("GBK"))
+    assert(PdfFonts.charsetFor("KSCms-UHC-HW-V").contains("x-windows-949"))
+    assert(PdfFonts.charsetFor("NotACMap-H").isEmpty)
+    // malformed charset bytes drop, never garble: a lone GBK lead byte
+    val bad = PdfFixtures.type0Pdf(
+      Seq("41C4"), includeToUnicode = false, encoding = "GBK-EUC-H")
+    assert(PdfTextExtractor.extract("bad.pdf", bad).map(_._2) == Seq("A"))
   }
 
   test("Type0 WITHOUT ToUnicode yields empty text, not glyph-id noise") {
@@ -420,32 +456,34 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Files.size(dir.resolve("b.pdf")))
   }
 
-  test("unmapped_font telemetry: GBK-EUC-H drops are counted, mapped fonts are not") {
-    // charset-codespace predefined CMap: text dropped as opaque (the
-    // no-noise contract) — the page must REPORT the silent drop
-    val gbk = PdfFixtures.type0Pdf(
-      Seq("4F60597D"), includeToUnicode = false, encoding = "GBK-EUC-H")
-    val gbkPages = PdfTextExtractor.extractDetailed("g.pdf", gbk)
-    assert(gbkPages.map(_.text) == Seq(""))
-    assert(gbkPages.map(_.unmappedFonts) == Seq(1L))
+  test("unmapped_font telemetry: opaque drops are counted, mapped fonts are not") {
+    // UNKNOWN charset-codespace CMap: text dropped as opaque (the
+    // no-noise contract) — the page must REPORT the silent drop.
+    // (GBK-EUC-H moved OUT of this tier in round 9: it now decodes.)
+    val unk = PdfFixtures.type0Pdf(
+      Seq("4F60597D"), includeToUnicode = false, encoding = "Custom-Glyphs-H")
+    val unkPages = PdfTextExtractor.extractDetailed("g.pdf", unk)
+    assert(unkPages.map(_.text) == Seq(""))
+    assert(unkPages.map(_.unmappedFonts) == Seq(1L))
     // same count for Identity-H without ToUnicode (glyph-id drop)
     val idh = PdfFixtures.type0Pdf(
       Seq("00010002"), includeToUnicode = false)
     assert(PdfTextExtractor.extractDetailed("i.pdf", idh)
       .map(_.unmappedFonts) == Seq(1L))
     // fully-mapped fonts report zero: ToUnicode, predefined Unicode
-    // codespace, and plain simple-font pages
+    // codespace, charset codespace (round 9), and simple-font pages
     for (pdf <- Seq(
         PdfFixtures.type0Pdf(Seq("00010002001000100003")),
         PdfFixtures.type0Pdf(Seq("4F60597D"),
           includeToUnicode = false, encoding = "UniGB-UCS2-H"),
+        PdfFixtures.type0Pdf(Seq("C4E3BAC3"),
+          includeToUnicode = false, encoding = "GBK-EUC-H"),
         PdfFixtures.classicPdf(Seq("hello world"))))
       assert(PdfTextExtractor.extractDetailed("ok.pdf", pdf)
         .map(_.unmappedFonts) == Seq(0L))
     // one font counted once across many shows; distinct per font
     val multi = PdfFixtures.type0Pdf(
-      Seq("4F60", "597D", "4E16"), includeToUnicode = false,
-      encoding = "GBK-EUC-H")
+      Seq("0001", "0002", "0003"), includeToUnicode = false)
     assert(PdfTextExtractor.extractDetailed("m.pdf", multi)
       .map(_.unmappedFonts) == Seq(1L))
   }
@@ -454,7 +492,7 @@ class PdfExtractorSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("gbkpdf")
     java.nio.file.Files.write(dir.resolve("cjk.pdf"),
       PdfFixtures.type0Pdf(Seq("4F60597D"),
-        includeToUnicode = false, encoding = "GBK-EUC-H"))
+        includeToUnicode = false)) // Identity-H: the glyph-id drop
     java.nio.file.Files.write(dir.resolve("ok.pdf"),
       PdfFixtures.classicPdf(Seq("some latin text here")))
     val opts = graft.Engine.Options(glob = "*.pdf",
