@@ -357,6 +357,72 @@ def union_find_check(sf1_verify, name, pair_query):
                                    f"{len(exp)} rows match")
     return "recomputed_fail", f"union-find over {pair_query} sf1 dump: {note}"
 
+def embedding_pairs_check(con, sf1_dir, sf1_verify, sf01_dir):
+    """dedup_embedding at factors where the all-pairs DuckDB replay is
+    out of reach (n^2 = 4e10 dots at factor 100). Two-sided check:
+
+    SOUNDNESS — recompute the exact cosine for EVERY pair in the
+    scaled dump with numpy and require >= threshold (no false
+    positives possible, each candidate is exactly verified — this
+    re-verifies that claim independently).
+
+    RECALL FLOOR — the signed-rotation transform is orthogonal, so
+    within-replica cosines equal the sf-small values exactly: every
+    sf-small oracle pair, shifted into each replica, MUST appear in
+    the scaled dump. Cross-replica pairs are genuine extras (the
+    Gaussian tail is real data, not noise) and are NOT bounded here;
+    exhaustiveness evidence for them is the grid-vs-LSH twin equality
+    (TWIN_OF), two independent algorithms agreeing on the relation.
+    """
+    emb = pd.read_parquet(f"{sf1_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0] = 1.0
+    Mn = M / nrm[:, None]
+    idx = {int(v): i for i, v in enumerate(ids)}
+    act = pd.read_parquet(f"{sf1_verify}/dedup_embedding")
+    a = act["vec_a"].astype("int64").map(idx).to_numpy()
+    b = act["vec_b"].astype("int64").map(idx).to_numpy()
+    cos = np.einsum("ij,ij->i", Mn[a], Mn[b])
+    # oracle rounds to 6 dp; allow float-order noise at the boundary
+    n_bad = int(np.sum(np.round(cos, 6) < 0.45 - 2e-6))
+    if n_bad:
+        return ("recomputed_fail",
+                f"{n_bad}/{len(act)} dumped pairs fail exact cosine >= 0.45")
+    dump_cos = dict(zip(zip(act["vec_a"].astype("int64"),
+                            act["vec_b"].astype("int64")),
+                        act[act.columns[2]].astype(float)))
+    small = con.sql(
+        "SELECT vec_a, vec_b, cos_sim FROM (" + ORACLE_CACHE["dedup_embedding"]
+        + ")").df()
+    stride = stride_of(con, sf01_dir, "vec")
+    n_missing = 0
+    n_cos_off = 0
+    for va, vb, c in small.itertuples(index=False):
+        for k in range(FACTOR):
+            key = (int(va) + k * stride, int(vb) + k * stride)
+            got = dump_cos.get(key)
+            if got is None:
+                n_missing += 1
+            elif abs(got - float(c)) > 2e-6:
+                n_cos_off += 1
+    if n_missing or n_cos_off:
+        return ("recomputed_fail",
+                f"within-replica recall floor violated: {n_missing} missing, "
+                f"{n_cos_off} cosine-mismatched of {len(small) * FACTOR}")
+    n_within = len(small) * FACTOR
+    return ("recomputed_pass",
+            f"exact numpy verify of all {len(act)} dumped pairs + "
+            f"within-replica inclusion ({n_within} constructed pairs all "
+            f"present, cosines equal to 2e-6); {len(act) - n_within} "
+            f"genuine cross-replica pairs exhaustiveness-covered by the "
+            f"grid-vs-LSH twin")
+
+
+ORACLE_CACHE = {}
+
+
 _COMPOSED_CACHE = {}
 
 
@@ -518,6 +584,7 @@ def main():
     sf1_dir, sf1_verify, sf01_dir, out_path = sys.argv[1:5]
     per_q_timeout = int(sys.argv[5]) if len(sys.argv) > 5 else 300
     oracle = json.load(open(f"{sf1_verify}/oracle_sql.json"))
+    ORACLE_CACHE.update(oracle)
 
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -584,6 +651,14 @@ def main():
                 sf1_verify, sf01_dir)
             parity[name], notes[name] = verdict, note
         elif name in DIRECT_RETRY:
+            if FACTOR > 10:
+                # the all-pairs replay is out of reach beyond factor 10:
+                # exact-verify the dump + within-replica inclusion instead
+                verdict, note = embedding_pairs_check(
+                    con, sf1_dir, sf1_verify, sf01_dir)
+                parity[name], notes[name] = verdict, note
+                print(f"[parity] {name}: {verdict}  {note}")
+                continue
             try:
                 proc = subprocess.run(
                     [sys.executable, "scripts/check.py", sf1_dir, sf1_verify,

@@ -1,15 +1,19 @@
 #!/usr/bin/env python3
-"""Assemble SCALEUP_rNN.json from two Bench artifacts (sf0.1 and the
-ScaleUp-derived factor-10 corpus) plus a parity map produced by
-scripts/check.py runs against the scaled corpus.
+"""Assemble SCALEUP_rNN.json from two Bench artifacts (the small-side
+corpus and a ScaleUp-derived factor-N corpus) plus a parity map from
+scripts/scaleup_parity.py.
 
 Usage:
-  python3 scripts/scaleup_report.py <sf01_bench.json> <sf1_bench.json> \
-      <parity.json> <out.json> [factor]
+  python3 scripts/scaleup_report.py <small_bench.json> <big_bench.json> \
+      <parity.json> <out.json> [factor] [round]
 
 The scaling exponent is log(T_big/T_small)/log(factor) on the HOT
 statistic (compute path; cold includes one-time artifact builds and
 JVM effects) and is also reported for cold. Exponent 1.0 = linear.
+
+Round 9 note: field names carry the measured sides explicitly
+(`small_*` / `big_*` plus the `sf` dirs at top level) — the r8 names
+(sf01/sf1) stopped being accurate once the factor-100 corpus arrived.
 """
 import json, math, sys
 
@@ -24,6 +28,7 @@ def main():
         parity = parity["parity"]
     out_path = sys.argv[4]
     factor = float(sys.argv[5]) if len(sys.argv) > 5 else 10.0
+    rnd = int(sys.argv[6]) if len(sys.argv) > 6 else 9
 
     queries = {}
     for name in sorted(set(a["queries"]) | set(b["queries"])):
@@ -36,8 +41,8 @@ def main():
             return None
 
         queries[name] = {
-            "sf01_cold_s": sc, "sf01_hot_s": sh,
-            "sf1_cold_s": bc, "sf1_hot_s": bh,
+            "small_cold_s": sc, "small_hot_s": sh,
+            "big_cold_s": bc, "big_hot_s": bh,
             "exponent_cold": expo(sc, bc),
             "exponent_hot": expo(sh, bh),
             "parity": parity.get(name, "not_checked"),
@@ -46,40 +51,42 @@ def main():
             queries[name]["parity_note"] = parity_notes[name]
 
     report = {
-        "round": 8,
+        "round": rnd,
         "factor": factor,
+        "small_sf": a.get("sf"),
+        "big_sf": b.get("sf"),
         "method": (
-            "factor-10 corpus derived from sf0.1 by graft.tools.ScaleUp: "
-            "key shifts + per-replica Caesar text rotation (character "
-            "bijection: within-replica n-gram/MinHash/SimHash similarity "
-            "structure preserved exactly, cross-replica shingles disjoint) "
-            "+ per-replica signed coordinate rotation of embeddings "
-            "(orthogonal: within-replica cosines preserved; cross-replica "
-            "cosines Gaussian-suppressed but with a real tail above low "
-            "thresholds, so the corpus carries genuine cross-replica "
-            "near-dups like an iid-grown one); lineitem/orders/customer/"
-            "supplier/part key "
-            "shifts share one stride per key family so every FK joins "
-            "within its replica (10 disjoint relational + graph copies, "
-            "orderkey%8 subset density preserved); events key shifts give "
-            "10 disjoint user populations with identical temporal "
-            "structure. Parity = the DuckDB oracle gate (scripts/check.py) "
-            "replayed on the scaled corpus where the oracle is feasible "
-            "(incl. a long-budget brute-force replay of dedup_embedding), "
-            "construction-based replica oracles (scripts/scaleup_parity.py) "
-            "for quadratic oracles where the replica argument is sound "
-            "(text shingles: deterministic disjointness; embeddings at the "
-            "0.8 threshold), fixture-replica checks for the golden-chunks "
-            "queries (ids shifted, text Caesar-rotated, totals "
-            "re-aggregated), grid-twin equality for dedup_embedding_ann, "
-            "and an independent union-find recomputation for dedup_cluster."
+            "factor-N corpus derived by graft.tools.ScaleUp: key shifts + "
+            "per-replica KEYED ALPHABET PERMUTATION of text (r9 — "
+            "splitmix64-seeded Fisher-Yates letter/digit bijections, "
+            "pairwise agreement <= 6 letters / 3 digits for replicas "
+            "0..99, so within-replica n-gram/MinHash/SimHash similarity "
+            "structure is preserved exactly and cross-replica shingle "
+            "collisions are fixed-point-starved; scripts/scaleup_perm.py "
+            "is the pinned bit-exact Python twin) + per-replica signed "
+            "coordinate rotation of embeddings (orthogonal: within-replica "
+            "cosines preserved; cross-replica cosines Gaussian-suppressed "
+            "with a REAL tail above low thresholds — the scaled corpus "
+            "carries genuine cross-replica near-dups like an iid-grown "
+            "one); relational tables share one key stride per FK family "
+            "(N disjoint relational + graph copies, orderkey%8 subset "
+            "density preserved); events give N disjoint user populations "
+            "with identical temporal structure. Parity = direct DuckDB "
+            "replay where feasible; construction-based replica oracles "
+            "where the replica argument is sound (text shingles; "
+            "embeddings at 0.8); constructed-cluster composed replay for "
+            "the split-dependent pipeline queries (r9); exact-numpy "
+            "verify + within-replica inclusion for dedup_embedding beyond "
+            "factor 10 (r9); grid-vs-LSH twin equality for "
+            "dedup_embedding_ann; independent recomputations (numpy kNN, "
+            "inverted-index incremental, union-find components/clusters)."
         ),
         "hot_protocol": "min_of_reps",
         "note": (
-            "exponent = log(T_sf1/T_sf0.1)/log(10); 1.0 is linear. Cold "
-            "includes one-time artifact builds (IVF/graph-edge/cluster "
-            "models) and is reported for completeness; hot is the serving "
-            "path the exponent argument is about."
+            "exponent = log(T_big/T_small)/log(factor); 1.0 is linear. "
+            "Cold includes one-time artifact builds (IVF/graph-edge/"
+            "cluster models) and is reported for completeness; hot is the "
+            "serving path the exponent argument is about."
         ),
         "parity_counts": {
             v: sum(1 for q in queries.values() if q["parity"] == v)
@@ -93,7 +100,7 @@ def main():
         json.dump(report, f, indent=1, sort_keys=False)
     print(f"wrote {out_path}")
     for n, q in queries.items():
-        print(f"{n:28s} hot {q['sf01_hot_s']:>8} -> {q['sf1_hot_s']:>8} "
+        print(f"{n:28s} hot {q['small_hot_s']:>8} -> {q['big_hot_s']:>8} "
               f"exp {q['exponent_hot']}  parity={q['parity']}")
 
 
