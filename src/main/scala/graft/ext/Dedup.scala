@@ -470,17 +470,39 @@ object Dedup {
     * (`PlanQualitySpec` pins this schema).
     */
   private[graft] def annBands(
-      spark: SparkSession, dir: String, width: Int, bands: Int): DataFrame = {
+      spark: SparkSession, dir: String, width: Int, bands: Int): DataFrame =
+    bandSignatures(
+      graft.sources.Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      width, bands)
+
+  /** Banding of an arbitrary `(vec_id, embedding)` relation — split
+    * out of [[annBands]] so the tier-selection probe can band a
+    * SAMPLE with the filter pushed below signature computation (a
+    * post-banding filter would still pay the full n·B·w·dim
+    * signature work it exists to avoid).
+    */
+  private[graft] def bandSignatures(
+      emb: DataFrame, width: Int, bands: Int): DataFrame =
+    bandSignaturesFor(emb, width, 0 until bands)
+
+  /** Banding restricted to an explicit band subset, so the staged
+    * tier's per-group jobs compute exactly their own signatures —
+    * a `band % G` filter AFTER the flatMap would recompute the full
+    * n·B·w·dim signature work in every one of the G jobs.
+    */
+  private[graft] def bandSignaturesFor(
+      emb: DataFrame, width: Int, bandIdxs: Seq[Int]): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val idxs = bandIdxs.toArray
     val ps: Array[Array[Array[Double]]] =
-      Array.tabulate(bands)(band => Similarity.bandPlanes(band, width))
+      idxs.map(band => Similarity.bandPlanes(band, width))
     emb.as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
-          (0 until bands).iterator
-            .map(band => (id, band, Similarity.signatureOf(v, ps(band))))
+          idxs.indices.iterator
+            .map(k => (id, idxs(k), Similarity.signatureOf(v, ps(k))))
         }
       }.toDF("vec_id", "band", "sig")
   }
@@ -584,6 +606,16 @@ object Dedup {
     * width grows, exactly 1.0 once the 24-bit cap binds. The r8
     * measured 1.34 sits on the predicted 2k→20k tread (ratio 26 ⇒
     * exponent log₁₀26 ≈ 1.41 upper bound; measured 1.34 under it).
+    *
+    * The staircase prices the BACKGROUND; the r9 factor-100 audit
+    * found the non-background term that dominates first: clustered/
+    * biased corpora concentrate vectors into hot buckets whose pair
+    * emission is quadratic in occupancy (n=200k: measured mass
+    * 8.86e8, ~80 GB pair-sort spill — see the measured tier
+    * selection in [[dedupEmbeddingAnnAt]], which detects exactly
+    * this from the occupancy histogram and routes to the
+    * scratch-bounded staged arm, or to the grid kernel when the
+    * banding loses on CPU outright).
     */
   def dedupEmbeddingAnnHi(spark: SparkSession, dir: String): DataFrame = {
     val n = graft.sources.Tables.table(spark, dir, "embeddings").count()
@@ -598,6 +630,78 @@ object Dedup {
     * per pair and ran 5× the tight double-loop).
     */
   private val JoinRowCostVsKernel = 5.0
+
+  /** Scratch bytes ONE candidate row claims on its way through the
+    * multi-band `distinct` — shuffle-file record plus the external
+    * sort's spill round trip. Measured in the r9 factor-100 audit:
+    * 8.9e8 candidate rows consumed ~80 GB of /tmp before the sort
+    * completed (~90 B/row; 96 adds headroom for merge passes).
+    */
+  private val SpillBytesPerCandidate = 96.0
+
+  /** Fraction of the currently-free scratch space the candidate sort
+    * may claim before the planner routes around it. Half, because the
+    * distinct's shuffle files and its spill files coexist on disk.
+    */
+  private val SpillBudgetFraction = 0.5
+
+  /** Free bytes across the executors' spill directories. Local mode:
+    * the box's `spark.local.dir` (default java.io.tmpdir). On a real
+    * cluster this would come from the cluster manager's aggregate
+    * scratch capacity; the per-directory probe is the local-mode
+    * stand-in for the same resource-aware planning (AQE-style: plan
+    * from measured runtime facts, not assumptions).
+    */
+  private[graft] def usableScratchBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.local.dir")
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").map(d => new java.io.File(d.trim).getUsableSpace).sum
+
+  /** Physical tiers for the hi-threshold ANN, chosen from the
+    * MEASURED collision mass (all three produce the same relation):
+    * the plain banded arm, the band-grouped staged arm (bounded peak
+    * scratch), or the blocked exhaustive kernel.
+    */
+  private[graft] sealed trait AnnTier
+  private[graft] case object AnnBanded extends AnnTier
+  private[graft] case class AnnStaged(groups: Int) extends AnnTier
+  private[graft] case object AnnGrid extends AnnTier
+
+  /** The measured tier decision, factored pure so the r9 factor-100
+    * audit numbers pin it (`DedupSpec`):
+    *   CPU leg — `mass × JoinRowCostVsKernel ≥ n²/2`: the banding no
+    *   longer prunes enough for its per-row join overhead to pay off
+    *   in ANY environment → the kernel scores the same pairs cheaper.
+    *   SPILL leg — the distinct's external sort would claim more than
+    *   [[SpillBudgetFraction]] of the free scratch, so a SINGLE
+    *   distinct cannot complete here regardless of its CPU merit →
+    *   the STAGED arm: the same banding split into G band-groups,
+    *   each group's candidates distinct'ed in its own job (peak
+    *   scratch ≈ mass/G), per-group uniques unioned into one final
+    *   (small) distinct. CPU is unchanged — every candidate row still
+    *   passes exactly one sort — so the banded arm's ~4× edge over
+    *   the 2e10-pair kernel survives the scratch ceiling.
+    * The spill leg is environment-aware on purpose: the 8.9e8-row
+    * mass that overran this audit box's 77 GB scratch is a routine
+    * single shuffle for a cluster with aggregate terabytes, and there
+    * the plain banded arm (one distinct, no per-group job overhead)
+    * remains the pick.
+    */
+  private[graft] def annTierFor(
+      mass: Double, n: Long, scratchBytes: Long): AnnTier =
+    if (mass * JoinRowCostVsKernel >= n.toDouble * n / 2) AnnGrid
+    else if (mass * SpillBytesPerCandidate >=
+        SpillBudgetFraction * scratchBytes)
+      AnnStaged(annStagedGroups(mass, scratchBytes))
+    else AnnBanded
+
+  /** Band-group count for the staged arm: enough groups that one
+    * group's candidate sort claims ~an eighth of the free scratch,
+    * capped so job-launch overhead stays negligible.
+    */
+  private[graft] def annStagedGroups(mass: Double, scratchBytes: Long): Int =
+    math.min(64, math.max(2, math.ceil(
+      mass * SpillBytesPerCandidate / (scratchBytes / 8.0)).toInt))
 
   private[graft] def dedupEmbeddingAnnAt(
       spark: SparkSession, dir: String,
@@ -627,27 +731,117 @@ object Dedup {
       return dedupEmbeddingGridAt(spark, dir, threshold)
     val emb = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val banded = annBands(spark, dir, width, bands)
-    val candidates = banded
-      .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
-      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct()
-    // exact verify: vectors join back BY ID (each vector shipped once
-    // per side, hash-partitioned — never replicated per band/block);
-    // fused codegen'd cosine, 6dp round at the output boundary
-    // (bit-identical to the grid kernel and the DuckDB oracle)
+    // MEASURED tier selection (round-9 factor-100 audit finding): the
+    // closed-form test above prices the RANDOM-pair background, i.e.
+    // ~uniform bucket occupancy — but real embedding corpora are
+    // biased and clustered, and hot buckets emit pairs QUADRATIC in
+    // their occupancy. At n = 200k the hi-threshold geometry (w=15,
+    // B=142, closed-form B·2⁻ʷ·C_join ≈ 0.07 — "comfortable banded
+    // win") actually measured collision mass 8.86e8 — 10.2× the
+    // 8.7e7 background, max bucket occupancy 2752 — whose distinct
+    // sort claimed ~80 GB of scratch and filled the disk, while the
+    // shuffle-free blocked kernel finishes the same 2e10-pair
+    // relation in ~500 s. The decision ([[annTierFor]]) is therefore
+    // MEASURED, not assumed: when the mass loses to the kernel on CPU
+    // it delegates to the grid; when only the single-sort SCRATCH
+    // ceiling binds it switches to the band-grouped staged arm
+    // (same candidates, G bounded sorts) — same relation, same
+    // oracle on every path.
+    // The probe prices occupancy from a deterministic ¼ sample
+    // (hash(vec_id) mod 4): pair mass scales as q², the estimator is
+    // unbiased, and the mass is dominated by hot buckets whose
+    // sampled occupancies concentrate tightly — so the probe costs a
+    // quarter of one banding pass, against decision margins that are
+    // multiples, not percents.
+    // Below ~32k vectors even a total blowup is bounded by n²/2 ≤ 5e8
+    // cheap pair rows — skip the probe there so the gate-corpus hot
+    // path doesn't pay its extra jobs for information that can't
+    // change the verdict materially.
+    val nVec = emb.count()
+    val tier: AnnTier =
+      if (nVec < 32768) AnnBanded
+      else {
+        val q = 4
+        val sampled = bandSignatures(
+          emb.filter(pmod(hash(col("vec_id")), lit(q)) === 0), width, bands)
+        val m = sampled.groupBy(col("band"), col("sig"))
+          .count()
+          .agg(sum(expr("count * (count - 1) div 2")).as("m"))
+          .first().getAs[java.lang.Long]("m")
+        val mass = (if (m == null) 0L else m.longValue()).toDouble * q * q
+        annTierFor(mass, nVec, usableScratchBytes(spark))
+      }
+    tier match {
+      case AnnGrid => dedupEmbeddingGridAt(spark, dir, threshold)
+      case AnnStaged(groups) =>
+        verifyCosinePairs(emb,
+          stagedBandCandidates(emb, width, bands, groups), threshold)
+      case AnnBanded =>
+        val banded = annBands(spark, dir, width, bands)
+        val candidates = banded
+          .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+          .join(
+            banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"))
+          .distinct()
+        verifyCosinePairs(emb, candidates, threshold)
+    }
+  }
+
+  /** The staged arm's candidate relation: the SAME banding split into
+    * `groups` round-robin band-groups, each group's self-join +
+    * distinct run as its OWN eagerly-materialized job (parquet under
+    * the app's scratch dir, overwrite mode so repeated invocations
+    * can't grow it), then one final distinct over the per-group
+    * uniques. Peak scratch ≈ mass/groups — the per-group sort — while
+    * total sort work is unchanged (every candidate row passes exactly
+    * one per-group sort; the final distinct sees only unique pairs,
+    * which the multi-band duplication factor makes FAR fewer: a tight
+    * cluster's pairs collide in nearly all B bands, so uniques ≈
+    * mass / O(B)). Signatures are computed once across all groups
+    * ([[bandSignaturesFor]] — each group computes only its own bands).
+    */
+  private[graft] def stagedBandCandidates(
+      emb: DataFrame, width: Int, bands: Int, groups: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ann-staged-" +
+      spark.sparkContext.applicationId
+    val paths = (0 until groups).map { g =>
+      val part = bandSignaturesFor(emb, width, g until bands by groups)
+      val uniq = part
+        .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+        .join(part.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .distinct()
+      val p = s"$base/group$g"
+      uniq.write.mode("overwrite").parquet(p)
+      p
+    }
+    spark.read.parquet(paths: _*).distinct()
+  }
+
+  /** Exact verify shared by the banded and staged arms: vectors join
+    * back BY ID (each vector shipped once per side, hash-partitioned —
+    * never replicated per band/block); fused codegen'd cosine, 6dp
+    * round at the output boundary (bit-identical to the grid kernel
+    * and the DuckDB oracle).
+    */
+  private def verifyCosinePairs(
+      emb: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        "vec_b")
       .withColumn("cos_sim",
         round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   // ----------------------------------------------------------------
   // Near-dup cluster resolution: connected components over the

@@ -264,6 +264,62 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(math.log10(10.0 * 142 / 70) < 1.31)
   }
 
+  test("ann_hi measured tier decision reproduces the r9 audit facts") {
+    // The factor-100 audit's exact numbers: n=200k, measured collision
+    // mass 8.86e8 (10.2x the 8.7e7 random background). On the audit
+    // box (~77 GB free scratch) the SPILL leg must fire — the single
+    // distinct sort would claim ~80 GB — and route to the STAGED arm
+    // with enough groups that one group's sort fits in scratch/8.
+    // On a cluster with aggregate terabytes of scratch the SAME mass
+    // must keep the plain banded arm — its CPU is 8.86e8 * 5 = 4.4e9
+    // vs the kernel's 2e10, a ~4.5x win there.
+    val mass = 8.86e8; val n = 200000L
+    val gb = 1024L * 1024 * 1024
+    Dedup.annTierFor(mass, n, 77L * gb) match {
+      case Dedup.AnnStaged(g) =>
+        // ~85 GB of candidate sort over ~9.6 GB per-group budget
+        assert(g == math.ceil(mass * 96.0 / (77.0 * gb / 8)).toInt, s"g=$g")
+        assert(g >= 8 && g <= 12, s"g=$g")
+      case other => fail(s"expected AnnStaged, got $other")
+    }
+    assert(Dedup.annTierFor(mass, n, 10240L * gb) == Dedup.AnnBanded)
+    // CPU leg alone fires once mass reaches n^2/2 / JoinRowCost,
+    // even with infinite scratch
+    assert(Dedup.annTierFor(4.1e9, n, Long.MaxValue) == Dedup.AnnGrid)
+    // the random-background mass fires NEITHER leg on the audit box:
+    // uniform corpora keep the plain banded arm at every scale
+    assert(Dedup.annTierFor(8.7e7, n, 77L * gb) == Dedup.AnnBanded)
+    // scratch probe returns something real
+    assert(Dedup.usableScratchBytes(spark) > 0L)
+  }
+
+  test("staged band-group candidates equal the single-distinct arm") {
+    // The staged arm is a physical re-plan only: same banding, same
+    // self-join, same candidate relation. Compare the two candidate
+    // sets directly at the gate corpus's geometry (the relation the
+    // tiers share BEFORE thresholding, so the comparison is non-empty
+    // even though the corpus has no 0.8-pairs).
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val w = Dedup.annWidthFor(n)
+    val b = Dedup.annBandsFor(0.8, w, 1e-2)
+    val banded = Dedup.bandSignatures(emb, w, b)
+    val plain = banded
+      .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val staged = Dedup.stagedBandCandidates(emb, w, b, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty, "geometry must produce candidates for the test to bite")
+    assert(staged == plain)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, dir).collect()
     for (r <- rows) {
