@@ -664,8 +664,18 @@ object Dedup {
     */
   private[graft] sealed trait AnnTier
   private[graft] case object AnnBanded extends AnnTier
+  private[graft] case object AnnStream extends AnnTier
   private[graft] case class AnnStaged(groups: Int) extends AnnTier
   private[graft] case object AnnGrid extends AnnTier
+
+  /** Vector-count ceiling for the stream-verify arm: the embedding
+    * table must broadcast to every task (~300 B per 64-dim row with
+    * map overhead → ~1.2 GB at this cap, the upper end of what a
+    * production executor comfortably holds alongside its task
+    * memory). Above it the spill regime falls back to the staged
+    * arm, which needs no broadcast at any n.
+    */
+  private val BroadcastVerifyMaxVectors = 4L * 1000 * 1000
 
   /** The measured tier decision, factored pure so the r9 factor-100
     * audit numbers pin it (`DedupSpec`):
@@ -674,26 +684,33 @@ object Dedup {
     *   in ANY environment → the kernel scores the same pairs cheaper.
     *   SPILL leg — the distinct's external sort would claim more than
     *   [[SpillBudgetFraction]] of the free scratch, so a SINGLE
-    *   distinct cannot complete here regardless of its CPU merit →
-    *   the STAGED arm: the same banding split into G band-groups,
-    *   each group's candidates distinct'ed in its own job (peak
-    *   scratch ≈ mass/G), per-group uniques unioned into one final
-    *   (small) distinct. CPU is unchanged — every candidate row still
-    *   passes exactly one sort — so the banded arm's ~4× edge over
-    *   the 2e10-pair kernel survives the scratch ceiling.
+    *   distinct cannot complete here regardless of its CPU merit.
+    *   When the embedding table fits a broadcast
+    *   ([[BroadcastVerifyMaxVectors]]) the answer is the STREAM arm:
+    *   drop the pre-verify distinct entirely and stream the raw
+    *   (multiplicity-duplicated) candidates map-side through
+    *   broadcast hash joins + the fused cosine filter, deduping only
+    *   the few threshold survivors — ZERO large sort, ZERO scratch,
+    *   and each duplicate costs two hash probes and 64 FMAs instead
+    *   of a spill round trip. Beyond broadcast reach, the STAGED
+    *   arm: the same banding split into G band-groups, each group's
+    *   candidates distinct'ed in its own job (peak scratch ≈
+    *   mass/G), per-group uniques unioned into one final (small)
+    *   distinct.
     * The spill leg is environment-aware on purpose: the 8.9e8-row
     * mass that overran this audit box's 77 GB scratch is a routine
     * single shuffle for a cluster with aggregate terabytes, and there
-    * the plain banded arm (one distinct, no per-group job overhead)
+    * the plain banded arm (one distinct, no duplicate re-verifies)
     * remains the pick.
     */
   private[graft] def annTierFor(
       mass: Double, n: Long, scratchBytes: Long): AnnTier =
     if (mass * JoinRowCostVsKernel >= n.toDouble * n / 2) AnnGrid
     else if (mass * SpillBytesPerCandidate >=
-        SpillBudgetFraction * scratchBytes)
-      AnnStaged(annStagedGroups(mass, scratchBytes))
-    else AnnBanded
+        SpillBudgetFraction * scratchBytes) {
+      if (n <= BroadcastVerifyMaxVectors) AnnStream
+      else AnnStaged(annStagedGroups(mass, scratchBytes))
+    } else AnnBanded
 
   /** Band-group count for the staged arm: enough groups that one
     * group's candidate sort claims ~an eighth of the free scratch,
@@ -773,21 +790,33 @@ object Dedup {
       }
     tier match {
       case AnnGrid => dedupEmbeddingGridAt(spark, dir, threshold)
+      case AnnStream =>
+        verifyCosinePairs(emb, rawBandCandidates(spark, dir, width, bands),
+          threshold, broadcastEmb = true, dedupeVerified = true)
       case AnnStaged(groups) =>
         verifyCosinePairs(emb,
           stagedBandCandidates(emb, width, bands, groups), threshold)
       case AnnBanded =>
-        val banded = annBands(spark, dir, width, bands)
-        val candidates = banded
-          .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
-          .join(
-            banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
-            Seq("band", "sig"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"))
-          .distinct()
-        verifyCosinePairs(emb, candidates, threshold)
+        verifyCosinePairs(emb,
+          rawBandCandidates(spark, dir, width, bands).distinct(), threshold)
     }
+  }
+
+  /** The banding self-join's raw candidate stream — every colliding
+    * (vec_a < vec_b) pair, once per colliding bucket (multiplicity
+    * preserved; the caller decides where dedup happens: up front
+    * (banded), per band-group (staged), or after the cosine filter
+    * (stream)).
+    */
+  private def rawBandCandidates(
+      spark: SparkSession, dir: String, width: Int, bands: Int): DataFrame = {
+    val banded = annBands(spark, dir, width, bands)
+    banded
+      .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
   }
 
   /** The staged arm's candidate relation: the SAME banding split into
@@ -824,24 +853,36 @@ object Dedup {
     spark.read.parquet(paths: _*).distinct()
   }
 
-  /** Exact verify shared by the banded and staged arms: vectors join
-    * back BY ID (each vector shipped once per side, hash-partitioned —
-    * never replicated per band/block); fused codegen'd cosine, 6dp
-    * round at the output boundary (bit-identical to the grid kernel
-    * and the DuckDB oracle).
+  /** Exact verify shared by the banded, staged, and stream arms:
+    * vectors join back BY ID; fused codegen'd cosine, 6dp round at
+    * the output boundary (bit-identical to the grid kernel and the
+    * DuckDB oracle). Default shape ships each vector once per side,
+    * hash-partitioned — never replicated per band/block. The stream
+    * arm instead sets `broadcastEmb` (vectors replicated to every
+    * task, candidates never shuffled or sorted at all) and
+    * `dedupeVerified` (the candidate stream still carries multi-band
+    * multiplicity; duplicates produce bit-identical rows — same
+    * inputs, same fused cosine — so the post-filter distinct is an
+    * exact dedup over a tiny survivor set).
     */
-  private def verifyCosinePairs(
-      emb: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
-    candidates
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
-        "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
-        "vec_b")
+  private[graft] def verifyCosinePairs(
+      emb: DataFrame, candidates: DataFrame, threshold: Double,
+      broadcastEmb: Boolean = false,
+      dedupeVerified: Boolean = false): DataFrame = {
+    def side(c: String, e: String) = {
+      val s = emb.select(col("vec_id").as(c), col("embedding").as(e))
+      if (broadcastEmb) broadcast(s) else s
+    }
+    val verified = candidates
+      .join(side("vec_a", "ea"), "vec_a")
+      .join(side("vec_b", "eb"), "vec_b")
       .withColumn("cos_sim",
         round(graft.functions.NativeFunctions.cosineSim(col("ea"), col("eb")), 6))
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    (if (dedupeVerified) verified.distinct() else verified)
       .orderBy("vec_a", "vec_b")
+  }
 
   // ----------------------------------------------------------------
   // Near-dup cluster resolution: connected components over the

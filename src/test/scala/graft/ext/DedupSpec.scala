@@ -275,14 +275,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // vs the kernel's 2e10, a ~4.5x win there.
     val mass = 8.86e8; val n = 200000L
     val gb = 1024L * 1024 * 1024
-    Dedup.annTierFor(mass, n, 77L * gb) match {
+    // 200k vectors broadcast easily -> the scratch ceiling routes to
+    // the STREAM arm (no sort at all), not the staged one
+    assert(Dedup.annTierFor(mass, n, 77L * gb) == Dedup.AnnStream)
+    assert(Dedup.annTierFor(mass, n, 10240L * gb) == Dedup.AnnBanded)
+    // beyond broadcast reach (10M vectors), the same scratch ceiling
+    // routes to the staged arm with the per-group budget of scratch/8
+    val bigN = 10L * 1000 * 1000
+    val bigMass = 4.4e10 // same 10x-over-background clustering at 10M
+    Dedup.annTierFor(bigMass, bigN, 500L * gb) match {
       case Dedup.AnnStaged(g) =>
-        // ~85 GB of candidate sort over ~9.6 GB per-group budget
-        assert(g == math.ceil(mass * 96.0 / (77.0 * gb / 8)).toInt, s"g=$g")
-        assert(g >= 8 && g <= 12, s"g=$g")
+        assert(g == math.ceil(bigMass * 96.0 / (500.0 * gb / 8)).toInt, s"g=$g")
       case other => fail(s"expected AnnStaged, got $other")
     }
-    assert(Dedup.annTierFor(mass, n, 10240L * gb) == Dedup.AnnBanded)
     // CPU leg alone fires once mass reaches n^2/2 / JoinRowCost,
     // even with infinite scratch
     assert(Dedup.annTierFor(4.1e9, n, Long.MaxValue) == Dedup.AnnGrid)
@@ -318,6 +323,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(plain.nonEmpty, "geometry must produce candidates for the test to bite")
     assert(staged == plain)
+  }
+
+  test("stream-verify arm equals the distinct-first arm") {
+    // The stream arm drops the pre-verify distinct and dedupes AFTER
+    // the cosine filter via broadcast joins; duplicates are
+    // bit-identical so the result relation must match the plain arm
+    // exactly. Verified at 0.45 where the gate corpus has real pairs.
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val w = Dedup.annWidthFor(n)
+    val b = Dedup.annBandsFor(0.8, w, 1e-2)
+    val banded = Dedup.bandSignatures(emb, w, b)
+    val raw = banded
+      .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val plain = Dedup.verifyCosinePairs(emb, raw.distinct(), 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = Dedup.verifyCosinePairs(emb, raw, 0.45,
+        broadcastEmb = true, dedupeVerified = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.nonEmpty, "0.45 must yield pairs for the test to bite")
+    assert(stream == plain)
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
