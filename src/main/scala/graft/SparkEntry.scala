@@ -27,6 +27,10 @@ object SparkEntry {
     // S3 end-to-end: synthesized .pdf files -> binaryFile -> codec ->
     // splitter -> stats, closed-form oracle (round 9)
     "pdf_chunk_stats" -> (graft.ops.PdfCorpus.pdfChunkStats(_, _)),
+    // S3 charset tier (round 10): Type0/no-ToUnicode PDFs under the
+    // legacy GBK-EUC-H / ETen-B5-V / 90ms-RKSJ-H / KSC-EUC-V CMaps,
+    // real 2-byte DBCS shown bytes, closed-form translate() oracle
+    "pdf_cjk_stats" -> (graft.ops.PdfCorpus.pdfCjkStats(_, _)),
     "doc_chunks" -> (CoreQueries.docChunks(_, _)),
     "doc_chunks_overlap" -> (CoreQueries.docChunksOverlap(_, _)),
     "chunk_fixed" -> (CoreQueries.chunkFixed(_, _)),
@@ -48,6 +52,13 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
+    // Deliberately the ONE registry entry without an oracleSql row
+    // (the driver records rows-only): it exercises Spark's built-in
+    // HLL++ (approx_count_distinct), whose sketch estimates are
+    // engine-specific and cannot hash-match any other engine. Its
+    // portable twin `agg_hll` computes the same relation through the
+    // repo's own HLL Aggregator with a DuckDB-matched estimator and
+    // carries the full hash gate.
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_kmv_distinct" -> (Relational.aggKmvDistinct(_, _)),
     "agg_hll" -> (Relational.aggHll(_, _)),
@@ -228,6 +239,7 @@ object SparkEntry {
     "doc_chunks_overlap" -> CoreQueries.docChunksOverlapSql,
     "doc_chunk_stats" -> CoreQueries.docChunkStatsSql,
     "pdf_chunk_stats" -> graft.ops.PdfCorpus.pdfChunkStatsSql,
+    "pdf_cjk_stats" -> graft.ops.PdfCorpus.pdfCjkStatsSql,
     "doc_report" -> CoreQueries.docReportSql,
     "sql_chunk_split" -> CoreQueries.sqlChunkSplitSql,
     "chunk_fixed" -> CoreQueries.chunkFixedSql,

@@ -67,14 +67,61 @@ object PdfCorpus {
     }
   }
 
-  /** Materialize the PDF corpus for `dir`'s documents table under the
-    * artifact root, once per corpus state ([[ArtifactStore]]'s
+  /** a→z mapped to 26 common URO ideographs for the CJK gate query
+    * ([[pdfCjkStats]]). Every character here (verified by
+    * `PdfCorpusSpec`'s round-trip case) encodes to exactly TWO bytes
+    * and round-trips bit-exact through ALL FOUR legacy charsets the
+    * query's writer variants use (GBK, Big5, windows-31j, EUC-KR) —
+    * the property that lets one `translate()` make the driver's
+    * ASCII corpus a real DBCS corpus with a closed-form DuckDB twin
+    * (`translate` exists on both engines and both operate per
+    * BMP char, so lengths, page boundaries, and md5 inputs agree).
+    */
+  val CjkAlphabet: String = // 一二三四五六七八九十百千天地人日月水火木金土山川田中
+    ("一二三四五六七八九十" +
+     "百千天地人日月水火木" +
+     "金土山川田中")
+
+  /** (predefined CMap name, JVM charset the writer encodes with) per
+    * `doc_id % 4` — one family per CJK registry, mixing -H and -V
+    * writing modes so the vertical variants are under the gate too.
+    */
+  private[graft] val CjkVariants: Vector[(String, String)] = Vector(
+    ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
+    ("ETen-B5-V", "Big5"),         // Adobe-CNS1, Traditional Chinese, vertical
+    ("90ms-RKSJ-H", "windows-31j"), // Adobe-Japan1, Shift-JIS flavor
+    ("KSC-EUC-V", "EUC-KR"))       // Adobe-Korea1, vertical
+
+  /** The derived DBCS text: lowercase ASCII letters become
+    * ideographs, everything else (digits, space, punctuation,
+    * uppercase) stays ASCII — so the synthesized pages exercise BOTH
+    * the CMaps' 1-byte ASCII row and the 2-byte DBCS ranges.
+    */
+  private[graft] def toCjk(text: String): String =
+    text.map { c =>
+      if (c >= 'a' && c <= 'z') CjkAlphabet(c - 'a') else c
+    }
+
+  /** Deterministic charset-CMap PDF bytes for one document. */
+  private[graft] def synthesizeCjk(docId: Long, text: String): Array[Byte] = {
+    val derived = toCjk(text)
+    val pages: Seq[String] =
+      if (derived.isEmpty) Seq("") else derived.grouped(PageChars).toSeq
+    val (cmap, charset) = CjkVariants((docId % 4).toInt)
+    PdfFixtures.cjkPdf(pages, cmap, charset)
+  }
+
+  /** Materialize a synthesized PDF corpus for `dir`'s documents table
+    * under the artifact root, once per corpus state ([[ArtifactStore]]'s
     * fingerprint + atomic-rename discipline, but writing raw `.pdf`
     * files from tasks instead of a parquet frame). Returns the
     * directory to scan.
     */
-  private[graft] def ensureAssets(spark: SparkSession, dir: String): String = {
-    val p = ArtifactStore.artifactPath(spark, dir, "documents", "pdf-assets-v1")
+  private[graft] def ensureAssets(
+      spark: SparkSession, dir: String,
+      tag: String = "pdf-assets-v1",
+      synth: (Long, String) => Array[Byte] = synthesize): String = {
+    val p = ArtifactStore.artifactPath(spark, dir, "documents", tag)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val success = new Path(p, "_SUCCESS")
     if (!fs.exists(success)) {
@@ -92,7 +139,7 @@ object PdfCorpus {
             .getFileSystem(new org.apache.hadoop.conf.Configuration())
           it.foreach { case (id, text) =>
             val out = tfs.create(new Path(tmpStr, s"doc$id.pdf"), true)
-            try out.write(synthesize(id, text))
+            try out.write(synth(id, text))
             finally out.close()
           }
         }
@@ -110,8 +157,28 @@ object PdfCorpus {
   /** The registered query: synthesize (memoized), scan, extract,
     * chunk, aggregate — per-doc stats plus the SUM TOTAL rollup row.
     */
-  def pdfChunkStats(spark: SparkSession, dir: String): DataFrame = {
-    val root = ensureAssets(spark, dir)
+  def pdfChunkStats(spark: SparkSession, dir: String): DataFrame =
+    statsOver(spark, ensureAssets(spark, dir), variantMod = 6)
+
+  /** The CJK charset-CMap gate query (`pdf_cjk_stats`, round 10 —
+    * VERDICT r9 ask #1): same pipeline, but the corpus is the
+    * [[toCjk]]-derived DBCS text written as FOUR legacy Type0 shapes
+    * ([[CjkVariants]]: GBK-EUC-H / ETen-B5-V / 90ms-RKSJ-H /
+    * KSC-EUC-V, no ToUnicode), so extraction must decode
+    * charset-encoded shown bytes through [[graft.sources.pdf.PdfFonts]]'s
+    * charset-codespace tier. The md5 of the in-order extracted page
+    * concatenation is checked against `md5(translate(text, …))` in
+    * DuckDB — the bit-exact loop proof, now over real 2-byte DBCS
+    * codes and both writing modes.
+    */
+  def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
+    statsOver(spark,
+      ensureAssets(spark, dir, "pdf-cjk-assets-v1", synthesizeCjk),
+      variantMod = 4)
+
+  /** Shared scan→extract→chunk→aggregate tail of both gate queries. */
+  private def statsOver(
+      spark: SparkSession, root: String, variantMod: Int): DataFrame = {
     val files = FileSources.binaryFiles(spark, root, "*.pdf")
     val pages = FileSources.pages(files, PdfTextExtractor)
     val cm = ChunkPipeline.chunkMetrics(ChunkPipeline.chunk(pages, SplitConfig()))
@@ -131,7 +198,7 @@ object PdfCorpus {
         regexp_extract(col("path"), "doc(\\d+)\\.pdf$", 1).cast("long"))
       .select(
         col("doc_id").cast("string").as("path"),
-        (col("doc_id") % 6).as("variant"),
+        (col("doc_id") % variantMod).as("variant"),
         col("pages"),
         coalesce(col("chunks"), lit(0L)).as("chunks"),
         coalesce(col("text_size"), lit(0L)).as("text_size"),
@@ -151,12 +218,20 @@ object PdfCorpus {
   }
 
   /** The closed-form DuckDB twin (see class doc). The normalization
-    * chain restates Normalize P3-P6 + the splitter's strip. */
-  val pdfChunkStatsSql: String = s"""
-    |WITH pg0 AS (
+    * chain restates Normalize P3-P6 + the splitter's strip.
+    * `sourceExpr` is the per-document source text (plain `text` for
+    * the six-variant query; the [[toCjk]] `translate` for the CJK
+    * one — DuckDB's `translate` is the same per-BMP-char bijection
+    * as Spark's, so lengths, page boundaries, the normalize chain,
+    * and the md5 input all agree by construction).
+    */
+  private def statsSql(sourceExpr: String, variantMod: Int): String = s"""
+    |WITH src AS (
+    |  SELECT doc_id, $sourceExpr AS text FROM documents
+    |), pg0 AS (
     |  SELECT doc_id, text, unnest(generate_series(
     |    0, CAST(ceil(length(text) / $PageChars.0) AS INT) - 1)) AS page
-    |  FROM documents
+    |  FROM src
     |), pg AS (
     |  SELECT doc_id, page,
     |         substring(text, CAST(page * $PageChars + 1 AS INT), $PageChars) AS ptext
@@ -176,10 +251,10 @@ object PdfCorpus {
     |    CAST(sum(CASE WHEN n.has_chunk THEN n.nlen ELSE 0 END) AS BIGINT) AS text_size,
     |    CAST(0 AS BIGINT) AS unmapped_fonts,
     |    md5(any_value(d.text)) AS text_md5
-    |  FROM nrm n JOIN documents d ON n.doc_id = d.doc_id
+    |  FROM nrm n JOIN src d ON n.doc_id = d.doc_id
     |  GROUP BY n.doc_id
     |)
-    |SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % 6 AS variant,
+    |SELECT CAST(doc_id AS VARCHAR) AS path, doc_id % $variantMod AS variant,
     |       pages, chunks, text_size, unmapped_fonts, text_md5
     |FROM perdoc
     |UNION ALL
@@ -188,4 +263,9 @@ object PdfCorpus {
     |       CAST(sum(unmapped_fonts) AS BIGINT), NULL
     |FROM perdoc
     |""".stripMargin
+
+  val pdfChunkStatsSql: String = statsSql("text", 6)
+
+  val pdfCjkStatsSql: String =
+    statsSql(s"translate(text, 'abcdefghijklmnopqrstuvwxyz', '$CjkAlphabet')", 4)
 }

@@ -307,6 +307,75 @@ object PdfFixtures {
     o.bytes.toByteArray
   }
 
+  /** Content stream for one page of CHARSET-ENCODED text under a
+    * predefined charset-codespace CMap (GBK-EUC-H family): each line
+    * of `pageText` is encoded to the charset's bytes and shown as a
+    * HEX string (so no literal-string escaping interacts with DBCS
+    * lead/trail bytes), lines joined with T*.
+    */
+  def cjkContentFor(pageText: String, charsetName: String): String = {
+    val cs = java.nio.charset.Charset.forName(charsetName)
+    val lines = pageText.split("\n", -1)
+    val shows = lines.map { l =>
+      val hex = l.getBytes(cs).map(b => f"${b & 0xff}%02X").mkString
+      s"<$hex> Tj"
+    }.mkString(" T*\n")
+    s"BT\n/F7 10 Tf\n72 720 Td\n$shows\nET"
+  }
+
+  /** CIDSystemInfo ordering for a predefined CMap family (cosmetic —
+    * the text path keys on /Encoding, but real producers pair them).
+    */
+  private def orderingFor(cmapName: String): String =
+    if (cmapName.startsWith("GB")) "GB1"
+    else if (cmapName.contains("B5") || cmapName.startsWith("CNS")) "CNS1"
+    else if (cmapName.contains("RKSJ") || cmapName == "EUC-H" || cmapName == "EUC-V") "Japan1"
+    else "Korea1"
+
+  /** Composite-font PDF in the legacy CJK shape: Type0 +
+    * CIDFontType0 under a PREDEFINED charset-codespace CMap
+    * (`/Encoding /GBK-EUC-H`, `/ETen-B5-V`, …), NO ToUnicode — the
+    * shape old CJK office exports take, where the shown bytes are
+    * charset-encoded text and extraction must go through the charset
+    * decoder tier ([[CharsetGlyphDecoder]]). One content stream per
+    * page, each line hex-shown in `charsetName` bytes.
+    */
+  def cjkPdf(
+      pages: Seq[String], cmapName: String, charsetName: String): Array[Byte] = {
+    val o = new Out
+    o << "%PDF-1.4\n%âãÏÓ\n"
+    val n = pages.length
+    val pageNums = (0 until n).map(i => 3 + 2 * i)
+    val fontNum = 3 + 2 * n
+    val descNum = fontNum + 1
+    o.obj(1) { o << "<< /Type /Catalog /Pages 2 0 R >>" }
+    o.obj(2) {
+      o << s"<< /Type /Pages /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] /Count $n >>"
+    }
+    for ((text, i) <- pages.zipWithIndex) {
+      val pn = 3 + 2 * i
+      o.obj(pn) {
+        o << s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F7 $fontNum 0 R >> >> /Contents ${pn + 1} 0 R >>"
+      }
+      val raw = cjkContentFor(text, charsetName).getBytes(Ascii)
+      o.streamObj(pn + 1, "/Filter /FlateDecode", deflate(raw))
+    }
+    o.obj(fontNum) {
+      o << s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-$cmapName " +
+        s"/Encoding /$cmapName /DescendantFonts [$descNum 0 R] >>"
+    }
+    o.obj(descNum) {
+      o << "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth " +
+        s"/CIDSystemInfo << /Registry (Adobe) /Ordering (${orderingFor(cmapName)}) /Supplement 0 >> >>"
+    }
+    val xrefOff = o.bytes.size()
+    o << s"xref\n0 ${descNum + 1}\n0000000000 65535 f \n"
+    for (num <- 1 to descNum) o << f"${o.offsets(num)}%010d 00000 n \n"
+    o << s"trailer\n<< /Size ${descNum + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    o.bytes.toByteArray
+  }
+
   /** One-page PDF with a caller-supplied font dictionary body (obj 5)
     * and raw content-stream operators — the shape for exercising
     * simple-font `/Encoding` variants (`/Differences`, named base

@@ -226,6 +226,11 @@ private[pdf] object PdfFonts {
       "90ms-RKSJ" -> "windows-31j", "90msp-RKSJ" -> "windows-31j",
       "90pv-RKSJ" -> "Shift_JIS", "83pv-RKSJ" -> "Shift_JIS",
       "Add-RKSJ" -> "Shift_JIS", "Ext-RKSJ" -> "Shift_JIS",
+      // round 10: the JIS C 6226-1978 flavor families — their RKSJ
+      // byte structure is Shift-JIS; the '78-vs-'83 deltas are a few
+      // dozen glyph swaps that drop rather than garble (same honest
+      // approximation as the Mac-flavor entries below)
+      "78-RKSJ" -> "Shift_JIS", "78ms-RKSJ" -> "windows-31j",
       "EUC" -> "EUC-JP",
       // Adobe-Korea1 / Adobe-KR
       "KSC-EUC" -> "EUC-KR", "KSCpc-EUC" -> "EUC-KR",

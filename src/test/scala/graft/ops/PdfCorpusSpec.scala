@@ -70,6 +70,51 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(total.isNullAt(6), "total row has no md5")
   }
 
+  test("CJK alphabet: every ideograph is a 2-byte round-trip in all four charsets") {
+    // The property the pdf_cjk_stats oracle RESTS on: the writer's
+    // charset encode followed by the extractor's CharsetGlyphDecoder
+    // must be the identity on the derived alphabet, in every variant
+    // family. 2 bytes each also guarantees the DBCS (not ASCII-row)
+    // ranges are what the gate exercises.
+    assert(PdfCorpus.CjkAlphabet.length == 26)
+    assert(PdfCorpus.CjkAlphabet.toSet.size == 26, "bijection: distinct images")
+    for ((_, cs) <- PdfCorpus.CjkVariants; c <- PdfCorpus.CjkAlphabet) {
+      val b = c.toString.getBytes(cs)
+      assert(b.length == 2, f"$c%c (U+${c.toInt}%04X) must be 2 bytes in $cs")
+      assert(new String(b, cs) == c.toString,
+        f"$c%c (U+${c.toInt}%04X) must round-trip through $cs")
+    }
+  }
+
+  test("four-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..3): mixed-case + digits keep
+    // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
+    val texts = Seq(
+      "gbk simplified (Horizontal) 0123 " + "a" * 300,
+      "eten big5 Vertical\n\nwith blank lines " + "b" * 250,
+      "rksj shift-jis variant " + " " * 250 + "c" * 150, // whitespace-only page
+      "ksc euc-kr Vertical variant " + "d" * 400)
+    val dir = miniCorpus(texts)
+    val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
+    assert(rows.length == 5, "4 docs + SUM TOTAL")
+    val byPath = rows.map(r => r.getString(0) -> r).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val derived = PdfCorpus.toCjk(t)
+      assert(derived.length == t.length, "translate preserves length")
+      val r = byPath(i.toString)
+      val (pg, ch, ts) = expected(derived)
+      assert(r.getLong(1) == i % 4, s"variant of doc $i")
+      assert(r.getLong(2) == pg, s"pages of doc $i")
+      assert(r.getLong(3) == ch, s"chunks of doc $i")
+      assert(r.getLong(4) == ts, s"text_size of doc $i")
+      assert(r.getLong(5) == 0L,
+        s"unmapped_fonts of doc $i: the charset tier must DECODE, not drop")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(derived.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(r.getString(6) == md5, s"text_md5 of doc $i (bit-exact DBCS loop)")
+    }
+  }
+
   test("synthesis is deterministic and the assets publish once per corpus state") {
     val dir = miniCorpus(Seq("determinism probe " + "x" * 250))
     val a = PdfCorpus.ensureAssets(spark, dir)
