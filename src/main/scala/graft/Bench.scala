@@ -39,6 +39,15 @@ import java.util.concurrent.atomic.AtomicBoolean
   * out degraded-box windows, and the rep policy degrades to 1 hot rep
   * (suite-wide when calib says the box is slow; always for sub-0.3 s
   * queries) so 100% cold + ≥1-rep hot coverage always fits.
+  *
+  * Round-10 hardening (VERDICT r9 ask #2 — MID-RUN interference, which
+  * the start-of-run calibration probe provably cannot see): the
+  * sf-matched prior BENCH_FULL.json becomes a per-query reference;
+  * any cold or sole-hot measurement landing > 3x its reference is
+  * requeued exactly once (min kept, discard recorded in
+  * `outliers_requeued`), and the FIRST hot rep's headroom estimate is
+  * capped at 2x the reference hot so an interference-inflated cold
+  * cannot leave a known-cheap query at 0 hot reps.
   */
 object Bench {
 
@@ -112,6 +121,47 @@ object Bench {
     // path in a fresh JVM without the full-suite warm-up ahead of it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // Self-healing against MID-RUN interference (round 10, VERDICT r9
+    // ask #2): the up-front calibration probe can only see a degraded
+    // box at JVM start — the BENCH_r09 driver run proved a noise
+    // window can open mid-suite (dedup_sorted_nbhd cold 15.49 s vs a
+    // known ~1.4 s, then 0 hot reps because the headroom rule trusted
+    // the inflated cold). The last committed full-suite artifact is
+    // the natural per-query reference: load its cold/hot maps when its
+    // corpus matches, and (a) requeue one immediate re-run when a
+    // measurement lands > OutlierFactor x the reference (recording the
+    // discard in `outliers_requeued`), (b) base the first hot rep's
+    // headroom on min(observed, 2 x reference hot) so an inflated cold
+    // cannot starve a known-cheap query of hot coverage. The reference
+    // is advisory only — absent file, corpus mismatch, or a genuinely
+    // slower query just costs at most one extra rep.
+    val OutlierFactor = 3.0
+    val (priorCold, priorHot): (Map[String, Double], Map[String, Double]) =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty)
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p))
+          if (node.path("sf").asText("") != sfDir) (Map.empty, Map.empty)
+          else {
+            def toMap(field: String): Map[String, Double] = {
+              val o = node.path(field)
+              val b = Map.newBuilder[String, Double]
+              o.fieldNames().forEachRemaining { k =>
+                val v = o.path(k).asDouble(-1.0)
+                if (v > 0) b += k -> v
+              }
+              b.result()
+            }
+            (toMap("queries"), toMap("queries_hot"))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty) }
+    System.err.println(s"[bench] prior reference: ${priorCold.size} cold / " +
+      s"${priorHot.size} hot entries (sf-matched BENCH_FULL.json)")
+    val outliersRequeued = scala.collection.mutable.ArrayBuffer[String]()
 
     // The probe is skipped in SPARK_GRAFT_ONLY mode: its ~2 s of
     // 64-task shuffle/agg would JIT-warm exactly the paths that mode
@@ -219,6 +269,9 @@ object Bench {
         s""""build_s":${r3d(buildTimes.values.sum)},"build_queries":$builds,""" +
         s""""queries":$qs,"queries_hot":$qh,"hot_reps":$reps,""" +
         s""""hot_protocol":"min_of_reps","min_hot_reps":$minReps,""" +
+        s""""outlier_rule":"requeue_once_above_${OutlierFactor.toInt}x_prior",""" +
+        s""""outliers_requeued":${strArr(outliersRequeued.toSeq)},""" +
+        s""""prior_ref_entries":${priorCold.size},""" +
         s""""n_queries":${states.size},"n_completed":${doneSt.size},""" +
         s""""skipped":${strArr(states.filterNot(_.ran).map(_.name))},""" +
         s""""failed":${strArr(states.filter(s => s.ran && !s.ok).map(_.name))},""" +
@@ -261,10 +314,16 @@ object Bench {
 
     // target/ is gitignored, so also write a repo-root copy that the
     // driver's end-of-round commit captures. A SPARK_GRAFT_ONLY filtered
-    // run must not clobber the full-suite artifact.
-    val artifacts =
-      if (only.isEmpty) Seq("target/bench.json", "BENCH_FULL.json")
-      else Seq("target/bench.json")
+    // run must not clobber the full-suite artifact, and neither must a
+    // full-suite run against a NON-round corpus (the factor-100 scale-up
+    // audit runs the whole registry on sf0.01 and the derived sf100 —
+    // SPARK_GRAFT_BENCH_OUT redirects those artifacts wholesale).
+    val artifacts = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(out) => Seq(out)
+      case None =>
+        if (only.isEmpty) Seq("target/bench.json", "BENCH_FULL.json")
+        else Seq("target/bench.json")
+    }
     // One lock serializes every artifact write, and nothing writes after
     // finalize: otherwise the shutdown hook's last write could interleave
     // with an in-flight main-thread write on the same path and the JVM
@@ -326,6 +385,12 @@ object Bench {
 
     // Phase 1: cold pass (coverage first). 5 s floor: below that there is
     // no time for even a cheap query — stop and keep what we have.
+    // Outlier rule (round 10): a cold measurement > OutlierFactor x the
+    // sf-matched prior artifact's cold is far likelier to be a mid-run
+    // interference window than a real 3x regression — spend ONE
+    // immediate re-run (if 1.2x the prior fits the budget) and keep the
+    // min; the discard is recorded in `outliers_requeued` so the
+    // artifact shows exactly where the rule fired.
     val it1 = states.iterator
     var halted = false
     while (it1.hasNext && !halted) {
@@ -334,6 +399,15 @@ object Bench {
       else {
         st.ran = true
         st.cold = timedRun(st)
+        val prior = priorCold.getOrElse(st.name, -1.0)
+        if (st.ok && prior > 0 && st.cold > OutlierFactor * prior &&
+            timeLeftSec > math.max(5.0, prior * 1.2 + 5.0)) {
+          outliersRequeued += st.name
+          System.err.println(
+            f"[bench] ${st.name} cold ${st.cold}%.2f s > 3x prior " +
+              f"$prior%.2f s — requeueing once")
+          st.cold = math.min(st.cold, timedRun(st))
+        }
         writeArtifacts()
       }
     }
@@ -352,10 +426,39 @@ object Bench {
       if (degraded || st.cold < 0.3) 1 else 3
     def hotRep(st: QState): Unit = {
       val lastObs = if (st.hots.nonEmpty) st.hots.last else st.cold
+      // First-hot-rep headroom (round 10): when the cold number itself
+      // was interference-inflated, 1.3 x cold can exceed the remaining
+      // budget for a query the prior artifact knows is cheap — exactly
+      // how dedup_sorted_nbhd ended BENCH_r09 at 0 hot reps. A
+      // sf-matched prior hot caps the headroom estimate at 2x the
+      // known value, so the first rep is attempted whenever the query's
+      // PLAUSIBLE cost fits (a genuinely-3x-slower query then just
+      // burns one over-budget rep, bounded by the same deadline check
+      // every run makes).
+      val headroomBase = priorHot.get(st.name) match {
+        case Some(ph) if st.hots.isEmpty => math.min(lastObs, ph * 2)
+        case _ => lastObs
+      }
       if (timeLeftSec < 2.0) halted = true
-      else if (timeLeftSec > math.max(2.0, lastObs * 1.3)) {
+      else if (timeLeftSec > math.max(2.0, headroomBase * 1.3)) {
         val t = timedRun(st)
-        if (st.ok) st.hots :+= t
+        if (st.ok) {
+          st.hots :+= t
+          // Sole-hot-rep outlier rule: a first rep > 3x the prior hot
+          // gets one immediate requeue (min-of-reps then discards the
+          // spike); without it a 1-rep query's published hot IS the
+          // spike.
+          val prior = priorHot.getOrElse(st.name, -1.0)
+          if (st.hots.size == 1 && prior > 0 && t > OutlierFactor * prior &&
+              timeLeftSec > math.max(2.0, prior * 1.2 + 2.0)) {
+            outliersRequeued += st.name
+            System.err.println(
+              f"[bench] ${st.name} hot $t%.2f s > 3x prior $prior%.2f s" +
+                " — requeueing once")
+            val t2 = timedRun(st)
+            if (st.ok) st.hots :+= t2
+          }
+        }
         writeArtifacts()
       }
     }

@@ -837,6 +837,7 @@ object Dedup {
     val spark = emb.sparkSession
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-ann-staged-" +
       spark.sparkContext.applicationId
+    registerScratchCleanup(spark, base)
     val paths = (0 until groups).map { g =>
       val part = bandSignaturesFor(emb, width, g until bands by groups)
       val uniq = part
@@ -851,6 +852,36 @@ object Dedup {
       p
     }
     spark.read.parquet(paths: _*).distinct()
+  }
+
+  /** Staged-arm scratch hygiene (round 10, VERDICT r9 ask #4): the
+    * per-group candidate parquet is app-scoped and overwrite-mode, so
+    * repeated invocations never GROW it — but nothing deleted it when
+    * the session ended, leaving one run's worth of candidate files
+    * under java.io.tmpdir per long-lived application. An
+    * application-end [[org.apache.spark.scheduler.SparkListener]]
+    * (registered once per scratch path per context — the set guard)
+    * deletes the directory exactly when the lazily-read DataFrames
+    * over it can no longer be consumed. The listener object is
+    * returned so `DedupSpec` can prove the deletion without stopping
+    * the suite-shared session.
+    */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def registerScratchCleanup(
+      spark: SparkSession, path: String)
+      : org.apache.spark.scheduler.SparkListener = {
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        try {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    if (cleanupRegistered.add(s"${spark.sparkContext.applicationId}:$path"))
+      spark.sparkContext.addSparkListener(listener)
+    listener
   }
 
   /** Exact verify shared by the banded, staged, and stream arms:

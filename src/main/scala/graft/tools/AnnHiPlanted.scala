@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Non-vacuous parity arm for `dedup_embedding_ann_hi` (ADVICE r9 #1).
+  *
+  * The production-threshold ANN returns ZERO rows on the gate corpora —
+  * the synthetic embeddings carry no cos ≥ 0.8 pairs — so the r9
+  * factor-100 "0 rows == 100 × 0 rows" parity check was vacuously true
+  * for exactly the query with the worst hot exponent. This tool makes
+  * the arm bite by CONSTRUCTING a corpus with a known qualifying
+  * relation and checking the two halves of the ann_hi contract
+  * explicitly, at any scale:
+  *
+  *   - soundness (exact): every emitted pair is verified by the fused
+  *     cosine, so an independent double-precision recompute of every
+  *     reported pair must land ≥ threshold (within float/rounding
+  *     slack). Zero tolerance — one false positive fails the run.
+  *   - recall (envelope): the banding geometry is sized for a 1e-2
+  *     per-pair miss bound ([[graft.ext.Dedup.annBandsFor]]), so the
+  *     planted pairs — whose true cosine [[PlantedCos]] sits ABOVE the
+  *     0.8 threshold, where the envelope only tightens — must be
+  *     recovered at ≥ 99%.
+  *
+  * Planted construction: for every source vector v, one twin
+  * v' = cosθ·v̂ + sinθ·ŵ with ŵ the unit rejection of a splitmix64-
+  * seeded pseudo-random direction u against v̂ — so cos(v, v') = cosθ
+  * EXACTLY (up to float casts) regardless of v, giving n planted pairs
+  * (id, id + stride) at a known cosine, embedded among the original
+  * vectors (any original-vs-twin incidental pair is a genuine ≥ 0.8
+  * pair of the derived corpus and is covered by the soundness check).
+  * The same construction at the small and ScaleUp-derived corpora
+  * gives the non-empty parity evidence: recall holds at BOTH scales
+  * on the SAME planted relation shape.
+  *
+  * Usage: runMain graft.tools.AnnHiPlanted <sfDir> <outJson>
+  * Prints one JSON line and writes it to outJson.
+  */
+object AnnHiPlanted {
+
+  /** Planted-pair cosine: above the 0.8 production threshold (so the
+    * envelope's miss bound applies a fortiori) but not so close to 1
+    * that the test stops exercising the band geometry.
+    */
+  val PlantedCos = 0.85
+
+  /** Deterministic unit-ish direction for vec `id`, coordinate `i`:
+    * splitmix64 bits mapped to [-1, 1). Never parallel to a data
+    * vector in practice (and the rejection-norm guard below re-seeds
+    * if it ever were).
+    */
+  private def pseudoDir(id: Long, dim: Int, salt: Long): Array[Double] = {
+    val u = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val bits = ScaleUp.mix64(id * 0x9E3779B97F4A7C15L + i * 1000003L + salt)
+      u(i) = ((bits >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      i += 1
+    }
+    u
+  }
+
+  /** The twin of `v` at exactly cos θ = [[PlantedCos]]: Gram–Schmidt
+    * rejection of a pseudo-random direction against v̂, then the
+    * rotation cosθ·v̂ + sinθ·ŵ, rescaled to ‖v‖ (cosine is scale-free;
+    * keeping the norm keeps the corpus statistics honest).
+    */
+  private[tools] def plantTwin(id: Long, v: Array[Float]): Array[Float] = {
+    val dim = v.length
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    require(norm > 0, s"zero vector at id=$id cannot host a planted twin")
+    val vhat = v.map(_.toDouble / norm)
+    var salt = 0L
+    var w: Array[Double] = null
+    var wnorm = 0.0
+    // re-seed on (measure-zero) near-parallel draws
+    while (wnorm < 1e-9) {
+      val u = pseudoDir(id, dim, salt)
+      val dot = (0 until dim).map(i => u(i) * vhat(i)).sum
+      w = Array.tabulate(dim)(i => u(i) - dot * vhat(i))
+      wnorm = math.sqrt(w.map(x => x * x).sum)
+      salt += 1
+    }
+    val sinT = math.sqrt(1.0 - PlantedCos * PlantedCos)
+    Array.tabulate(dim)(i =>
+      (norm * (PlantedCos * vhat(i) + sinT * w(i) / wnorm)).toFloat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-annhi-planted")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val src = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)]
+    val stride = src.map(_._1).reduce(math.max) + 1
+
+    // derived corpus: originals + planted twins at id + stride
+    val derivedDir = s"target/annhi_planted_${new java.io.File(sfDir).getName}"
+    val derived = src.flatMap { case (id, v, label) =>
+      Iterator((id, v, label), (id + stride, plantTwin(id, v), label))
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = s"$derivedDir/_tmp"
+    derived.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(s"$derivedDir/embeddings.parquet")
+    java.nio.file.Files.deleteIfExists(dst)
+    java.nio.file.Files.move(part.toPath, dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
+    val nPlanted = src.count()
+    println(s"[annhi-planted] derived corpus: ${2 * nPlanted} vectors " +
+      s"($nPlanted planted pairs at cos $PlantedCos), dir=$derivedDir")
+
+    // the query under test, verbatim — same entry point the registry runs
+    val t0 = System.nanoTime()
+    val result = graft.ext.Dedup.dedupEmbeddingAnnHi(spark, derivedDir)
+      .collect()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    // independent double-precision recompute of every reported pair
+    val vecs: Map[Long, Array[Float]] =
+      spark.read.parquet(s"$derivedDir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    var falsePos = 0
+    var maxDrift = 0.0
+    val found = new scala.collection.mutable.HashSet[(Long, Long)]
+    for (r <- result) {
+      val (a, b, cs) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val truth = cosine(vecs(a), vecs(b))
+      maxDrift = math.max(maxDrift, math.abs(truth - cs))
+      if (truth < 0.8 - 1e-4) falsePos += 1
+      found += ((a, b))
+    }
+    val recovered =
+      (0L until nPlanted).count(id => found.contains((id, id + stride)))
+    val recall = recovered.toDouble / nPlanted
+
+    val ok = result.nonEmpty && falsePos == 0 && recall >= 0.99 &&
+      maxDrift < 1e-5
+    val json =
+      s"""{"check":"annhi_planted","sf":"$sfDir","ok":$ok,""" +
+        s""""n_vectors":${2 * nPlanted},"planted_pairs":$nPlanted,""" +
+        s""""planted_cos":$PlantedCos,"reported_pairs":${result.length},""" +
+        s""""recovered_planted":$recovered,"recall":${f"$recall%.5f"},""" +
+        s""""recall_floor":0.99,"false_positives":$falsePos,""" +
+        s""""max_cos_drift":${f"$maxDrift%.2e"},"query_s":${f"$elapsed%.2f"}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outJson), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

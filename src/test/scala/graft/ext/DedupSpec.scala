@@ -262,6 +262,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the measured tread's work ratio and its successor, as documented
     assert(math.log10(10.0 * 70 / 27) < 1.42)
     assert(math.log10(10.0 * 142 / 70) < 1.31)
+    // The flattening claim itself (VERDICT r9 ask #3), pinned at the
+    // exact tread: the width law is ceil(log2(n/8)) capped at 24, so
+    // the cap binds first at n = 8 * 2^24 = 134 217 728 (~1.3e8).
+    // Just below it width still grows; at and beyond it, width AND the
+    // envelope band count are constants of n — the banding work B*n is
+    // exactly linear from there on, which is what "the staircase
+    // flattens to linear" asserts.
+    val capTread = 8L * (1L << 24)
+    assert(Dedup.annWidthFor(capTread - 1) == 24) // last value before cap
+    assert(Dedup.annWidthFor(capTread) == 24)
+    assert(Dedup.annWidthFor(capTread / 2) == 23, "below the tread width still grows")
+    val capBands = Dedup.annBandsFor(0.8, 24, 1e-2)
+    assert(capBands == 1126)
+    for (mult <- Seq(1L, 10L, 100L, 1000L)) {
+      val n = capTread * mult
+      assert(Dedup.annWidthFor(n) == 24, s"width flat at n=$n")
+      assert(Dedup.annBandsFor(0.8, Dedup.annWidthFor(n), 1e-2) == capBands,
+        s"bands flat at n=$n")
+    }
   }
 
   test("ann_hi measured tier decision reproduces the r9 audit facts") {
@@ -323,6 +342,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(plain.nonEmpty, "geometry must produce candidates for the test to bite")
     assert(staged == plain)
+  }
+
+  test("staged-arm scratch directory is deleted at application end") {
+    // VERDICT r9 ask #4: the staged arm's per-group candidate parquet
+    // under java.io.tmpdir must not outlive the run. The cleanup is an
+    // application-end SparkListener; the spec consumes a staged result
+    // (so the directory demonstrably exists and holds the group files)
+    // and then fires the listener's onApplicationEnd directly — the
+    // suite-shared session can't be stopped here, and the listener body
+    // IS the code the real end-of-app event invokes.
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val w = Dedup.annWidthFor(n)
+    val b = Dedup.annBandsFor(0.8, w, 1e-2)
+    Dedup.stagedBandCandidates(emb, w, b, 2).count()
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-ann-staged-" +
+        spark.sparkContext.applicationId)
+    assert(base.isDirectory && base.listFiles().nonEmpty,
+      s"staged run must have materialized group parquet under $base")
+    val listener = Dedup.registerScratchCleanup(spark, base.getPath)
+    listener.onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(!base.exists(), s"scratch $base must be gone after application end")
   }
 
   test("stream-verify arm equals the distinct-first arm") {
