@@ -212,7 +212,12 @@ object Bench {
     // them); populated by the phase-0 prebuild loop below
     val artifactBuilders = Seq("sim_ivf", "sim_pq", "text_rank", "text_bpe",
       "dedup_cluster", "graph_pagerank", "graph_components",
-      "pdf_chunk_stats") // pdf-assets-v1: per-corpus .pdf synthesis
+      "pdf_chunk_stats", // pdf-assets-v1: per-corpus .pdf synthesis
+      // pdf-cjk-assets-v1: same discipline — the r10 factor-100 audit
+      // caught its one-time 600k-file synthesis landing INSIDE the
+      // timed cold run (481 s at sf1 vs the sibling's 12.7 s with
+      // hoisted build), reading as a fake 1.48 scaling exponent
+      "pdf_cjk_stats")
       .filter(fns.contains)
     val buildTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 

@@ -205,6 +205,10 @@ object SparkEntry {
     "sim_ivfpq" -> (Similarity.simIvfPq(_, _)),
     "sim_knn" -> (Similarity.simKnn(_, _)),
     "sim_sparse" -> (Similarity.simSparse(_, _)),
+    // sign-bit signatures: popcount ranking over 32x-compressed vectors
+    "sim_hamming" -> (Similarity.simHamming(_, _)),
+    // MMR diversified rerank: distributed pool, per-probe greedy
+    "sim_mmr" -> (Similarity.simMmr(_, _)),
     "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
@@ -488,6 +492,12 @@ object SparkEntry {
     "sim_knn" -> Similarity.simKnnSql,
     // BIGINT dots/norms; one division through two sqrts, 6dp-rounded
     "sim_sparse" -> Similarity.simSparseSql,
+    // integer Hamming distances: sign-mismatch count replays the
+    // packed popcount definitionally, zero FP anywhere
+    "sim_hamming" -> Similarity.simHammingSql,
+    // the greedy unrolled as chained CTEs; scores are IEEE doubles
+    // from shared 6dp-rounded rel/sim inputs -> bit-identical argmax
+    "sim_mmr" -> Similarity.simMmrSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,

@@ -1757,4 +1757,232 @@ object Similarity {
        |SELECT CAST(rn AS BIGINT) AS rn, doc_a, doc_b,
        |  CAST(dot AS BIGINT) AS dot, score
        |FROM r WHERE rn <= $SparseTopK ORDER BY rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Compressed-domain retrieval: sign-bit Hamming signatures
+  // ----------------------------------------------------------------
+
+  private val HamK = 10
+  private val HamQueries = 5
+
+  /** COMPRESSED-DOMAIN retrieval — 1-bit-per-coordinate sign
+    * quantization (Charikar 2002's SimHash applied to the raw
+    * coordinate basis): bit i of a vector's signature is set iff
+    * coordinate i is strictly positive, so a 64-dim float embedding
+    * (256 bytes) collapses to ONE 64-bit word and candidate ranking
+    * is `bit_count(xor)` — a popcount per candidate instead of 64
+    * fused multiply-adds, and a 32× smaller scan. This is the
+    * standard first-pass filter at the 100 TB tier: the signature
+    * column is a tiny derived artifact (8 bytes/vector ≈ 0.8 GB per
+    * 100M vectors — broadcastable), the scan stays in whole-stage
+    * codegen (HOF signature build + `bit_count`, no UDFs), and the
+    * only shuffle is the per-query bounded top-k window. Exact
+    * contract (not approximate): top-[[HamK]] by Hamming distance
+    * with deterministic id tie-break, so the DuckDB twin replays it
+    * bit-for-bit — INTEGER distances, no FP boundary at all.
+    *
+    * The 64-dim testdata packs into exactly one word; the general
+    * d > 64 form is a word ARRAY (`transform` over word indices, sum
+    * of per-word popcounts) with the same plan shape.
+    */
+  def simHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // one codegen'd pass: sign bits OR-folded into a single BIGINT
+    val sig = expr(
+      """aggregate(
+        |  zip_with(embedding, sequence(0, 63),
+        |    (x, i) -> IF(x > CAST(0 AS FLOAT),
+        |                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+        |  CAST(0 AS BIGINT), (acc, v) -> acc | v)""".stripMargin)
+    val s = e.select(col("vec_id"), sig.as("sig"))
+    val q = s.filter(col("vec_id") < HamQueries)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val c = s.select(col("vec_id").as("c_id"), col("sig").as("csig"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("c_id").asc)
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("hamming", expr("CAST(bit_count(qsig ^ csig) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= HamK)
+      .select(col("q_id"), col("rn"), col("c_id"), col("hamming"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The twin counts sign mismatches coordinate-wise — definitionally
+    * the same integer as the packed popcount, with no packing (and no
+    * BIGINT shift edge cases) on the oracle side.
+    */
+  val simHammingSql: String =
+    s"""WITH p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CASE WHEN (q.embedding[i] > 0) != (c.embedding[i] > 0)
+       |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < $HamQueries AND c.vec_id != q.vec_id),
+       |r AS (
+       |  SELECT q_id, c_id, hamming,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY hamming ASC, c_id ASC) AS rn
+       |  FROM p)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rn, c_id, hamming
+       |FROM r WHERE rn <= $HamK ORDER BY q_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Diversified reranking: maximal marginal relevance (MMR)
+  // ----------------------------------------------------------------
+
+  private val MmrK = 8
+  private val MmrPool = 40
+  private val MmrQueries = 3
+  private val MmrLambda = 0.7   // relevance weight
+  private val MmrMu = 0.3       // redundancy weight (1 - λ, written as
+                                // its own literal: `1 - 0.7` is NOT the
+                                // double 0.3, and both engines must
+                                // multiply by the same constant)
+
+  /** DIVERSIFIED reranking — maximal marginal relevance (Carbonell &
+    * Goldstein, SIGIR 1998), the standard RAG-context selector: from
+    * each probe's top-[[MmrPool]] cosine candidates, greedily pick
+    * [[MmrK]] documents by `λ·rel(c) − (1−λ)·max_{s∈selected}
+    * sim(c, s)` so near-duplicate passages don't crowd the context
+    * window. Scale shape: the candidate pool is selected
+    * DISTRIBUTED (broadcast probes → codegen'd cosine scan →
+    * per-query bounded top-k window — the same plan as [[simTopk]],
+    * corpus scale enters nowhere else), the pool-internal pairwise
+    * sims are a broadcast self-join on a BOUNDED relation (40² per
+    * probe), and the inherently sequential greedy runs per-probe
+    * inside `cogroup` groups of ≤ 40 + 40² rows — distributed across
+    * probes, O(K·P) each, never on the driver.
+    *
+    * Determinism: `rel` and `sim` are engine-rounded to 6 dp; every
+    * downstream score is `0.7·rel − 0.3·max(sims)` in IEEE doubles
+    * from those identical inputs, so scores (and argmax decisions,
+    * id-tie-broken) are bit-identical across engines with NO output
+    * rounding — the DuckDB twin unrolls the same greedy as
+    * [[MmrK]] chained CTE steps.
+    */
+  def simMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id").asc)
+    val pool = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("rel",
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrPool)
+      .select(col("q_id"), col("c_id"), col("rel"))
+    // pool-internal pairwise sims: bounded 40²-per-probe relation,
+    // embeddings re-joined by key, both sides broadcastable
+    val pa = pool.select(col("q_id"), col("c_id").as("a_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae")), "a_id")
+    val pb = pool.select(col("q_id").as("qb_id"), col("c_id").as("b_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be")), "b_id")
+    val cc = pa.join(broadcast(pb),
+        col("q_id") === col("qb_id") && col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(NativeFunctions.cosineSim(col("ae"), col("be")), 6).as("sim"))
+    val poolK = pool.as[(Long, Long, Double)].groupByKey(_._1)
+    val ccK = cc.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    poolK.cogroup(ccK) { (qid, ps, cs) =>
+      val cands = ps.map { case (_, id, rel) => (id, rel) }.toArray
+      val sim = cs.map { case (_, a, b, s) => ((a, b), s) }.toMap
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      var step = 1
+      while (step <= MmrK && selected.size < cands.length) {
+        var bestId = Long.MaxValue
+        var bestScore = Double.NegativeInfinity
+        for ((id, rel) <- cands if !selected.contains(id)) {
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => sim((id, s))).max
+          val score = MmrLambda * rel - MmrMu * maxSim
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            bestScore = score; bestId = id
+          }
+        }
+        out += ((qid, step.toLong, bestId, bestScore))
+        selected += bestId
+        step += 1
+      }
+      out.iterator
+    }.toDF("q_id", "step", "c_id", "score")
+      .orderBy("q_id", "step")
+  }
+
+  /** The greedy unrolled: step t's CTE anti-joins the running selected
+    * set, aggregates `max(sim)` against it, and argmaxes with the same
+    * id tie-break. All scores are doubles derived from the shared
+    * 6dp-rounded `rel`/`sim` CTEs — bit-identical to the Spark side.
+    * `pool`/`cc`/every `sel_t` are AS MATERIALIZED: each step
+    * references its predecessor 3×, so inlined CTEs re-evaluate the
+    * whole chain ~3^K times — the materialization hint is what keeps
+    * the unrolled greedy linear in K on the oracle side.
+    */
+  val simMmrSql: String = {
+    val header =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+         |  FROM embeddings),
+         |rel0 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+         |        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+         |      / (q.nrm * c.nrm), 6) AS rel
+         |  FROM e q JOIN e c ON q.vec_id < $MmrQueries AND c.vec_id != q.vec_id),
+         |pool AS MATERIALIZED (
+         |  SELECT q_id, c_id, rel FROM (
+         |    SELECT q_id, c_id, rel,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY rel DESC, c_id ASC) AS rn
+         |    FROM rel0) WHERE rn <= $MmrPool),
+         |cc AS MATERIALIZED (
+         |  SELECT pa.q_id, pa.c_id AS a_id, pb.c_id AS b_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+         |      / (a.nrm * b.nrm), 6) AS sim
+         |  FROM pool pa JOIN pool pb
+         |    ON pa.q_id = pb.q_id AND pa.c_id != pb.c_id
+         |  JOIN e a ON a.vec_id = pa.c_id
+         |  JOIN e b ON b.vec_id = pb.c_id),
+         |s1 AS MATERIALIZED (
+         |  SELECT q_id, c_id, CAST($MmrLambda AS DOUBLE) * rel AS score FROM (
+         |    SELECT q_id, c_id, rel,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY rel DESC, c_id ASC) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT q_id, c_id FROM s1)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT q_id, c_id, score FROM (
+         |    SELECT g.q_id, g.c_id, g.score,
+         |      row_number() OVER (PARTITION BY g.q_id
+         |                         ORDER BY g.score DESC, g.c_id ASC) AS rn
+         |    FROM (
+         |      SELECT p.q_id, p.c_id,
+         |        CAST($MmrLambda AS DOUBLE) * p.rel
+         |          - CAST($MmrMu AS DOUBLE) * max(c.sim) AS score
+         |      FROM pool p
+         |      JOIN cc c ON c.q_id = p.q_id AND c.a_id = p.c_id
+         |      JOIN sel${t - 1} s ON s.q_id = c.q_id AND s.c_id = c.b_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+         |                        WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+         |      GROUP BY p.q_id, p.c_id, p.rel) g) WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+         |          UNION ALL SELECT q_id, c_id FROM s$t)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val union = (1 to MmrK)
+      .map(t => s"SELECT q_id, $t AS t, c_id, score FROM s$t")
+      .mkString("\n  UNION ALL ")
+    s"""$header$steps
+       |SELECT q_id, CAST(t AS BIGINT) AS step, c_id, score FROM (
+       |  $union) AS picks
+       |ORDER BY q_id, step""".stripMargin
+  }
 }

@@ -433,4 +433,80 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(rows.last._4 === (ivf & exact).size.toLong)
   }
+
+  test("simHamming: k rows per query, integer distances in [0,64] " +
+    "non-decreasing, packed popcount equals coordinate sign mismatches") {
+    val rows = Similarity.simHamming(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, rs) <- byQ) {
+      assert(rs.length == 10)
+      assert(rs.forall(_.getLong(2) != q))
+      val hams = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(hams.forall(h => h >= 0 && h <= 64))
+      assert(hams.sameElements(hams.sorted), s"q=$q not ascending")
+    }
+    // independent scala-side recompute of the winning distances: sign
+    // mismatch count over the raw floats (the oracle's formulation)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val (q, c, h) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val expected = emb(q).zip(emb(c))
+        .count { case (a, b) => (a > 0f) != (b > 0f) }
+      assert(h == expected.toLong, s"($q,$c): packed $h != recount $expected")
+    }
+  }
+
+  test("simMmr: per-probe greedy picks are distinct, step 1 is the " +
+    "relevance argmax, and a planted near-dup pair is diversified away") {
+    val rows = Similarity.simMmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    for ((q, rs) <- byQ) {
+      assert(rs.length == 8)
+      assert(rs.map(_._3).distinct.length == 8, s"q=$q repeated a pick")
+      assert(rs.map(_._2).sorted.toSeq == (1L to 8L), s"q=$q step set")
+    }
+    // step 1 = pure relevance argmax: must equal simTopk's rank-1 pick
+    // for the shared probes (same rel definition, same tie-break)
+    val top1 = Similarity.simTopk(spark, dir).collect()
+      .filter(r => r.getLong(1) == 1L && r.getLong(0) < 3L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((q, rs) <- byQ) {
+      val first = rs.find(_._2 == 1L).get
+      assert(first._3 == top1(q), s"q=$q step-1 pick != relevance argmax")
+    }
+    // diversification bites: on a constructed corpus where the two most
+    // relevant candidates are near-identical, plain top-k takes both
+    // adjacent; MMR pushes the twin down
+    import spark.implicits._
+    val dim = 8
+    val qv = Array.fill(dim)(0f).updated(0, 1f)
+    def mix(a: Double, noise: Int): Array[Float] = {
+      val v = Array.fill(dim)(0f)
+      v(0) = a.toFloat; v(noise) = math.sqrt(1 - a * a).toFloat; v
+    }
+    // rel(10)=0.95, rel(11)=0.949 (its near-identical twin, sim≈1),
+    // rel(20)=0.90 in a distinct direction: relevance rank 2 is the
+    // twin, but MMR step 2 scores 0.7·0.949−0.3·1.0 ≈ 0.364 for the
+    // twin vs 0.7·0.90−0.3·(0.90·0.95) ≈ 0.374 for 20 — diversified.
+    val twinDf = Seq(
+      (0L, qv, 0),
+      (10L, mix(0.95, 1), 0), (11L, mix(0.949, 1), 0), // near-dup twins
+      (20L, mix(0.90, 2), 0), (21L, mix(0.70, 3), 0),
+      (22L, mix(0.60, 4), 0), (23L, mix(0.50, 5), 0),
+      (24L, mix(0.40, 6), 0), (25L, mix(0.30, 7), 0),
+      (26L, mix(0.20, 1), 0), (27L, mix(0.10, 2), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("mmr-twin").toString
+    twinDf.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val picks = Similarity.simMmr(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(picks(0) == 10L, "step 1 takes the most relevant")
+    assert(picks(1) == 20L,
+      "step 2 must diversify away from the near-identical twin")
+  }
 }
