@@ -19,6 +19,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, float):
+            # IEEE -0.0 == 0.0, but repr() distinguishes them — and a
+            # mean that rounds to zero carries whichever sign the
+            # engine's summation order left behind (factor-100 audit:
+            # array_ops rows differing ONLY in the sign of a rounded
+            # zero cascaded into 26 positional "diffs" after the row
+            # sort). One canonical zero.
+            if v == 0.0:
+                return "0.0"
             # Integer-valued floats (counts, exact sums) compare EXACTLY —
             # the sig-digit cap below would otherwise mask a genuine
             # 13th-digit mismatch in a large count.

@@ -297,11 +297,58 @@ object Similarity {
     * [[Dedup.dedupEmbeddingAnn]] needs B independent signatures, where
     * [[planes]] provides the single prefix-stable family for the
     * multi-probe query path.
+    *
+    * Entries are TRUE Gaussians (Box–Muller over two hash-derived
+    * uniforms), not the 5-level discrete approximation [[planes]]
+    * uses: the banding recall envelope
+    * ([[Dedup.annBandsFor]]) assumes the rotation-invariant
+    * P[plane splits a pair] = θ/π, which holds for EVERY pair only
+    * under spherically symmetric plane coordinates. The round-10
+    * planted-pair audit measured the discrete planes' per-plane
+    * agreement at 0.785 vs the theoretical 0.823 for cos 0.85 pairs
+    * (a ~1/√dim discretization bias) — which at the n=100k geometry
+    * (width 14 × 112 bands) inflated the 1e-2 per-pair miss envelope
+    * 40× (observed 2.1e-2; binomial tail p ≈ 1e-102 — see
+    * `tools/AnnHiPlanted`). Gaussian coordinates restore the exact
+    * θ/π law, keeping the envelope a theorem instead of an
+    * approximation. The multi-probe query path keeps discrete
+    * [[planes]] deliberately: its oracle REGENERATES the planes in
+    * SQL, where the 4-bit-popcount entry is replayable and recall is
+    * gate-verified empirically rather than envelope-priced.
+    *
+    * Finalizer note (the audit's second finding): entries hash
+    * through [[splitmix64]], NOT `KmvSketch.hash` — the sketch hash's
+    * murmur-variant finalizer replaces both xorshift XORs with ADDs
+    * and drops the leading shift, which leaves measurable correlation
+    * across the structured `band:plane:coord` key family. The planted
+    * audit isolated it: at the n=1000 geometry (w=7 × 21 bands,
+    * theoretical miss 2e-3 → ~1 expected of 500) the weak-hash planes
+    * missed 6 (discrete) and 13 (Gaussian), while a numpy twin with
+    * bit-exact splitmix64 planes over the same derived corpus missed
+    * exactly the predicted 1. The sketch hash itself stays untouched:
+    * its SQL oracles replicate it value-for-value, and KMV rank
+    * statistics only need uniformity, not cross-key independence.
     */
   private[ext] def bandPlanes(band: Int, numPlanes: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, Dim) { (b, i) =>
-      (java.lang.Long.bitCount(graft.functions.KmvSketch.hash(s"$band:$b:$i") & 0xFL) - 2).toDouble
+      // two independent 53-bit uniforms; u1 offset by half an ulp so
+      // log(u1) is finite
+      val h1 = splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u1"))
+      val h2 = splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u2"))
+      val u1 = ((h1 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
     }
+
+  /** splitmix64 finalizer (Steele et al. 2014; same constants as
+    * `tools.ScaleUp.mix64`) — full-avalanche mixing for the plane
+    * entries above. */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   /** Signature = bit b set iff plane_b · v > 0 (plain-Scala kernel —
     * the equivalent per-plane Column expression tree evaluates
