@@ -607,6 +607,17 @@ object Dedup {
     * measured 1.34 sits on the predicted 2k→20k tread (ratio 26 ⇒
     * exponent log₁₀26 ≈ 1.41 upper bound; measured 1.34 under it).
     *
+    * Round-10 coda: the r8/r9 MEASURED exponents (1.28-1.34) ran well
+    * above the staircase's banding-work prediction because the plane
+    * hash's weak finalizer (see [[Similarity.bandPlanes]]) correlated
+    * signatures and skewed bucket occupancy — extra collision mass
+    * the geometry table never priced. With splitmix64 Gaussian planes
+    * the full-suite factor-100 audit measures the hot exponent at
+    * 0.904 (SCALEUP_r10), UNDER the staircase bound as the theory
+    * says it should be, and the planted-pair audit
+    * (`tools/AnnHiPlanted`) confirms the 1e-2 recall envelope at
+    * n = 10⁵ (20 misses of 50 000 planted pairs; binomial tail 1.0).
+    *
     * The staircase prices the BACKGROUND; the r9 factor-100 audit
     * found the non-background term that dominates first: clustered/
     * biased corpora concentrate vectors into hot buckets whose pair
