@@ -40,6 +40,9 @@ def main():
     full["value"] = round(sum(v for v in full["queries"].values() if v > 0), 3)
     full["hot_total"] = round(
         sum(v for v in full["queries_hot"].values() if v > 0), 3)
+    full["core_hot"] = round(sum(
+        v for q, v in full["queries_hot"].items()
+        if v > 0 and q in set(full.get("core_queries", []))), 3)
     full["min_hot_reps"] = min(full["hot_reps"].values())
     full.setdefault("remeasured", []).extend(sorted(remeasured))
     json.dump(full, open(full_path, "w"), indent=None, sort_keys=False)
