@@ -3,17 +3,36 @@
 full-suite one — the bench's own min-of-reps protocol extended across
 runs: cold/hot per query become the min of the two artifacts, rep
 counts add, and the merged artifact records which queries were
-re-measured (`remeasured` field). Used by the scale-up audit when a
-mid-run interference window hits a corpus that has no sf-matched
-prior reference for the bench's self-healing outlier rule (the first
-bench on a freshly derived ScaleUp corpus is definitionally
-prior-less).
+re-measured (`remeasured` field, deduplicated across repeated merges).
+Used for (a) the scale-up audit when a mid-run interference window
+hits a corpus with no sf-matched prior, and (b) backfilling hot-rep
+holes a degraded-box round-head run left in BENCH_FULL.json
+(VERDICT r10 ask #1b).
+
+All aggregate/metadata fields are RECOMPUTED from the merged maps
+(round 11, ADVICE r10): n_completed, failed, skipped track the merged
+success state (success in either run wins, matching min-merge
+semantics); min_hot_reps is taken over completed queries only, so a
+skipped query's 0 reps cannot zero the suite floor; hot_total follows
+Bench's partial-coverage rule (null unless every completed query has
+>= 1 hot rep) with n_hot_covered emitted alongside; outliers_requeued
+is the deduplicated union.
 
 Usage: python3 scripts/bench_merge.py <full.json> <add.json>
 Rewrites <full.json> in place.
 """
 import json
 import sys
+
+
+def _dedup(seq):
+    seen = set()
+    out = []
+    for x in seq:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
 
 
 def main():
@@ -36,18 +55,36 @@ def main():
             full["queries_hot"][q] = ah if (not fh or fh <= 0) else min(fh, ah)
         full["hot_reps"][q] = (full["hot_reps"].get(q, 0) or 0) + (
             add["hot_reps"].get(q, 0) or 0)
-    # recompute the aggregate fields over the merged maps
-    full["value"] = round(sum(v for v in full["queries"].values() if v > 0), 3)
-    full["hot_total"] = round(
-        sum(v for v in full["queries_hot"].values() if v > 0), 3)
+    # recompute every aggregate/metadata field from the merged maps
+    completed = {q for q, v in full["queries"].items() if v and v > 0}
+    order = full.get("order") or sorted(full["queries"])
+    full["value"] = round(sum(full["queries"][q] for q in completed), 3)
+    hot_covered = {
+        q for q in completed if (full["queries_hot"].get(q) or -1) > 0}
+    full["n_hot_covered"] = len(hot_covered)
+    full["hot_total"] = (
+        round(sum(full["queries_hot"][q] for q in hot_covered), 3)
+        if hot_covered == completed else None)
     full["core_hot"] = round(sum(
-        v for q, v in full["queries_hot"].items()
-        if v > 0 and q in set(full.get("core_queries", []))), 3)
-    full["min_hot_reps"] = min(full["hot_reps"].values())
-    full.setdefault("remeasured", []).extend(sorted(remeasured))
+        full["queries_hot"][q]
+        for q in hot_covered if q in set(full.get("core_queries", []))), 3)
+    full["n_completed"] = len(completed)
+    # success in either run wins: a query measured by the add run leaves
+    # the failed/skipped lists; one failing in BOTH runs stays failed
+    add_failed = set(add.get("failed", []))
+    full["failed"] = sorted(
+        (set(full.get("failed", [])) | add_failed) - completed)
+    full["skipped"] = [
+        q for q in order if q not in completed and q not in set(full["failed"])]
+    full["min_hot_reps"] = min(
+        (full["hot_reps"].get(q, 0) or 0) for q in completed) if completed else 0
+    full["outliers_requeued"] = _dedup(
+        full.get("outliers_requeued", []) + add.get("outliers_requeued", []))
+    full["remeasured"] = _dedup(full.get("remeasured", []) + sorted(remeasured))
     json.dump(full, open(full_path, "w"), indent=None, sort_keys=False)
-    print(f"merged {len(remeasured)} queries from {add_path} into {full_path}: "
-          f"{remeasured}")
+    print(f"merged {len(remeasured)} queries from {add_path} into {full_path}; "
+          f"n_hot_covered={full['n_hot_covered']}/{len(completed)} "
+          f"hot_total={full['hot_total']}")
 
 
 if __name__ == "__main__":

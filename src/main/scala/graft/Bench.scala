@@ -21,7 +21,9 @@ import java.util.concurrent.atomic.AtomicBoolean
   *    extra rep needs headroom of 1.3x the query's last observed time, so
   *    a near-deadline pass still picks up the cheap queries, and passes
   *    run CHEAPEST-FIRST so the many cheap queries bank multiple reps
-  *    before the expensive tail eats the budget — EXCEPT that after
+  *    before the expensive tail eats the budget (on a DEGRADED box the
+  *    FIRST pass flips to most-expensive-first — round 11, see the
+  *    firstHotOrder comment) — EXCEPT that after
   *    the first full hot pass the top-10 most expensive queries bank
   *    their second rep ahead of everyone's reps 2-3 (round 9: min-of-1
   *    on the heavy tail was the remaining noise hole). `hot` is the
@@ -50,6 +52,27 @@ import java.util.concurrent.atomic.AtomicBoolean
   * cannot leave a known-cheap query at 0 hot reps.
   */
 object Bench {
+
+  /** Hot-coverage fields (round 11, VERDICT r10 ask #2): `hot_total`
+    * is only cross-artifact comparable when EVERY completed query has
+    * ≥ 1 hot rep — summing whatever subset happened to bank reps reads
+    * as a speedup when the cut queries were the expensive tail (the
+    * r10 degraded-box artifact: 42.8 s over 95 cheap queries vs r9's
+    * 79.7 s over all 182). Under partial coverage the total is
+    * published as JSON `null` (not a number a reader can accidentally
+    * compare), and `n_hot_covered` makes the coverage explicit either
+    * way. Pure so `BenchArtifactSpec` can pin the schema.
+    */
+  private[graft] def hotCoverageJson(
+      nCompleted: Int, nHotCovered: Int, hotTotal: Double): String = {
+    val tot = if (nHotCovered < nCompleted) "null" else r3d(hotTotal)
+    s""""hot_total":$tot,"n_hot_covered":$nHotCovered"""
+  }
+
+  // Locale.ROOT: the default locale could be decimal-comma → bad JSON.
+  private[graft] def r3d(v: Double): String =
+    if (v < 0) "-1"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -244,10 +267,6 @@ object Bench {
       "pipeline_survivor", "text_fertility", "chunk_token_budget")
       .filter(fns.contains)
 
-    // Locale.ROOT: the default locale could be decimal-comma → bad JSON.
-    def r3d(v: Double): String =
-      if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def strArr(xs: Seq[String]): String =
       xs.map(s => s""""$s"""").mkString("[", ",", "]")
 
@@ -268,7 +287,8 @@ object Bench {
       val builds = buildTimes.map { case (n, t) => s""""$n":${r3d(t)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3d(total)},"unit":"sec",""" +
-        s""""hot_total":${r3d(hotTotal)},"core_hot":${r3d(coreHot)},""" +
+        hotCoverageJson(doneSt.size, withHot.size, hotTotal) +
+        s""","core_hot":${r3d(coreHot)},""" +
         s""""calib_s":${r3d(calibS)},"calib_ref_s":$CalibRefSec,""" +
         s""""degraded":$degraded,""" +
         s""""build_s":${r3d(buildTimes.values.sum)},"build_queries":$builds,""" +
@@ -295,9 +315,12 @@ object Bench {
         else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       val doneSt = states.filter(_.done)
       val total = doneSt.map(_.cold).sum
-      val hotTotal = doneSt.filter(_.hots.nonEmpty).map(_.hot).sum
-      val coreHot = doneSt.filter(s => coreSet(s.name) && s.hots.nonEmpty)
-        .map(_.hot).sum
+      val withHot = doneSt.filter(_.hots.nonEmpty)
+      // same partial-coverage rule as the full artifact: null, not a
+      // partial sum a reader could misread as a speedup
+      val hotTotal =
+        if (withHot.size < doneSt.size) "null" else r2(withHot.map(_.hot).sum)
+      val coreHot = withHot.filter(s => coreSet(s.name)).map(_.hot).sum
       val failed = strArr(states.filter(s => s.ran && !s.ok).map(_.name))
       val budget = 1800
       def compact(keep: Int): String = {
@@ -305,7 +328,8 @@ object Bench {
         val qs = kept.map(s => s""""${s.name}":${r2(s.cold)}""")
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-          s""""hot_total":${r2(hotTotal)},"core_hot":${r2(coreHot)},""" +
+          s""""hot_total":$hotTotal,"n_hot_covered":${withHot.size},""" +
+          s""""core_hot":${r2(coreHot)},""" +
           s""""calib_s":${r2(calibS)},"build_s":${r2(buildTimes.values.sum)},""" +
           s""""n_queries":${states.size},"n_completed":${doneSt.size},""" +
           s""""n_skipped":${states.count(!_.ran)},""" +
@@ -467,7 +491,19 @@ object Bench {
         writeArtifacts()
       }
     }
-    for (st <- states.sortBy(_.cold)
+    // First-hot-pass order (round 11, VERDICT r10 ask #1a): on a
+    // HEALTHY box cheapest-first banks the many cheap queries before
+    // the tail can eat the budget — fine, because the budget fits the
+    // whole pass. On a DEGRADED box the inflated cold pass has already
+    // eaten most of the deadline, and cheapest-first then zeroes out
+    // exactly the expensive queries — the ones whose hot numbers carry
+    // regression signal (r10: 87/182 at 0 hot reps, all of them the
+    // heavy tail). Under `degraded`, run the first hot rep
+    // MOST-EXPENSIVE-FIRST: a cheap query's hot ≈ its cold anyway, so
+    // what a deadline cut then loses is the least informative numbers.
+    val firstHotOrder =
+      if (degraded) states.sortBy(-_.cold) else states.sortBy(_.cold)
+    for (st <- firstHotOrder
          if st.done && st.hots.isEmpty && !halted) hotRep(st)
     // Phase 2a (round 9, VERDICT r8 "what's wrong" #2): the expensive
     // tail is where regression signal matters most, yet cheapest-first

@@ -52,13 +52,12 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
-    // Deliberately the ONE registry entry without an oracleSql row
-    // (the driver records rows-only): it exercises Spark's built-in
-    // HLL++ (approx_count_distinct), whose sketch estimates are
-    // engine-specific and cannot hash-match any other engine. Its
-    // portable twin `agg_hll` computes the same relation through the
-    // repo's own HLL Aggregator with a DuckDB-matched estimator and
-    // carries the full hash gate.
+    // Spark's built-in HLL++ (approx_count_distinct): the raw sketch
+    // estimate is engine-specific, so the gate is a BOUNDED check
+    // (round 11) — exact count + a within-±2% flag the oracle demands
+    // true, converting the former `no_oracle` into a falsifiable
+    // assertion of the published HLL++ error bound. Its portable twin
+    // `agg_hll` carries the full value-for-value hash gate.
     "agg_approx_distinct" -> (Relational.aggApproxDistinct(_, _)),
     "agg_kmv_distinct" -> (Relational.aggKmvDistinct(_, _)),
     "agg_hll" -> (Relational.aggHll(_, _)),
@@ -300,6 +299,10 @@ object SparkEntry {
     "agg_grouping_sets" -> Relational.aggGroupingSetsSql,
     "agg_kmv_distinct" -> Relational.aggKmvDistinctSql,
     "agg_hll" -> Relational.aggHllSql,
+    // bounded_check: the oracle pins the exact counts and demands the
+    // within_band flag (|HLL++ est − exact| ≤ 2% · exact) be true for
+    // every group — see Relational.aggApproxDistinct
+    "agg_approx_distinct" -> Relational.aggApproxDistinctSql,
     "agg_cms_freq" -> Relational.aggCmsFreqSql,
     // integer bin counts + deterministic edge arithmetic: the
     // histogram sketch replays exactly, unlike approx_percentile

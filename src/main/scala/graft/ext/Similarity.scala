@@ -317,7 +317,9 @@ object Similarity {
     * gate-verified empirically rather than envelope-priced.
     *
     * Finalizer note (the audit's second finding): entries hash
-    * through [[splitmix64]], NOT `KmvSketch.hash` — the sketch hash's
+    * through [[Dedup.splitmix64]] (the repo's ONE shared finalizer —
+    * ADVICE r10 removed a local duplicate), NOT `KmvSketch.hash` — the
+    * sketch hash's
     * murmur-variant finalizer replaces both xorshift XORs with ADDs
     * and drops the leading shift, which leaves measurable correlation
     * across the structured `band:plane:coord` key family. The planted
@@ -333,22 +335,12 @@ object Similarity {
     Array.tabulate(numPlanes, Dim) { (b, i) =>
       // two independent 53-bit uniforms; u1 offset by half an ulp so
       // log(u1) is finite
-      val h1 = splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u1"))
-      val h2 = splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u2"))
+      val h1 = Dedup.splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u1"))
+      val h2 = Dedup.splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u2"))
       val u1 = ((h1 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
       val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
       math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
     }
-
-  /** splitmix64 finalizer (Steele et al. 2014; same constants as
-    * `tools.ScaleUp.mix64`) — full-avalanche mixing for the plane
-    * entries above. */
-  private def splitmix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   /** Signature = bit b set iff plane_b · v > 0 (plain-Scala kernel —
     * the equivalent per-plane Column expression tree evaluates
@@ -1834,13 +1826,23 @@ object Similarity {
     */
   def simHamming(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    // one codegen'd pass: sign bits OR-folded into a single BIGINT
+    // One codegen'd pass: sign bits OR-folded into a single BIGINT.
+    // The dim=64 contract is asserted IN the expression (ADVICE r10):
+    // shiftleft wraps its shift amount mod 64, so a >64-dim corpus
+    // would silently fold distinct coordinates onto the same bit — the
+    // fused assert_true makes that a loud runtime error instead, and
+    // fusing it into the signature value (ifnull over assert_true's
+    // always-NULL pass result) keeps Catalyst from pruning the check
+    // away as an unused column.
     val sig = expr(
-      """aggregate(
-        |  zip_with(embedding, sequence(0, 63),
-        |    (x, i) -> IF(x > CAST(0 AS FLOAT),
-        |                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-        |  CAST(0 AS BIGINT), (acc, v) -> acc | v)""".stripMargin)
+      """ifnull(
+        |  assert_true(size(embedding) = 64,
+        |    'sim_hamming: packed one-word signature requires dim = 64'),
+        |  aggregate(
+        |    zip_with(embedding, sequence(0, 63),
+        |      (x, i) -> IF(x > CAST(0 AS FLOAT),
+        |                   shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+        |    CAST(0 AS BIGINT), (acc, v) -> acc | v))""".stripMargin)
     val s = e.select(col("vec_id"), sig.as("sig"))
     val q = s.filter(col("vec_id") < HamQueries)
       .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
@@ -1937,13 +1939,18 @@ object Similarity {
     poolK.cogroup(ccK) { (qid, ps, cs) =>
       val cands = ps.map { case (_, id, rel) => (id, rel) }.toArray
       val sim = cs.map { case (_, a, b, s) => ((a, b), s) }.toMap
+      // insertion-ordered buffer for the max-sim scan; hash set for
+      // the O(1) membership test (VERDICT r10 #6: ArrayBuffer
+      // `contains` made the loop O(K²·pool) per probe — harmless at
+      // pool=40, a real constant at a raised MmrPool)
       val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val selectedSet = scala.collection.mutable.HashSet.empty[Long]
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
       var step = 1
       while (step <= MmrK && selected.size < cands.length) {
         var bestId = Long.MaxValue
         var bestScore = Double.NegativeInfinity
-        for ((id, rel) <- cands if !selected.contains(id)) {
+        for ((id, rel) <- cands if !selectedSet.contains(id)) {
           val maxSim =
             if (selected.isEmpty) 0.0
             else selected.iterator.map(s => sim((id, s))).max
@@ -1954,6 +1961,7 @@ object Similarity {
         }
         out += ((qid, step.toLong, bestId, bestScore))
         selected += bestId
+        selectedSet += bestId
         step += 1
       }
       out.iterator

@@ -83,14 +83,22 @@ object PdfCorpus {
      "金土山川田中")
 
   /** (predefined CMap name, JVM charset the writer encodes with) per
-    * `doc_id % 4` — one family per CJK registry, mixing -H and -V
+    * `doc_id % 5` — one family per CJK registry, mixing -H and -V
     * writing modes so the vertical variants are under the gate too.
+    * Round 11 (VERDICT r10 ask #5) adds the half-width UHC family:
+    * `KSCms-UHC-HW-H` was decodable (`PdfFonts.charsetFor` has carried
+    * its own `KSCms-UHC-HW` entry since r10) but not under the hash
+    * gate — its bytes are Windows code page 949, a superset of EUC-KR,
+    * so the same 2-byte round-trip contract applies; the -HW- (half-
+    * width Latin CID row) distinction changes glyph selection, not the
+    * byte→character decoding this pipeline extracts.
     */
   private[graft] val CjkVariants: Vector[(String, String)] = Vector(
     ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
     ("ETen-B5-V", "Big5"),         // Adobe-CNS1, Traditional Chinese, vertical
     ("90ms-RKSJ-H", "windows-31j"), // Adobe-Japan1, Shift-JIS flavor
-    ("KSC-EUC-V", "EUC-KR"))       // Adobe-Korea1, vertical
+    ("KSC-EUC-V", "EUC-KR"),       // Adobe-Korea1, vertical
+    ("KSCms-UHC-HW-H", "x-windows-949")) // Adobe-Korea1, UHC half-width
 
   /** The derived DBCS text: lowercase ASCII letters become
     * ideographs, everything else (digits, space, punctuation,
@@ -107,7 +115,7 @@ object PdfCorpus {
     val derived = toCjk(text)
     val pages: Seq[String] =
       if (derived.isEmpty) Seq("") else derived.grouped(PageChars).toSeq
-    val (cmap, charset) = CjkVariants((docId % 4).toInt)
+    val (cmap, charset) = CjkVariants((docId % CjkVariants.length).toInt)
     PdfFixtures.cjkPdf(pages, cmap, charset)
   }
 
@@ -161,20 +169,24 @@ object PdfCorpus {
     statsOver(spark, ensureAssets(spark, dir), variantMod = 6)
 
   /** The CJK charset-CMap gate query (`pdf_cjk_stats`, round 10 —
-    * VERDICT r9 ask #1): same pipeline, but the corpus is the
-    * [[toCjk]]-derived DBCS text written as FOUR legacy Type0 shapes
-    * ([[CjkVariants]]: GBK-EUC-H / ETen-B5-V / 90ms-RKSJ-H /
-    * KSC-EUC-V, no ToUnicode), so extraction must decode
-    * charset-encoded shown bytes through [[graft.sources.pdf.PdfFonts]]'s
-    * charset-codespace tier. The md5 of the in-order extracted page
-    * concatenation is checked against `md5(translate(text, …))` in
-    * DuckDB — the bit-exact loop proof, now over real 2-byte DBCS
-    * codes and both writing modes.
+    * VERDICT r9 ask #1; widened to five variants in round 11): same
+    * pipeline, but the corpus is the [[toCjk]]-derived DBCS text
+    * written as FIVE legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
+    * ETen-B5-V / 90ms-RKSJ-H / KSC-EUC-V / KSCms-UHC-HW-H, no
+    * ToUnicode), so extraction must decode charset-encoded shown bytes
+    * through [[graft.sources.pdf.PdfFonts]]'s charset-codespace tier.
+    * The md5 of the in-order extracted page concatenation is checked
+    * against `md5(translate(text, …))` in DuckDB — the bit-exact loop
+    * proof, over real 2-byte DBCS codes, both writing modes, and the
+    * half-width UHC row. The oracle also pins `unmapped_fonts` to 0
+    * for every document AND the SUM TOTAL row, so any future font
+    * fall-through on this corpus hash-fails the gate instead of
+    * incrementing telemetry.
     */
   def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
     statsOver(spark,
-      ensureAssets(spark, dir, "pdf-cjk-assets-v1", synthesizeCjk),
-      variantMod = 4)
+      ensureAssets(spark, dir, "pdf-cjk-assets-v2", synthesizeCjk),
+      variantMod = CjkVariants.length)
 
   /** Shared scan→extract→chunk→aggregate tail of both gate queries. */
   private def statsOver(
@@ -267,5 +279,6 @@ object PdfCorpus {
   val pdfChunkStatsSql: String = statsSql("text", 6)
 
   val pdfCjkStatsSql: String =
-    statsSql(s"translate(text, 'abcdefghijklmnopqrstuvwxyz', '$CjkAlphabet')", 4)
+    statsSql(s"translate(text, 'abcdefghijklmnopqrstuvwxyz', '$CjkAlphabet')",
+      CjkVariants.length)
 }

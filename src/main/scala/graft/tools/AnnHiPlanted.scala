@@ -19,8 +19,13 @@ import org.apache.spark.sql.SparkSession
   *   - recall (envelope): the banding geometry is sized for a 1e-2
   *     per-pair miss bound ([[graft.ext.Dedup.annBandsFor]]), so the
   *     planted pairs — whose true cosine [[PlantedCos]] sits ABOVE the
-  *     0.8 threshold, where the envelope only tightens — must be
-  *     recovered at ≥ 99%.
+  *     0.8 threshold, where the envelope only tightens — are gated by
+  *     a binomial upper-tail test: the observed miss count must not be
+  *     statistically incompatible with the [[MissBound]] envelope
+  *     (tail P[X ≥ observed] ≥ [[Alpha]] under Binomial(n, 1e-2)),
+  *     plus a 0.95 hard recall floor against gross regression. (A
+  *     fixed ≥ 99% recall cut would false-alarm at small n, where one
+  *     unlucky miss among 100 planted pairs is within the envelope.)
   *
   * Planted construction: for every source vector v, one twin
   * v' = cosθ·v̂ + sinθ·ŵ with ŵ the unit rejection of a splitmix64-

@@ -65,6 +65,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(grid.nonEmpty) // clustered fixture: plenty of pairs
   }
 
+  test("grid candidate mass IS the exact quadratic law, at two geometries") {
+    // Pins dedup_embedding's DELIBERATE contract (VERDICT r10 ask #4):
+    // the block grid is the exhaustive all-pairs baseline — its
+    // candidate mass is exactly C(n,2), every unordered pair scored
+    // once (off-diagonal cells pair row-side × col-side, the diagonal
+    // iterates its own i<j triangle; per-cell work is occupancy², the
+    // quadratic the factor-100 audit measures as a ~1.1 exponent).
+    // That quadratic is the PREDICTED number, not a defect: the ANN
+    // tiers exist to avoid this kernel, and this spec is here so
+    // nobody "fixes" the one intentionally exhaustive query into a
+    // seventh ANN tier. Threshold −2 < cos ⟹ the emitted relation IS
+    // the candidate relation, so output count == candidate mass.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    // two geometries against GridBlockRows=1024: n=700 → one block
+    // (diagonal-triangle arm only); n=2500 → 3 blocks (6 cells, both
+    // arms plus quantile cuts)
+    for (n <- Seq(700, 2500)) {
+      val vecs: Seq[(Long, Array[Float])] = (0L until n.toLong).map { i =>
+        (i, Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"gridmass$n").toString
+      vecs.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      val out = Dedup.dedupEmbeddingGridAt(spark, tmp, -2.0)
+        .select("vec_a", "vec_b")
+      val mass = out.count()
+      assert(mass == n.toLong * (n - 1) / 2,
+        s"n=$n: candidate mass must be C(n,2)")
+      assert(out.distinct().count() == mass,
+        s"n=$n: every pair scored exactly once")
+    }
+  }
+
   test("minhash LSH finds exactly the brute-force Jaccard >= 0.8 pairs") {
     val lsh = Dedup.dedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -70,7 +70,7 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(total.isNullAt(6), "total row has no md5")
   }
 
-  test("CJK alphabet: every ideograph is a 2-byte round-trip in all four charsets") {
+  test("CJK alphabet: every ideograph is a 2-byte round-trip in all five charsets") {
     // The property the pdf_cjk_stats oracle RESTS on: the writer's
     // charset encode followed by the extractor's CharsetGlyphDecoder
     // must be the identity on the derived alphabet, in every variant
@@ -86,24 +86,25 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("four-variant CJK synthesis round-trips DBCS text bit-exact") {
-    // one text per CMap variant (ids 0..3): mixed-case + digits keep
+  test("five-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..4): mixed-case + digits keep
     // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
     val texts = Seq(
       "gbk simplified (Horizontal) 0123 " + "a" * 300,
       "eten big5 Vertical\n\nwith blank lines " + "b" * 250,
       "rksj shift-jis variant " + " " * 250 + "c" * 150, // whitespace-only page
-      "ksc euc-kr Vertical variant " + "d" * 400)
+      "ksc euc-kr Vertical variant " + "d" * 400,
+      "uhc Half-Width 949 row 456 " + "e" * 350) // KSCms-UHC-HW-H (r11)
     val dir = miniCorpus(texts)
     val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
-    assert(rows.length == 5, "4 docs + SUM TOTAL")
+    assert(rows.length == 6, "5 docs + SUM TOTAL")
     val byPath = rows.map(r => r.getString(0) -> r).toMap
     for ((t, i) <- texts.zipWithIndex) {
       val derived = PdfCorpus.toCjk(t)
       assert(derived.length == t.length, "translate preserves length")
       val r = byPath(i.toString)
       val (pg, ch, ts) = expected(derived)
-      assert(r.getLong(1) == i % 4, s"variant of doc $i")
+      assert(r.getLong(1) == i % 5, s"variant of doc $i")
       assert(r.getLong(2) == pg, s"pages of doc $i")
       assert(r.getLong(3) == ch, s"chunks of doc $i")
       assert(r.getLong(4) == ts, s"text_size of doc $i")
@@ -113,6 +114,11 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
         .digest(derived.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       assert(r.getString(6) == md5, s"text_md5 of doc $i (bit-exact DBCS loop)")
     }
+    // the SUM TOTAL row pins unmapped_fonts == 0 corpus-wide: a font
+    // falling through to OpaqueGlyphDecoder anywhere fails the gate
+    // (VERDICT r10 ask #5), it does not just increment telemetry
+    assert(byPath("SUM TOTAL").getLong(5) == 0L,
+      "corpus-wide unmapped_fonts must be 0")
   }
 
   test("synthesis is deterministic and the assets publish once per corpus state") {
