@@ -509,11 +509,23 @@ object Dedup {
 
   /** Gate-corpus banding geometry for [[dedupEmbeddingAnn]] (the
     * exhaustive 0.45-threshold contract): `Similarity.planesFor`
-    * width, and the larger of the envelope's band count and the
-    * empirically validated 64 (64 found every pair at every gate SF;
-    * 40 missed one at sf0.1 — the envelope at width 4 asks for 60,
-    * so 64 is the binding floor at gate scale and the envelope takes
-    * over when the width grows).
+    * width, and the larger of the envelope's band count and a floor
+    * of 64. The floor's basis (re-derived round 11 for the Gaussian
+    * planes — ADVICE r10; the original "64 found every pair, 40
+    * missed one" anecdote was measured with the pre-r10 discrete
+    * planes): (a) by the now-exact θ/π envelope, width 4 × 64 bands
+    * gives per-pair miss (1−0.6486⁴)⁶⁴ ≈ 3.6e-6, inside the 1e-5
+    * design target where the envelope alone would ask for 60; (b)
+    * measured with `tools.AnnGateRecheck` under the shipped Gaussian
+    * planes at every gate SF and the ×100-derived sf1 — 0 of the
+    * exact grid relation's qualifying pairs escape the banding
+    * (sf0.001: 7/7, sf0.01: 14/14, sf0.1 [floor-binding w=4×B=64]:
+    * 144/144, sf1 [w=6×B=149]: 106290/106290 covered). Note the
+    * closed-form tier rule in [[dedupEmbeddingAnnAt]] delegates every
+    * one of these geometries to the grid kernel anyway (`AnnGateRecheck`
+    * records `grid_delegated:true` at all four SFs), so this floor is
+    * defense-in-depth for the banded arm, not the production path at
+    * gate scales.
     */
   private[graft] def gateAnnGeometry(n: Long): (Int, Int) = {
     val width = Similarity.planesFor(n)
