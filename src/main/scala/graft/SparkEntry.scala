@@ -208,6 +208,11 @@ object SparkEntry {
     "sim_hamming" -> (Similarity.simHamming(_, _)),
     // MMR diversified rerank: distributed pool, per-probe greedy
     "sim_mmr" -> (Similarity.simMmr(_, _)),
+    // int8 scalar quantization: integer-exact ranking over 4x-
+    // compressed codes (round 11)
+    "sim_sq8" -> (Similarity.simSq8(_, _)),
+    // prefix-dim coarse scan + full-dim exact rerank (round 11)
+    "sim_matryoshka" -> (Similarity.simMatryoshka(_, _)),
     "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
@@ -220,6 +225,9 @@ object SparkEntry {
     "pipeline_survivor" -> (PipelineOps.pipelineSurvivor(_, _)),
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
     "pipeline_mixture" -> (PipelineOps.pipelineMixture(_, _)),
+    // stride-scheduled training order: the mixture's shares as an
+    // actual interleave (round 11)
+    "pipeline_interleave" -> (PipelineOps.pipelineInterleave(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     "pipeline_holdout" -> (PipelineOps.pipelineHoldout(_, _)),
     "pipeline_datacard" -> (PipelineOps.pipelineDatacard(_, _)),
@@ -501,6 +509,10 @@ object SparkEntry {
     // the greedy unrolled as chained CTEs; scores are IEEE doubles
     // from shared 6dp-rounded rel/sim inputs -> bit-identical argmax
     "sim_mmr" -> Similarity.simMmrSql,
+    // post-quantization ranking is all-integer; the shared affine
+    // model is the identical double expression on both engines
+    "sim_sq8" -> Similarity.simSq8Sql,
+    "sim_matryoshka" -> Similarity.simMatryoshkaSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
@@ -508,6 +520,7 @@ object SparkEntry {
     // portable-hash ranks drawn by the TopKPerKey bounded heap
     "sample_per_key" -> PipelineOps.samplePerKeySql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
+    "pipeline_interleave" -> PipelineOps.pipelineInterleaveSql,
     // argmax-quality survivor per near-dup family on packed BIGINT
     // keys; cluster + logreg oracles ride as subqueries
     "pipeline_survivor" -> PipelineOps.pipelineSurvivorSql,

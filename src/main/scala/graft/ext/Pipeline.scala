@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline-level operators: the compositions a training-data
@@ -733,4 +734,70 @@ object PipelineOps {
        |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, h
        |FROM r WHERE sample_rank <= $SamplePerKeyK
        |ORDER BY source, sample_rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Deterministic temperature-balanced interleave (stride scheduling)
+  // ----------------------------------------------------------------
+
+  private val InterleaveHead = 200
+
+  /** The global TRAINING ORDER that [[pipelineMixture]]'s shares imply
+    * (round 11): deterministic stride scheduling — source s with
+    * weight w_s = √count_s emits its k-th document at virtual time
+    * (k − ½)/w_s, and the corpus-wide order is the ascending vtime
+    * sort (ties broken by source, doc_id). This is the classic
+    * "least-debt" interleave: over any prefix, each source's share of
+    * emitted documents tracks w_s/Σw within ±1 — temperature-balanced
+    * mixing (α = ½, matching the mixture query's √-weighting)
+    * materialized as an ORDER instead of a table of ratios, which is
+    * what a dataloader actually consumes.
+    *
+    * 100 TB shape: per-source ranks are a partitioned window over the
+    * source key; vtime is one codegen'd expression; the global
+    * interleave is a distributed SORT, not a window — the gated
+    * output stamps ranks only on the first [[InterleaveHead]] rows
+    * (`orderBy().limit()` then a ≤200-row presentation window, the
+    * repo's bounded-window pattern). Cross-engine determinism: vtime
+    * is the identical IEEE expression ((rank − 0.5)/√count) on exact
+    * integer inputs in both engines, and every comparison has the
+    * (vtime, source, doc_id) total-order tie-break.
+    */
+  def pipelineInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val v = d
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .join(broadcast(counts), "source")
+      .withColumn("vtime",
+        (col("src_rank").cast("double") - 0.5) / sqrt(col("cnt").cast("double")))
+    val head = v.orderBy(col("vtime"), col("source"), col("doc_id"))
+      .limit(InterleaveHead)
+    head
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("vtime"), col("source"), col("doc_id")))
+        .cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("src_rank"),
+        round(col("vtime"), 6).as("vtime"))
+      .orderBy("pos")
+  }
+
+  val pipelineInterleaveSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+       |v AS (
+       |  SELECT d.doc_id, d.source,
+       |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+       |      AS src_rank,
+       |    (CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+       |          AS DOUBLE) - 0.5) / sqrt(CAST(c.cnt AS DOUBLE)) AS vtime
+       |  FROM documents d JOIN c USING (source)),
+       |h AS (SELECT * FROM v ORDER BY vtime, source, doc_id
+       |      LIMIT $InterleaveHead),
+       |r AS (
+       |  SELECT doc_id, source, src_rank, vtime,
+       |    row_number() OVER (ORDER BY vtime, source, doc_id) AS pos
+       |  FROM h)
+       |SELECT CAST(pos AS BIGINT) AS pos, doc_id, source,
+       |  CAST(src_rank AS BIGINT) AS src_rank, round(vtime, 6) AS vtime
+       |FROM r ORDER BY pos""".stripMargin
 }

@@ -509,4 +509,60 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(picks(1) == 20L,
       "step 2 must diversify away from the near-identical twin")
   }
+
+  test("simSq8: query equals a full local replay of the affine model, " +
+    "codes stay in [0,255], ranking is all-integer") {
+    val rows = Similarity.simSq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val d = emb.values.head.length
+    val mn = (0 until d).map(i => emb.values.map(_(i).toDouble).min).toArray
+    val mx = (0 until d).map(i => emb.values.map(_(i).toDouble).max).toArray
+    val sc = (0 until d).map(i =>
+      if (mx(i) > mn(i)) 255.0 / (mx(i) - mn(i)) else 0.0).toArray
+    val codes = emb.map { case (id, v) =>
+      id -> v.indices.map(i =>
+        math.floor((v(i).toDouble - mn(i)) * sc(i) + 0.5).toLong).toArray
+    }
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    val local = (0L until 5L).flatMap { q =>
+      codes.keys.filter(_ != q).map { c =>
+        val dd = codes(q).zip(codes(c))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (q, c, dd)
+      }.toSeq.sortBy { case (_, c, dd) => (dd, c) }.take(10).zipWithIndex
+        .map { case ((qq, c, dd), k) => (qq, k + 1L, c, dd) }
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == local.sortBy(r => (r._1, r._2)),
+      "query result must equal the local SQ8 replay")
+  }
+
+  test("simMatryoshka: emitted pool is inside the prefix-cosine top-32, " +
+    "rerank order is the exact full-dim cosine over that pool") {
+    val rows = Similarity.simMatryoshka(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], dims: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (q <- 0L until 5L) {
+      val pool = emb.keys.filter(_ != q).map { c =>
+        (c, cos(emb(q), emb(c), 16))
+      }.toSeq.sortBy { case (c, p) => (-p, c) }.take(32)
+      val rerank = pool.map { case (c, p) => (c, cos(emb(q), emb(c), 64), p) }
+        .sortBy { case (c, f, _) => (-f, c) }.take(10).zipWithIndex
+        .map { case ((c, f, p), k) => (q, k + 1L, c, f, p) }
+      val got = rows.filter(_._1 == q).sortBy(_._2).toSeq
+      assert(got == rerank, s"q=$q staged replay mismatch")
+    }
+  }
 }

@@ -963,4 +963,34 @@ class TextPipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val sampleMean = out.map(_._2).sum.toDouble / out.length
     assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
   }
+
+  test("pipelineInterleave: stride order tracks √-weight shares within ±1 per source") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = PipelineOps.pipelineInterleave(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == 200)
+    // dense positions 1..200, FIFO within each source
+    assert(rows.map(_._1).toSeq == (1L to 200L))
+    rows.groupBy(_._3).foreach { case (s, rs) =>
+      val ranks = rs.sortBy(_._1).map(_._4).toSeq
+      assert(ranks == (1L to ranks.length.toLong),
+        s"$s must emit its docs in doc_id (FIFO) order")
+    }
+    // the least-debt property: at EVERY prefix, each source's emitted
+    // count is within ±1 of its √-weight share of the prefix
+    val counts = graft.sources.Tables.table(spark, dir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val w = counts.map { case (s, c) => s -> math.sqrt(c.toDouble) }
+    val totW = w.values.sum
+    val emitted = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((pos, _, s, _) <- rows.sortBy(_._1)) {
+      emitted(s) += 1
+      for ((src, ws) <- w) {
+        val share = ws / totW * pos
+        assert(math.abs(emitted(src) - share) <= 1.0 + 1e-9,
+          s"prefix $pos: $src emitted ${emitted(src)} vs share $share")
+      }
+    }
+  }
 }

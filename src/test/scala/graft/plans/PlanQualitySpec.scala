@@ -650,4 +650,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     // partitioning (its keys are a superset), adding none
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
   }
+
+  test("sim_sq8: probes broadcast; quantize + integer distance stay codegen'd HOFs") {
+    val plan = graft.ext.Similarity.simSq8(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // no Scala UDF anywhere — transform/zip_with/aggregate only
+    assert(!plan.contains("UDF"), plan)
+  }
+
+  test("sim_matryoshka: candidate scan joins the broadcast probes once; " +
+    "both windows are per-probe partitioned") {
+    val plan = graft.ext.Similarity.simMatryoshka(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the coarse and exact windows both key on q_id — no corpus-scale
+    // unpartitioned window anywhere
+    assert("Window".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("pipeline_interleave: global order is a distributed sort + limit; " +
+    "the rank window sees only the bounded head") {
+    val df = graft.ext.PipelineOps.pipelineInterleave(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-scale step must be TakeOrderedAndProject / Sort+Limit,
+    // with the unpartitioned row_number window AFTER the limit (≤200
+    // rows — the repo's bounded presentation-window pattern)
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("Limit"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect()
+    assert(rows.length == 200)
+  }
 }
