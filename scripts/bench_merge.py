@@ -25,6 +25,13 @@ import json
 import sys
 
 
+def _measured(v):
+    """True when v is a real measurement. The artifact's not-run
+    sentinel is -1 (never 0), so a legitimate time that rounds to
+    0.000 must still count as measured (ADVICE r11)."""
+    return v is not None and v > -0.5
+
+
 def _dedup(seq):
     seen = set()
     out = []
@@ -42,25 +49,26 @@ def main():
     assert full["sf"] == add["sf"], (full["sf"], add["sf"])
     remeasured = []
     for q, cold in add["queries"].items():
-        if cold is None or cold <= 0:
+        if not _measured(cold):
             continue
         remeasured.append(q)
-        if full["queries"].get(q, -1) <= 0:
+        if not _measured(full["queries"].get(q, -1)):
             full["queries"][q] = cold
         else:
             full["queries"][q] = min(full["queries"][q], cold)
         ah = add["queries_hot"].get(q, -1)
         fh = full["queries_hot"].get(q, -1)
-        if ah and ah > 0:
-            full["queries_hot"][q] = ah if (not fh or fh <= 0) else min(fh, ah)
+        if _measured(ah):
+            full["queries_hot"][q] = (
+                ah if not _measured(fh) else min(fh, ah))
         full["hot_reps"][q] = (full["hot_reps"].get(q, 0) or 0) + (
             add["hot_reps"].get(q, 0) or 0)
     # recompute every aggregate/metadata field from the merged maps
-    completed = {q for q, v in full["queries"].items() if v and v > 0}
+    completed = {q for q, v in full["queries"].items() if _measured(v)}
     order = full.get("order") or sorted(full["queries"])
     full["value"] = round(sum(full["queries"][q] for q in completed), 3)
     hot_covered = {
-        q for q in completed if (full["queries_hot"].get(q) or -1) > 0}
+        q for q in completed if _measured(full["queries_hot"].get(q, -1))}
     full["n_hot_covered"] = len(hot_covered)
     full["hot_total"] = (
         round(sum(full["queries_hot"][q] for q in hot_covered), 3)
