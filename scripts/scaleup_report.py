@@ -47,6 +47,17 @@ def main():
             "exponent_hot": expo(sh, bh),
             "parity": parity.get(name, "not_checked"),
         }
+        # Round 12 (VERDICT r11 ask #3): a hot time above the SAME
+        # run's cold min is physically impossible as a steady-state
+        # measurement (hot reps re-run the cold plan with warm JIT/page
+        # cache; min-of-reps can only go DOWN from a clean cold) — it
+        # means every hot rep landed in an interference window. Flag
+        # it, null the exponent, and keep it out of exponent_hot_max;
+        # re-measure via SPARK_GRAFT_ONLY backfill instead of
+        # publishing it as a headline.
+        if sh > 0 and bh > 0 and bc > 0 and bh > bc:
+            queries[name]["hot_flag"] = "interference"
+            queries[name]["exponent_hot"] = None
         if name in parity_notes:
             queries[name]["parity_note"] = parity_notes[name]
 
@@ -94,14 +105,18 @@ def main():
         "exponent_hot_max": max(
             (q["exponent_hot"] for q in queries.values()
              if q["exponent_hot"] is not None), default=None),
+        "interference_hot": sorted(
+            n for n, q in queries.items()
+            if q.get("hot_flag") == "interference"),
         "queries": queries,
     }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=False)
     print(f"wrote {out_path}")
     for n, q in queries.items():
+        flag = "  INTERFERENCE(hot>cold-min)" if q.get("hot_flag") else ""
         print(f"{n:28s} hot {q['small_hot_s']:>8} -> {q['big_hot_s']:>8} "
-              f"exp {q['exponent_hot']}  parity={q['parity']}")
+              f"exp {q['exponent_hot']}  parity={q['parity']}{flag}")
 
 
 if __name__ == "__main__":

@@ -69,6 +69,40 @@ object Bench {
     s""""hot_total":$tot,"n_hot_covered":$nHotCovered"""
   }
 
+  /** Calibration reference shared with `tools.CalibProbe` (ADVICE r11
+    * #3 — the probe used to duplicate these as local literals, so probe
+    * and bench could drift apart on what "degraded" means). Nominal
+    * value of the fixed synthetic probe on a healthy, settled box at
+    * round 8 (local[32], 128 GiB): 0.55 s (min of 2); a ratio above
+    * 1.5x marks the box degraded.
+    */
+  private[graft] val CalibRefSec = 0.55
+  private[graft] val DegradedFactor = 1.5
+
+  /** Where a run writes its artifacts (round 12, VERDICT r11 ask #1b).
+    *
+    * The merged cross-run prior BENCH_FULL.json has been clobbered by
+    * a round-head run twice (r10, r11) — each time silently replacing
+    * a 185/185-hot min-merged artifact with a single run's partial
+    * coverage. The fix is structural: `graft.Bench` NEVER writes
+    * BENCH_FULL.json. The default full-suite destination is a
+    * timestamped side file (plus the gitignored target/bench.json
+    * scratch copy); folding a run into BENCH_FULL.json is an explicit,
+    * separate `scripts/bench_merge.py` step. SPARK_GRAFT_BENCH_OUT
+    * still redirects wholesale; a SPARK_GRAFT_ONLY filtered run still
+    * writes only the scratch copy. Pure so `BenchArtifactSpec` can pin
+    * that no default path is the merged prior.
+    */
+  private[graft] val MergedPriorPath = "BENCH_FULL.json"
+  private[graft] def artifactPaths(
+      benchOut: Option[String], filtered: Boolean, stampSec: Long): Seq[String] =
+    benchOut match {
+      case Some(out) => Seq(out)
+      case None =>
+        if (filtered) Seq("target/bench.json")
+        else Seq("target/bench.json", s"bench_run_$stampSec.json")
+    }
+
   // Locale.ROOT: the default locale could be decimal-comma → bad JSON.
   private[graft] def r3d(v: Double): String =
     if (v < 0) "-1"
@@ -162,7 +196,7 @@ object Bench {
     val OutlierFactor = 3.0
     val (priorCold, priorHot): (Map[String, Double], Map[String, Double]) =
       try {
-        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        val p = java.nio.file.Paths.get(MergedPriorPath)
         if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty)
         else {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -197,8 +231,7 @@ object Bench {
     // degrades to 1 rep per query so the cold pass + at least one
     // full hot pass always fit the deadline (the r7 failure: 2x box
     // + artifact rebuilds -> 27 queries never ran at all).
-    val CalibRefSec = 0.55
-    val degraded = calibS > CalibRefSec * 1.5
+    val degraded = calibS > CalibRefSec * DegradedFactor
     System.err.println(
       f"[bench] calib_s=$calibS%.2f ref=$CalibRefSec (degraded=$degraded)")
     val selected = SparkEntry.queries.toSeq
@@ -270,6 +303,14 @@ object Bench {
     def strArr(xs: Seq[String]): String =
       xs.map(s => s""""$s"""").mkString("[", ",", "]")
 
+    // target/ is gitignored, so a full-suite run also writes a repo-root
+    // TIMESTAMPED side file the driver's end-of-round commit captures —
+    // never the merged prior BENCH_FULL.json (see artifactPaths above,
+    // VERDICT r11 ask #1b). Folding the side file into the prior is an
+    // explicit scripts/bench_merge.py step.
+    val artifacts = artifactPaths(sys.env.get("SPARK_GRAFT_BENCH_OUT"),
+      only.nonEmpty, System.currentTimeMillis() / 1000)
+
     def fullJson(): String = {
       val doneSt = states.filter(_.done)
       val total = doneSt.map(_.cold).sum
@@ -334,25 +375,13 @@ object Bench {
           s""""n_queries":${states.size},"n_completed":${doneSt.size},""" +
           s""""n_skipped":${states.count(!_.ran)},""" +
           s""""omitted_fast":${doneSt.size - kept.size},""" +
-          s""""failed":$failed,"full":"BENCH_FULL.json",""" +
+          s""""failed":$failed,"full":"${artifacts.last}",""" +
           s""""queries":$qs,"sf":"$sfDir"}"""
       }
       Iterator.range(doneSt.size, -1, -1).map(compact)
         .find(_.length <= budget).getOrElse(compact(0))
     }
 
-    // target/ is gitignored, so also write a repo-root copy that the
-    // driver's end-of-round commit captures. A SPARK_GRAFT_ONLY filtered
-    // run must not clobber the full-suite artifact, and neither must a
-    // full-suite run against a NON-round corpus (the factor-100 scale-up
-    // audit runs the whole registry on sf0.01 and the derived sf100 —
-    // SPARK_GRAFT_BENCH_OUT redirects those artifacts wholesale).
-    val artifacts = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
-      case Some(out) => Seq(out)
-      case None =>
-        if (only.isEmpty) Seq("target/bench.json", "BENCH_FULL.json")
-        else Seq("target/bench.json")
-    }
     // One lock serializes every artifact write, and nothing writes after
     // finalize: otherwise the shutdown hook's last write could interleave
     // with an in-flight main-thread write on the same path and the JVM

@@ -285,7 +285,10 @@ object Dedup {
   // Near-dup embeddings: cosine threshold
   // ----------------------------------------------------------------
 
-  private val CosineThreshold = 0.45
+  // private[graft]: tools/AnnGateRecheck and the DedupSpec banding-
+  // floor case reference the shipped value instead of duplicating the
+  // literal (ADVICE r11 #2)
+  private[graft] val CosineThreshold = 0.45
 
   /** Production near-dup threshold for the pruning-demonstrating ANN
     * variant (`dedup_embedding_ann_hi`): real embedding-dedup
@@ -652,7 +655,8 @@ object Dedup {
     * join/SMJ shape copies both 64-float arrays through UnsafeRow
     * per pair and ran 5× the tight double-loop).
     */
-  private val JoinRowCostVsKernel = 5.0
+  // private[graft]: see CosineThreshold (ADVICE r11 #2)
+  private[graft] val JoinRowCostVsKernel = 5.0
 
   /** Scratch bytes ONE candidate row claims on its way through the
     * multi-band `distinct` — shuffle-file record plus the external

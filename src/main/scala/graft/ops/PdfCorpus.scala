@@ -91,14 +91,20 @@ object PdfCorpus {
     * gate — its bytes are Windows code page 949, a superset of EUC-KR,
     * so the same 2-byte round-trip contract applies; the -HW- (half-
     * width Latin CID row) distinction changes glyph selection, not the
-    * byte→character decoding this pipeline extracts.
+    * byte→character decoding this pipeline extracts. Round 12 (VERDICT
+    * r11 ask #5) adds the VERTICAL half-width `KSCms-UHC-HW-V` as the
+    * sixth variant: `charsetFor` strips the -V writing-mode suffix to
+    * the same `KSCms-UHC-HW` entry, so the decode path was live but
+    * not md5-gated until now; writing mode changes glyph orientation,
+    * never the byte stream this pipeline extracts.
     */
   private[graft] val CjkVariants: Vector[(String, String)] = Vector(
     ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
     ("ETen-B5-V", "Big5"),         // Adobe-CNS1, Traditional Chinese, vertical
     ("90ms-RKSJ-H", "windows-31j"), // Adobe-Japan1, Shift-JIS flavor
     ("KSC-EUC-V", "EUC-KR"),       // Adobe-Korea1, vertical
-    ("KSCms-UHC-HW-H", "x-windows-949")) // Adobe-Korea1, UHC half-width
+    ("KSCms-UHC-HW-H", "x-windows-949"), // Adobe-Korea1, UHC half-width
+    ("KSCms-UHC-HW-V", "x-windows-949")) // Adobe-Korea1, UHC half-width, vertical
 
   /** The derived DBCS text: lowercase ASCII letters become
     * ideographs, everything else (digits, space, punctuation,
@@ -169,10 +175,11 @@ object PdfCorpus {
     statsOver(spark, ensureAssets(spark, dir), variantMod = 6)
 
   /** The CJK charset-CMap gate query (`pdf_cjk_stats`, round 10 —
-    * VERDICT r9 ask #1; widened to five variants in round 11): same
-    * pipeline, but the corpus is the [[toCjk]]-derived DBCS text
-    * written as FIVE legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
-    * ETen-B5-V / 90ms-RKSJ-H / KSC-EUC-V / KSCms-UHC-HW-H, no
+    * VERDICT r9 ask #1; five variants in round 11, six in round 12):
+    * same pipeline, but the corpus is the [[toCjk]]-derived DBCS text
+    * written as SIX legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
+    * ETen-B5-V / 90ms-RKSJ-H / KSC-EUC-V / KSCms-UHC-HW-H /
+    * KSCms-UHC-HW-V, no
     * ToUnicode), so extraction must decode charset-encoded shown bytes
     * through [[graft.sources.pdf.PdfFonts]]'s charset-codespace tier.
     * The md5 of the in-order extracted page concatenation is checked
@@ -185,7 +192,10 @@ object PdfCorpus {
     */
   def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
     statsOver(spark,
-      ensureAssets(spark, dir, "pdf-cjk-assets-v2", synthesizeCjk),
+      // tag bumped v2 -> v3: the six-way doc_id % CjkVariants.length
+      // assignment reshuffles which CMap each document gets, so the
+      // five-variant corpus must regenerate
+      ensureAssets(spark, dir, "pdf-cjk-assets-v3", synthesizeCjk),
       variantMod = CjkVariants.length)
 
   /** Shared scan→extract→chunk→aggregate tail of both gate queries. */

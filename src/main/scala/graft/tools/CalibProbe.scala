@@ -29,10 +29,12 @@ object CalibProbe {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Shared constants with graft.Bench (ADVICE r11 #3): the probe and
+    // the bench's own degraded flag can no longer drift apart.
     val calib = math.min(rep(), rep())
-    val ref = 0.55
+    val ref = graft.Bench.CalibRefSec
     println(f"""{"calib_s":$calib%.3f,"calib_ref_s":$ref,""" +
-      s""""degraded":${calib > ref * 1.5}}""")
+      s""""degraded":${calib > ref * graft.Bench.DegradedFactor}}""")
     spark.stop()
   }
 }

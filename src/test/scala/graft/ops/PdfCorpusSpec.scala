@@ -86,25 +86,26 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("five-variant CJK synthesis round-trips DBCS text bit-exact") {
-    // one text per CMap variant (ids 0..4): mixed-case + digits keep
+  test("six-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..5): mixed-case + digits keep
     // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
     val texts = Seq(
       "gbk simplified (Horizontal) 0123 " + "a" * 300,
       "eten big5 Vertical\n\nwith blank lines " + "b" * 250,
       "rksj shift-jis variant " + " " * 250 + "c" * 150, // whitespace-only page
       "ksc euc-kr Vertical variant " + "d" * 400,
-      "uhc Half-Width 949 row 456 " + "e" * 350) // KSCms-UHC-HW-H (r11)
+      "uhc Half-Width 949 row 456 " + "e" * 350, // KSCms-UHC-HW-H (r11)
+      "uhc half-width Vertical 789 " + "f" * 320) // KSCms-UHC-HW-V (r12)
     val dir = miniCorpus(texts)
     val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
-    assert(rows.length == 6, "5 docs + SUM TOTAL")
+    assert(rows.length == 7, "6 docs + SUM TOTAL")
     val byPath = rows.map(r => r.getString(0) -> r).toMap
     for ((t, i) <- texts.zipWithIndex) {
       val derived = PdfCorpus.toCjk(t)
       assert(derived.length == t.length, "translate preserves length")
       val r = byPath(i.toString)
       val (pg, ch, ts) = expected(derived)
-      assert(r.getLong(1) == i % 5, s"variant of doc $i")
+      assert(r.getLong(1) == i % 6, s"variant of doc $i")
       assert(r.getLong(2) == pg, s"pages of doc $i")
       assert(r.getLong(3) == ch, s"chunks of doc $i")
       assert(r.getLong(4) == ts, s"text_size of doc $i")
