@@ -161,6 +161,7 @@ object SparkEntry {
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_rank" -> (TextAnalysis.textRank(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
+    "text_cdc" -> (TextAnalysis.textCdc(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "text_fertility" -> (TextAnalysis.textFertility(_, _)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "dedup_cluster" -> (Dedup.dedupCluster(_, _)),
     "dedup_contamination" -> (Dedup.dedupContamination(_, _)),
     "dedup_spans" -> (Dedup.dedupSpans(_, _)),
+    "dedup_lines" -> (Dedup.dedupLines(_, _)),
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     "dedup_editdist" -> (Dedup.dedupEditDistance(_, _)),
     "corpus_overlap" -> (Dedup.corpusOverlap(_, _)),
@@ -228,6 +230,7 @@ object SparkEntry {
     // stride-scheduled training order: the mixture's shares as an
     // actual interleave (round 11)
     "pipeline_interleave" -> (PipelineOps.pipelineInterleave(_, _)),
+    "pipeline_dsir" -> (PipelineOps.pipelineDsir(_, _)),
     "pipeline_prep" -> (PipelineOps.pipelinePrep(_, _)),
     "pipeline_holdout" -> (PipelineOps.pipelineHoldout(_, _)),
     "pipeline_datacard" -> (PipelineOps.pipelineDatacard(_, _)),
@@ -409,6 +412,7 @@ object SparkEntry {
     // one encoded integer key carries min hash + rightmost tie: the
     // window-min winnowing selection replays as a plain min-fold
     "text_winnow" -> TextAnalysis.textWinnowSql,
+    "text_cdc" -> TextAnalysis.textCdcSql,
     // integral pair counts, (cnt, left, right)-pinned argmax, one
     // shared greedy fold: all 8 BPE merges replay as generated CTEs
     "text_bpe" -> TextAnalysis.textBpeSql,
@@ -461,6 +465,7 @@ object SparkEntry {
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "dedup_contamination" -> Dedup.dedupContaminationSql,
     "dedup_spans" -> Dedup.dedupSpansSql,
+    "dedup_lines" -> Dedup.dedupLinesSql,
     // batch-vs-corpus banding finds the same pairs the brute-force
     // cross-split Jaccard oracle computes
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
@@ -521,6 +526,7 @@ object SparkEntry {
     "sample_per_key" -> PipelineOps.samplePerKeySql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
     "pipeline_interleave" -> PipelineOps.pipelineInterleaveSql,
+    "pipeline_dsir" -> PipelineOps.pipelineDsirSql,
     // argmax-quality survivor per near-dup family on packed BIGINT
     // keys; cluster + logreg oracles ride as subqueries
     "pipeline_survivor" -> PipelineOps.pipelineSurvivorSql,

@@ -1878,4 +1878,111 @@ object Dedup {
        |  d.dup_of, d.cos_dup
        |FROM ${Similarity.IvfAssignCte} a LEFT JOIN d USING (vec_id)
        |ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Segment-level keep-first dedup (CCNet-style line dedup, round 12)
+  // ----------------------------------------------------------------
+
+  /** Words per segment. CCNet-style dedup hashes natural paragraphs /
+    * lines; the synthetic corpus has no newlines (space-separated
+    * words only), so segments are non-overlapping [[SegWords]]-word
+    * windows of the whitespace tokenization — the same granularity
+    * substitution, documented rather than hidden.
+    */
+  private val SegWords = 10
+
+  /** seg_no packs into the low bits of the first-occurrence ordinal;
+    * a document with ≥ 2^20 segments (10M+ words) fails loudly via
+    * the fused assert instead of corrupting keep-first order.
+    */
+  private val SegOrdBits = 20
+
+  /** Corpus-wide segment-level KEEP-FIRST dedup — the line/paragraph
+    * dedup pass web-scale pipelines run before document-level dedup
+    * (CCNet, Wenzek et al. 2020: hash each paragraph, keep only the
+    * first occurrence corpus-wide, drop repeats — boilerplate
+    * headers/footers die here). Segments hash through the shared
+    * portable fold ([[TextAnalysis.polyHashCol]]); "first" is the
+    * smallest (doc_id, seg_no) lexicographically, packed into one
+    * BIGINT ordinal so the arbiter is a plain `min`.
+    *
+    * Scale shape (100 TB): the `groupBy(seg_key).agg(min)` is
+    * partial-aggregable — a boilerplate segment repeated a billion
+    * times collapses map-side, so the hottest key ships one row per
+    * input partition, not a shuffle storm; the equi-join back on
+    * `seg_key` is AQE-planned (sort-merge at corpus scale), and the
+    * final per-doc rollup shuffles doc-id-partitioned counts only.
+    * No window over the corpus, no driver collection.
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val maxSegs = 1L << SegOrdBits
+    val segs = when(size(col("ws")) === 0, array().cast("array<string>"))
+      .otherwise(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $SegWords),
+           |  i -> concat_ws(' ', slice(ws, i * $SegWords + 1, $SegWords)))"""
+          .stripMargin))
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " +"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_no", "seg")))
+      .select(
+        col("doc_id"), col("seg_no"),
+        TextAnalysis.polyHashCol(col("seg")).as("seg_key"),
+        size(split(col("seg"), " ")).cast("long").as("seg_words"),
+        // fused bound check, sim_hamming's ifnull(assert_true) pattern:
+        // Catalyst cannot prune it because the ordinal IS the value
+        expr(
+          s"""ifnull(
+             |  assert_true(seg_no < $maxSegs,
+             |    'dedup_lines: document exceeds 2^$SegOrdBits segments — widen SegOrdBits'),
+             |  CAST(doc_id * $maxSegs + seg_no AS BIGINT))""".stripMargin)
+          .as("ord"))
+    val firsts = keyed.groupBy("seg_key").agg(min(col("ord")).as("first_ord"))
+    keyed.join(firsts, Seq("seg_key"))
+      .withColumn("kept", col("ord") === col("first_ord"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("kept"), col("seg_words")).otherwise(0L)).as("words_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: identical segmentation, hash, packed-ordinal min, and
+    * rollup — pure integer arithmetic end to end, so it hash-matches.
+    */
+  val dedupLinesSql: String = {
+    val maxSegs = 1L << SegOrdBits
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    [x for x in string_split_regex(text, ' +') if x <> ''] AS ws
+       |  FROM documents),
+       |s0 AS (
+       |  SELECT doc_id, ws,
+       |    unnest(generate_series(0, (len(ws) - 1) // $SegWords)) AS seg_no
+       |  FROM w WHERE len(ws) > 0),
+       |s AS (
+       |  SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no,
+       |    array_to_string(
+       |      ws[(seg_no * $SegWords + 1):(seg_no * $SegWords + $SegWords)],
+       |      ' ') AS seg
+       |  FROM s0),
+       |k AS (
+       |  SELECT doc_id, seg_no,
+       |    ${TextAnalysis.polyHashSql("seg")} AS seg_key,
+       |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_words,
+       |    doc_id * $maxSegs + seg_no AS ord
+       |  FROM s),
+       |f AS (SELECT seg_key, min(ord) AS first_ord FROM k GROUP BY seg_key)
+       |SELECT k.doc_id, count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN ord = first_ord THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN ord = first_ord THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(sum(CASE WHEN ord = first_ord THEN seg_words ELSE 0 END)
+       |    AS BIGINT) AS words_kept
+       |FROM k JOIN f USING (seg_key)
+       |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
+  }
 }

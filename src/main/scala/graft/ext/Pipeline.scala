@@ -800,4 +800,112 @@ object PipelineOps {
        |SELECT CAST(pos AS BIGINT) AS pos, doc_id, source,
        |  CAST(src_rank AS BIGINT) AS src_rank, round(vtime, 6) AS vtime
        |FROM r ORDER BY pos""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Hashed-feature importance weighting for data selection (round 12)
+  // ----------------------------------------------------------------
+
+  private val DsirBuckets = 1024L
+  private val DsirPpm = 1000000L
+
+  /** Importance weighting for data selection, DSIR-style (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much its hashed
+    * unigram features look like a TARGET domain (here the `lang='en'`
+    * slice) versus the rest of the corpus. Each token hashes into one
+    * of [[DsirBuckets]] buckets; per-bucket target/source occurrence
+    * counts give an add-one-smoothed importance ratio, and a
+    * document's score is the sum of its tokens' bucket ratios.
+    *
+    * Deliberate deviation from the paper, documented: DSIR sums LOG
+    * ratios; this operator sums FIXED-POINT ratios (ppm, integer
+    * division) so the whole pipeline — counts, weights, scores,
+    * selection — is integer arithmetic and therefore bit-exact
+    * against the DuckDB twin (`ln` is not guaranteed identically
+    * rounded across engines, and a 0.5-ulp difference under a 6-dp
+    * round is exactly the kind of flaky gate round 11 eliminated).
+    * The per-bucket ratio is the same sufficient statistic; only the
+    * combining transform differs. `selected` marks documents whose
+    * mean per-token ratio is ≥ the CORPUS-average per-token ratio
+    * (total score over total tokens, integer division) — the
+    * above-average half of DSIR's importance ordering, a relative
+    * cut because an absolute one is degenerate whenever target and
+    * source share a vocabulary (as the synthetic fixture does).
+    *
+    * Scale shape (100 TB): bucket stats are a [[DsirBuckets]]-group
+    * partial aggregate (map-side combine collapses the token stream
+    * before the shuffle); the weight table is ~1k rows and joins
+    * back BROADCAST, so the token stream is never shuffled by
+    * bucket; the only corpus-scale exchange is the per-doc rollup,
+    * partitioned by doc_id. No collect — the weight table stays a
+    * DataFrame.
+    */
+  def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " +"), w => w =!= "")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        (TextAnalysis.polyHashCol(col("word")) % DsirBuckets).as("bucket"))
+    val buckets = toks.groupBy("bucket")
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("s_b"))
+      .withColumn("w_ppm", expr(s"(t_b + 1) * $DsirPpm div (s_b + 1)"))
+    val weights = buckets.select(col("bucket"), col("w_ppm"))
+    val scored = toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("score"))
+      .withColumn("spt_ppm", expr("score div n_tokens"))
+    // corpus-average per-token ratio, derived from the BUCKET table —
+    // Σ_b cnt_b·w_b / Σ_b cnt_b equals Σ_docs score / Σ_docs tokens
+    // exactly, without rescanning the token stream for the threshold
+    // (a crossJoin over a recomputed corpus aggregate would scan the
+    // corpus twice more). 1-row aggregate, broadcast via crossJoin —
+    // the repo-wide bounded-crossJoin pattern.
+    val thr = buckets
+      .agg(expr(s"sum((t_b + s_b) * w_ppm) div sum(t_b + s_b)")
+        .as("mean_ppm"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("spt_ppm"), (col("spt_ppm") >= col("mean_ppm")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: identical hash, bucket counts, ppm weights, and integer
+    * rollup — no floating point anywhere, so it hash-matches.
+    */
+  val pipelineDsirSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    unnest([w for w in string_split_regex(text, ' +') if w <> ''])
+       |      AS word
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, lang,
+       |    ${TextAnalysis.polyHashSql("word")} % $DsirBuckets AS bucket
+       |  FROM t),
+       |bt AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS t_b,
+       |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s_b
+       |  FROM tb GROUP BY bucket),
+       |w AS (
+       |  SELECT bucket, t_b, s_b,
+       |    (t_b + 1) * $DsirPpm // (s_b + 1) AS w_ppm FROM bt),
+       |d AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(w_ppm) AS BIGINT) AS score
+       |  FROM tb JOIN w USING (bucket) GROUP BY doc_id),
+       |thr AS (
+       |  SELECT CAST(sum((t_b + s_b) * w_ppm) AS BIGINT)
+       |    // CAST(sum(t_b + s_b) AS BIGINT) AS mean_ppm FROM w)
+       |SELECT d.doc_id, doc.lang, d.n_tokens, d.score,
+       |  d.score // d.n_tokens AS spt_ppm,
+       |  d.score // d.n_tokens >= thr.mean_ppm AS selected
+       |FROM d JOIN documents doc USING (doc_id) CROSS JOIN thr
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -2074,4 +2074,139 @@ object TextAnalysis {
        |SELECT doc_id, 1023 - (key % 1024) AS pos, key // 1024 AS gram_hash
        |FROM (SELECT doc_id, unnest(sel) AS key FROM s)
        |ORDER BY doc_id, pos""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Content-defined chunking + cross-doc chunk dedup (round 12)
+  // ----------------------------------------------------------------
+
+  private val CdcW = 8      // rolling-window width (chars)
+  private val CdcMask = 64L // boundary when windowHash % 64 == 0 → ~64-char chunks
+
+  /** Content-defined chunking (the Rabin/Gear CDC family behind
+    * dedup-friendly storage and LLM-corpus chunk dedup): a boundary
+    * falls wherever the [[CdcW]]-char rolling polynomial window hash
+    * ≡ 0 (mod [[CdcMask]]) — so boundaries move WITH content, and an
+    * insertion early in a document shifts at most one chunk instead
+    * of re-aligning every fixed-size block downstream (the property
+    * fixed-stride chunking fundamentally lacks). Per document the
+    * emitted chunks are rehashed ([[polyHashCol]]'s fold) and the
+    * query reports, per doc, the chunk census plus how many of its
+    * chunks also occur verbatim in ANOTHER document — chunk-level
+    * near-dup mass, the statistic a CDC dedup pass acts on.
+    *
+    * Kernel form for the per-doc scan (same measured reason as
+    * [[winnowSelect]]: nested array HOFs evaluate interpreted); the
+    * window hash ROLLS in O(1) per position via modular subtraction
+    * of the outgoing char (31^(W−1) precomputed), so the scan is
+    * O(len) per document, rowwise, no cap needed. The cross-doc
+    * stage is `groupBy(chunk_key)` (partial-aggregable count) + one
+    * equi-join back — the same skew-proof shape as [[dedupExact]].
+    * No minimum/maximum chunk-size clamps: the plain mod rule keeps
+    * every boundary decision position-local and therefore exactly
+    * replayable in SQL (the clamps would make boundaries a
+    * sequential recurrence; documented simplification).
+    */
+  def textCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          cdcChunks(text).iterator.map { case (no, len, h) => (id, no, len, h) }
+        }
+      }.toDF("doc_id", "chunk_no", "chunk_len", "chunk_key")
+    val shared = chunks
+      .groupBy("chunk_key", "chunk_len")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(shared, Seq("chunk_key", "chunk_len"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        max(col("chunk_len")).as("max_chunk_len"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** One pass over the code points: (chunk_no 1-based, length in code
+    * points, portable polynomial hash) per content-defined chunk.
+    * Empty text yields one empty chunk (hash 0) — matching the SQL
+    * twin's degenerate cut list [0, 0].
+    */
+  private[ext] def cdcChunks(text: String): Array[(Long, Long, Long)] = {
+    if (text == null) return Array.empty
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    // 31^(W-1) mod P, for rolling the outgoing character out
+    var powW1 = 1L
+    var w = 0
+    while (w < CdcW - 1) { powW1 = powW1 * 31L % P; w += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var chunkNo = 1L
+    var start = 0 // chunk start (0-based, inclusive)
+    var chunkHash = 0L // polyHash fold of cps[start..i]
+    var winHash = 0L // polyHash fold of the trailing CdcW window
+    var i = 0
+    while (i < n) {
+      val c = cps(i).toLong
+      chunkHash = (chunkHash * 31L + c) % P
+      winHash =
+        if (i < CdcW) (winHash * 31L + c) % P
+        else (((winHash - cps(i - CdcW) * powW1) % P + P) % P * 31L + c) % P
+      // boundary at 1-based position i+1 when the full window matches
+      // and at least one character remains for the next chunk
+      if (i + 1 >= CdcW && i + 1 < n && winHash % CdcMask == 0L) {
+        out += ((chunkNo, (i + 1 - start).toLong, chunkHash))
+        chunkNo += 1
+        start = i + 1
+        chunkHash = 0L
+      }
+      i += 1
+    }
+    out += ((chunkNo, (n - start).toLong, chunkHash))
+    out.toArray
+  }
+
+  /** Oracle: per-position window hashes recomputed O(W) each (the
+    * rolling subtraction and the direct fold agree exactly — both are
+    * the same mod-P polynomial), then identical cuts, chunk hashes,
+    * and rollup. Pure integer arithmetic, so it hash-matches.
+    */
+  val textCdcSql: String =
+    s"""WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |b AS (
+       |  SELECT doc_id, text, n,
+       |    CASE WHEN n >= $CdcW THEN
+       |      [CAST(p AS BIGINT) for p in generate_series($CdcW, n)
+       |       if p < n AND
+       |         ${polyHashSql(s"substr(text, CAST(p - ${CdcW - 1} AS INT), $CdcW)")}
+       |           % $CdcMask = 0]
+       |    ELSE [] END AS bs
+       |  FROM c),
+       |cuts AS (
+       |  SELECT doc_id, text,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)], bs),
+       |      [CAST(n AS BIGINT)]) AS cs
+       |  FROM b),
+       |ch0 AS (
+       |  SELECT doc_id, text, cs,
+       |    unnest(generate_series(1, len(cs) - 1)) AS j
+       |  FROM cuts),
+       |ch AS (
+       |  SELECT doc_id,
+       |    substr(text, CAST(cs[CAST(j AS INT)] + 1 AS INT),
+       |      CAST(cs[CAST(j AS INT) + 1] - cs[CAST(j AS INT)] AS INT)) AS chunk
+       |  FROM ch0),
+       |k AS (
+       |  SELECT doc_id, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       |    ${polyHashSql("chunk")} AS chunk_key
+       |  FROM ch),
+       |g AS (
+       |  SELECT chunk_key, chunk_len, count(DISTINCT doc_id) AS n_docs
+       |  FROM k GROUP BY 1, 2)
+       |SELECT k.doc_id, count(*) AS n_chunks,
+       |  CAST(max(k.chunk_len) AS BIGINT) AS max_chunk_len,
+       |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared_chunks
+       |FROM k JOIN g USING (chunk_key, chunk_len)
+       |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
 }
