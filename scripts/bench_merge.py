@@ -65,7 +65,12 @@ def main():
             add["hot_reps"].get(q, 0) or 0)
     # recompute every aggregate/metadata field from the merged maps
     completed = {q for q, v in full["queries"].items() if _measured(v)}
+    # queries registered after the prior was written join the order
+    # (otherwise they'd be invisible to the skipped computation)
     order = full.get("order") or sorted(full["queries"])
+    order = order + [q for q in (add.get("order") or sorted(add["queries"]))
+                     if q not in set(order)]
+    full["order"] = order
     full["value"] = round(sum(full["queries"][q] for q in completed), 3)
     hot_covered = {
         q for q in completed if _measured(full["queries_hot"].get(q, -1))}
