@@ -162,6 +162,7 @@ object SparkEntry {
     "text_rank" -> (TextAnalysis.textRank(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "text_cdc" -> (TextAnalysis.textCdc(_, _)),
+    "text_zipf" -> (TextAnalysis.textZipf(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "text_fertility" -> (TextAnalysis.textFertility(_, _)),
@@ -413,6 +414,7 @@ object SparkEntry {
     // window-min winnowing selection replays as a plain min-fold
     "text_winnow" -> TextAnalysis.textWinnowSql,
     "text_cdc" -> TextAnalysis.textCdcSql,
+    "text_zipf" -> TextAnalysis.textZipfSql,
     // integral pair counts, (cnt, left, right)-pinned argmax, one
     // shared greedy fold: all 8 BPE merges replay as generated CTEs
     "text_bpe" -> TextAnalysis.textBpeSql,

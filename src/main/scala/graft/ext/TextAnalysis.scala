@@ -2076,6 +2076,68 @@ object TextAnalysis {
        |ORDER BY doc_id, pos""".stripMargin
 
   // ----------------------------------------------------------------
+  // Zipf-adherence audit of the vocabulary (round 12)
+  // ----------------------------------------------------------------
+
+  private val ZipfK = 20
+
+  /** Zipf's-law adherence audit over the corpus vocabulary: for the
+    * top-[[ZipfK]] terms by frequency, the pure Zipf (s = 1)
+    * prediction `freq₁ / rank` next to the observed frequency and the
+    * integer-ppm deviation — the rank-frequency diagnostic behind
+    * tokenizer-vocabulary sizing and synthetic-corpus detection (a
+    * natural corpus tracks the 1/rank curve; a templated one
+    * plateaus). All integer arithmetic (no ln, no regression floats),
+    * so the gate is bit-exact: deviation_ppm = |n − pred|·10⁶ / freq₁
+    * by BIGINT floor division.
+    *
+    * Scale shape (100 TB): one vocabulary-scale hash aggregate
+    * (map-side combined) then `orderBy().limit(K)` —
+    * TakeOrderedAndProject keeps the vocabulary off the wire; the
+    * rank window and the freq₁ max run over the K-row relation only.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term").asc)
+    docs(spark, dir)
+      .select(explode(
+        expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(ZipfK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("freq1", max(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("pred_n", expr("freq1 div rank"))
+      .withColumn("dev_ppm",
+        expr("abs(n - pred_n) * 1000000 div freq1"))
+      .select(col("rank"), col("term"), col("n"), col("pred_n"),
+        col("dev_ppm"))
+      .orderBy("rank")
+  }
+
+  /** Oracle: identical ordering, integer prediction, and ppm
+    * deviation — integers end to end, so it hash-matches.
+    */
+  val textZipfSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, ' +'),
+       |                            x -> x != '')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+       |r AS (
+       |  SELECT term, n,
+       |    row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+       |  FROM c),
+       |k AS (SELECT * FROM r WHERE rank <= $ZipfK),
+       |f AS (SELECT max(n) AS freq1 FROM k)
+       |SELECT CAST(rank AS BIGINT) AS rank, term, n,
+       |  freq1 // rank AS pred_n,
+       |  abs(n - freq1 // rank) * 1000000 // freq1 AS dev_ppm
+       |FROM k CROSS JOIN f
+       |ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------------------
   // Content-defined chunking + cross-doc chunk dedup (round 12)
   // ----------------------------------------------------------------
 

@@ -184,4 +184,37 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sel(0L) && sel(1L), "target-vocab docs selected")
     assert(!sel(2L) && !sel(3L), "source-vocab docs rejected")
   }
+
+  test("textZipf: integer replay matches and a planted 1/rank corpus " +
+    "has zero deviation") {
+    // crafted corpus whose term frequencies are EXACTLY freq1/rank:
+    // 12/6/4/3 occurrences of w1..w4 (12/k integral for k = 1..4)
+    val dir = corpus(Seq(
+      (0L, (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++
+        Seq.fill(3)("w4")).mkString(" "), "en")))
+    val got = TextAnalysis.textZipf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "w1", 12L, 12L, 0L), (2L, "w2", 6L, 6L, 0L),
+      (3L, "w3", 4L, 4L, 0L), (4L, "w4", 3L, 3L, 0L)))
+    // independent replay on the real corpus: top-20 by (freq desc,
+    // term asc), prediction freq1/rank, deviation in ppm — integers
+    val real = "/root/testdata/sf0.001"
+    val docsRows = spark.read.parquet(s"$real/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- docsRows; w <- t.split(" +") if w.nonEmpty)
+      freq(w) = freq.getOrElse(w, 0L) + 1L
+    val top = freq.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+    val f1 = top.head._2
+    val want = top.zipWithIndex.map { case ((w, n), i) =>
+      val rank = i + 1L
+      (rank, w, n, f1 / rank, math.abs(n - f1 / rank) * 1000000L / f1)
+    }
+    val gotReal = TextAnalysis.textZipf(spark, real).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(gotReal.toSeq == want)
+  }
 }
