@@ -132,6 +132,7 @@ object SparkEntry {
     "graph_jaccard" -> (Graph.graphJaccard(_, _)),
     "graph_bfs" -> (Graph.graphBfs(_, _)),
     "graph_components" -> (Graph.graphComponents(_, _)),
+    "graph_kcore" -> (Graph.graphKcore(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -163,6 +164,7 @@ object SparkEntry {
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "text_cdc" -> (TextAnalysis.textCdc(_, _)),
     "text_zipf" -> (TextAnalysis.textZipf(_, _)),
+    "text_readability" -> (TextAnalysis.textReadability(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "text_fertility" -> (TextAnalysis.textFertility(_, _)),
@@ -170,16 +172,19 @@ object SparkEntry {
     "text_logodds" -> (TextAnalysis.textLogodds(_, _)),
     "privacy_kanon" -> (Privacy.privacyKanon(_, _)),
     "privacy_risk" -> (Privacy.privacyRisk(_, _)),
+    "privacy_ldiv" -> (Privacy.privacyLdiv(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "layout_bucket" -> (Layout.layoutBucket(_, _)),
     "layout_partition" -> (Layout.layoutPartition(_, _)),
     "dedup_substring" -> (Dedup.dedupSubstring(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
+    "ts_changepoint" -> (TimeSeries.tsChangepoint(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
     "dedup_ngram" -> (Dedup.dedupNgram(_, _)),
+    "dedup_containment" -> (Dedup.dedupContainment(_, _)),
     "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn(_, _)),
     "dedup_embedding_ann_hi" -> (Dedup.dedupEmbeddingAnnHi(_, _)),
@@ -354,6 +359,9 @@ object SparkEntry {
     "graph_bfs" -> Graph.graphBfsSql,
     // the shared min-label CC kernel == the transitive-closure CTE
     "graph_components" -> Graph.graphComponentsSql,
+    // the peel loop unrolled as chained CTEs; rounds past the
+    // fixpoint are no-ops, Spark REQUIREs convergence inside the bound
+    "graph_kcore" -> Graph.graphKcoreSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -415,6 +423,8 @@ object SparkEntry {
     "text_winnow" -> TextAnalysis.textWinnowSql,
     "text_cdc" -> TextAnalysis.textCdcSql,
     "text_zipf" -> TextAnalysis.textZipfSql,
+    // all-integer counts + ppm/milli floor divisions: zero floats
+    "text_readability" -> TextAnalysis.textReadabilitySql,
     // integral pair counts, (cnt, left, right)-pinned argmax, one
     // shared greedy fold: all 8 BPE merges replay as generated CTEs
     "text_bpe" -> TextAnalysis.textBpeSql,
@@ -432,6 +442,9 @@ object SparkEntry {
     // class-size bands over the same QI agg; integer ppm shares and
     // 1e6/min-k prosecutor risk, one-row total broadcast
     "privacy_risk" -> Privacy.privacyRiskSql,
+    // two chained hash aggs; ppm shares and the distinct-l flag are
+    // projections over integral counts
+    "privacy_ldiv" -> Privacy.privacyLdivSql,
     // two one-shot lns over identical integer ratios, 6dp-rounded
     // before ranking, term tie-break
     "text_logodds" -> TextAnalysis.textLogoddsSql,
@@ -447,6 +460,9 @@ object SparkEntry {
     // α=1/2 smoothing is add + floor-halve on cents: the sequential
     // fold replays exactly as a recursive CTE
     "ts_ewma" -> TimeSeries.tsEwmaSql,
+    // n-scaled integer CUSUM over BIGINT cents; argmax tie pinned on
+    // (ts_ns, event_id) inside a max(struct) key
+    "ts_changepoint" -> TimeSeries.tsChangepointSql,
     // Laplace-smoothed bins; order-pinned fold; identical term exprs
     "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,
@@ -454,6 +470,9 @@ object SparkEntry {
     // exact postings-join Jaccard computes the same relation the
     // brute-force minhash oracle does
     "dedup_ngram" -> Dedup.dedupMinhashSql,
+    // SSJoin containment prefix filter (probe prefix vs FULL index)
+    // == the brute-force directed containment relation
+    "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     // the banded-LSH candidates -> exact-verify composition computes
     // the same relation as the all-pairs contract (deterministic

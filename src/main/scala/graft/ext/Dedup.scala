@@ -281,6 +281,80 @@ object Dedup {
     verifyJaccardPairs(spark, dir, candidates)
   }
 
+  /** Containment band: C(A,B) = |A∩B| / |A| ≥ 0.8 — "A is mostly
+    * inside B", the excerpt/quotation regime symmetric Jaccard
+    * misses entirely (a paragraph quoted inside a long document has
+    * near-zero Jaccard but containment 1.0).
+    */
+  private val ContainmentThreshold = 0.8
+
+  /** Exact n-gram CONTAINMENT join — the asymmetric twin of
+    * [[dedupNgram]], and the shape excerpt/quote detection needs:
+    * find every (doc_a, doc_b) where doc_a's shingle set is ≥ 80%
+    * inside doc_b's, regardless of how much larger doc_b is.
+    *
+    * Prefix filter for containment (Chaudhuri/Ganti/Kaushik SSJoin,
+    * ICDE 2006, public literature): if C(A,B) ≥ t then |A\B| ≤
+    * (1−t)·|A|, so by pigeonhole the first |A| − ⌈t·|A|⌉ + 1 of A's
+    * shingles in the global rarity order (document frequency asc,
+    * shingle asc) must contain one that is in B. Hence ONLY the
+    * probe side's prefix postings join the index side — but unlike
+    * the Jaccard case the INDEX side must stay FULL (containment
+    * puts no lower bound on |B|, so B-side prefixes would lose
+    * pairs). The prefix kills the ubiquitous-shingle buckets on the
+    * probe side; residual hot keys on the full index side are
+    * equi-join skew, which AQE splits. Candidates are exact-verified
+    * with the same postings count-join as the Jaccard tiers —
+    * containment is one IEEE division of two integers (|A∩B|, |A|),
+    * bit-identical in both engines, so the threshold can't flip.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val posts = shinglePosts(spark, dir)
+    val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = posts.join(dfreq, "shingle")
+      .withColumn("r", row_number().over(rarity))
+      .filter(col("r") <=
+        (col("sz") - ceil(col("sz") * ContainmentThreshold) + 1).cast("int"))
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val candidates = prefix
+      .join(posts.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // directed exact verify, O(|candidate docs|) like the Jaccard tier
+    val cdocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val cposts = shinglePosts(spark, dir, Some(cdocs))
+    val pa = cposts.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
+      col("shingle"))
+    val pb = cposts.select(col("doc_id").as("doc_b"), col("shingle"))
+    candidates.join(pa, "doc_a")
+      .join(pb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sza").cast("double"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force directed containment over the same shingle CTE —
+    * valid at verification scale; the Spark side must find the same
+    * pairs via the prefix filter.
+    */
+  val dedupContainmentSql: String =
+    s"""WITH $shingleCteSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+       |    AS containment
+       |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+       |  >= $ContainmentThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------------
   // Near-dup embeddings: cosine threshold
   // ----------------------------------------------------------------

@@ -444,4 +444,104 @@ object Graph {
        |  CAST(ec.n_edges AS BIGINT) AS n_edges
        |FROM nodes n JOIN ec ON ec.component_id = n.component_id
        |ORDER BY n.component_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // k-core: iterative peeling
+  // ----------------------------------------------------------------
+
+  /** The k in the k-core gate. 6 exercises real peeling on the
+    * co-occurrence graph (4-5 rounds to fixpoint at the gate SFs vs
+    * 2 for k=3 — orders are near-cliques, so low k removes nothing).
+    */
+  private val CoreK = 6L
+
+  /** Upper bound on peel rounds. The oracle unrolls exactly this
+    * many (peeling is monotone, so rounds past the fixpoint are
+    * no-ops and parity holds as long as the fixpoint lands inside
+    * the bound); the Spark side REQUIREs convergence within it, so
+    * a corpus needing more fails loudly instead of diverging from
+    * the oracle.
+    */
+  private val KcoreMaxRounds = 12
+
+  /** k-core decomposition membership (Seidman, Social Networks 1983)
+    * by iterative peeling: repeatedly drop nodes with fewer than
+    * [[CoreK]] neighbors inside the surviving subgraph until the
+    * subgraph stabilizes — the standard density filter for entity
+    * graphs (spam rings, boilerplate hubs, seed-set mining) and the
+    * third member of the iterative-graph family after the damped
+    * fixed-iteration PageRank and the fixpoint label-propagation
+    * components.
+    *
+    * Scale shape: each round is one semi-join of the edge set
+    * against the surviving nodes (both endpoints) + one map-side-
+    * combinable degree agg + a filter — all equi-join/hash-agg, no
+    * windows, no collects; the surviving set only shrinks, so round
+    * cost is monotonically non-increasing. Driver traffic per round
+    * is ONE count (the fixpoint test — statistics, not data), and
+    * `localCheckpoint` pins each round's survivor set so the loop's
+    * lineage stays O(1) instead of O(rounds). Output: every core
+    * member with its in-core degree.
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    def degrees(kept: Option[DataFrame]): DataFrame = {
+      val sub = kept.fold(e) { k =>
+        e.join(k.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(k.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      }
+      sub.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    }
+    var kept = degrees(None).filter(col("core_deg") >= CoreK)
+      .select("node").localCheckpoint()
+    var prev = -1L
+    var n = kept.count()
+    var rounds = 1
+    while (n != prev && rounds < KcoreMaxRounds) {
+      prev = n
+      kept = degrees(Some(kept)).filter(col("core_deg") >= CoreK)
+        .select("node").localCheckpoint()
+      n = kept.count()
+      rounds += 1
+    }
+    require(n == prev,
+      s"graph_kcore: no fixpoint within $KcoreMaxRounds rounds (n=$n)")
+    degrees(Some(kept)).filter(col("core_deg") >= CoreK)
+      .select(col("node"), col("core_deg"))
+      .orderBy("node")
+  }
+
+  /** The peel loop unrolled as [[KcoreMaxRounds]] chained CTEs —
+    * rounds past the fixpoint are no-ops, so this replays the Spark
+    * fixpoint exactly (see [[graphKcore]]). Every CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    * references its predecessor TWICE (both endpoints), so the
+    * un-materialized plan would inline 2^rounds copies of the edge
+    * self-join.
+    */
+  val graphKcoreSql: String = {
+    val rounds = (1 to KcoreMaxRounds).map { i =>
+      val prev = if (i == 1) "keep0" else s"keep${i - 1}"
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN $prev ka ON ka.node = e.src
+         |  JOIN $prev kb ON kb.node = e.dst
+         |  GROUP BY e.src HAVING count(*) >= $CoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |keep0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |$rounds
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM edges e
+       |JOIN keep$KcoreMaxRounds ka ON ka.node = e.src
+       |JOIN keep$KcoreMaxRounds kb ON kb.node = e.dst
+       |GROUP BY e.src HAVING count(*) >= $CoreK
+       |ORDER BY node""".stripMargin
+  }
 }

@@ -86,6 +86,54 @@ object Privacy {
         expr("1000000 div min_class_size").as("worst_risk_ppm"))
       .orderBy("band")
 
+  /** Minimum acceptable count of DISTINCT sensitive values per
+    * equivalence class (the l in l-diversity).
+    */
+  private val L = 3L
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006):
+    * k-anonymity alone cannot stop a HOMOGENEITY attack — if every
+    * record in a large class shares the same sensitive value, class
+    * size protects nothing. Here the quasi-identifier is
+    * (lang, length bucket) and `source` plays the sensitive
+    * attribute: per class, the audit reports the class size, the
+    * number of distinct sensitive values, the dominant value's share
+    * in integer ppm (the homogeneity-attack success probability),
+    * and the distinct-l flag `n_sensitive >= L`.
+    *
+    * 100 TB shape: two chained hash aggregations, both map-side
+    * combinable — the first at (QI × sensitive) cardinality, the
+    * second at QI cardinality. Like [[privacyKanon]], the corpus is
+    * scanned once and nothing wide ever shuffles.
+    */
+  def privacyLdiv(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .groupBy(col("lang"),
+        expr(s"n_chars div $LenBucket").as("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("s_cnt"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(
+        sum(col("s_cnt")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("s_cnt")).as("top_cnt"))
+      .select(col("lang"), col("len_bucket"), col("class_size"),
+        col("n_sensitive"),
+        expr("top_cnt * 1000000 div class_size").as("top_share_ppm"),
+        (col("n_sensitive") >= L).as("l_diverse"))
+      .orderBy("lang", "len_bucket")
+
+  val privacyLdivSql: String =
+    s"""WITH sv AS (
+       |  SELECT lang, n_chars // $LenBucket AS len_bucket, source,
+       |    count(*) AS s_cnt
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT lang, len_bucket,
+       |  CAST(sum(s_cnt) AS BIGINT) AS class_size,
+       |  CAST(count(*) AS BIGINT) AS n_sensitive,
+       |  CAST(max(s_cnt) * 1000000 // sum(s_cnt) AS BIGINT) AS top_share_ppm,
+       |  count(*) >= $L AS l_diverse
+       |FROM sv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val privacyRiskSql: String =
     s"""WITH cls AS (
        |  SELECT count(*) AS class_size

@@ -2271,4 +2271,68 @@ object TextAnalysis {
        |    AS n_shared_chunks
        |FROM k JOIN g USING (chunk_key, chunk_len)
        |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Readability: syllable-heuristic reading-ease profile
+  // ----------------------------------------------------------------
+
+  /** Corpus readability profile per (lang, source) — the classic
+    * reading-ease quality feature (Flesch 1948; Kincaid et al. 1975,
+    * public formulas) over a deterministic syllable heuristic:
+    * syllables(word) = number of maximal vowel-group runs
+    * `[aeiouy]+`, the standard dictionary-free approximation.
+    * Reported per slice: document/word/syllable counts, the
+    * polysyllabic share (words with ≥3 vowel groups, the SMOG-index
+    * numerator) in integer ppm, and a Flesch-style ease index in
+    * integer milli-units — `206835 − 84600·syl/words −
+    * 1015·words/docs` with each division an integer floor (the
+    * corpus has no sentence punctuation, so the document is the
+    * sentence unit; documented deviation, same spirit as the
+    * console-grid cosmetic one).
+    *
+    * All-integer output: counts are exact sums, ratios are ppm/milli
+    * floor divisions — nothing floats, so the oracle replays
+    * bit-for-bit at any scale. 100 TB shape: one corpus scan through
+    * codegen'd regexp/HOF columns (no explode — the per-word
+    * polysyllable test runs inside `filter(words, …)`), then one
+    * map-side-combinable hash agg at slice cardinality.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val syl = size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val poly = size(filter(wordsCol, w =>
+      size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))) >= 3))
+      .cast("long")
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        size(wordsCol).cast("long").as("w"), syl.as("s"), poly.as("p"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_syllables"),
+        sum(col("p")).as("n_poly"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_syllables"),
+        expr("n_poly * 1000000 div n_words").as("poly_ppm"),
+        expr("206835 - (84600 * n_syllables) div n_words" +
+          " - (1015 * n_words) div n_docs").as("fre_milli"))
+      .orderBy("lang", "source")
+  }
+
+  val textReadabilitySql: String =
+    """WITH base AS (
+      |  SELECT lang, source,
+      |    len(string_split_regex(text, ' +')) AS w,
+      |    len(regexp_extract_all(text, '[aeiouy]+')) AS s,
+      |    len(list_filter(string_split_regex(text, ' +'),
+      |        x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS p
+      |  FROM documents)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS n_words,
+      |  CAST(sum(s) AS BIGINT) AS n_syllables,
+      |  CAST(sum(p) * 1000000 // sum(w) AS BIGINT) AS poly_ppm,
+      |  CAST(206835 - (84600 * sum(s)) // sum(w)
+      |    - (1015 * sum(w)) // count(*) AS BIGINT) AS fre_milli
+      |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

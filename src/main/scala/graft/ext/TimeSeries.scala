@@ -579,4 +579,80 @@ object TimeSeries {
       |  FROM e JOIN r ON r.event_type = e.event_type AND r.rn = e.rn + 1)
       |SELECT event_type, day_idx, cents, s AS ewma_cents
       |FROM e ORDER BY event_type, day_idx""".stripMargin
+
+  // ----------------------------------------------------------------
+  // CUSUM changepoint: where did the series' level shift?
+  // ----------------------------------------------------------------
+
+  /** CUSUM changepoint detection per event-type series (Page,
+    * Biometrika 1954, public formula): the point maximizing the
+    * cumulative deviation from the series mean — `argmax_i |Σ_{j≤i}
+    * x_j − i·μ|` — which is the classic single-changepoint locator
+    * for a level shift. Scaled by n to stay INTEGER-exact:
+    * `s_i = n·cum_i − i·total` over BIGINT cents, so no float mean
+    * ever enters the argmax and the oracle replays bit-for-bit
+    * (headroom: |s| ≤ n²·max_cents ≈ 2e15 at the factor-100 audit
+    * scale, 3 decimal orders inside BIGINT; a larger corpus would
+    * lift cum/total to DECIMAL(38,0), same plan).
+    *
+    * Scale shape: series totals come from one map-side-combinable
+    * hash agg broadcast-joined back (fact-scale data meets exactly
+    * ONE window sort — the inherent per-series ordered scan CUSUM
+    * is defined by); the argmax is NOT a second window but a
+    * max(struct) hash agg with the tie pinned inside the key
+    * (s_abs desc, then earliest (ts_ns, event_id) via negation), so
+    * nothing re-sorts fact-scale rows. Ties replay identically in
+    * DuckDB's QUALIFY formulation because (ts_ns, event_id) is
+    * unique.
+    */
+  def tsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val totals = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val run = Window.partitionBy("event_type")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pos = Window.partitionBy("event_type")
+      .orderBy(col("ts_ns"), col("event_id"))
+    ev.join(broadcast(totals), "event_type")
+      .withColumn("i", row_number().over(pos).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(run))
+      .withColumn("s_abs", abs(col("n") * col("cum") - col("i") * col("total")))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("s_abs"), (-col("ts_ns")).as("nt"),
+        (-col("event_id")).as("ne"), col("i"), col("n"), col("total")))
+        .as("top"))
+      .select(col("event_type"), col("top.n").as("n"),
+        col("top.total").as("total_cents"),
+        col("top.i").as("cp_pos"), (-col("top.nt")).as("cp_ts_ns"),
+        col("top.s_abs").as("cusum_abs"))
+      .orderBy("event_type")
+  }
+
+  val tsChangepointSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS ts_ns, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |tot AS (
+      |  SELECT event_type, count(*) AS n, sum(cents) AS total
+      |  FROM ev GROUP BY 1),
+      |cu AS (
+      |  SELECT e.event_type, e.ts_ns, e.event_id, t.n, t.total,
+      |    row_number() OVER w AS i,
+      |    sum(e.cents) OVER w AS cum
+      |  FROM ev e JOIN tot t USING (event_type)
+      |  WINDOW w AS (PARTITION BY e.event_type
+      |    ORDER BY e.ts_ns, e.event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(total AS BIGINT) AS total_cents,
+      |  CAST(i AS BIGINT) AS cp_pos, ts_ns AS cp_ts_ns,
+      |  CAST(abs(n * cum - i * total) AS BIGINT) AS cusum_abs
+      |FROM cu
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY abs(n * cum - i * total) DESC, ts_ns, event_id) = 1
+      |ORDER BY event_type""".stripMargin
 }

@@ -1,0 +1,215 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-12 second batch: l-diversity, syllable readability, CUSUM
+  * changepoint, containment join, k-core peeling. The oracle gate
+  * carries the hash-equality check; these pin the semantics on
+  * crafted corpora and independent local replays.
+  */
+class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Crafted documents table with controllable lang AND source. */
+  private def corpus(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r12b-corpus").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("privacyLdiv: homogeneous class flagged, diverse class passes, " +
+    "shares are exact ppm") {
+    // en bucket 0: three sources 2/1/1 -> l-diverse, top share 500000
+    // fr bucket 0: one source x4   -> NOT l-diverse, top share 1000000
+    val dir = corpus(Seq(
+      (0L, "a b", "en", "s1"), (1L, "c d", "en", "s1"),
+      (2L, "e f", "en", "s2"), (3L, "g h", "en", "s3"),
+      (4L, "i j", "fr", "s1"), (5L, "k l", "fr", "s1"),
+      (6L, "m n", "fr", "s1"), (7L, "o p", "fr", "s1")))
+    val got = Privacy.privacyLdiv(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("en", 0L, 4L, 3L, 500000L, true),
+      ("fr", 0L, 4L, 1L, 1000000L, false)))
+  }
+
+  test("privacyLdiv: class sizes reconcile with privacyKanon's classes " +
+    "summed over the sensitive attribute") {
+    val dir = "/root/testdata/sf0.001"
+    // kanon classes are (lang, source, len_bucket); ldiv classes are
+    // (lang, len_bucket) — the roll-up must conserve mass and count
+    val kanon = Privacy.privacyKanon(spark, dir)
+      .groupBy("lang", "len_bucket")
+      .agg(sum("class_size").as("cs"), count(lit(1)).as("ns"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val ldiv = Privacy.privacyLdiv(spark, dir).collect()
+    assert(ldiv.nonEmpty)
+    for (r <- ldiv) {
+      val key = (r.getString(0), r.getLong(1))
+      assert(kanon(key) == ((r.getLong(2), r.getLong(3))))
+    }
+  }
+
+  private def sylOf(w: String): Int =
+    "[aeiouy]+".r.findAllIn(w).length
+
+  test("textReadability: hand-computed syllable integers on a crafted doc") {
+    // banana=3 vowel groups (poly), tree=1, sky=1 -> w=4 s=8 p=2
+    val dir = corpus(Seq((0L, "banana banana tree sky", "en", "s1")))
+    val got = TextAnalysis.textReadability(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val fre = 206835L - (84600L * 8 / 4) - (1015L * 4 / 1)
+    assert(got.toSeq == Seq(("en", "s1", 1L, 4L, 8L, 500000L, fre)))
+  }
+
+  test("textReadability: full integer replay on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs.groupBy(d => (d._1, d._2)).view.mapValues { ds =>
+      val ws = ds.flatMap(_._3.split(" +").filter(_.nonEmpty))
+      val nd = ds.size.toLong
+      val w = ws.length.toLong
+      val s = ws.map(sylOf(_).toLong).sum
+      val p = ws.count(sylOf(_) >= 3).toLong
+      (nd, w, s, p * 1000000L / w,
+        206835L - (84600L * s / w) - (1015L * w / nd))
+    }.toMap
+    val got = TextAnalysis.textReadability(spark, dir).collect()
+    assert(got.length == want.size)
+    for (r <- got) {
+      val k = (r.getString(0), r.getString(1))
+      assert(want(k) == ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))), s"slice $k")
+    }
+  }
+
+  /** Crafted events table (ts seconds ascending, unique event ids). */
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r12b-events").toString
+    rows.toDF("event_id", "sec", "event_type", "value")
+      .selectExpr("event_id", "timestamp_seconds(sec) AS ts",
+        "event_id % 7 AS user_id", "event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("tsChangepoint: a planted level shift is located exactly") {
+    // 20 events at 1.00 then 20 at 9.00: mean 5.00, |CUSUM| peaks at
+    // the shift -> s_20 = n*cum_20 - 20*total = 40*2000 - 20*20000
+    val rows = (1 to 40).map { i =>
+      (i.toLong, i.toLong * 60, "x", if (i <= 20) 1.00 else 9.00)
+    }
+    val dir = eventsDir(rows)
+    val got = TimeSeries.tsChangepoint(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "x")
+    assert(r.getLong(1) == 40L) // n
+    assert(r.getLong(2) == 20000L) // total cents
+    assert(r.getLong(3) == 20L) // cp position = the shift point
+    assert(r.getLong(4) == 20L * 60 * 1000000000L) // cp ts_ns
+    assert(r.getLong(5) == 320000L) // |40*2000 - 20*20000|
+  }
+
+  test("tsChangepoint: integer replay on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).view.mapValues { xs =>
+      val sorted = xs.sortBy(x => (x._2, x._3))
+      val n = sorted.length.toLong
+      val total = sorted.map(_._4).sum
+      var cum = 0L
+      val scored = sorted.zipWithIndex.map { case (x, i0) =>
+        cum += x._4
+        val i = i0 + 1L
+        (math.abs(n * cum - i * total), x._2, x._3, i)
+      }
+      val best = scored.minBy(s => (-s._1, s._2, s._3))
+      (n, total, best._4, best._2, best._1)
+    }.toMap
+    val got = TimeSeries.tsChangepoint(spark, dir).collect()
+    assert(got.length == want.size)
+    for (r <- got)
+      assert(want(r.getString(0)) == ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))), r.getString(0))
+  }
+
+  test("dedupContainment: a prefix excerpt is found directionally") {
+    val a = (0 until 20).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (0 until 30).map(i => s"x$i").mkString(" ")
+    val c = (0 until 20).map(i => s"y$i").mkString(" ")
+    val dir = corpus(Seq(
+      (0L, a, "en", "s1"), (1L, b, "en", "s1"), (2L, c, "en", "s1")))
+    val got = Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // A's 18 shingles all sit inside B (A is a verbatim prefix);
+    // B is NOT 80% inside A; C matches nothing
+    assert(got.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("dedupContainment: prefix-filtered result == brute force on the " +
+    "real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Dedup.shingleSet(r.getString(1)).toSet))
+    val want = (for {
+      (ia, sa) <- docs
+      (ib, sb) <- docs
+      if ia != ib
+      inter = (sa & sb).size
+      c = inter.toDouble / sa.size
+      if c >= 0.8
+    } yield (ia, ib, c)).sortBy(p => (p._1, p._2))
+    val got = Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want.toSeq)
+  }
+
+  test("graphKcore: membership and in-core degrees equal an independent " +
+    "local peel to fixpoint") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    var kept = edges.map(_._1)
+    var stable = false
+    while (!stable) {
+      val deg = edges.toSeq
+        .filter(e => kept(e._1) && kept(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = kept.filter(n => deg.getOrElse(n, 0) >= 6)
+      stable = next == kept
+      kept = next
+    }
+    val wantDeg = edges.toSeq.filter(e => kept(e._1) && kept(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Graph.graphKcore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.keySet != edges.map(_._1),
+      "peeling must remove something")
+    assert(got == wantDeg)
+  }
+}
