@@ -82,6 +82,9 @@ def main():
         full["queries_hot"][q]
         for q in hot_covered if q in set(full.get("core_queries", []))), 3)
     full["n_completed"] = len(completed)
+    # the registry can have grown since the prior full run was taken:
+    # the merged artifact's query universe is the merged map itself
+    full["n_queries"] = len(full["queries"])
     # success in either run wins: a query measured by the add run leaves
     # the failed/skipped lists; one failing in BOTH runs stays failed
     add_failed = set(add.get("failed", []))
