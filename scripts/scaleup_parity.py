@@ -81,6 +81,11 @@ QUADRATIC_MARKERS = ("JOIN sh b", "e a JOIN e b")
 REPLICA_EQUIVARIANT = {
     "dedup_minhash": ("doc",),
     "dedup_ngram": ("doc",),
+    # containment is a ratio of shingle-set sizes, both preserved by the
+    # per-replica alphabet bijection; cross-replica pairs are impossible
+    # above threshold (disjoint shingle alphabets) — same argument as
+    # the Jaccard tiers above, direction notwithstanding
+    "dedup_containment": ("doc",),
     "dedup_simhash": ("doc",),
     # NOTE: _ann_hi's contract is a 1e-2 per-pair miss ENVELOPE, not
     # exhaustiveness; strict replica equality is only a sound expectation
