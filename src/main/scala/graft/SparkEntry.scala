@@ -179,6 +179,10 @@ object SparkEntry {
     "dedup_substring" -> (Dedup.dedupSubstring(_, _)),
     "ts_ewma" -> (TimeSeries.tsEwma(_, _)),
     "ts_changepoint" -> (TimeSeries.tsChangepoint(_, _)),
+    "ts_holt" -> (TimeSeries.tsHolt(_, _)),
+    "ts_ohlc" -> (TimeSeries.tsOhlc(_, _)),
+    "ts_seasonal" -> (TimeSeries.tsSeasonal(_, _)),
+    "interval_sweep" -> (TimeSeries.intervalSweep(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -463,6 +467,15 @@ object SparkEntry {
     // n-scaled integer CUSUM over BIGINT cents; argmax tie pinned on
     // (ts_ns, event_id) inside a max(struct) key
     "ts_changepoint" -> TimeSeries.tsChangepointSql,
+    // two-state integer fold (adds + truncating halves on cents);
+    // recursive-CTE replay keeps each key's last row
+    "ts_holt" -> TimeSeries.tsHoltSql,
+    // open/close pinned on (ts_ns, event_id) inside min/max(struct)
+    "ts_ohlc" -> TimeSeries.tsOhlcSql,
+    // one cross-multiplied BIGINT division; dow = (day_idx + 3) % 7
+    "ts_seasonal" -> TimeSeries.tsSeasonalSql,
+    // ±1 endpoint sweep: integer running sums, ties (t, k, user)-pinned
+    "interval_sweep" -> TimeSeries.intervalSweepSql,
     // Laplace-smoothed bins; order-pinned fold; identical term exprs
     "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,

@@ -655,4 +655,243 @@ object TimeSeries {
       |QUALIFY row_number() OVER (PARTITION BY event_type
       |  ORDER BY abs(n * cum - i * total) DESC, ts_ns, event_id) = 1
       |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Holt double exponential smoothing: level + trend forecast
+  // ----------------------------------------------------------------
+
+  /** Holt's linear-trend smoothing (Holt 1957 / Winters 1960, public
+    * formulas) over each event type's daily revenue, α = β = ½ in
+    * INTEGER-EXACT form (the [[tsEwma]] discipline extended to two
+    * states):
+    * {{{ l₁ = x₁, b₁ = 0
+    *     lₜ = (xₜ + lₜ₋₁ + bₜ₋₁) div 2
+    *     bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) div 2 }}}
+    * Every step is adds and one integral halving on BIGINT cents —
+    * `div` and DuckDB `//` both truncate toward zero, so the
+    * recursion is portable even where the trend goes NEGATIVE
+    * (tsEwma never needed that case). Output: final state + the
+    * 7-day-ahead linear forecast `l + 7·b` per series.
+    *
+    * Scale shape: one map-side-combinable hash agg reduces the fact
+    * table to (key, day) rows; each key's CALENDAR-BOUNDED series
+    * folds in one `aggregate` HOF pass with a 2-field struct
+    * accumulator — O(span) with no per-step array copies (only the
+    * final state is kept, unlike the ewma series output), no window
+    * over fact rows, no UDF. The oracle replays the recurrence as a
+    * recursive CTE and keeps each key's last row.
+    */
+  def tsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_idx"), col("cents"))))
+        .as("pts"))
+      .select(col("event_type"),
+        size(col("pts")).cast("long").as("n_days"),
+        element_at(col("pts"), -1).getField("day_idx").as("last_day_idx"),
+        expr(
+          """aggregate(
+            |  slice(pts, 2, size(pts) - 1),
+            |  named_struct('l', pts[0].cents, 'b', CAST(0 AS BIGINT)),
+            |  (acc, p) -> named_struct(
+            |    'l', (p.cents + acc.l + acc.b) div 2,
+            |    'b', (((p.cents + acc.l + acc.b) div 2) - acc.l + acc.b)
+            |      div 2))""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"), col("last_day_idx"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        (col("st.l") + lit(7L) * col("st.b")).as("forecast7_cents"))
+      .orderBy("event_type")
+  }
+
+  val tsHoltSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day_idx, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+      |  FROM daily),
+      |h AS (
+      |  SELECT event_type, day_idx, rn, cents AS l, CAST(0 AS BIGINT) AS b
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.day_idx, r.rn,
+      |    (r.cents + h.l + h.b) // 2,
+      |    (((r.cents + h.l + h.b) // 2) - h.l + h.b) // 2
+      |  FROM h JOIN r ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+      |SELECT event_type, CAST(rn AS BIGINT) AS n_days, day_idx AS last_day_idx,
+      |  l AS level_cents, b AS trend_cents, l + 7 * b AS forecast7_cents
+      |FROM h
+      |QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // OHLC bar resample: the candlestick primitive
+  // ----------------------------------------------------------------
+
+  /** Daily OHLC bars per event-type series — the candlestick /
+    * bar-resample primitive every metrics warehouse spells: per
+    * (series, day), the first value (open), last value (close),
+    * extremes (high/low) and tick count. Open/close are pinned on
+    * the UNIQUE (ts_ns, event_id) tuple INSIDE a min/max(struct)
+    * hash-agg key — one map-side-combinable aggregation, no window
+    * over fact rows, no row_number, so the plan is a plain two-key
+    * hash agg whatever the fact size. Cents discipline as ever.
+    */
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"),
+        col("ts_ns"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    ev.groupBy(col("event_type"), col("day_idx"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts_ns"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("ts_ns"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"))
+      .select(col("event_type"), col("day_idx"), col("n"),
+        col("o.cents").as("open_cents"), col("high_cents"),
+        col("low_cents"), col("c.cents").as("close_cents"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsOhlcSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    epoch_ns(ts) AS ts_ns, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, day_idx, CAST(count(*) AS BIGINT) AS n,
+      |  (min({'t': ts_ns, 'e': event_id, 'c': cents})).c AS open_cents,
+      |  max(cents) AS high_cents, min(cents) AS low_cents,
+      |  (max({'t': ts_ns, 'e': event_id, 'c': cents})).c AS close_cents
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Interval sweep: concurrency + overlap census without all pairs
+  // ----------------------------------------------------------------
+
+  /** Interval concurrency census by the classic ±1 SWEEP — the
+    * scalable formulation of interval-overlap analytics: an explicit
+    * overlap JOIN has quadratic OUTPUT (every pair), but peak
+    * concurrency and the overlap-pair COUNT are computable from one
+    * sorted pass over interval endpoints. Intervals are per-user
+    * daily activity spans [first event, last event + 1ns); per day
+    * the sweep orders endpoints (t, starts-before-ends, user) and
+    * running-sums +1/−1: `peak = max running`, and `n_overlap_pairs
+    * = Σ over starts (running − 1)` — each overlapping pair counted
+    * exactly once, at the later start (tie pinned by user id).
+    * Closed-interval semantics: the +1ns exclusive end keeps
+    * touching spans counted as overlapping and zero-length spans
+    * non-empty.
+    *
+    * Scale shape: the fact table meets ONE hash agg (interval
+    * build); the sweep window runs over INTERVAL endpoints (2 rows
+    * per user-day), partitioned by day. A day partition is bounded
+    * by the active-user count; beyond that the prefix sum
+    * hierarchizes (per-bucket partials + a carry pass), same as any
+    * distributed scan primitive.
+    */
+  def intervalSweep(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg(min(col("ts_ns")).as("s"), (max(col("ts_ns")) + 1).as("e"))
+    val pts = iv.select(col("day_idx"), col("s").as("t"),
+        lit(1L).as("d"), lit(0).as("k"), col("user_id"))
+      .unionAll(iv.select(col("day_idx"), col("e").as("t"),
+        lit(-1L).as("d"), lit(1).as("k"), col("user_id")))
+    val sweep = Window.partitionBy("day_idx")
+      .orderBy(col("t"), col("k"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("running", sum(col("d")).over(sweep))
+      .groupBy(col("day_idx"))
+      .agg(
+        sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_intervals"),
+        max(col("running")).as("peak_concurrency"),
+        sum(when(col("k") === 0, col("running") - 1).otherwise(0L))
+          .as("n_overlap_pairs"))
+      .orderBy("day_idx")
+  }
+
+  val intervalSweepSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    min(epoch_ns(ts)) AS s, max(epoch_ns(ts)) + 1 AS e
+      |  FROM events GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT day_idx, s AS t, 1 AS d, 0 AS k, user_id FROM iv
+      |  UNION ALL
+      |  SELECT day_idx, e AS t, -1 AS d, 1 AS k, user_id FROM iv),
+      |sw AS (
+      |  SELECT day_idx, k,
+      |    sum(d) OVER (PARTITION BY day_idx ORDER BY t, k, user_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM pts)
+      |SELECT day_idx,
+      |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_intervals,
+      |  CAST(max(running) AS BIGINT) AS peak_concurrency,
+      |  CAST(sum(CASE WHEN k = 0 THEN running - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overlap_pairs
+      |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Seasonal index: day-of-week profile per series
+  // ----------------------------------------------------------------
+
+  /** Day-of-week seasonal index per event-type series — the
+    * ratio-to-mean seasonal profile (the classical decomposition's
+    * seasonal factor at weekly period): `index = mean(day revenue |
+    * dow) / mean(day revenue)`, in integer milli-units computed as
+    * ONE division of cross-multiplied BIGINTs, `cents_dow ·
+    * days_total · 1000 div (days_dow · cents_total)` — no float mean
+    * ever materializes. dow 0 = Monday via the portable epoch-day
+    * formula `(day_idx + 3) % 7` (day 0 = 1970-01-01, a Thursday),
+    * identical arithmetic in both engines.
+    *
+    * Scale shape: one hash agg to (type, day) — the only fact-scale
+    * pass — then a 7-row-per-type relation whose type totals are
+    * window sums over THAT bounded relation (a day has one dow, so
+    * Σ_dow days = distinct days and Σ_dow cents = total: the window
+    * needs no second corpus scan).
+    */
+  def tsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    daily
+      .groupBy(col("event_type"), expr("(day_idx + 3) % 7").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("cents"),
+        expr("""cents * (sum(n_days) OVER (PARTITION BY event_type)) * 1000
+          div (n_days * (sum(cents) OVER (PARTITION BY event_type)))""")
+          .as("index_milli"))
+      .orderBy("event_type", "dow")
+  }
+
+  val tsSeasonalSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |dw AS (
+      |  SELECT event_type, (day_idx + 3) % 7 AS dow,
+      |    count(*) AS n_days, sum(cents) AS cents
+      |  FROM daily GROUP BY 1, 2)
+      |SELECT event_type, dow, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(cents AS BIGINT) AS cents,
+      |  CAST(cents * (sum(n_days) OVER (PARTITION BY event_type)) * 1000
+      |    // (n_days * (sum(cents) OVER (PARTITION BY event_type)))
+      |    AS BIGINT) AS index_milli
+      |FROM dw ORDER BY 1, 2""".stripMargin
 }

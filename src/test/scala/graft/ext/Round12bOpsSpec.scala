@@ -183,6 +183,118 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && got == want.toSeq)
   }
 
+  /** Crafted events with explicit user ids. */
+  private def eventsDirU(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r12b-eventsu").toString
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_seconds(sec) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("tsHolt: integer replay on the real corpus and a ramp trends up") {
+    // planted linear ramp: value t dollars on day t -> positive trend,
+    // forecast above level
+    val ramp = (1 to 30).map(i =>
+      (i.toLong, i.toLong * 86400 + 60, "x", i.toDouble))
+    val r = TimeSeries.tsHolt(spark, eventsDir(ramp)).collect().head
+    assert(r.getLong(4) > 0, "trend must be positive on a ramp")
+    assert(r.getLong(5) == r.getLong(3) + 7 * r.getLong(4))
+    // full integer replay of the fold on the real corpus
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("c"))
+    val byType = TimeSeries.tsHolt(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val pts = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("p"))
+      .collect()
+    assert(pts.nonEmpty && byType.size == pts.length)
+    for (row <- pts) {
+      val xs = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      var l = xs.head._2; var b = 0L
+      for ((_, x) <- xs.tail) {
+        val l2 = (x + l + b) / 2
+        b = (l2 - l + b) / 2
+        l = l2
+      }
+      assert(byType(row.getString(0)) ==
+        ((xs.length.toLong, xs.last._1, l, b, l + 7 * b)), row.getString(0))
+    }
+  }
+
+  test("tsOhlc: open/close pinned by (ts, event_id), extremes exact") {
+    // one day, out-of-order values; two events share the last second
+    // so the event_id pins which is 'close'
+    val dir = eventsDir(Seq(
+      (1L, 100L, "x", 5.00), (2L, 50L, "x", 9.00),
+      (3L, 200L, "x", 1.00), (4L, 200L, "x", 7.00)))
+    val r = TimeSeries.tsOhlc(spark, dir).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(2), r.head.getLong(3), r.head.getLong(4),
+      r.head.getLong(5), r.head.getLong(6)) ==
+      ((4L, 900L, 900L, 100L, 700L)))
+  }
+
+  test("intervalSweep: planted overlaps, touching spans, and the " +
+    "pair-count identity on the real corpus") {
+    // day 0: A spans [60,120], B [90,180] (overlaps A), C [300,360]
+    // (disjoint), D is a single event AT A's last second (touching ->
+    // closed semantics counts it)
+    val dir = eventsDirU(Seq(
+      (1L, 60L, 1L, "x", 1.0), (2L, 120L, 1L, "x", 1.0),
+      (3L, 90L, 2L, "x", 1.0), (4L, 180L, 2L, "x", 1.0),
+      (5L, 300L, 3L, "x", 1.0), (6L, 360L, 3L, "x", 1.0),
+      (7L, 120L, 4L, "x", 1.0)))
+    val r = TimeSeries.intervalSweep(spark, dir).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3)) ==
+      ((4L, 3L, 3L)),
+      "4 intervals, peak A+B+D at t=120, pairs (A,B) (A,D) (B,D)")
+    // real corpus: n_overlap_pairs must equal the brute-force count
+    val real = "/root/testdata/sf0.001"
+    val iv = graft.sources.Tables.events(spark, real)
+      .groupBy(col("user_id"), expr("ts_ns div 86400000000000").as("d"))
+      .agg(min(col("ts_ns")).as("s"), (max(col("ts_ns")) + 1).as("e"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = iv.groupBy(_._1).view.mapValues { xs =>
+      val a = xs.toIndexedSeq
+      var p = 0L
+      for (i <- a.indices; j <- 0 until i)
+        if (a(i)._2 < a(j)._3 && a(j)._2 < a(i)._3) p += 1
+      p
+    }.toMap
+    val got = TimeSeries.intervalSweep(spark, real).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("tsSeasonal: indexes average to ~1000 and replay as integers") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TimeSeries.tsSeasonal(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((ty, grp) <- rows.groupBy(_._1)) {
+      val totalDays = grp.map(_._3).sum
+      val totalCents = grp.map(_._4).sum
+      for ((_, dow, nd, c, idx) <- grp) {
+        assert(idx == c * totalDays * 1000L / (nd * totalCents),
+          s"$ty dow $dow")
+      }
+      // the days-weighted mean of the index is 1000 up to floor loss
+      val wmean = grp.map(g => g._3 * g._5).sum / totalDays
+      assert(math.abs(wmean - 1000L) <= 7, s"$ty weighted mean $wmean")
+    }
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
