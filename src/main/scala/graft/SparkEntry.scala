@@ -133,6 +133,7 @@ object SparkEntry {
     "graph_bfs" -> (Graph.graphBfs(_, _)),
     "graph_components" -> (Graph.graphComponents(_, _)),
     "graph_kcore" -> (Graph.graphKcore(_, _)),
+    "graph_ktruss" -> (Graph.graphKtruss(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "stream_enrich" -> (graft.streaming.EventStreams.streamEnrich(_, _)),
     "stream_hopping" -> (graft.streaming.EventStreams.streamHopping(_, _)),
     "stream_join" -> (graft.streaming.EventStreams.streamJoin(_, _)),
+    "stream_anomaly" -> (graft.streaming.EventStreams.streamAnomaly(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -156,6 +158,7 @@ object SparkEntry {
     "quality_normalize" -> (TextAnalysis.qualityNormalize(_, _)),
     "quality_logreg" -> (TextAnalysis.qualityLogreg(_, _)),
     "quality_cascade" -> (TextAnalysis.qualityCascade(_, _)),
+    "quality_gopher" -> (TextAnalysis.qualityGopher(_, _)),
     "text_lm_score" -> (TextAnalysis.textLmScore(_, _)),
     "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     "text_gini" -> (TextAnalysis.textGini(_, _)),
@@ -226,6 +229,8 @@ object SparkEntry {
     // prefix-dim coarse scan + full-dim exact rerank (round 11)
     "sim_matryoshka" -> (Similarity.simMatryoshka(_, _)),
     "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
+    // greedy farthest-point coreset selection over the embeddings
+    "sample_kcenter" -> (Similarity.sampleKcenter(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -366,6 +371,9 @@ object SparkEntry {
     // the peel loop unrolled as chained CTEs; rounds past the
     // fixpoint are no-ops, Spark REQUIREs convergence inside the bound
     "graph_kcore" -> Graph.graphKcoreSql,
+    // edge-level peel: same unrolled-fixpoint contract, triangle
+    // support recomputed per round
+    "graph_ktruss" -> Graph.graphKtrussSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -404,6 +412,9 @@ object SparkEntry {
     // inner stream-stream join pairs are batching-independent under
     // the single-batch staged replay == the batch interval join
     "stream_join" -> graft.streaming.EventStreams.streamJoinSql,
+    // converged streaming daily state + batch z² finisher == the
+    // batch twin's relation
+    "stream_anomaly" -> Relational.eventAnomalySql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
     "quality_normalize" -> TextAnalysis.qualityNormalizeSql,
@@ -411,6 +422,8 @@ object SparkEntry {
     // first-failing-rule attribution over the registered signals'
     // own relations; 6dp-rounded doubles make branches bit-identical
     "quality_cascade" -> TextAnalysis.qualityCascadeSql,
+    // the published Gopher rule set, each rule an integer column
+    "quality_gopher" -> TextAnalysis.qualityGopherSql,
     // order-pinned folds + the BM25 ln/round discipline: the trained
     // bigram LM and its scores replay exactly
     "text_lm_score" -> TextAnalysis.textLmScoreSql,
@@ -525,6 +538,9 @@ object SparkEntry {
     "sim_recall" -> Similarity.simRecallSql,
     // rank-only fusion: integer RRF over two 6dp-rounded rankings
     "retrieval_rrf" -> Similarity.retrievalRrfSql,
+    // greedy argmax over 2^20 fixed-point L2: the unrolled CTE rounds
+    // replay the selection order bit-for-bit
+    "sample_kcenter" -> Similarity.sampleKcenterSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
     // integer Gram matrix + unrolled ordered-fold power iteration

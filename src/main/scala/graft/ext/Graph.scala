@@ -544,4 +544,103 @@ object Graph {
        |GROUP BY e.src HAVING count(*) >= $CoreK
        |ORDER BY node""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // k-truss: triangle-support edge peeling
+  // ----------------------------------------------------------------
+
+  /** The k in the k-truss gate: every surviving edge closes ≥ k−2
+    * triangles inside the truss. 5 peels in 4-5 rounds on the
+    * co-occurrence graph (the per-order near-cliques keep low-k
+    * trusses trivially full, mirroring the [[CoreK]] choice).
+    */
+  private val TrussK = 5L
+
+  /** Round bound shared with the oracle, same contract as
+    * [[KcoreMaxRounds]]: the unrolled rounds past the fixpoint are
+    * no-ops; Spark REQUIREs convergence inside the bound.
+    */
+  private val TrussMaxRounds = 10
+
+  /** k-truss decomposition membership (Cohen, NSA tech report 2008,
+    * public): repeatedly drop every edge whose two endpoints share
+    * fewer than k−2 common neighbors INSIDE the surviving subgraph —
+    * the EDGE-level strengthening of [[graphKcore]] (a k-truss is a
+    * subgraph of the (k−1)-core, but cohesion is certified by
+    * triangles, not bare degree), and the standard community-core /
+    * spam-ring primitive one tier above it.
+    *
+    * Scale shape per round: ONE common-neighbor equi-join (the
+    * symmetric adjacency joined twice on the shared neighbor — the
+    * same shape [[graphTriangles]] plans) + a map-side-combinable
+    * support count + a filter; the edge set only shrinks. Support-0
+    * edges drop out of the join's GROUP BY automatically, which is
+    * exactly the peel semantics. Driver traffic is one count per
+    * round; `localCheckpoint` pins each round's survivors.
+    * Output: surviving canonical edges with their in-truss support.
+    */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = edges(spark, dir).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    def support(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      cur.join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var cur = support(e0).filter(col("support") >= TrussK - 2)
+      .select("a", "b").localCheckpoint()
+    var prev = -1L
+    var n = cur.count()
+    var rounds = 1
+    while (n != prev && rounds < TrussMaxRounds) {
+      prev = n
+      cur = support(cur).filter(col("support") >= TrussK - 2)
+        .select("a", "b").localCheckpoint()
+      n = cur.count()
+      rounds += 1
+    }
+    require(n == prev,
+      s"graph_ktruss: no fixpoint within $TrussMaxRounds rounds (n=$n)")
+    support(cur).filter(col("support") >= TrussK - 2)
+      .select(col("a"), col("b"), col("support"))
+      .orderBy("a", "b")
+  }
+
+  /** The edge-peel loop unrolled as [[TrussMaxRounds]] MATERIALIZED
+    * CTE rounds (each round references its predecessor THREE times —
+    * un-materialized inlining would be 3^rounds).
+    */
+  val graphKtrussSql: String = {
+    val rounds = (1 to TrussMaxRounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM $prev
+         |  UNION ALL SELECT b, a FROM $prev),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN s$i x ON x.u = e.a
+         |  JOIN s$i y ON y.u = e.b AND y.v = x.v
+         |  GROUP BY e.a, e.b HAVING count(*) >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    val last = s"e$TrussMaxRounds"
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey),
+       |$rounds,
+       |sf AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM $last UNION ALL SELECT b, a FROM $last)
+       |SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+       |FROM $last e
+       |JOIN sf x ON x.u = e.a
+       |JOIN sf y ON y.u = e.b AND y.v = x.v
+       |GROUP BY e.a, e.b HAVING count(*) >= ${TrussK - 2}
+       |ORDER BY a, b""".stripMargin
+  }
 }

@@ -301,7 +301,9 @@ object Relational {
        |FROM cells JOIN sizes ON sizes.cohort_s = cells.cohort_s
        |ORDER BY cells.cohort_s, "offset"""".stripMargin
 
-  private val AnomalyZ = 2L
+  // private[graft]: the streaming twin's batch finisher shares the
+  // threshold instead of duplicating the literal
+  private[graft] val AnomalyZ = 2L
 
   /** Daily-volume anomaly detection: days whose event count sits
     * more than [[AnomalyZ]] sample standard deviations from that

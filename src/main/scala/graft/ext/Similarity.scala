@@ -2250,4 +2250,104 @@ object Similarity {
        |  FROM pool)
        |SELECT q_id, CAST(rn AS BIGINT) AS rn, c_id, cos_sim, psim
        |FROM r WHERE rn <= $MatK ORDER BY q_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Greedy k-center: coreset / diversity selection
+  // ----------------------------------------------------------------
+
+  /** Number of centers the k-center gate selects. */
+  private val KcK = 8
+
+  /** Fixed-point quantum for the k-center distances — the same 2^20
+    * floor quantization the outlier/IVF family uses, so every
+    * distance is an exact BIGINT and the greedy argmax replays
+    * bit-for-bit.
+    */
+  private val KcScale = 1048576L
+
+  /** Greedy k-center / farthest-point coreset selection (Gonzalez,
+    * TCS 1985 — the 2-approximation every diversity-sampling and
+    * data-selection pipeline uses): start from the lowest id, then
+    * repeatedly take the vector FARTHEST from the chosen set
+    * (squared L2 over [[KcScale]] fixed-point coordinates; ties
+    * pinned by vec_id). Output: the selection order with each
+    * center's distance-at-selection — the k-center coverage-radius
+    * curve.
+    *
+    * 100 TB shape: k−1 passes, each a pure-map distance projection
+    * (the chosen centers ride along as LITERAL arrays — model-scale
+    * driver traffic, k·dim longs total) + one distributed
+    * TakeOrdered(1). No window, no join, no shuffled state; the
+    * min-over-centers recomputes from literals each pass so lineage
+    * stays depth-1 off the parquet scan. The k scans ARE the
+    * algorithm (greedy k-center is inherently sequential in k);
+    * k is a constant, not a data scale.
+    */
+  def sampleKcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = emb(spark, dir).select(col("vec_id"), expr(
+      s"""transform(embedding,
+         |  v -> CAST(floor(CAST(v AS DOUBLE) * $KcScale) AS BIGINT))"""
+        .stripMargin).as("qv"))
+    def dist(center: Seq[Long]): String = {
+      val lit = center.mkString("array(", "L, ", "L)")
+      s"""aggregate(zip_with(qv, $lit, (a, b) -> a - b),
+         |  CAST(0 AS BIGINT), (acc, d) -> acc + d * d)""".stripMargin
+    }
+    val first = q.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    var centers = // (vec_id, quantized coords, dist2 at selection)
+      Vector((first.getLong(0), first.getSeq[Long](1), 0L))
+    for (_ <- 2 to KcK) {
+      val mind = centers.map(c => expr(dist(c._2))).reduce(least(_, _))
+      val next = q.withColumn("d", mind)
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      centers :+= ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("rank", "vec_id", "dist2_fp")
+      .orderBy("rank")
+  }
+
+  /** The greedy unrolled as [[KcK]] MATERIALIZED CTE rounds (the
+    * coordinate table is referenced once per round — inlining would
+    * re-unnest it 2^k times).
+    */
+  val sampleKcenterSql: String = {
+    val rounds = (2 to KcK).map { k =>
+      val prevM = if (k == 2) "d1" else s"m${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT vec_id AS id, d FROM $prevM
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |d$k AS MATERIALIZED (
+         |  SELECT q.vec_id, sum((q.qx - c.qx) * (q.qx - c.qx)) AS d
+         |  FROM q JOIN (SELECT i, qx FROM q
+         |               WHERE vec_id = (SELECT id FROM c$k)) c USING (i)
+         |  GROUP BY q.vec_id),
+         |m$k AS MATERIALIZED (
+         |  SELECT p.vec_id, least(p.d, d$k.d) AS d
+         |  FROM $prevM p JOIN d$k USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to KcK).map(k =>
+      s"SELECT $k AS rank, id AS vec_id, CAST(d AS BIGINT) AS dist2_fp FROM c$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $KcScale.0)
+       |      AS BIGINT) AS qx
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM q),
+       |d1 AS MATERIALIZED (
+       |  SELECT q.vec_id, sum((q.qx - c.qx) * (q.qx - c.qx)) AS d
+       |  FROM q JOIN (SELECT i, qx FROM q
+       |               WHERE vec_id = (SELECT id FROM c1)) c USING (i)
+       |  GROUP BY q.vec_id),
+       |$rounds
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2_fp FROM (
+       |  SELECT 1 AS rank, id AS vec_id, CAST(0 AS BIGINT) AS dist2_fp
+       |  FROM c1
+       |  UNION ALL $sel)
+       |ORDER BY rank""".stripMargin
+  }
 }

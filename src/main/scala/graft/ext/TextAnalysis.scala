@@ -2320,6 +2320,72 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** Gopher word-count band (Rae et al. 2021 use [50, 100k]; the gate
+    * corpus medians 56 words, so the floor adapts to 25 to exercise
+    * both outcomes — documented adaptation).
+    */
+  private val GopherMinWords = 25L
+  private val GopherMaxWords = 100000L
+
+  /** The published Gopher quality-filter rule set (Rae et al.,
+    * arXiv:2112.11446 §A1.1, public) — the word-level subset that is
+    * meaningful on this corpus, each rule an ALL-INTEGER projection:
+    * word count in [[GopherMinWords]]..[[GopherMaxWords]]; mean word
+    * length (milli-chars, space-free char count ÷ words) in
+    * [3000, 10000]; ≥ 2 stop words (the "has required words" rule);
+    * ≥ 80% of words containing an alphabetic character (ppm). The
+    * symbol-ratio and bullet-line rules are vacuous here (the corpus
+    * has no punctuation or line structure) and are documented out,
+    * like the console-grid deviation. Sits beside [[textQuality]]
+    * (heuristic ratios) as the NAMED-paper filter with crisp
+    * per-rule integer columns; [[qualityCascade]]-style composition
+    * applies downstream.
+    *
+    * 100 TB shape: one scan, all rules codegen'd regexp/HOF columns
+    * (no explode, no UDF, no join); the flag is a boolean projection.
+    */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(wordsCol).cast("long")
+    val letters = length(regexp_replace(col("text"), lit(" "), lit("")))
+      .cast("long")
+    val nStop = size(filter(wordsCol, w => w.isin(stopwords: _*)))
+      .cast("long")
+    val nAlpha = size(filter(wordsCol, w => w.rlike("[a-zA-Z]")))
+      .cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"), letters.as("n_letters"),
+        nStop.as("n_stop"), nAlpha.as("n_alpha"))
+      .select(col("doc_id"), col("n_words"),
+        expr("n_letters * 1000 div n_words").as("mwl_milli"),
+        col("n_stop"),
+        expr("n_alpha * 1000000 div n_words").as("alpha_ppm"))
+      .withColumn("gopher_pass",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mwl_milli").between(3000L, 10000L) &&
+          (col("n_stop") >= 2L) && (col("alpha_ppm") >= 800000L))
+      .orderBy("doc_id")
+  }
+
+  val qualityGopherSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(text, ' +')) AS n_words,
+       |    length(replace(text, ' ', '')) AS n_letters,
+       |    len(list_filter(string_split_regex(text, ' +'),
+       |        w -> w IN ${sqlList(stopwords)})) AS n_stop,
+       |    len(list_filter(string_split_regex(text, ' +'),
+       |        w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_letters * 1000 // n_words AS BIGINT) AS mwl_milli,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  CAST(n_alpha * 1000000 // n_words AS BIGINT) AS alpha_ppm,
+       |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |    AND n_letters * 1000 // n_words BETWEEN 3000 AND 10000
+       |    AND n_stop >= 2 AND n_alpha * 1000000 // n_words >= 800000
+       |    AS gopher_pass
+       |FROM base ORDER BY doc_id""".stripMargin
+
   val textReadabilitySql: String =
     """WITH base AS (
       |  SELECT lang, source,

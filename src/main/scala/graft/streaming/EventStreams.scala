@@ -187,6 +187,52 @@ object EventStreams {
     * whose per-batch emissions depend on batching and stay
     * spec-verified only).
     */
+  /** Daily counts per event type — the streaming STATE behind
+    * [[streamAnomaly]]: one watermarked tumbling-day aggregation
+    * (window('1 day') aligns to epoch days, which equals the batch
+    * `date_trunc('day')` under the pinned UTC session).
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("day_s"),
+        col("event_type"), col("cnt"))
+
+  /** Driver-gate streaming query (`stream_anomaly`): the z² daily
+    * outlier detector as a LIVE monitor — the stream maintains the
+    * per-(type, day) count state; the anomaly flag needs the
+    * series-wide moments, which no single watermarked aggregation can
+    * also hold, so it is a BATCH finisher over the converged state
+    * (integer z² over count/sum/sum-of-squares, the
+    * [[graft.ext.Relational.eventAnomaly]] rails — shared threshold
+    * [[graft.ext.Relational.AnomalyZ]], shared oracle). At scale the
+    * finisher runs per micro-batch via foreachBatch over the compact
+    * (type, day) state — day-grain cardinality, never fact-scale.
+    */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = runToMemory(spark, stagedEventsDir(dir),
+      "graft_stream_anomaly", dailyCounts, "complete")
+    val z = graft.ext.Relational.AnomalyZ
+    // the batch twin joins a broadcast stats agg (map-side combine at
+    // fact scale); here the input is ALREADY the compact day-grain
+    // state, so per-type windows over it are the simpler same-result
+    // plan (and sidestep self-joining the memory-sink view)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val withStats = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("q", sum(col("cnt") * col("cnt")).over(w))
+    val dev = col("cnt") * col("n") - col("s")
+    withStats
+      .filter(dev * dev * (col("n") - 1) >
+        lit(z * z) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("day_s"), col("cnt"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "day_s")
+  }
+
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, stagedEventsDir(dir), "graft_stream_dedup",
         dedupWithinWatermark, "append")

@@ -295,6 +295,125 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("qualityGopher: rule columns replay as integers and both " +
+    "outcomes occur on the real corpus") {
+    // crafted: doc0 passes all rules; doc1 too few words; doc2 has
+    // words but no stopwords
+    val many = (0 until 30).map(i => s"word$i").mkString(" ")
+    val dir = corpus(Seq(
+      (0L, s"the a $many", "en", "s1"),
+      (1L, "the a tiny", "en", "s1"),
+      (2L, many, "en", "s1")))
+    val got = TextAnalysis.qualityGopher(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(0L)._5 && !got(1L)._5 && !got(2L)._5)
+    assert(got(1L)._1 == 3L && got(1L)._3 == 2L)
+    assert(got(2L)._3 == 0L)
+    // integer replay of every column on the real corpus
+    val real = "/root/testdata/sf0.001"
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "on",
+      "for", "with")
+    val docs = spark.read.parquet(s"$real/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gotReal = TextAnalysis.qualityGopher(spark, real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    var passes = 0
+    for ((id, t) <- docs) {
+      val ws = t.split(" +").filter(_.nonEmpty)
+      val w = ws.length.toLong
+      val letters = t.count(_ != ' ').toLong
+      val mwl = letters * 1000L / w
+      val ns = ws.count(stop).toLong
+      val ap = ws.count(_.exists(_.isLetter)).toLong * 1000000L / w
+      val pass = w >= 25 && w <= 100000 && mwl >= 3000 && mwl <= 10000 &&
+        ns >= 2 && ap >= 800000
+      assert(gotReal(id) == ((w, mwl, ns, ap, pass)), s"doc $id")
+      if (pass) passes += 1
+    }
+    assert(passes > 0 && passes < docs.length, "both outcomes occur")
+  }
+
+  test("sampleKcenter: greedy selection replays locally and the " +
+    "coverage radius is non-increasing") {
+    import spark.implicits._
+    // crafted 2-D geometry, 10 vectors
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)),
+      (4L, Seq(10f, 10f)), (5L, Seq(1f, 1f)), (6L, Seq(5f, 5f)),
+      (7L, Seq(2f, 0f)), (8L, Seq(0f, 2f)), (9L, Seq(9f, 9f)),
+      (10L, Seq(5f, 0f)))
+    val dir = java.nio.file.Files.createTempDirectory("r12b-emb").toString
+    pts.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.sampleKcenter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent greedy replay with the same 2^20 quantization
+    val S = 1048576L
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * S).toLong)
+    }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Vector((1L, 0L))
+    while (centers.length < 8) {
+      val best = q.keys.toSeq.map { id =>
+        (id, centers.map(c => d2(q(id), q(c._1))).min)
+      }.maxBy { case (id, d) => (d, -id) }
+      centers :+= best
+    }
+    assert(got.toSeq == centers.zipWithIndex.map { case ((id, d), i) =>
+      (i + 1L, id, d)
+    })
+    // real corpus: radius curve non-increasing past the seed
+    val real = Similarity.sampleKcenter(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(2)).drop(1)
+    assert(real.nonEmpty && real.zip(real.tail).forall(p => p._1 >= p._2))
+  }
+
+  test("graphKtruss: membership and support equal an independent " +
+    "local edge peel to fixpoint") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    def peel(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nbr = (es.toSeq ++ es.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.iterator.map { case (a, b) =>
+        (a, b) -> (nbr(a) & nbr(b)).size.toLong
+      }.toMap
+    }
+    var cur = e0
+    var stable = false
+    while (!stable) {
+      val next = peel(cur).filter(_._2 >= 3).keySet
+      stable = next == cur
+      cur = next
+    }
+    val want = peel(cur).filter(_._2 >= 3)
+    val got = Graph.graphKtruss(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.keySet != e0, "peeling must remove edges")
+    assert(got == want)
+  }
+
+  test("streamAnomaly: converged streaming state + batch finisher == " +
+    "the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Relational.eventAnomaly(spark, dir).collect().map(_.toSeq)
+    val stream = graft.streaming.EventStreams.streamAnomaly(spark, dir)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
