@@ -176,6 +176,7 @@ object SparkEntry {
     "privacy_kanon" -> (Privacy.privacyKanon(_, _)),
     "privacy_risk" -> (Privacy.privacyRisk(_, _)),
     "privacy_ldiv" -> (Privacy.privacyLdiv(_, _)),
+    "privacy_tclose" -> (Privacy.privacyTclose(_, _)),
     "layout_zonemap" -> (Layout.layoutZonemap(_, _)),
     "layout_bucket" -> (Layout.layoutBucket(_, _)),
     "layout_partition" -> (Layout.layoutPartition(_, _)),
@@ -231,6 +232,8 @@ object SparkEntry {
     "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
     // greedy farthest-point coreset selection over the embeddings
     "sample_kcenter" -> (Similarity.sampleKcenter(_, _)),
+    // metadata-filtered top-k: the predicate joins BEFORE ranking
+    "sim_filtered" -> (Similarity.simFiltered(_, _)),
     // Pipeline compositions (north star): reproducible split
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
@@ -462,6 +465,9 @@ object SparkEntry {
     // two chained hash aggs; ppm shares and the distinct-l flag are
     // projections over integral counts
     "privacy_ldiv" -> Privacy.privacyLdivSql,
+    // exact integer TVD (closed-form absent-source term): no
+    // class × domain cross join, everything class-cardinality
+    "privacy_tclose" -> Privacy.privacyTcloseSql,
     // two one-shot lns over identical integer ratios, 6dp-rounded
     // before ranking, term tie-break
     "text_logodds" -> TextAnalysis.textLogoddsSql,
@@ -541,6 +547,9 @@ object SparkEntry {
     // greedy argmax over 2^20 fixed-point L2: the unrolled CTE rounds
     // replay the selection order bit-for-bit
     "sample_kcenter" -> Similarity.sampleKcenterSql,
+    // pre-filter equi-join + the shared 6dp cosine: exact within the
+    // filtered set
+    "sim_filtered" -> Similarity.simFilteredSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
     // integer Gram matrix + unrolled ordered-fold power iteration

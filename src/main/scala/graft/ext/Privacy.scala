@@ -134,6 +134,81 @@ object Privacy {
        |  count(*) >= $L AS l_diverse
        |FROM sv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Maximum acceptable total-variation distance (ppm) between a
+    * class's sensitive-value distribution and the corpus's — the t
+    * in t-closeness. 300000 (= t 0.3, the value the paper's examples
+    * use) splits the gate corpus's classes into both outcomes.
+    */
+  private val TClosePpm = 300000L
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007):
+    * l-diversity still leaks when a class's sensitive DISTRIBUTION
+    * diverges from the corpus's (skewness attack) even if distinct
+    * values abound. For the categorical sensitive attribute the
+    * paper's EMD reduces to total variation distance, computed here
+    * EXACTLY in integers: with class counts c_s (class size n) and
+    * global counts g_s (corpus size N),
+    * `TVD = ½ Σ_s |c_s/n − g_s/N|` becomes
+    * `tvd_ppm = (Σ_present |c_s·N − g_s·n| + n·(N − Σ_present g_s))
+    * · 1e6 div (2·n·N)` — the absent-source term folds into one
+    * closed form, so NO class × sensitive-domain cross join is ever
+    * materialized.
+    *
+    * 100 TB shape: the same two chained hash aggs as [[privacyLdiv]]
+    * plus a broadcast of the GLOBAL sensitive distribution (bounded:
+    * one row per source) and a one-row corpus total — the corpus is
+    * scanned once, the TVD algebra runs at class cardinality.
+    */
+  def privacyTclose(spark: SparkSession, dir: String): DataFrame = {
+    val svc = Tables.table(spark, dir, "documents")
+      .groupBy(col("lang"),
+        expr(s"n_chars div $LenBucket").as("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val glob = svc.groupBy(col("source")).agg(sum(col("c")).as("g"))
+    val total = glob.agg(sum(col("g")).as("nn"))
+    // class totals stamped by a window over the CLASS×SOURCE relation
+    // (bounded: QI cells × sources), so the |c·N − g·n| term is a
+    // plain row projection the final agg can sum
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "len_bucket")
+    svc.join(broadcast(glob), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("n", sum(col("c")).over(wc))
+      .groupBy(col("lang"), col("len_bucket"), col("nn"), col("n"))
+      .agg(
+        sum(abs(col("c") * col("nn") - col("g") * col("n")))
+          .as("present_dev"),
+        sum(col("g")).as("present_g"))
+      .select(col("lang"), col("len_bucket"), col("n").as("class_size"),
+        expr("""(present_dev + n * (nn - present_g)) * 1000000
+          div (2 * n * nn)""").as("tvd_ppm"))
+      .withColumn("t_close", col("tvd_ppm") <= TClosePpm)
+      .orderBy("lang", "len_bucket")
+  }
+
+  val privacyTcloseSql: String =
+    s"""WITH svc AS (
+       |  SELECT lang, n_chars // $LenBucket AS len_bucket, source,
+       |    count(*) AS c
+       |  FROM documents GROUP BY 1, 2, 3),
+       |gsrc AS (SELECT source, sum(c) AS g FROM svc GROUP BY 1),
+       |tot AS (SELECT sum(g) AS nn FROM gsrc),
+       |st AS (
+       |  SELECT s.lang, s.len_bucket, t.nn, s.c, gl.g,
+       |    sum(s.c) OVER (PARTITION BY s.lang, s.len_bucket) AS n
+       |  FROM svc s JOIN gsrc gl USING (source), tot t),
+       |cls AS (
+       |  SELECT lang, len_bucket, nn, n,
+       |    sum(abs(c * nn - g * n)) AS present_dev,
+       |    sum(g) AS present_g
+       |  FROM st GROUP BY 1, 2, 3, 4)
+       |SELECT lang, len_bucket, CAST(n AS BIGINT) AS class_size,
+       |  CAST((present_dev + n * (nn - present_g)) * 1000000
+       |    // (2 * n * nn) AS BIGINT) AS tvd_ppm,
+       |  (present_dev + n * (nn - present_g)) * 1000000
+       |    // (2 * n * nn) <= $TClosePpm AS t_close
+       |FROM cls ORDER BY 1, 2""".stripMargin
+
   val privacyRiskSql: String =
     s"""WITH cls AS (
        |  SELECT count(*) AS class_size

@@ -69,6 +69,62 @@ object Similarity {
        |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
 
+  /** FILTERED top-k — the fourth retrieval contract: metadata
+    * predicate + vector search ("find the nearest vectors WITH
+    * label = X"), the filtered-search mode every production vector
+    * store exposes and naive pipelines get wrong by post-filtering a
+    * fixed-k result (which under-returns when the filter is
+    * selective). Here the equality predicate applies BEFORE ranking:
+    * the probe joins candidates ON THE LABEL — an equi-join, so at
+    * scale the candidate set co-partitions by label and the cosine
+    * kernel only ever touches rows that satisfy the predicate
+    * (pre-filtering), instead of scoring the whole corpus and
+    * discarding (post-filtering). Top-k per probe is then exact
+    * within the filtered set.
+    */
+  def simFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("label"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("label"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q), Seq("label"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("label").cast("long").as("label"),
+        col("rn"), col("c_id"), col("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  val simFilteredSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS label,
+       |    c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries
+       |    AND c.label = q.label AND c.vec_id != q.vec_id),
+       |r AS (
+       |  SELECT q_id, label, c_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |  FROM p)
+       |SELECT q_id, label, rn, c_id, cos_sim FROM r WHERE rn <= $K
+       |ORDER BY q_id, rn""".stripMargin
+
   private val RangeThreshold = 0.25
 
   /** RADIUS (range) search — the third retrieval contract beside

@@ -414,6 +414,83 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
   }
 
+  test("privacyTclose: exact TVD on a crafted skew and the closed-form " +
+    "absent-source term") {
+    // global source distribution: s1 x6, s2 x2 (N=8).
+    // en class (n=4): all s1 -> p_class = (1, 0), p_glob = (.75, .25),
+    //   TVD = 1/2 (|1-.75| + |0-.25|) = 0.25 -> 250000 ppm (s2 ABSENT
+    //   from the class: exercises the closed-form term)
+    // fr class (n=4): 2 s1 + 2 s2 -> TVD = 1/2 (.25 + .25) = .25
+    val dir = corpus(Seq(
+      (0L, "a", "en", "s1"), (1L, "b", "en", "s1"),
+      (2L, "c", "en", "s1"), (3L, "d", "en", "s1"),
+      (4L, "e", "fr", "s1"), (5L, "f", "fr", "s1"),
+      (6L, "g", "fr", "s2"), (7L, "h", "fr", "s2")))
+    val got = Privacy.privacyTclose(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("en", 0L, 4L, 250000L, true),
+      ("fr", 0L, 4L, 250000L, true)))
+    // real corpus: integer replay including absent sources
+    val real = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$real/documents.parquet")
+      .selectExpr("lang", "n_chars div 256 AS lb", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val g = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nn = docs.length.toLong
+    val want = docs.groupBy(d => (d._1, d._2)).view.mapValues { ds =>
+      val n = ds.size.toLong
+      val cs = ds.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      // .iterator, not .keys.map: the set-backed keys view would
+      // DEDUPLICATE equal deviation values before the sum
+      val dev = g.keysIterator.map { s =>
+        math.abs(cs.getOrElse(s, 0L) * nn - g(s) * n)
+      }.sum
+      (n, dev * 1000000L / (2 * n * nn))
+    }.toMap
+    val gotReal = Privacy.privacyTclose(spark, real).collect()
+    for (r <- gotReal) {
+      val k = (r.getString(0), r.getLong(1))
+      assert(want(k) == ((r.getLong(2), r.getLong(3))), s"class $k")
+      assert(r.getBoolean(4) == (r.getLong(3) <= 300000L))
+    }
+    assert(gotReal.map(_.getBoolean(4)).distinct.length == 2,
+      "both outcomes occur")
+  }
+
+  test("simFiltered: top-k is exact within the label filter and never " +
+    "crosses labels") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.simFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[collection.Seq[Float]]("embedding"), r.getAs[Int]("label").toLong))
+      .toMap
+    def cos(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((qId, grp) <- rows.groupBy(_._1)) {
+      val (qe, ql) = emb(qId)
+      assert(grp.forall(_._2 == ql), "results stay inside the label")
+      // brute-force filtered top-k replay
+      val want = emb.toSeq
+        .filter { case (id, (_, l)) => id != qId && l == ql }
+        .map { case (id, (e, _)) => (id, cos(qe, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      assert(grp.sortBy(_._3).map(g => (g._4, g._5)).toSeq == want)
+    }
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
