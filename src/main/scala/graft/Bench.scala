@@ -273,7 +273,8 @@ object Bench {
       // caught its one-time 600k-file synthesis landing INSIDE the
       // timed cold run (481 s at sf1 vs the sibling's 12.7 s with
       // hoisted build), reading as a fake 1.48 scaling exponent
-      "pdf_cjk_stats")
+      "pdf_cjk_stats",
+      "dedup_ngram") // shingle-postings-v1: the rarity-ranked inverted index
       .filter(fns.contains)
     val buildTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
@@ -297,7 +298,10 @@ object Bench {
       "pipeline_prep", "graph_pagerank", "graph_triangles", "graph_jaccard",
       "graph_bfs", "graph_components", "pipeline_holdout", "dedup_semantic",
       "text_rank", "text_bpe", "text_bpe_encode", "sim_recall",
-      "pipeline_survivor", "text_fertility", "chunk_token_budget")
+      "pipeline_survivor", "text_fertility", "chunk_token_budget",
+      // shingle-postings index servers + the edge-artifact peelers
+      "dedup_ngram", "dedup_containment", "dedup_minhash",
+      "graph_kcore", "graph_ktruss")
       .filter(fns.contains)
 
     def strArr(xs: Seq[String]): String =

@@ -160,17 +160,19 @@ object Dedup {
     * formulation cost ~8 s at 120k candidates on sf0.1; this shape is
     * ~1 s). Keeps pairs with exact Jaccard ≥ the threshold. Shared
     * verify tier of [[dedupMinhash]] and [[dedupNgram]].
+    *
+    * Candidate postings come from the [[rankedPosts]] index — a
+    * pruned parquet scan semi-joined to the candidate docs (no
+    * shingling kernel on the verify path) — so verify stays
+    * O(|candidate docs|), not O(corpus), per the 100 TB posture.
     */
   private def verifyJaccardPairs(
       spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
-    // shingle only candidate docs: the semi-join must happen BELOW
-    // the kernel (mapPartitions is an optimizer barrier, so a filter
-    // above it cannot prune the shingling) — verify stays
-    // O(|candidate docs|), not O(corpus), per the 100 TB posture
     val cdocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
-    val posts = shinglePosts(spark, dir, Some(cdocs))
+    val posts = rankedPosts(spark, dir).select("doc_id", "sz", "shingle")
+      .join(cdocs, Seq("doc_id"), "left_semi")
     val pa = posts.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("shingle"))
     val pb = posts.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("shingle"))
     candidates.join(pa, "doc_a")
@@ -203,6 +205,45 @@ object Dedup {
         }
       }.toDF("doc_id", "sz", "shingle")
   }
+
+  /** The text-dedup family's INDEX BUILD: the rarity-ranked shingle
+    * postings — one row per (doc_id, sz, shingle, df, r) where df is
+    * the shingle's document frequency and r the shingle's rank inside
+    * its doc under the global rarity order (df asc, shingle asc).
+    * Built once per (session, corpus) and published as a
+    * fingerprint-keyed parquet artifact (the [[Graph.edges]] / IVF
+    * discipline): [[dedupNgram]] and [[dedupContainment]] derive
+    * their prefix filters as plain `r <=` FILTERS over this scan, and
+    * the exact-verify tier reads its candidate postings from it too —
+    * so a hot invocation of any of the three runs ZERO shingling
+    * kernels and no df shuffle, just pruned scans of the index. This
+    * is the materialized inverted index every text-dedup service
+    * keeps; at cluster scale it lives on shared storage and is built
+    * by the first job that needs it.
+    */
+  private val postsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def rankedPosts(spark: SparkSession, dir: String): DataFrame =
+    postsCache.synchronized {
+      if (postsCache.size > 16) postsCache.clear()
+      postsCache.getOrElseUpdate(
+        (sessionId(spark),
+          graft.sources.Tables.fingerprint(spark, dir, "documents")), {
+          graft.sources.ArtifactStore
+            .loadOrBuild(spark, dir, "documents", "shingle-postings-v1") {
+              val posts = shinglePosts(spark, dir)
+              val dfreq = posts.groupBy(col("shingle"))
+                .agg(count(lit(1)).as("df"))
+              val rarity = org.apache.spark.sql.expressions.Window
+                .partitionBy("doc_id")
+                .orderBy(col("df").asc, col("shingle").asc)
+              posts.join(dfreq, "shingle")
+                .withColumn("r", row_number().over(rarity))
+                .select("doc_id", "sz", "shingle", "df", "r")
+            }
+        })
+    }
 
   /** Shared oracle building blocks: the shingle-set CTE and the
     * brute-force all-pairs exact-Jaccard pair relation (valid at
@@ -250,27 +291,13 @@ object Dedup {
     * (`DedupSpec`).
     */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // The shingle pass runs through the fast kernel (the interpreted
-    // Column formulation re-evaluates per plan branch — 4x the work).
-    // Document frequency comes from groupBy + an equi-join back, NOT
-    // a window over the raw postings: the groupBy partial-aggregates
-    // map-side, so only (shingle, count) partials cross the wire for
-    // the df stage — a postings window would shuffle every raw
-    // posting on the shingle key, and ubiquitous shingles make that
-    // key skewed. The postings⋈df equi-join still co-partitions on
-    // the shingle, but joins are where AQE's skew splitting applies
-    // (windows get no such help). The kernel lineage is evaluated
-    // once per branch (no CSE across branches); a pure-map pass is
-    // cheap and embarrassingly parallel, so two passes beat caching
-    // a 100 TB postings table.
-    val posts = shinglePosts(spark, dir)
-    val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = posts.join(dfreq, "shingle")
-      .withColumn("r", row_number().over(rarity))
-      .filter(col("r") <= (col("sz") - ceil(col("sz") * JaccardThreshold) + 1).cast("int"))
+    // The prefix is a plain `r <=` filter over the [[rankedPosts]]
+    // index (the df shuffle and rarity ranking were paid once at
+    // index-build time); only the prefix postings enter the
+    // candidate join.
+    val prefix = rankedPosts(spark, dir)
+      .filter(col("r") <=
+        (col("sz") - ceil(col("sz") * JaccardThreshold) + 1).cast("int"))
     val candidates = prefix.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -309,24 +336,21 @@ object Dedup {
     * bit-identical in both engines, so the threshold can't flip.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val posts = shinglePosts(spark, dir)
-    val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = posts.join(dfreq, "shingle")
-      .withColumn("r", row_number().over(rarity))
+    val idx = rankedPosts(spark, dir)
+    val prefix = idx
       .filter(col("r") <=
         (col("sz") - ceil(col("sz") * ContainmentThreshold) + 1).cast("int"))
       .select(col("doc_id").as("doc_a"), col("shingle"))
     val candidates = prefix
-      .join(posts.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     // directed exact verify, O(|candidate docs|) like the Jaccard tier
     val cdocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
-    val cposts = shinglePosts(spark, dir, Some(cdocs))
+    val cposts = idx.select("doc_id", "sz", "shingle")
+      .join(cdocs, Seq("doc_id"), "left_semi")
     val pa = cposts.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
       col("shingle"))
     val pb = cposts.select(col("doc_id").as("doc_b"), col("shingle"))
