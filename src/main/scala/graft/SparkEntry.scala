@@ -187,6 +187,10 @@ object SparkEntry {
     "ts_ohlc" -> (TimeSeries.tsOhlc(_, _)),
     "ts_seasonal" -> (TimeSeries.tsSeasonal(_, _)),
     "interval_sweep" -> (TimeSeries.intervalSweep(_, _)),
+    "ts_mad" -> (TimeSeries.tsMad(_, _)),
+    "ts_acf" -> (TimeSeries.tsAcf(_, _)),
+    "dq_benford" -> (Relational.dqBenford(_, _)),
+    "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
     // Dedup (north star)
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -495,6 +499,14 @@ object SparkEntry {
     "ts_seasonal" -> TimeSeries.tsSeasonalSql,
     // ±1 endpoint sweep: integer running sums, ties (t, k, user)-pinned
     "interval_sweep" -> TimeSeries.intervalSweepSql,
+    // discrete lower medians picked by row position: BIGINT-exact
+    "ts_mad" -> TimeSeries.tsMadSql,
+    // n-scaled integer deviations over floor-dollars; one ppm division
+    "ts_acf" -> TimeSeries.tsAcfSql,
+    // string-extracted first digit vs pinned log10 ppm literals
+    "dq_benford" -> Relational.dqBenfordSql,
+    // cross-multiplied DECIMAL(38) z² inequality: no float proportion
+    "event_abtest" -> Relational.eventAbtestSql,
     // Laplace-smoothed bins; order-pinned fold; identical term exprs
     "dq_psi" -> TextAnalysis.dqPsiSql,
     "dedup_exact" -> Dedup.dedupExactSql,

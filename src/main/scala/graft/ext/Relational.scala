@@ -2622,4 +2622,161 @@ object Relational {
        |  CAST(coalesce(sum(p2), 0) AS DOUBLE) AS new_total
        |FROM d GROUP BY change ORDER BY change""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Benford first-digit audit
+  // ----------------------------------------------------------------
+
+  /** Benford's-law expected first-digit shares in integer ppm —
+    * round(log10(1 + 1/d) · 1e6), the public constants, pinned as
+    * literals so no engine ever evaluates a log.
+    */
+  private val BenfordPpm =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** Benford's-law first-digit audit per event-type (Newcomb 1881 /
+    * Benford 1938; the standard fabricated-data / data-quality screen
+    * for magnitude-spanning positive amounts): the first significant
+    * digit of the cents amount — extracted as `substr(cast(cents),
+    * 1, 1)`, pure integer-to-string, no float log anywhere — against
+    * the expected log10(1+1/d) share. Output per (type, digit):
+    * count, observed share (ppm), expected share (ppm, pinned
+    * literals), absolute deviation (ppm). The per-type total rides a
+    * window over the 9-row-per-type digit relation.
+    *
+    * (On this synthetic uniform-ish corpus the law is expected NOT to
+    * hold — the audit's job is to REPORT the deviation, and the gate
+    * pins the arithmetic, not conformance.)
+    *
+    * 100 TB shape: one scan → one (type, digit) hash agg (map-side
+    * combinable, ≤ 9 groups per type); everything downstream is
+    * digit-cardinality.
+    */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("digit",
+        substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("expected_ppm", expr(expected))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("expected_ppm")))
+      .select(col("event_type"), col("digit"), col("n"), col("share_ppm"),
+        col("expected_ppm"), col("dev_ppm"))
+      .orderBy("event_type", "digit")
+  }
+
+  val dqBenfordSql: String = {
+    val expected = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |dg AS (
+       |  SELECT event_type,
+       |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    count(*) AS n
+       |  FROM ev WHERE cents > 0 GROUP BY 1, 2)
+       |SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+       |  CAST(n * 1000000 // (sum(n) OVER (PARTITION BY event_type))
+       |    AS BIGINT) AS share_ppm,
+       |  CAST($expected AS BIGINT) AS expected_ppm,
+       |  CAST(abs(n * 1000000 // (sum(n) OVER (PARTITION BY event_type))
+       |    - ($expected)) AS BIGINT) AS dev_ppm
+       |FROM dg ORDER BY 1, 2""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Two-proportion A/B test
+  // ----------------------------------------------------------------
+
+  /** Two-proportion z-test per event type (the standard pooled test,
+    * public formula), INTEGER-EXACT: cohorts are the even/odd user-id
+    * halves; per type, `c/n` is the share of each cohort's users
+    * that emitted the type at least once, and the significance
+    * decision `z² > AnomalyZ²` is evaluated as the cross-multiplied
+    * inequality `(c_a·n_b − c_b·n_a)² · (n_a+n_b) > z² · n_a·n_b ·
+    * (c_a+c_b) · (n_a+n_b−c_a−c_b)` over DECIMAL(38,0) — no float
+    * proportion or sqrt anywhere, so the verdict replays bit-for-bit
+    * (HUGEINT on the oracle side). Headroom: at the factor-100 audit
+    * scale the largest product is ~6e26, eleven orders inside
+    * DECIMAL(38).
+    *
+    * 100 TB shape: one distinct-users-per-cohort agg + one
+    * (type, cohort, user) distinct → (type, cohort) count — all
+    * map-side-combinable hash aggs; the test algebra runs at type
+    * cardinality with the two cohort totals broadcast.
+    */
+  def eventAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        (pmod(col("user_id"), lit(2))).as("cohort"))
+    val cohortUsers = ev.select(col("cohort"), col("user_id")).distinct()
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+    val conv = ev.select(col("event_type"), col("cohort"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("c"))
+    val wide = conv.join(broadcast(cohortUsers), "cohort")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("cohort") === 0, col("c")).otherwise(0L)).as("c_a"),
+        sum(when(col("cohort") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1, col("c")).otherwise(0L)).as("c_b"),
+        sum(when(col("cohort") === 1, col("n")).otherwise(0L)).as("n_b"))
+    wide
+      .withColumn("significant", expr(
+        s"""CAST(c_a * n_b - c_b * n_a AS DECIMAL(19,0))
+           |  * CAST(c_a * n_b - c_b * n_a AS DECIMAL(19,0))
+           |  * CAST(n_a + n_b AS DECIMAL(19,0))
+           |  > CAST(${AnomalyZ * AnomalyZ} AS DECIMAL(19,0))
+           |    * CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+           |    * CAST(c_a + c_b AS DECIMAL(19,0))
+           |    * CAST(n_a + n_b - c_a - c_b AS DECIMAL(19,0))"""
+          .stripMargin))
+      .select(col("event_type"), col("c_a"), col("n_a"), col("c_b"),
+        col("n_b"),
+        expr("c_a * 1000000 div n_a").as("rate_a_ppm"),
+        expr("c_b * 1000000 div n_b").as("rate_b_ppm"),
+        col("significant"))
+      .orderBy("event_type")
+  }
+
+  val eventAbtestSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id, user_id % 2 AS cohort FROM events),
+       |cu AS (
+       |  SELECT cohort, count(*) AS n FROM (
+       |    SELECT DISTINCT cohort, user_id FROM ev) GROUP BY 1),
+       |conv AS (
+       |  SELECT event_type, cohort, count(*) AS c FROM (
+       |    SELECT DISTINCT event_type, cohort, user_id FROM ev)
+       |  GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT event_type,
+       |    sum(CASE WHEN cohort = 0 THEN c ELSE 0 END) AS c_a,
+       |    sum(CASE WHEN cohort = 0 THEN n ELSE 0 END) AS n_a,
+       |    sum(CASE WHEN cohort = 1 THEN c ELSE 0 END) AS c_b,
+       |    sum(CASE WHEN cohort = 1 THEN n ELSE 0 END) AS n_b
+       |  FROM conv JOIN cu USING (cohort) GROUP BY 1)
+       |SELECT event_type, CAST(c_a AS BIGINT) AS c_a,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(c_b AS BIGINT) AS c_b,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       |  CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       |  (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b)
+       |    > ${AnomalyZ * AnomalyZ} * n_a * n_b * (c_a + c_b)
+       |      * (n_a + n_b - c_a - c_b) AS significant
+       |FROM wide ORDER BY event_type""".stripMargin
 }

@@ -845,6 +845,154 @@ object TimeSeries {
       |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------------
+  // MAD outliers: the robust twin of the z² detector
+  // ----------------------------------------------------------------
+
+  /** Robust outlier days per event-type series via the median
+    * absolute deviation (Hampel's rule, public statistics): flag
+    * days where `|x − median| > 3 · MAD`. Unlike the z² detector
+    * (`event_anomaly`), one extreme day cannot mask others by
+    * inflating the variance — the breakdown point is 50%. Both
+    * medians are DISCRETE picks (the lower median: the element at
+    * row (m+1) div 2 under a (value, day) total order), never an
+    * interpolated float, so the whole decision is BIGINT-exact and
+    * replays in DuckDB via the identical row_number selection.
+    *
+    * 100 TB shape: one fact-scale hash agg to (type, day); the
+    * median/MAD machinery is windows over the DAY-GRAIN relation
+    * (calendar-bounded, cf. [[tsGapfill]]).
+    */
+  def tsMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col(value), col("day_idx"))
+      val all = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(byVal))
+        .withColumn("m", count(lit(1)).over(all))
+        .withColumn(out,
+          max(when(col("rn") === expr("(m + 1) div 2"), col(value)))
+            .over(all))
+        .drop("rn", "m")
+    }
+    val withMed = lowerMedian(daily, "cents", "med")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    lowerMedian(withMed, "dev", "mad")
+      .filter(col("dev") > lit(3L) * col("mad"))
+      .select(col("event_type"), col("day_idx"), col("cents"), col("med"),
+        col("mad"), col("dev"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsMadSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |m1 AS (
+      |  SELECT event_type, day_idx, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents, day_idx) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM daily),
+      |m2 AS (
+      |  SELECT event_type, day_idx, cents,
+      |    max(CASE WHEN rn = (m + 1) // 2 THEN cents END)
+      |      OVER (PARTITION BY event_type) AS med
+      |  FROM m1),
+      |d1 AS (
+      |  SELECT event_type, day_idx, cents, med,
+      |    abs(cents - med) AS dev,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(cents - med), day_idx) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM m2),
+      |d2 AS (
+      |  SELECT event_type, day_idx, cents, med, dev,
+      |    max(CASE WHEN rn = (m + 1) // 2 THEN dev END)
+      |      OVER (PARTITION BY event_type) AS mad
+      |  FROM d1)
+      |SELECT event_type, day_idx, cents, med,
+      |  CAST(mad AS BIGINT) AS mad, dev
+      |FROM d2 WHERE dev > 3 * mad
+      |ORDER BY event_type, day_idx""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Autocorrelation: lag profile per series
+  // ----------------------------------------------------------------
+
+  /** Autocorrelation lags audited. */
+  private val AcfMaxLag = 7
+
+  /** Autocorrelation function at lags 1..[[AcfMaxLag]] per event-type
+    * daily series (the standard sample ACF, public formula), in
+    * n-SCALED INTEGER form: with S = Σx over the n days,
+    * `r_k = Σᵢ (n·xᵢ − S)(n·xᵢ₊ₖ − S) / Σᵢ (n·xᵢ − S)²` — every term
+    * a BIGINT product of n-scaled deviations, one final ppm floor
+    * division. Values are floor-DOLLARS (cents div 100): headroom
+    * (n·x)²·n ≈ 1.5e17 at the factor-100 audit scale, an order
+    * inside BIGINT, where cents would overflow. The lag join is a
+    * self-equi-join of the day-grain relation on (type, day+k) —
+    * calendar-bounded, like every series op here.
+    */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)" +
+        " div 100").as("dollars"))
+    val w = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("dollars")).over(w))
+      .withColumn("d", col("n") * col("dollars") - col("s"))
+    val denom = dev.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("den"))
+    val lags = spark.range(1, AcfMaxLag + 1).toDF("lag")
+    val a = dev.select(col("event_type"), col("day_idx"), col("d"))
+      .crossJoin(broadcast(lags))
+      .select(col("event_type"), col("lag"),
+        (col("day_idx") + col("lag")).as("day2"), col("d"))
+    val b = dev.select(col("event_type"), col("day_idx").as("day2"),
+      col("d").as("d2"))
+    a.join(b, Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("d") * col("d2")).as("num"), count(lit(1)).as("n_pairs"))
+      .join(broadcast(denom), "event_type")
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("num * 1000000 div den").as("acf_ppm"))
+      .orderBy("event_type", "lag")
+  }
+
+  val tsAcfSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) // 100
+       |      AS dollars
+       |  FROM events GROUP BY 1, 2),
+       |dev AS (
+       |  SELECT event_type, day_idx,
+       |    (count(*) OVER (PARTITION BY event_type)) * dollars
+       |      - (sum(dollars) OVER (PARTITION BY event_type)) AS d
+       |  FROM daily),
+       |den AS (
+       |  SELECT event_type, sum(d * d) AS den FROM dev GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type, l.lag, a.d AS d, b.d AS d2
+       |  FROM dev a
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag) l
+       |  JOIN dev b ON b.event_type = a.event_type
+       |    AND b.day_idx = a.day_idx + l.lag)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(d * d2) * 1000000 // max(den) AS BIGINT) AS acf_ppm
+       |FROM pairs JOIN den USING (event_type)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
   // Seasonal index: day-of-week profile per series
   // ----------------------------------------------------------------
 

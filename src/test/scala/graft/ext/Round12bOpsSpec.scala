@@ -491,6 +491,106 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tsMad: a planted spike is flagged, a flat series is not, and " +
+    "zero-MAD days never self-flag") {
+    // type x: 9 flat days + one 100x spike -> MAD 0, only the spike
+    // has dev > 0; type y: strictly flat -> no rows
+    val rows = (1 to 9).map(i => (i.toLong, i.toLong * 86400 + 9, "x", 1.00)) ++
+      Seq((10L, 10L * 86400 + 9, "x", 100.00)) ++
+      (11 to 20).map(i => (i.toLong, (i - 10).toLong * 86400 + 99, "y", 2.00))
+    val got = TimeSeries.tsMad(spark, eventsDir(rows)).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "x" && got.head.getLong(1) == 10L)
+    assert((got.head.getLong(2), got.head.getLong(3), got.head.getLong(4),
+      got.head.getLong(5)) == ((10000L, 100L, 0L, 9900L)))
+  }
+
+  test("tsMad + tsAcf: integer replays on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerMed(xs: Seq[(Long, Long)]): Long = // (value, day)
+      xs.sorted.apply((xs.length + 1) / 2 - 1)._1
+    // MAD replay
+    val wantMad = daily.groupBy(_._1).view.mapValues { ds =>
+      val med = lowerMed(ds.map(d => (d._3, d._2)).toSeq)
+      val mad = lowerMed(ds.map(d => (math.abs(d._3 - med), d._2)).toSeq)
+      ds.filter(d => math.abs(d._3 - med) > 3 * mad)
+        .map(d => (d._2, d._3, med, mad, math.abs(d._3 - med)))
+        .sortBy(_._1).toSeq
+    }.toMap
+    val gotMad = TimeSeries.tsMad(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(gotMad == wantMad.filter(_._2.nonEmpty))
+    // ACF replay over floor-dollars
+    val wantAcf = daily.groupBy(_._1).view.mapValues { ds =>
+      val xs = ds.sortBy(_._2).map(_._3 / 100)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val dev = xs.map(x => n * x - s)
+      val den = dev.map(d => d * d).sum
+      (1 to 7).map { k =>
+        val num = dev.dropRight(k).zip(dev.drop(k)).map(p => p._1 * p._2).sum
+        (k.toLong, (n - k).toLong, num * 1000000L / den)
+      }
+    }.toMap
+    val gotAcf = TimeSeries.tsAcf(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    assert(gotAcf.nonEmpty)
+    for ((ty, w) <- wantAcf) assert(gotAcf(ty) == w, ty)
+  }
+
+  test("dqBenford: crafted digits count exactly and the expected " +
+    "shares are the pinned Benford constants") {
+    // values 1.00 2.00 ... 9.00 -> cents 100..900, first digits 1..9
+    // exactly once each for type x
+    val rows = (1 to 9).map(i => (i.toLong, i.toLong * 60, "x", i * 1.00))
+    val got = Relational.dqBenford(spark, eventsDir(rows)).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    assert(got.forall(_._2 == 1L))
+    assert(got.forall(_._3 == 111111L)) // 1/9 in ppm, floored
+    assert(got.map(_._4).toSeq == benford)
+    assert(math.abs(benford.sum - 1000000L) <= 1,
+      "the pinned constants are a distribution")
+  }
+
+  test("eventAbtest: a planted cohort imbalance is significant, a " +
+    "balanced one is not") {
+    // 40 users (0..39). Type 'buy': even users 0..38 all emit it (20
+    // converters) vs ONE odd user -> significant. Type 'view': both
+    // cohorts convert identically -> not significant.
+    val buys = (0 until 40 by 2).zipWithIndex.map { case (u, i) =>
+      (1000L + i, 600L + i * 60L, u.toLong, "buy", 1.0)
+    } :+ ((2000L, 500L, 1L, "buy", 1.0))
+    val views = (0 until 40).zipWithIndex.map { case (u, i) =>
+      (3000L + i, 9000L + i * 60L, u.toLong, "view", 1.0)
+    }
+    val dir = eventsDirU(buys ++ views)
+    val got = Relational.eventAbtest(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(7))).toMap
+    assert(got("buy") == ((20L, 20L, 1L, 20L, true)))
+    assert(got("view") == ((20L, 20L, 20L, 20L, false)))
+    // exact-arithmetic replay of the inequality on the real corpus
+    val real = "/root/testdata/sf0.001"
+    for (r <- Relational.eventAbtest(spark, real).collect()) {
+      val (ca, na, cb, nb) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3)), BigInt(r.getLong(4)))
+      val lhs = (ca * nb - cb * na).pow(2) * (na + nb)
+      val rhs = 4 * na * nb * (ca + cb) * (na + nb - ca - cb)
+      assert(r.getBoolean(7) == (lhs > rhs), r.getString(0))
+    }
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
