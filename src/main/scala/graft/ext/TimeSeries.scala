@@ -928,15 +928,18 @@ object TimeSeries {
   private val AcfMaxLag = 7
 
   /** Autocorrelation function at lags 1..[[AcfMaxLag]] per event-type
-    * daily series (the standard sample ACF, public formula), in
-    * n-SCALED INTEGER form: with S = Σx over the n days,
-    * `r_k = Σᵢ (n·xᵢ − S)(n·xᵢ₊ₖ − S) / Σᵢ (n·xᵢ − S)²` — every term
-    * a BIGINT product of n-scaled deviations, one final ppm floor
-    * division. Values are floor-DOLLARS (cents div 100): headroom
-    * (n·x)²·n ≈ 1.5e17 at the factor-100 audit scale, an order
-    * inside BIGINT, where cents would overflow. The lag join is a
-    * self-equi-join of the day-grain relation on (type, day+k) —
-    * calendar-bounded, like every series op here.
+    * daily series (the standard sample ACF, public formula) in
+    * INTEGER form: deviations are taken from the FLOOR mean —
+    * `d = x − (S div n)` over floor-DOLLAR daily values — so
+    * `r_k = Σᵢ dᵢ·dᵢ₊ₖ · 1e6 div Σᵢ dᵢ²` is all-BIGINT with ~7
+    * orders of headroom at the factor-100 audit scale (the n-scaled
+    * form `n·x − S` overflowed the final ppm multiply there — caught
+    * by the sf1 gate). The ≤ 1-dollar centering bias of the floor
+    * mean is deterministic and identical in both engines; documented
+    * deviation from the real-mean ACF, same spirit as the floor-cent
+    * EWMA. The lag join is a self-equi-join of the day-grain
+    * relation on (type, day+k) — calendar-bounded, like every series
+    * op here.
     */
   def tsAcf(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -948,7 +951,7 @@ object TimeSeries {
     val dev = daily
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("dollars")).over(w))
-      .withColumn("d", col("n") * col("dollars") - col("s"))
+      .withColumn("d", col("dollars") - expr("s div n"))
     val denom = dev.groupBy(col("event_type"))
       .agg(sum(col("d") * col("d")).as("den"))
     val lags = spark.range(1, AcfMaxLag + 1).toDF("lag")
@@ -975,8 +978,8 @@ object TimeSeries {
        |  FROM events GROUP BY 1, 2),
        |dev AS (
        |  SELECT event_type, day_idx,
-       |    (count(*) OVER (PARTITION BY event_type)) * dollars
-       |      - (sum(dollars) OVER (PARTITION BY event_type)) AS d
+       |    dollars - (sum(dollars) OVER (PARTITION BY event_type))
+       |      // (count(*) OVER (PARTITION BY event_type)) AS d
        |  FROM daily),
        |den AS (
        |  SELECT event_type, sum(d * d) AS den FROM dev GROUP BY 1),

@@ -532,7 +532,7 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
       val xs = ds.sortBy(_._2).map(_._3 / 100)
       val n = xs.length.toLong
       val s = xs.sum
-      val dev = xs.map(x => n * x - s)
+      val dev = xs.map(x => x - s / n)
       val den = dev.map(d => d * d).sum
       (1 to 7).map { k =>
         val num = dev.dropRight(k).zip(dev.drop(k)).map(p => p._1 * p._2).sum
