@@ -91,6 +91,7 @@ object SparkEntry {
     "window_growth" -> (Relational.windowGrowth(_, _)),
     "sql_kmv" -> (Relational.sqlKmv(_, _)),
     "sketch_setops" -> (Relational.sketchSetops(_, _)),
+    "sketch_bloom" -> (TextAnalysis.sketchBloom(_, _)),
     // Windows (§2.7)
     "window_lag" -> (Relational.windowLag(_, _)),
     "window_topk" -> (Relational.windowTopk(_, _)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "graph_components" -> (Graph.graphComponents(_, _)),
     "graph_kcore" -> (Graph.graphKcore(_, _)),
     "graph_ktruss" -> (Graph.graphKtruss(_, _)),
+    "graph_assortativity" -> (Graph.graphAssortativity(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -197,6 +199,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash(_, _)),
     "dedup_ngram" -> (Dedup.dedupNgram(_, _)),
     "dedup_containment" -> (Dedup.dedupContainment(_, _)),
+    "text_novelty" -> (Dedup.textNovelty(_, _)),
     "dedup_embedding" -> (Dedup.dedupEmbedding(_, _)),
     "dedup_embedding_ann" -> (Dedup.dedupEmbeddingAnn(_, _)),
     "dedup_embedding_ann_hi" -> (Dedup.dedupEmbeddingAnnHi(_, _)),
@@ -324,6 +327,9 @@ object SparkEntry {
     "sql_kmv" -> Relational.aggKmvDistinctSql,
     // merged bottom-k + integer estimate algebra replayed in HUGEINT
     "sketch_setops" -> Relational.sketchSetopsSql,
+    // portable double-hash positions; the oracle pins the
+    // no-false-negative invariant at exactly 1e6 ppm
+    "sketch_bloom" -> TextAnalysis.sketchBloomSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
     "agg_pivot" -> Relational.aggPivotSql,
@@ -381,6 +387,8 @@ object SparkEntry {
     // edge-level peel: same unrolled-fixpoint contract, triangle
     // support recomputed per round
     "graph_ktruss" -> Graph.graphKtrussSql,
+    // symmetric marginals kill the sqrt: exact integer Pearson ppm
+    "graph_assortativity" -> Graph.graphAssortativitySql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -517,6 +525,8 @@ object SparkEntry {
     // SSJoin containment prefix filter (probe prefix vs FULL index)
     // == the brute-force directed containment relation
     "dedup_containment" -> Dedup.dedupContainmentSql,
+    // df=1 share per doc, served from the postings index
+    "text_novelty" -> Dedup.textNoveltySql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     // the banded-LSH candidates -> exact-verify composition computes
     // the same relation as the all-pairs contract (deterministic

@@ -365,6 +365,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shingle-novelty census per document — the memorization-risk /
+    * boilerplate metric training-data pipelines track: what share of
+    * a document's 3-gram shingles appear NOWHERE else in the corpus
+    * (df = 1)? Low novelty marks template/boilerplate mass; high
+    * novelty marks unique content worth keeping. Served entirely
+    * from the [[rankedPosts]] index (df already materialized): one
+    * pruned scan + one per-doc hash agg + a ppm projection — a
+    * second consumer demonstrating the index artifact pays across
+    * operator families.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame =
+    rankedPosts(spark, dir)
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("sz").cast("long").as("n_shingles"),
+        col("n_novel"),
+        expr("n_novel * 1000000 div sz").as("novelty_ppm"))
+      .orderBy("doc_id")
+
+  val textNoveltySql: String =
+    s"""WITH $shingleCteSql,
+       |posts AS (
+       |  SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+       |df AS (SELECT shingle, count(*) AS df FROM posts GROUP BY 1)
+       |SELECT p.doc_id, CAST(p.sz AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000 // p.sz
+       |    AS BIGINT) AS novelty_ppm
+       |FROM posts p JOIN df USING (shingle)
+       |GROUP BY p.doc_id, p.sz ORDER BY p.doc_id""".stripMargin
+
   /** Brute-force directed containment over the same shingle CTE —
     * valid at verification scale; the Spark side must find the same
     * pairs via the prefix filter.

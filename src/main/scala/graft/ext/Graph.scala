@@ -609,6 +609,54 @@ object Graph {
       .orderBy("a", "b")
   }
 
+  /** Degree assortativity of the co-occurrence graph (Newman, PRL
+    * 2002, public formula) — do high-degree nodes attach to
+    * high-degree nodes? — EXACT in integers: over the symmetric
+    * directed edge list the x (source-degree) and y (target-degree)
+    * marginals are identical, so Pearson's r needs NO square root:
+    * `r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)`, emitted as one ppm
+    * floor division of BIGINT moment sums (headroom ~3.6e16 at the
+    * factor-100 audit scale). One degree agg + two broadcast joins +
+    * one moment agg; everything after the edge scan is
+    * node/one-row-cardinality.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    e.join(broadcast(deg.select(col("node").as("src"), col("deg").as("dx"))),
+        "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dy"))),
+        "dst")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n_edges"), col("sx").as("sum_deg"),
+        expr("""(n_edges * sxy - sx * sx) * 1000000
+          div (n_edges * sxx - sx * sx)""").as("assortativity_ppm"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 8 = 0),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey != b.l_partkey),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n, sum(dx.deg) AS sx,
+      |    sum(dx.deg * dx.deg) AS sxx, sum(dx.deg * dy.deg) AS sxy
+      |  FROM edges e
+      |  JOIN deg dx ON dx.node = e.src
+      |  JOIN deg dy ON dy.node = e.dst)
+      |SELECT CAST(n AS BIGINT) AS n_edges, CAST(sx AS BIGINT) AS sum_deg,
+      |  CAST((n * sxy - sx * sx) * 1000000
+      |    // (n * sxx - sx * sx) AS BIGINT) AS assortativity_ppm
+      |FROM m""".stripMargin
+
   /** The edge-peel loop unrolled as [[TrussMaxRounds]] MATERIALIZED
     * CTE rounds (each round references its predecessor THREE times —
     * un-materialized inlining would be 3^rounds).

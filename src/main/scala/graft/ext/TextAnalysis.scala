@@ -2273,6 +2273,120 @@ object TextAnalysis {
        |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // Bloom filter: the membership sketch
+  // ----------------------------------------------------------------
+
+  /** Bloom hash count. */
+  private val BloomK = 3
+  /** Bits per inserted key: m = [[BloomBitsPerKey]]·n keeps fill
+    * (~1−e^(−k/16) ≈ 17%) and the false-positive rate (~0.5%)
+    * SCALE-INVARIANT — a fixed m would saturate at the factor-100
+    * audit and the sketch would degenerate to always-positive.
+    */
+  private val BloomBitsPerKey = 16L
+
+  /** Bloom-filter membership sketch audit (Bloom, CACM 1970) —
+    * completing the sketch family beside KMV (distinct), CMS
+    * (frequency) and HLL: build an m = 16n bit set from every
+    * document fingerprint under [[BloomK]] portable double-hash
+    * positions `(fp·(2j+3) + j²) mod P mod m`, then audit the two
+    * defining properties: every MEMBER probes positive (no false
+    * negatives — the oracle pins member_pos_ppm = 1e6 exactly), and
+    * an independent probe population measures the false-positive
+    * rate against the ~17% fill. All integers; the bit set is a
+    * DISTINCT over positions (bounded by m), never a driver-side
+    * bitmap.
+    *
+    * 100 TB shape: one fingerprint scan → k-position explode →
+    * distinct (the "build"); both audits are semi-join counts of
+    * k-position probes against the bit relation — equi-joins on the
+    * position key.
+    */
+  def sketchBloom(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir)
+      .select(polyHashCol(col("text").substr(lit(1), lit(256))).as("fp"))
+    val n = fp.agg(count(lit(1)).as("n"))
+    val withM = fp.crossJoin(broadcast(n))
+      .withColumn("m", col("n") * BloomBitsPerKey)
+    def positions(key: Column): Column =
+      array((0 until BloomK).map(j =>
+        pmod(pmod(key * (2 * j + 3) + j * j, lit(P)), col("m"))): _*)
+    val bits = withM.select(explode(positions(col("fp"))).as("pos"))
+      .distinct()
+    // a key is positive iff ALL k of its position rows find a set bit
+    // (LEFT join — a key with zero hits must still count in the
+    // denominator)
+    def allSet(keys: DataFrame): DataFrame =
+      keys.select(col("k"), col("m"),
+          explode(positions(col("k"))).as("pos"))
+        .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left")
+        .groupBy(col("k"))
+        .agg((sum(when(col("hit").isNotNull, 1L).otherwise(0L)) ===
+          BloomK).as("pos_all"))
+    // DISTINCT keys: duplicate fingerprints (exact-dup docs) would
+    // otherwise explode 2k position rows per key and fail the ==k test
+    val members = allSet(withM.select(col("fp").as("k"), col("m"))
+        .distinct())
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("pos_all"), 1L).otherwise(0L)).as("n_pos"))
+      .select(expr("n_pos * 1000000 div n_keys").as("member_pos_ppm"))
+    val probes = allSet(withM
+        .select(pmod(col("fp") * 7919L + 104729L, lit(P)).as("k"), col("m"))
+        .distinct())
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("pos_all"), 1L).otherwise(0L)).as("n_pos"))
+      .select(expr("n_pos * 1000000 div n_keys").as("probe_pos_ppm"))
+    val fill = bits.agg(count(lit(1)).as("bits_set"))
+    n.crossJoin(broadcast(fill))
+      .withColumn("m_bits", col("n") * BloomBitsPerKey)
+      .crossJoin(broadcast(members))
+      .crossJoin(broadcast(probes))
+      .select(col("n").as("n_docs"), col("m_bits"), col("bits_set"),
+        expr("bits_set * 1000000 div m_bits").as("fill_ppm"),
+        col("member_pos_ppm"), col("probe_pos_ppm"))
+  }
+
+  val sketchBloomSql: String = {
+    val posList = (0 until BloomK)
+      .map(j => s"(((fp * ${2 * j + 3} + ${j * j}) % $P) % m)")
+      .mkString("[", ", ", "]")
+    val posListK = (0 until BloomK)
+      .map(j => s"(((k * ${2 * j + 3} + ${j * j}) % $P) % m)")
+      .mkString("[", ", ", "]")
+    s"""WITH fp AS MATERIALIZED (
+       |  SELECT ${polyHashSql("substr(text, 1, 256)")} AS fp
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n, count(*) * $BloomBitsPerKey AS m
+       |       FROM fp),
+       |bits AS MATERIALIZED (
+       |  SELECT DISTINCT unnest($posList) AS pos FROM fp, nn),
+       |memb AS (
+       |  SELECT count(*) AS n_keys,
+       |    sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_pos FROM (
+       |    SELECT k, count(b.pos) = $BloomK AS ok FROM (
+       |      SELECT k, unnest($posListK) AS pos
+       |      FROM (SELECT DISTINCT fp AS k FROM fp), nn) p
+       |    LEFT JOIN bits b ON b.pos = p.pos GROUP BY k)),
+       |prob AS (
+       |  SELECT count(*) AS n_keys,
+       |    sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_pos FROM (
+       |    SELECT k, count(b.pos) = $BloomK AS ok FROM (
+       |      SELECT k, unnest($posListK) AS pos
+       |      FROM (SELECT DISTINCT (fp * 7919 + 104729) % $P AS k FROM fp), nn) p
+       |    LEFT JOIN bits b ON b.pos = p.pos GROUP BY k))
+       |SELECT CAST(nn.n AS BIGINT) AS n_docs,
+       |  CAST(nn.m AS BIGINT) AS m_bits,
+       |  CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+       |  CAST((SELECT count(*) FROM bits) * 1000000 // nn.m AS BIGINT)
+       |    AS fill_ppm,
+       |  CAST(memb.n_pos * 1000000 // memb.n_keys AS BIGINT)
+       |    AS member_pos_ppm,
+       |  CAST(prob.n_pos * 1000000 // prob.n_keys AS BIGINT)
+       |    AS probe_pos_ppm
+       |FROM nn, memb, prob""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // Readability: syllable-heuristic reading-ease profile
   // ----------------------------------------------------------------
 

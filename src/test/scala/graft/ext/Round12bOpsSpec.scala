@@ -591,6 +591,79 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("textNovelty: crafted unique/template docs and a census identity " +
+    "on the real corpus") {
+    // doc0 fully unique; doc1 and doc2 share ALL their shingles
+    // (identical text) -> novelty 0; doc3 half-shares doc0's tail
+    val u = (0 until 12).map(i => s"u$i").mkString(" ")
+    val t = (0 until 12).map(i => s"t$i").mkString(" ")
+    val dir = corpus(Seq(
+      (0L, u, "en", "s1"), (1L, t, "en", "s1"), (2L, t, "en", "s1")))
+    val got = Dedup.textNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0L) == ((10L, 10L, 1000000L)))
+    assert(got(1L) == ((10L, 0L, 0L)) && got(2L) == ((10L, 0L, 0L)))
+    // census identity: sum of novel shingles == count of df=1 keys
+    val real = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$real/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Dedup.shingleSet(r.getString(1))))
+    val dfm = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val rows = Dedup.textNovelty(spark, real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, sh) <- docs) {
+      val novel = sh.count(s => dfm(s) == 1).toLong
+      assert(rows(id) == ((sh.length.toLong, novel)), s"doc $id")
+    }
+  }
+
+  test("graphAssortativity: exact integer Pearson replay on the real " +
+    "corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = edges.size.toLong
+    val sx = edges.iterator.map(e => deg(e._1)).sum
+    val sxx = edges.iterator.map(e => deg(e._1) * deg(e._1)).sum
+    val sxy = edges.iterator.map(e => deg(e._1) * deg(e._2)).sum
+    val want = (n * sxy - sx * sx) * 1000000L / (n * sxx - sx * sx)
+    val r = Graph.graphAssortativity(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n, sx, want)))
+  }
+
+  test("sketchBloom: no false negatives ever, and a local bit-set " +
+    "replay matches") {
+    val dir = "/root/testdata/sf0.001"
+    val r = TextAnalysis.sketchBloom(spark, dir).collect().head
+    assert(r.getLong(4) == 1000000L, "a Bloom filter has no false negatives")
+    // local replay of the whole sketch
+    val P = 1000000007L
+    def poly(s: String): Long = {
+      var h = 0L; s.foreach(c => h = (h * 31 + c) % P); h
+    }
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("text")).collect()
+      .map(x => poly(x.getString(0).take(256)))
+    val m = fps.length * 16L
+    def pos(k: Long): Seq[Long] =
+      (0 until 3).map(j => ((k * (2 * j + 3) + j * j) % P) % m)
+    val bits = fps.flatMap(pos).toSet
+    val probes = fps.map(f => (f * 7919 + 104729) % P).distinct
+    val fpPos = probes.count(k => pos(k).forall(bits)).toLong
+    assert(r.getLong(1) == m && r.getLong(2) == bits.size.toLong)
+    assert(r.getLong(3) == bits.size * 1000000L / m)
+    assert(r.getLong(5) == fpPos * 1000000L / probes.length)
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
