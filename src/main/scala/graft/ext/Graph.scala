@@ -633,8 +633,14 @@ object Graph {
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dx") * col("dy")).as("sxy"))
       .select(col("n_edges"), col("sx").as("sum_deg"),
-        expr("""(n_edges * sxy - sx * sx) * 1000000
-          div (n_edges * sxx - sx * sx)""").as("assortativity_ppm"))
+        // DECIMAL(38,0) algebra: the ppm cross-multiply tops ~2e22 at
+        // the factor-100 audit scale — past BIGINT (the sf1 gate
+        // caught the long form), 16 orders inside DECIMAL(38); the
+        // oracle side is HUGEINT throughout
+        expr("""(CAST(n_edges AS DECIMAL(38,0)) * sxy
+          - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000
+          div (CAST(n_edges AS DECIMAL(38,0)) * sxx
+          - CAST(sx AS DECIMAL(38,0)) * sx)""").as("assortativity_ppm"))
   }
 
   val graphAssortativitySql: String =
