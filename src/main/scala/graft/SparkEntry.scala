@@ -145,6 +145,7 @@ object SparkEntry {
     "stream_hopping" -> (graft.streaming.EventStreams.streamHopping(_, _)),
     "stream_join" -> (graft.streaming.EventStreams.streamJoin(_, _)),
     "stream_anomaly" -> (graft.streaming.EventStreams.streamAnomaly(_, _)),
+    "stream_ohlc" -> (graft.streaming.EventStreams.streamOhlc(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -430,6 +431,9 @@ object SparkEntry {
     // converged streaming daily state + batch z² finisher == the
     // batch twin's relation
     "stream_anomaly" -> Relational.eventAnomalySql,
+    // (ts_ns, event_id)-pinned min/max(struct) state converges to the
+    // batch bar relation
+    "stream_ohlc" -> TimeSeries.tsOhlcSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
     "quality_normalize" -> TextAnalysis.qualityNormalizeSql,

@@ -2358,6 +2358,13 @@ object Similarity {
       val next = q.withColumn("d", mind)
         .orderBy(col("d").desc, col("vec_id").asc).limit(1)
         .collect()(0)
+      // a corpus with < k DISTINCT vectors would reach argmax 0 and
+      // silently re-select an existing center (the dedup_embedding
+      // corpora DO carry exact duplicates, so this is reachable) —
+      // fail loudly instead, mirroring the sim_hamming dim assert
+      require(!centers.exists(_._1 == next.getLong(0)),
+        s"sample_kcenter: fewer than $KcK distinct vectors " +
+          s"(argmax re-selected center ${next.getLong(0)})")
       centers :+= ((next.getLong(0), next.getSeq[Long](1), next.getLong(2)))
     }
     centers.zipWithIndex

@@ -233,6 +233,48 @@ object EventStreams {
       .orderBy("event_type", "day_s")
   }
 
+  /** Daily OHLC bar state per event type — streaming twin of
+    * [[graft.ext.TimeSeries.tsOhlc]] and its oracle: the open/close
+    * pins ride INSIDE min/max(struct) aggregation state keyed on the
+    * unique (ts_ns, event_id), exactly like the batch plan, so the
+    * converged complete-mode table IS the batch relation.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts_ns"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))).as("o"),
+        max(struct(col("ts_ns"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))).as("c"),
+        max((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("high_cents"),
+        min((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("low_cents"))
+      .select(col("event_type"),
+        (unix_micros(col("w.start")) * 1000L)
+          .as("start_ns"),
+        col("n"), col("o.cents").as("open_cents"), col("high_cents"),
+        col("low_cents"), col("c.cents").as("close_cents"))
+
+  /** Driver-gate streaming query (`stream_ohlc`): converged daily
+    * bars reshaped to the batch `ts_ohlc` contract (epoch-day index
+    * from the window start), sharing its oracle.
+    */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    runToMemory(spark, stagedEventsDir(dir), "graft_stream_ohlc",
+      ohlcBars, "complete")
+      .select(col("event_type"),
+        expr("start_ns div 86400000000000").as("day_idx"),
+        col("n"), col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"))
+      .orderBy("event_type", "day_idx")
+  }
+
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, stagedEventsDir(dir), "graft_stream_dedup",
         dedupWithinWatermark, "append")

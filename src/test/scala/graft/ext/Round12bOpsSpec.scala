@@ -373,6 +373,24 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.nonEmpty && real.zip(real.tail).forall(p => p._1 >= p._2))
   }
 
+  test("sampleKcenter: a corpus with fewer distinct vectors than k " +
+    "fails loudly instead of duplicating centers") {
+    import spark.implicits._
+    // 3 distinct vectors padded with exact duplicates: the greedy
+    // exhausts distinct points before k=8 and must refuse
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 10f)),
+      (4L, Seq(0f, 0f)), (5L, Seq(10f, 0f)), (6L, Seq(0f, 10f)),
+      (7L, Seq(0f, 0f)), (8L, Seq(10f, 0f)), (9L, Seq(0f, 10f)))
+    val dir = java.nio.file.Files.createTempDirectory("r12b-embdup").toString
+    pts.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sampleKcenter(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("fewer than"))
+  }
+
   test("graphKtruss: membership and support equal an independent " +
     "local edge peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
@@ -403,6 +421,14 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got.nonEmpty && got.keySet != e0, "peeling must remove edges")
     assert(got == want)
+  }
+
+  test("streamOhlc: converged bar state == the batch ts_ohlc relation") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = TimeSeries.tsOhlc(spark, dir).collect().map(_.toSeq)
+    val stream = graft.streaming.EventStreams.streamOhlc(spark, dir)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty && stream.toSeq == batch.toSeq)
   }
 
   test("streamAnomaly: converged streaming state + batch finisher == " +
