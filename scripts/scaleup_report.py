@@ -110,6 +110,19 @@ def main():
             if q.get("hot_flag") == "interference"),
         "queries": queries,
     }
+    # hand-authored narrative fields (*_note beyond the generated
+    # "note") survive regeneration — the round-12 incremental flow
+    # regenerates this artifact after every backfill, and losing the
+    # curated context is the same artifact-clobber class as the
+    # BENCH_FULL overwrite (VERDICT r11 #1)
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            if k.endswith("_note") and k not in report:
+                report[k] = v
+    except (OSError, ValueError):
+        pass
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=False)
     print(f"wrote {out_path}")
