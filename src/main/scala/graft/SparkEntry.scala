@@ -249,6 +249,7 @@ object SparkEntry {
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
     "sample_weighted" -> (PipelineOps.sampleWeighted(_, _)),
     "sample_per_key" -> (PipelineOps.samplePerKey(_, _)),
+    "sample_balanced" -> (PipelineOps.sampleBalanced(_, _)),
     "pipeline_shard" -> (PipelineOps.pipelineShard(_, _)),
     "pipeline_survivor" -> (PipelineOps.pipelineSurvivor(_, _)),
     "pipeline_pack" -> (PipelineOps.pipelinePack(_, _)),
@@ -609,6 +610,9 @@ object SparkEntry {
     "sample_weighted" -> PipelineOps.sampleWeightedSql,
     // portable-hash ranks drawn by the TopKPerKey bounded heap
     "sample_per_key" -> PipelineOps.samplePerKeySql,
+    // k = min class size (one-row statistic broadcast); same portable
+    // hash rank
+    "sample_balanced" -> PipelineOps.sampleBalancedSql,
     "pipeline_shard" -> PipelineOps.pipelineShardSql,
     "pipeline_interleave" -> PipelineOps.pipelineInterleaveSql,
     "pipeline_dsir" -> PipelineOps.pipelineDsirSql,

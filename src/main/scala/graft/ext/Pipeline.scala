@@ -707,6 +707,47 @@ object PipelineOps {
     * `row_number` formulation would sort every row of each source in
     * one task; the heap never holds more than k.
     */
+  /** Class-BALANCED downsampling over the labeled embeddings — the
+    * classifier-training prep step: every label keeps exactly
+    * `min(class size)` rows (the data-dependent k that distinguishes
+    * this from [[samplePerKey]]'s fixed k), chosen by the portable
+    * hash rank so the draw is reproducible, order-free, and
+    * split-stable. One count agg derives k (one-row broadcast — a
+    * statistic, not data); the per-label rank rides the TopKPerKey
+    * discipline's window over label partitions with the
+    * (hash, vec_id) total order.
+    */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("h", TextAnalysis.polyHashCol(col("vec_id").cast("string")))
+    val k = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("h").asc, col("vec_id").asc)
+    e.crossJoin(broadcast(k))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("k"))
+      .select(col("label"), col("sample_rank"), col("vec_id"), col("h"))
+      .orderBy("label", "sample_rank")
+  }
+
+  val sampleBalancedSql: String =
+    s"""WITH h AS (
+       |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+       |    ${TextAnalysis.polyHashSql("CAST(vec_id AS VARCHAR)")} AS h
+       |  FROM embeddings),
+       |k AS (SELECT min(n) AS k FROM (
+       |  SELECT label, count(*) AS n FROM h GROUP BY 1)),
+       |r AS (
+       |  SELECT label, vec_id, h,
+       |    row_number() OVER (PARTITION BY label
+       |                       ORDER BY h ASC, vec_id ASC) AS sample_rank
+       |  FROM h)
+       |SELECT label, CAST(sample_rank AS BIGINT) AS sample_rank, vec_id, h
+       |FROM r, k WHERE sample_rank <= k.k
+       |ORDER BY label, sample_rank""".stripMargin
+
   def samplePerKey(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"), col("source"))

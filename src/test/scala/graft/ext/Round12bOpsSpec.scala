@@ -690,6 +690,31 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(5) == fpPos * 1000000L / probes.length)
   }
 
+  test("sampleBalanced: every label keeps exactly the minority size, " +
+    "drawn by the portable hash") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = PipelineOps.sampleBalanced(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("CAST(label AS BIGINT) AS l", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = emb.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val k = sizes.values.min
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.keySet == sizes.keySet)
+    for ((l, grp) <- byLabel) {
+      assert(grp.length.toLong == k, s"label $l")
+      // the draw = the k smallest (polyhash, vec_id) of the label
+      def poly(s: String): Long = {
+        var h = 0L; s.foreach(c => h = (h * 31 + c) % 1000000007L); h
+      }
+      val want = emb.filter(_._1 == l)
+        .map(e => (poly(e._2.toString), e._2)).sorted.take(k.toInt)
+        .map(_._2).toSet
+      assert(grp.map(_._3).toSet == want, s"label $l draw")
+    }
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
