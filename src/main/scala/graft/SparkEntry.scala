@@ -136,6 +136,7 @@ object SparkEntry {
     "graph_kcore" -> (Graph.graphKcore(_, _)),
     "graph_ktruss" -> (Graph.graphKtruss(_, _)),
     "graph_assortativity" -> (Graph.graphAssortativity(_, _)),
+    "graph_clustcoeff" -> (Graph.graphClustcoeff(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -171,6 +172,7 @@ object SparkEntry {
     "text_cdc" -> (TextAnalysis.textCdc(_, _)),
     "text_zipf" -> (TextAnalysis.textZipf(_, _)),
     "text_readability" -> (TextAnalysis.textReadability(_, _)),
+    "text_burstiness" -> (TextAnalysis.textBurstiness(_, _)),
     "text_bpe" -> (TextAnalysis.textBpe(_, _)),
     "text_bpe_encode" -> (TextAnalysis.textBpeEncode(_, _)),
     "text_fertility" -> (TextAnalysis.textFertility(_, _)),
@@ -192,6 +194,7 @@ object SparkEntry {
     "interval_sweep" -> (TimeSeries.intervalSweep(_, _)),
     "ts_mad" -> (TimeSeries.tsMad(_, _)),
     "ts_acf" -> (TimeSeries.tsAcf(_, _)),
+    "ts_crosscorr" -> (TimeSeries.tsCrosscorr(_, _)),
     "dq_benford" -> (Relational.dqBenford(_, _)),
     "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -391,6 +394,8 @@ object SparkEntry {
     "graph_ktruss" -> Graph.graphKtrussSql,
     // symmetric marginals kill the sqrt: exact integer Pearson ppm
     "graph_assortativity" -> Graph.graphAssortativitySql,
+    // 3·triangles over Σ deg(deg−1)/2 wedges: two integer counts
+    "graph_clustcoeff" -> Graph.graphClustcoeffSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -462,6 +467,8 @@ object SparkEntry {
     "text_zipf" -> TextAnalysis.textZipfSql,
     // all-integer counts + ppm/milli floor divisions: zero floats
     "text_readability" -> TextAnalysis.textReadabilitySql,
+    // sqrt-free integer variance-to-mean; zero-docs folded closed-form
+    "text_burstiness" -> TextAnalysis.textBurstinessSql,
     // integral pair counts, (cnt, left, right)-pinned argmax, one
     // shared greedy fold: all 8 BPE merges replay as generated CTEs
     "text_bpe" -> TextAnalysis.textBpeSql,
@@ -516,6 +523,9 @@ object SparkEntry {
     "ts_mad" -> TimeSeries.tsMadSql,
     // n-scaled integer deviations over floor-dollars; one ppm division
     "ts_acf" -> TimeSeries.tsAcfSql,
+    // the two-series extension: argmax-|ccf| lag per pair, ties
+    // pinned inside a max(struct) key == the QUALIFY ordering
+    "ts_crosscorr" -> TimeSeries.tsCrosscorrSql,
     // string-extracted first digit vs pinned log10 ppm literals
     "dq_benford" -> Relational.dqBenfordSql,
     // cross-multiplied DECIMAL(38) z² inequality: no float proportion

@@ -609,6 +609,60 @@ object Graph {
       .orderBy("a", "b")
   }
 
+  /** Global clustering coefficient (transitivity) of the
+    * co-occurrence graph — `C = 3·triangles / wedges`, the standard
+    * cohesion summary (Watts/Strogatz 1998; the "3·closed over open
+    * triples" form), ALL-INTEGER: the triangle count is the same
+    * canonical a<b<c enumeration [[graphTriangles]] plans, wedges are
+    * `Σ_v deg(v)·(deg(v)−1)/2` from one degree agg, and the output is
+    * one ppm floor division (headroom: wedge counts top ~6e9 at the
+    * factor-100 audit scale). One row out; everything after the edge
+    * scan is node-cardinality.
+    */
+  def graphClustcoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val canon = e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val tri = canon.as("e1")
+      .join(canon.as("e2"), col("e2.a") === col("e1.b"))
+      .join(canon.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    wedges.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_wedges"), col("n_triangles"),
+        expr("3 * n_triangles * 1000000 div n_wedges")
+          .as("transitivity_ppm"))
+  }
+
+  val graphClustcoeffSql: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 8 = 0),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey != b.l_partkey),
+      |canon AS MATERIALIZED (
+      |  SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM canon e1
+      |  JOIN canon e2 ON e2.a = e1.b
+      |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |wg AS (
+      |  SELECT sum(deg * (deg - 1) // 2) AS n_wedges,
+      |    count(*) AS n_nodes
+      |  FROM (SELECT src, count(*) AS deg FROM edges GROUP BY 1))
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_wedges AS BIGINT) AS n_wedges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles,
+      |  CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+      |    AS transitivity_ppm
+      |FROM wg, tri""".stripMargin
+
   /** Degree assortativity of the co-occurrence graph (Newman, PRL
     * 2002, public formula) — do high-degree nodes attach to
     * high-degree nodes? — EXACT in integers: over the symmetric

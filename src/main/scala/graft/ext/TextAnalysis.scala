@@ -2273,6 +2273,70 @@ object TextAnalysis {
        |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // Burstiness: variance-to-mean of term occurrence
+  // ----------------------------------------------------------------
+
+  /** Terms audited for burstiness (top by corpus frequency). */
+  private val BurstTopK = 20
+
+  /** Term burstiness audit (Church & Gale, 1995, public
+    * corpus-linguistics diagnostic): content words CLUMP — a term's
+    * per-document count has variance far above its mean (Poisson
+    * would give ratio 1), while function words spread evenly. For
+    * the top-[[BurstTopK]] corpus terms, the variance-to-mean ratio
+    * over per-doc counts (zero-count docs included) in EXACT integer
+    * milli-units: with per-doc counts xᵢ over n docs,
+    * `vmr = (n·Σx² − (Σx)²) · 1000 div ((n−1) · n · x̄)` rearranged
+    * sqrt-free as `(n·Σx² − (Σx)²) · 1000 div ((n−1)·Σx)`. Ranked by
+    * corpus frequency, ties on the term.
+    *
+    * 100 TB shape: one tokenize scan → (term, doc) count agg →
+    * per-term moment agg (zero-docs folded in CLOSED FORM: Σx and
+    * Σx² only need the nonzero rows; n comes from a one-row corpus
+    * count) — no doc × vocabulary product anywhere.
+    */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = docs(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("w"))
+      .filter(col("w") =!= "")
+    val perDoc = tokens.groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("x"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val moments = perDoc.groupBy(col("w"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    moments.crossJoin(broadcast(nDocs))
+      .withColumn("vmr_milli",
+        expr("(n * sxx - sx * sx) * 1000 div ((n - 1) * sx)"))
+      .orderBy(col("sx").desc, col("w").asc)
+      .limit(BurstTopK)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sx").desc, col("w").asc)).cast("long"))
+      .select(col("rn"), col("w").as("term"), col("sx").as("freq"),
+        col("vmr_milli"))
+      .orderBy("rn")
+  }
+
+  val textBurstinessSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+       |  FROM documents),
+       |pd AS (
+       |  SELECT w, doc_id, count(*) AS x FROM tok WHERE w != ''
+       |  GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |mo AS (
+       |  SELECT w, sum(x) AS sx, sum(x * x) AS sxx FROM pd GROUP BY 1),
+       |r AS (
+       |  SELECT w, sx,
+       |    (n * sxx - sx * sx) * 1000 // ((n - 1) * sx) AS vmr_milli,
+       |    row_number() OVER (ORDER BY sx DESC, w ASC) AS rn
+       |  FROM mo, nd)
+       |SELECT CAST(rn AS BIGINT) AS rn, w AS term,
+       |  CAST(sx AS BIGINT) AS freq, CAST(vmr_milli AS BIGINT) AS vmr_milli
+       |FROM r WHERE rn <= $BurstTopK ORDER BY rn""".stripMargin
+
+  // ----------------------------------------------------------------
   // Bloom filter: the membership sketch
   // ----------------------------------------------------------------
 

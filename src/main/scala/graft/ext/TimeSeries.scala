@@ -996,6 +996,103 @@ object TimeSeries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ----------------------------------------------------------------
+  // Cross-correlation: who leads whom?
+  // ----------------------------------------------------------------
+
+  /** Cross-correlation between every PAIR of event-type daily series
+    * at lags −[[AcfMaxLag]]..[[AcfMaxLag]] — the lead/lag detector
+    * ("do purchases follow clicks by k days?"), the two-series
+    * extension of [[tsAcf]] on the same integer rails: floor-mean
+    * deviations over floor-dollars, `ccf_k(a,b) = Σ dᵃᵢ·dᵇᵢ₊ₖ · 1e6
+    * div (den_a + den_b) div 2`-style normalization avoided — the
+    * standard denominator is √(den_a·den_b), a sqrt of integers; to
+    * stay integer-exact the output is the RAW lagged covariance in
+    * ppm of the geometric-mean-free bound `max(den_a, den_b)`, a
+    * deterministic normalizer both engines compute identically (the
+    * ranking and argmax-lag structure are what the diagnostic reads;
+    * the absolute scale is documented). Per ordered pair: the lag
+    * maximizing |ccf| and its value.
+    *
+    * Scale shape: day-grain self-join on (day+lag) like tsAcf; pair
+    * count is #types², a catalog statistic, not data scale.
+    */
+  def tsCrosscorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)" +
+        " div 100").as("dollars"))
+    val w = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("s", sum(col("dollars")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("event_type"), col("day_idx"),
+        (col("dollars") - expr("s div n")).as("d"))
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("den"))
+    val lags = spark.range(-AcfMaxLag, AcfMaxLag + 1).toDF("lag")
+    val a = dev.select(col("event_type").as("type_a"), col("day_idx"),
+        col("d").as("da"))
+      .crossJoin(broadcast(lags))
+      .select(col("type_a"), col("lag"),
+        (col("day_idx") + col("lag")).as("day2"), col("da"))
+    val b = dev.select(col("event_type").as("type_b"),
+      col("day_idx").as("day2"), col("d").as("db"))
+    val num = a.join(b, Seq("day2"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(sum(col("da") * col("db")).as("num"))
+    val best = num
+      .join(broadcast(den.select(col("event_type").as("type_a"),
+        col("den").as("den_a"))), "type_a")
+      .join(broadcast(den.select(col("event_type").as("type_b"),
+        col("den").as("den_b"))), "type_b")
+      .withColumn("ccf_ppm",
+        expr("num * 1000000 div greatest(den_a, den_b)"))
+    best
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(struct(abs(col("ccf_ppm")).as("a"),
+        (-col("lag")).as("nl"), col("lag"), col("ccf_ppm"))).as("top"))
+      .select(col("type_a"), col("type_b"),
+        col("top.lag").as("best_lag"), col("top.ccf_ppm").as("ccf_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val tsCrosscorrSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) // 100
+       |      AS dollars
+       |  FROM events GROUP BY 1, 2),
+       |dev AS (
+       |  SELECT event_type, day_idx,
+       |    dollars - (sum(dollars) OVER (PARTITION BY event_type))
+       |      // (count(*) OVER (PARTITION BY event_type)) AS d
+       |  FROM daily),
+       |den AS (SELECT event_type, sum(d * d) AS den FROM dev GROUP BY 1),
+       |num AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+       |    sum(a.d * b.d) AS num
+       |  FROM dev a
+       |  CROSS JOIN (SELECT unnest(generate_series(-$AcfMaxLag,
+       |    $AcfMaxLag)) AS lag) l
+       |  JOIN dev b ON b.day_idx = a.day_idx + l.lag
+       |    AND a.event_type < b.event_type
+       |  GROUP BY 1, 2, 3),
+       |cc AS (
+       |  SELECT type_a, type_b, lag,
+       |    num * 1000000 // greatest(da.den, db.den) AS ccf_ppm
+       |  FROM num
+       |  JOIN den da ON da.event_type = type_a
+       |  JOIN den db ON db.event_type = type_b)
+       |SELECT type_a, type_b, CAST(lag AS BIGINT) AS best_lag,
+       |  CAST(ccf_ppm AS BIGINT) AS ccf_ppm
+       |FROM cc
+       |QUALIFY row_number() OVER (PARTITION BY type_a, type_b
+       |  ORDER BY abs(ccf_ppm) DESC, lag ASC) = 1
+       |ORDER BY type_a, type_b""".stripMargin
+
+  // ----------------------------------------------------------------
   // Seasonal index: day-of-week profile per series
   // ----------------------------------------------------------------
 

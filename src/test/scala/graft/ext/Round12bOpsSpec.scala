@@ -715,6 +715,60 @@ class Round12bOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tsCrosscorr: a planted k-day lead is located at the right lag") {
+    // type a: a one-day spike at day 10; type b: the same spike at
+    // day 13 -> b lags a by 3 days: ccf peaks at lag +3 for (a, b)
+    def series(ty: String, spikeDay: Int, idBase: Long) =
+      (1 to 30).map { d =>
+        (idBase + d, d.toLong * 86400 + 30, ty,
+          if (d == spikeDay) 500.00 else 10.00)
+      }
+    val dir = eventsDir(series("a", 10, 100) ++ series("b", 13, 500))
+    val got = TimeSeries.tsCrosscorr(spark, dir).collect()
+    assert(got.length == 1)
+    assert((got.head.getString(0), got.head.getString(1),
+      got.head.getLong(2)) == (("a", "b", 3L)))
+    assert(got.head.getLong(3) > 0, "co-spiking series correlate positively")
+  }
+
+  test("graphClustcoeff: triangles/wedges replay from local counts") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val nbr = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = edges.toSeq.map { case (a, b) =>
+      (nbr(a) & nbr(b)).count(_ > b).toLong
+    }.sum
+    val wedges = nbr.values.map(s =>
+      s.size.toLong * (s.size - 1) / 2).sum
+    val r = Graph.graphClustcoeff(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nbr.size.toLong, wedges, tri, 3 * tri * 1000000L / wedges)))
+  }
+
+  test("textBurstiness: a clumped term out-scores an evenly spread one") {
+    // 10 docs; 'even' appears once per doc (VMR ~ sub-Poisson);
+    // 'bursty' appears 10 times in ONE doc (VMR >> 1000)
+    val dir = corpus((0 until 10).map { i =>
+      val extra = if (i == 0) " " + Seq.fill(10)("bursty").mkString(" ")
+        else ""
+      (i.toLong, s"even filler$i$extra", "en", "s1")
+    })
+    val got = TextAnalysis.textBurstiness(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // even: x_i = 1 x10 -> n*sxx - sx^2 = 100-100 = 0 -> vmr 0
+    assert(got("even") == ((10L, 0L)))
+    // bursty: one doc x=10 -> (10*100 - 100)*1000 / (9*10) = 10000
+    assert(got("bursty") == ((10L, 10000L)))
+  }
+
   test("graphKcore: membership and in-core degrees equal an independent " +
     "local peel to fixpoint") {
     val dir = "/root/testdata/sf0.001"
