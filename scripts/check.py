@@ -50,6 +50,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    zero_row = []
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -75,7 +76,16 @@ def main():
             n_fail += 1
             continue
         if ce.equals(ca):
-            print(f"PASS {name} ({len(ce)} rows)")
+            if len(ce) == 0:
+                # A 0-row pass is empty-equals-empty: it would also pass
+                # if the operator were broken in most ways. Surface it so
+                # vacuous greens are caught at the gate, not by a judge
+                # (VERDICT r12 #1: join_anti hid behind exactly this).
+                print(f"PASS {name} (0 rows) ** WARNING: vacuous zero-row match — "
+                      f"verify the query is non-empty at this SF or add planted-pair tooling **")
+                zero_row.append(name)
+            else:
+                print(f"PASS {name} ({len(ce)} rows)")
             n_pass += 1
         else:
             diff = (ce != ca).any(axis=1)
@@ -85,6 +95,8 @@ def main():
                 print(f"  oracle: {ce.loc[i].to_dict()}")
                 print(f"  spark : {ca.loc[i].to_dict()}")
             n_fail += 1
+    if zero_row:
+        print(f"== ZERO-ROW AUDIT: {len(zero_row)} vacuous pass(es): {', '.join(zero_row)} ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

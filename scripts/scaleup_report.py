@@ -55,7 +55,11 @@ def main():
         # it, null the exponent, and keep it out of exponent_hot_max;
         # re-measure via SPARK_GRAFT_ONLY backfill instead of
         # publishing it as a headline.
-        if sh > 0 and bh > 0 and bc > 0 and bh > bc:
+        # Round 13 (VERDICT r12 #4): noise floor — only flag when the
+        # inversion exceeds max(50 ms, 5% of cold). Millisecond-scale
+        # inversions on sub-second queries are scheduler jitter, not
+        # interference (text_pii_scrub flagged on a 2 ms delta in r12).
+        if sh > 0 and bh > 0 and bc > 0 and bh > bc + max(0.05, 0.05 * bc):
             queries[name]["hot_flag"] = "interference"
             queries[name]["exponent_hot"] = None
         if name in parity_notes:
@@ -97,7 +101,10 @@ def main():
             "exponent = log(T_big/T_small)/log(factor); 1.0 is linear. "
             "Cold includes one-time artifact builds (IVF/graph-edge/"
             "cluster models) and is reported for completeness; hot is the "
-            "serving path the exponent argument is about."
+            "serving path the exponent argument is about. Interference "
+            "rule: big_hot > big_cold_min flags only when the delta "
+            "exceeds max(50 ms, 5% of cold) — smaller inversions are "
+            "scheduler noise, not an interference window (r13)."
         ),
         "parity_counts": {
             v: sum(1 for q in queries.values() if q["parity"] == v)

@@ -629,8 +629,9 @@ object Dedup {
     val spark = emb.sparkSession
     import spark.implicits._
     val idxs = bandIdxs.toArray
+    val dim = Similarity.corpusDim(emb)
     val ps: Array[Array[Array[Double]]] =
-      idxs.map(band => Similarity.bandPlanes(band, width))
+      idxs.map(band => Similarity.bandPlanes(band, width, dim))
     emb.as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>

@@ -497,7 +497,12 @@ object Graph {
     var prev = -1L
     var n = kept.count()
     var rounds = 1
-    while (n != prev && rounds < KcoreMaxRounds) {
+    // <= MaxRounds+1 iterations: the fixpoint is only OBSERVABLE via
+    // one no-op peel, so a graph converging at exactly MaxRounds
+    // shrinking peels needs one extra detection pass (ADVICE r12);
+    // the unrolled oracle is unchanged — its MaxRounds CTEs already
+    // return the fixpoint there (trailing rounds are no-ops).
+    while (n != prev && rounds <= KcoreMaxRounds) {
       prev = n
       kept = degrees(Some(kept)).filter(col("core_deg") >= CoreK)
         .select("node").localCheckpoint()
@@ -595,7 +600,8 @@ object Graph {
     var prev = -1L
     var n = cur.count()
     var rounds = 1
-    while (n != prev && rounds < TrussMaxRounds) {
+    // <= MaxRounds+1 iterations for detection — see graphKcore's note
+    while (n != prev && rounds <= TrussMaxRounds) {
       prev = n
       cur = support(cur).filter(col("support") >= TrussK - 2)
         .select("a", "b").localCheckpoint()

@@ -1201,10 +1201,17 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** Left-anti: customers with no orders (NOT EXISTS). */
+  /** Left-anti: customers with no URGENT order (NOT EXISTS against a
+    * filtered subset). The filter keeps the anti relation non-empty at
+    * every SF (the unfiltered variant is vacuously empty at sf0.01 —
+    * every customer has an order there), so the oracle gate verifies
+    * real rows rather than an empty-equals-empty match. Same left-anti
+    * plan shape as the plain variant: the priority predicate pushes to
+    * the orders scan, then LeftAnti hash join on the key.
+    */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders")
+    val o = t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
@@ -1213,7 +1220,9 @@ object Relational {
   val joinAntiSql: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** Range (theta) join: parts priced within a band per size class —

@@ -317,8 +317,23 @@ object Similarity {
   // LSH-bucketed ANN (scale path)
   // ----------------------------------------------------------------
 
+  /** Default plane dimension (the gate corpora are 64-dim). The query
+    * paths derive the actual dimension from the corpus via
+    * [[corpusDim]] (round 13, VERDICT r12 #5 — the fixed-64 family
+    * upgraded from loud failure to capability); this constant remains
+    * only as the default for direct unit-test calls.
+    */
   private val Dim = 64
   private val TargetPerBucket = 1000L
+
+  /** Corpus embedding dimension via a 1-row probe (LocalLimit 1 off
+    * the scan — metadata-scale, one row-group read). [[signatureOf]]'s
+    * require stays as the consistency check: a RAGGED corpus (rows of
+    * differing width) still fails loudly at the first mismatched
+    * signature rather than truncating.
+    */
+  private[ext] def corpusDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding")).as("d")).head.getInt(0)
 
   /** Signature width as a function of corpus size: enough hyperplanes
     * that the expected bucket occupancy is ~[[TargetPerBucket]]
@@ -343,8 +358,8 @@ object Similarity {
     * gate-verifiable. Entry depends only on (b, i), so a width-w
     * signature is a prefix of every wider one.
     */
-  private[ext] def planes(numPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(numPlanes, Dim) { (b, i) =>
+  private[ext] def planes(numPlanes: Int, dim: Int = Dim): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (b, i) =>
       (java.lang.Long.bitCount(graft.functions.KmvSketch.hash(s"$b:$i") & 0xFL) - 2).toDouble
     }
 
@@ -387,8 +402,9 @@ object Similarity {
     * its SQL oracles replicate it value-for-value, and KMV rank
     * statistics only need uniformity, not cross-key independence.
     */
-  private[ext] def bandPlanes(band: Int, numPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(numPlanes, Dim) { (b, i) =>
+  private[ext] def bandPlanes(
+      band: Int, numPlanes: Int, dim: Int = Dim): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (b, i) =>
       // two independent 53-bit uniforms; u1 offset by half an ulp so
       // log(u1) is finite
       val h1 = Dedup.splitmix64(graft.ext.Dedup.polyHash64(s"$band:$b:$i:u1"))
@@ -402,17 +418,19 @@ object Similarity {
     * the equivalent per-plane Column expression tree evaluates
     * interpreted and dominated the query's runtime).
     *
-    * Dimension guard (round 12, VERDICT r11 #3): the plane families
-    * ([[planes]], [[bandPlanes]]) are generated at the fixed corpus
-    * dimension [[Dim]]. A corpus whose embeddings are wider would
-    * previously have its signatures SILENTLY computed over a
-    * [[Dim]]-dim prefix — cosine-of-prefix is not cosine, so the
-    * banding recall envelope ([[Dedup.annBandsFor]], a θ/π theorem
-    * over full-dimension Gaussian planes) would silently stop
-    * holding even though the exact-verify step keeps the final
-    * answer correct. Mirroring `sim_hamming`'s fused `assert_true`
-    * (dimension mismatches there fail the query, not skew it), a
-    * mismatched corpus now fails loudly at the first signature.
+    * Dimension guard (r12, VERDICT r11 #3; r13 upgraded to
+    * capability): the plane families ([[planes]], [[bandPlanes]]) are
+    * generated at the corpus dimension ([[corpusDim]] probe), so any
+    * uniform-width corpus hashes full-width signatures. The require
+    * below remains as the RAGGED-corpus consistency check: rows of a
+    * different width than the probed first row would otherwise have
+    * their signatures silently computed over a prefix —
+    * cosine-of-prefix is not cosine, so the banding recall envelope
+    * ([[Dedup.annBandsFor]], a θ/π theorem over full-dimension
+    * Gaussian planes) would silently stop holding even though the
+    * exact-verify step keeps the final answer correct. Mirroring
+    * `sim_hamming`'s fused `assert_true`, a mismatched row fails
+    * loudly at its first signature.
     */
   private[ext] def signatureOf(v: Array[Float], ps: Array[Array[Double]]): Long = {
     require(ps.isEmpty || v.length == ps(0).length,
@@ -451,7 +469,7 @@ object Similarity {
     val width =
       if (numPlanes > 0) numPlanes
       else planesFor(base.count()) // metadata-scale count fixes the width
-    val ps = planes(width)
+    val ps = planes(width, corpusDim(base))
     val e = base.as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) => (id, v, signatureOf(v, ps)) }
@@ -590,7 +608,7 @@ object Similarity {
   private[ext] def ivfKFor(n: Long): Int =
     math.min(65536L, math.max(8L, (n + IvfTargetPerList - 1) / IvfTargetPerList)).toInt
 
-  private def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
+  private[ext] def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -727,19 +745,35 @@ object Similarity {
   }
 
   /** Every vector tagged with its nearest-centroid list id:
-    * `(vec_id, embedding, bucket)`. One model broadcast, one
-    * codegen-adjacent map pass, no shuffle. Shared by [[simIvf]]'s
-    * build side and `Dedup.dedupSemantic`'s clustering step.
+    * `(vec_id, embedding, bucket)`. Shared by [[simIvf]]'s build side,
+    * [[simIvfPq]]'s coarse tier, and `Dedup.dedupSemantic`'s
+    * clustering step.
+    *
+    * Durable (round 13, VERDICT r12 #8 — the shingle-postings-v1
+    * pattern's second instance): the assignment IS the inverted-list
+    * file of a real IVF index (what FAISS persists), so it rides a
+    * fingerprint-keyed parquet artifact. The build is one model
+    * broadcast + one map pass (k·dim multiplies per row, no shuffle);
+    * every later call — hot reps in the same session AND fresh
+    * sessions on the same corpus state — is a plain parquet scan,
+    * clustered by bucket so a probed list reads contiguous row
+    * groups. A corpus rewrite re-keys the fingerprint and reassigns.
     */
   private[ext] def assignedBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = emb(spark, dir)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val bc = spark.sparkContext.broadcast(centroidModel(spark, dir))
-    vecs.mapPartitions { it =>
-      val cs = bc.value
-      it.map { case (id, v) => (id, v, nearestCentroid(cs, v)) }
-    }.toDF("vec_id", "embedding", "bucket")
+    graft.sources.ArtifactStore
+      .loadOrBuild(spark, dir, "embeddings", "ivf-assign-v1") {
+        val vecs = emb(spark, dir)
+          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        val bc = spark.sparkContext.broadcast(centroidModel(spark, dir))
+        vecs.mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, v) => (id, v, nearestCentroid(cs, v)) }
+        }.toDF("vec_id", "embedding", "bucket")
+          // bucket-major layout: rows of one inverted list are
+          // contiguous, (vec_id) secondary for deterministic files
+          .sortWithinPartitions("bucket", "vec_id")
+      }
   }
 
   /** IVF ANN top-k: vectors assigned to their nearest centroid's
@@ -2406,11 +2440,18 @@ object Similarity {
        |  FROM q JOIN (SELECT i, qx FROM q
        |               WHERE vec_id = (SELECT id FROM c1)) c USING (i)
        |  GROUP BY q.vec_id),
-       |$rounds
-       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2_fp FROM (
+       |$rounds,
+       |centers AS MATERIALIZED (
        |  SELECT 1 AS rank, id AS vec_id, CAST(0 AS BIGINT) AS dist2_fp
        |  FROM c1
-       |  UNION ALL $sel)
+       |  UNION ALL $sel),
+       |dupchk AS (
+       |  SELECT CASE WHEN count(*) <> count(DISTINCT vec_id) THEN error(
+       |    'sample_kcenter oracle: duplicate center re-selected — fewer '
+       |    || 'than $KcK distinct vectors')
+       |  ELSE 1 END AS ok FROM centers)
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, dist2_fp
+       |FROM centers CROSS JOIN dupchk
        |ORDER BY rank""".stripMargin
   }
 }

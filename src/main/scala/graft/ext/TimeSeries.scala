@@ -592,8 +592,9 @@ object TimeSeries {
     * `s_i = n·cum_i − i·total` over BIGINT cents, so no float mean
     * ever enters the argmax and the oracle replays bit-for-bit
     * (headroom: |s| ≤ n²·max_cents ≈ 2e15 at the factor-100 audit
-    * scale, 3 decimal orders inside BIGINT; a larger corpus would
-    * lift cum/total to DECIMAL(38,0), same plan).
+    * scale, 3 decimal orders inside BIGINT; a runtime guard fails
+    * loudly past 2^62 — lift cum/total to DECIMAL(38,0) then, same
+    * plan).
     *
     * Scale shape: series totals come from one map-side-combinable
     * hash agg broadcast-joined back (fact-scale data meets exactly
@@ -616,9 +617,21 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pos = Window.partitionBy("event_type")
       .orderBy(col("ts_ns"), col("event_id"))
+    // Loud-fail overflow guard (ADVICE r12): |s| = |n·cum − i·total|
+    // ≤ n·|cum| + n·|total|; requiring each product below 2^62 bounds
+    // |s| < 2^63, so a corpus past the documented ~3-orders headroom
+    // errors instead of silently corrupting the argmax. assert_true
+    // rides the row pipeline (no extra pass) and the filter keeps
+    // Catalyst from pruning it; it never fires at gated scales.
+    val bound = lit(1L << 62)
     ev.join(broadcast(totals), "event_type")
       .withColumn("i", row_number().over(pos).cast("long"))
       .withColumn("cum", sum(col("cents")).over(run))
+      .filter(assert_true(
+        abs(col("cum")) <= bound / col("n") &&
+          abs(col("total")) <= bound / col("n"),
+        lit("ts_changepoint: n*cum or n*total would overflow BIGINT — " +
+          "lift cum/total to DECIMAL(38,0)")).isNull)
       .withColumn("s_abs", abs(col("n") * col("cum") - col("i") * col("total")))
       .groupBy(col("event_type"))
       .agg(max(struct(col("s_abs"), (-col("ts_ns")).as("nt"),
@@ -808,8 +821,13 @@ object TimeSeries {
         lit(1L).as("d"), lit(0).as("k"), col("user_id"))
       .unionAll(iv.select(col("day_idx"), col("e").as("t"),
         lit(-1L).as("d"), lit(1).as("k"), col("user_id")))
+    // Half-open sweep: ends (k=1, exclusive bound) sort BEFORE starts
+    // (k=0) at equal t, so an interval starting at exactly another's
+    // e = max+1 — sharing zero nanoseconds — is NOT counted as
+    // overlapping (ADVICE r12: the old start-first order inflated
+    // peak_concurrency and n_overlap_pairs for 1ns-adjacent spans).
     val sweep = Window.partitionBy("day_idx")
-      .orderBy(col("t"), col("k"), col("user_id"))
+      .orderBy(col("t"), col("k").desc, col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pts
       .withColumn("running", sum(col("d")).over(sweep))
@@ -833,7 +851,7 @@ object TimeSeries {
       |  SELECT day_idx, e AS t, -1 AS d, 1 AS k, user_id FROM iv),
       |sw AS (
       |  SELECT day_idx, k,
-      |    sum(d) OVER (PARTITION BY day_idx ORDER BY t, k, user_id
+      |    sum(d) OVER (PARTITION BY day_idx ORDER BY t, k DESC, user_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
       |  FROM pts)
       |SELECT day_idx,

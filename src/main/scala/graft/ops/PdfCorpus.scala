@@ -96,7 +96,13 @@ object PdfCorpus {
     * sixth variant: `charsetFor` strips the -V writing-mode suffix to
     * the same `KSCms-UHC-HW` entry, so the decode path was live but
     * not md5-gated until now; writing mode changes glyph orientation,
-    * never the byte stream this pipeline extracts.
+    * never the byte stream this pipeline extracts. Round 13 (VERDICT
+    * r12 ask #7) adds `GBK2K-V` as the seventh variant: the Adobe-GB1
+    * GB18030 family (`PdfFonts.charsetFor` has carried its `GBK2K`
+    * entry since r9 but no gate exercised it) — GB18030's 2-byte
+    * region is byte-identical to GBK over the URO ideographs the
+    * alphabet uses, so the round-trip contract holds, while the
+    * decoder tier now proves out a FIFTH distinct JVM charset.
     */
   private[graft] val CjkVariants: Vector[(String, String)] = Vector(
     ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
@@ -104,7 +110,8 @@ object PdfCorpus {
     ("90ms-RKSJ-H", "windows-31j"), // Adobe-Japan1, Shift-JIS flavor
     ("KSC-EUC-V", "EUC-KR"),       // Adobe-Korea1, vertical
     ("KSCms-UHC-HW-H", "x-windows-949"), // Adobe-Korea1, UHC half-width
-    ("KSCms-UHC-HW-V", "x-windows-949")) // Adobe-Korea1, UHC half-width, vertical
+    ("KSCms-UHC-HW-V", "x-windows-949"), // Adobe-Korea1, UHC half-width, vertical
+    ("GBK2K-V", "GB18030"))        // Adobe-GB1, GB18030, vertical (r13)
 
   /** The derived DBCS text: lowercase ASCII letters become
     * ideographs, everything else (digits, space, punctuation,
@@ -175,11 +182,12 @@ object PdfCorpus {
     statsOver(spark, ensureAssets(spark, dir), variantMod = 6)
 
   /** The CJK charset-CMap gate query (`pdf_cjk_stats`, round 10 —
-    * VERDICT r9 ask #1; five variants in round 11, six in round 12):
+    * VERDICT r9 ask #1; five variants in round 11, six in round 12,
+    * seven in round 13):
     * same pipeline, but the corpus is the [[toCjk]]-derived DBCS text
-    * written as SIX legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
+    * written as SEVEN legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
     * ETen-B5-V / 90ms-RKSJ-H / KSC-EUC-V / KSCms-UHC-HW-H /
-    * KSCms-UHC-HW-V, no
+    * KSCms-UHC-HW-V / GBK2K-V, no
     * ToUnicode), so extraction must decode charset-encoded shown bytes
     * through [[graft.sources.pdf.PdfFonts]]'s charset-codespace tier.
     * The md5 of the in-order extracted page concatenation is checked
@@ -192,10 +200,10 @@ object PdfCorpus {
     */
   def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
     statsOver(spark,
-      // tag bumped v2 -> v3: the six-way doc_id % CjkVariants.length
-      // assignment reshuffles which CMap each document gets, so the
-      // five-variant corpus must regenerate
-      ensureAssets(spark, dir, "pdf-cjk-assets-v3", synthesizeCjk),
+      // tag bumped per variant-count change (v3 -> v4 in r13): the
+      // doc_id % CjkVariants.length assignment reshuffles which CMap
+      // each document gets, so the prior corpus must regenerate
+      ensureAssets(spark, dir, "pdf-cjk-assets-v4", synthesizeCjk),
       variantMod = CjkVariants.length)
 
   /** Shared scan→extract→chunk→aggregate tail of both gate queries. */

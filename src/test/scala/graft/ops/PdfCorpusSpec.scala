@@ -70,7 +70,7 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(total.isNullAt(6), "total row has no md5")
   }
 
-  test("CJK alphabet: every ideograph is a 2-byte round-trip in all five charsets") {
+  test("CJK alphabet: every ideograph is a 2-byte round-trip in every variant charset") {
     // The property the pdf_cjk_stats oracle RESTS on: the writer's
     // charset encode followed by the extractor's CharsetGlyphDecoder
     // must be the identity on the derived alphabet, in every variant
@@ -86,8 +86,8 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("six-variant CJK synthesis round-trips DBCS text bit-exact") {
-    // one text per CMap variant (ids 0..5): mixed-case + digits keep
+  test("seven-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..6): mixed-case + digits keep
     // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
     val texts = Seq(
       "gbk simplified (Horizontal) 0123 " + "a" * 300,
@@ -95,17 +95,18 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
       "rksj shift-jis variant " + " " * 250 + "c" * 150, // whitespace-only page
       "ksc euc-kr Vertical variant " + "d" * 400,
       "uhc Half-Width 949 row 456 " + "e" * 350, // KSCms-UHC-HW-H (r11)
-      "uhc half-width Vertical 789 " + "f" * 320) // KSCms-UHC-HW-V (r12)
+      "uhc half-width Vertical 789 " + "f" * 320, // KSCms-UHC-HW-V (r12)
+      "gb18030 2k Vertical variant 13 " + "g" * 280) // GBK2K-V (r13)
     val dir = miniCorpus(texts)
     val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
-    assert(rows.length == 7, "6 docs + SUM TOTAL")
+    assert(rows.length == 8, "7 docs + SUM TOTAL")
     val byPath = rows.map(r => r.getString(0) -> r).toMap
     for ((t, i) <- texts.zipWithIndex) {
       val derived = PdfCorpus.toCjk(t)
       assert(derived.length == t.length, "translate preserves length")
       val r = byPath(i.toString)
       val (pg, ch, ts) = expected(derived)
-      assert(r.getLong(1) == i % 6, s"variant of doc $i")
+      assert(r.getLong(1) == i % 7, s"variant of doc $i")
       assert(r.getLong(2) == pg, s"pages of doc $i")
       assert(r.getLong(3) == ch, s"chunks of doc $i")
       assert(r.getLong(4) == ts, s"text_size of doc $i")
