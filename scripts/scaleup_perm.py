@@ -13,8 +13,23 @@ M64 = (1 << 64) - 1
 
 MAX_LETTER_AGREE = 6
 MAX_DIGIT_AGREE = 3
+# Round 13 (VERDICT r12 #6, factor-1000 audit): digit rows >= 100 relax
+# to <= 4 of 10 — at ~1000 priors the <= 3 bound is unsatisfiable in
+# bounded attempts (P(candidate passes all priors) ~ 4e-9), while <= 4
+# passes with worst observed attempt 586 of the 1000 cap. Rows < 100
+# keep the r9 bound, so every factor-<=100 corpus byte is unchanged.
+MAX_DIGIT_AGREE_HIGH = 4
+MAX_REPLICAS = 1000
 LETTER_SALT = 0x5CA1E7
 DIGIT_SALT = 0xD1617
+
+
+def letter_agree_for(k):
+    return MAX_LETTER_AGREE
+
+
+def digit_agree_for(k):
+    return MAX_DIGIT_AGREE if k < 100 else MAX_DIGIT_AGREE_HIGH
 
 
 def mix64(z):
@@ -38,12 +53,15 @@ def agree(a, b):
     return sum(1 for x, y in zip(a, b) if x == y)
 
 
-def perm_table(n, factor, salt, max_agree):
-    rows = [list(range(n))]
-    for k in range(1, factor):
+def _extend_table(rows, n, factor, salt, max_agree_fn):
+    """Grow `rows` in place to `factor` entries. Construction is
+    sequential (row k rejects only against rows < k), so extension is
+    PREFIX-STABLE: the first 100 rows of the 1000-row table are
+    bit-identical to the shipped 100-row table."""
+    for k in range(len(rows), factor):
         attempt = 0
         cand = fisher_yates(n, salt + k, attempt)
-        while any(agree(r, cand) > max_agree for r in rows):
+        while any(agree(r, cand) > max_agree_fn(k) for r in rows):
             attempt += 1
             assert attempt < 1000, f"rejection runaway at k={k}"
             cand = fisher_yates(n, salt + k, attempt)
@@ -51,14 +69,31 @@ def perm_table(n, factor, salt, max_agree):
     return rows
 
 
-LETTER_PERMS = perm_table(26, 100, LETTER_SALT, MAX_LETTER_AGREE)
-DIGIT_PERMS = perm_table(10, 100, DIGIT_SALT, MAX_DIGIT_AGREE)
+def perm_table(n, factor, salt, max_agree_fn):
+    if not callable(max_agree_fn):  # legacy constant-bound callers
+        bound = max_agree_fn
+        max_agree_fn = lambda k: bound  # noqa: E731
+    return _extend_table([list(range(n))], n, factor, salt, max_agree_fn)
+
+
+LETTER_PERMS = perm_table(26, 100, LETTER_SALT, letter_agree_for)
+DIGIT_PERMS = perm_table(10, 100, DIGIT_SALT, digit_agree_for)
+
+
+def ensure_replicas(factor):
+    """Extend both tables to `factor` rows (<= MAX_REPLICAS). Tables
+    start at 100 rows so import stays cheap for factor-<=100 runs."""
+    assert factor <= MAX_REPLICAS, factor
+    _extend_table(LETTER_PERMS, 26, factor, LETTER_SALT, letter_agree_for)
+    _extend_table(DIGIT_PERMS, 10, factor, DIGIT_SALT, digit_agree_for)
 
 
 def permute_text(s, k):
     """tools/ScaleUp.permuteText, reimplemented."""
     if k == 0 or not isinstance(s, str):
         return s
+    if k >= len(LETTER_PERMS) or k >= len(DIGIT_PERMS):
+        ensure_replicas(k + 1)
     lp, dp = LETTER_PERMS[k], DIGIT_PERMS[k]
     out = []
     for c in s:
