@@ -81,6 +81,15 @@ def selftest():
     m = json.load(open(fp))
     assert m["degraded"] is True and m["calib_s"] == 0.9, (
         m["degraded"], m["calib_s"])
+    # a probe-less filtered add (calib_s -1, vacuous degraded=false)
+    # must not launder the prior's degraded flag or its calib_s
+    json.dump(dict(base, degraded=True, calib_s=0.9), open(fp, "w"))
+    json.dump(dict(add, degraded=False, calib_s=-1), open(ap, "w"))
+    sys.argv = ["bench_merge.py", fp, ap]
+    main()
+    m = json.load(open(fp))
+    assert m["degraded"] is True and m["calib_s"] == 0.9, (
+        m["degraded"], m["calib_s"])
     print("bench_merge selftest OK")
 
 
@@ -145,11 +154,16 @@ def main():
     # source was. The old behavior kept the last add's fields, which
     # made a best-known-state artifact read as a degraded run.
     calibs = [c for c in (full.get("calib_s"), add.get("calib_s"))
-              if isinstance(c, (int, float))]
+              if isinstance(c, (int, float)) and c > 0]  # -1 = probe not run
     if calibs:
         full["calib_s"] = min(calibs)
-    full["degraded"] = bool(full.get("degraded", False)) and bool(
-        add.get("degraded", False))
+    # degraded = AND over sources whose probe actually ran: a filtered
+    # (SPARK_GRAFT_ONLY) add skips the probe and writes degraded=false
+    # vacuously — it must not launder the flag off a degraded prior.
+    flags = [bool(d.get("degraded", False))
+             for d in (full, add)
+             if isinstance(d.get("calib_s"), (int, float)) and d["calib_s"] > 0]
+    full["degraded"] = all(flags) if flags else False
     full["merged_from"] = full.get("merged_from", []) + [
         {"path": add_path, "calib_s": add.get("calib_s"),
          "degraded": add.get("degraded"), "n": len(remeasured)}]
