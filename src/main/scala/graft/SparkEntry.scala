@@ -195,6 +195,17 @@ object SparkEntry {
     "ts_mad" -> (TimeSeries.tsMad(_, _)),
     "ts_acf" -> (TimeSeries.tsAcf(_, _)),
     "ts_crosscorr" -> (TimeSeries.tsCrosscorr(_, _)),
+    "ts_rsi" -> (TimeSeries.tsRsi(_, _)),
+    "interval_gaps" -> (TimeSeries.intervalGaps(_, _)),
+    "text_ttr" -> (TextAnalysis.textTtr(_, _)),
+    "text_predictability" -> (TextAnalysis.textPredictability(_, _)),
+    "graph_degree_dist" -> (Graph.graphDegreeDist(_, _)),
+    "graph_community" -> (Graph.graphCommunity(_, _)),
+    "graph_foaf" -> (Graph.graphFoaf(_, _)),
+    "event_lag_dist" -> (Relational.eventLagDist(_, _)),
+    "privacy_dp_hist" -> (Privacy.privacyDpHist(_, _)),
+    "dq_iqr" -> (Relational.dqIqr(_, _)),
+    "pipeline_epoch_order" -> (PipelineOps.pipelineEpochOrder(_, _)),
     "dq_benford" -> (Relational.dqBenford(_, _)),
     "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -241,6 +252,7 @@ object SparkEntry {
     // prefix-dim coarse scan + full-dim exact rerank (round 11)
     "sim_matryoshka" -> (Similarity.simMatryoshka(_, _)),
     "retrieval_rrf" -> (Similarity.retrievalRrf(_, _)),
+    "retrieval_ndcg" -> (Similarity.retrievalNdcg(_, _)),
     // greedy farthest-point coreset selection over the embeddings
     "sample_kcenter" -> (Similarity.sampleKcenter(_, _)),
     // metadata-filtered top-k: the predicate joins BEFORE ranking
@@ -526,6 +538,28 @@ object SparkEntry {
     // the two-series extension: argmax-|ccf| lag per pair, ties
     // pinned inside a max(struct) key == the QUALIFY ordering
     "ts_crosscorr" -> TimeSeries.tsCrosscorrSql,
+    // Cutler RSI: rolling integer gain/loss sums, neutral-500000 pin
+    "ts_rsi" -> TimeSeries.tsRsiSql,
+    // lag-window idle spans; argmax pinned (gap DESC, day ASC)
+    "interval_gaps" -> TimeSeries.intervalGapsSql,
+    // per-row set ops in codegen: distinct/hapax counts, ppm ratio
+    "text_ttr" -> TextAnalysis.textTtrSql,
+    // corpus bigram model: per-bigram floor-div ppm, per-doc mean
+    "text_predictability" -> TextAnalysis.textPredictabilitySql,
+    // integer log2 buckets via length(bin(deg)) on both engines
+    "graph_degree_dist" -> Graph.graphDegreeDistSql,
+    // 4 unrolled sync LP rounds; mode ties -> smallest label
+    "graph_community" -> Graph.graphCommunitySql,
+    // wedge endpoints distinct, anti-join strips 1-hop, exact counts
+    "graph_foaf" -> Graph.graphFoafSql,
+    // per-(user,type) lag gaps into integer log2 buckets
+    "event_lag_dist" -> Relational.eventLagDistSql,
+    // hash-seeded discrete Laplace (alpha=1/2): exact inverse CDF
+    "privacy_dp_hist" -> Privacy.privacyDpHistSql,
+    // discrete type-1 quartiles at price-domain scale; integer fences
+    "dq_iqr" -> Relational.dqIqrSql,
+    // polyHash order keys; endpoint picks via min/max(struct(h, doc))
+    "pipeline_epoch_order" -> PipelineOps.pipelineEpochOrderSql,
     // string-extracted first digit vs pinned log10 ppm literals
     "dq_benford" -> Relational.dqBenfordSql,
     // cross-multiplied DECIMAL(38) z² inequality: no float proportion
@@ -581,6 +615,8 @@ object SparkEntry {
     "sim_recall" -> Similarity.simRecallSql,
     // rank-only fusion: integer RRF over two 6dp-rounded rankings
     "retrieval_rrf" -> Similarity.retrievalRrfSql,
+    // literal micro-discounts (no runtime log2); shared IVF chain
+    "retrieval_ndcg" -> Similarity.retrievalNdcgSql,
     // greedy argmax over 2^20 fixed-point L2: the unrolled CTE rounds
     // replay the selection order bit-for-bit
     "sample_kcenter" -> Similarity.sampleKcenterSql,

@@ -524,10 +524,21 @@ object Dedup {
         else {
           var d = 0.0; var i = 0
           while (i < va.length) { d += va(i).toDouble * vb(i).toDouble; i += 1 }
-          val cos = java.math.BigDecimal.valueOf(d / (na * nb))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= threshold) Some((math.min(ida, idb), math.max(ida, idb), cos))
-          else None
+          val raw = d / (na * nb)
+          // Threshold pre-gate (r13, measured at the factor-1000
+          // audit): the HALF_UP BigDecimal round allocates per PAIR
+          // and dominated the 1.25e11-pair grid pass. round6(raw) >=
+          // threshold implies raw >= threshold − 5e-7, so raw <
+          // threshold − 1e-6 can NEVER survive the round — skip the
+          // allocation there (~all pairs). Survivors still take the
+          // exact HALF_UP path, so results are bit-identical.
+          if (raw < threshold - 1e-6) None
+          else {
+            val cos = java.math.BigDecimal.valueOf(raw)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) Some((math.min(ida, idb), math.max(ida, idb), cos))
+            else None
+          }
         }
       }
       if (diag) {

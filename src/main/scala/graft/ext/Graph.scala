@@ -757,4 +757,185 @@ object Graph {
        |GROUP BY e.a, e.b HAVING count(*) >= ${TrussK - 2}
        |ORDER BY a, b""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Degree distribution: the first diagnostic of any graph
+  // ----------------------------------------------------------------
+
+  /** Log₂-binned degree distribution of the co-occurrence graph —
+    * the heavy-tail diagnostic (power-law graphs show a straight
+    * log-log bin profile) that decides every downstream engine
+    * choice: whether joins need skew salting, whether a 2-hop
+    * neighborhood fits an executor, which peel bound k-core needs.
+    * Bucket = ⌊log₂ degree⌋ computed INTEGER-exactly as
+    * `length(bin(degree)) − 1` (both engines' `bin()` renders
+    * minimal binary), so no float log near a power-of-two boundary
+    * can flip a bucket.
+    *
+    * Scale shape: degrees are one map-side-combinable hash agg over
+    * the edge relation; the histogram is a second agg over
+    * node-scale rows into ≤ 64 buckets. Nothing beyond the edge
+    * artifact's own build ever shuffles wide.
+    */
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("deg_bucket",
+        (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy(col("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg"))
+      .orderBy("deg_bucket")
+
+  val graphDegreeDistSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 8 = 0),
+      |edges AS (
+      |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey != y.l_partkey),
+      |deg AS (
+      |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)
+      |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(min(deg) AS BIGINT) AS min_deg,
+      |  CAST(max(deg) AS BIGINT) AS max_deg,
+      |  CAST(sum(deg) AS BIGINT) AS sum_deg
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Friends-of-friends: exact 2-hop reach
+  // ----------------------------------------------------------------
+
+  /** Exact 2-hop reach per node: how many DISTINCT nodes sit at
+    * distance exactly two (reachable through a neighbor, not a
+    * neighbor, not self) — the recommendation-candidate count
+    * ("people you may know") and the expansion factor a 2-hop graph
+    * query planner needs before choosing between push and pull.
+    *
+    * Scale shape: one self equi-join of the edge relation builds the
+    * wedge endpoints (bounded by Σ deg² — the SAME relation
+    * `graph_triangles` closes, so the cost class is already
+    * priced in this family), a distinct at (node, w) grain, a
+    * left-anti join back to the edges removes 1-hop, and one hash
+    * agg counts. Skewed hubs ride AQE's skew-join split like the
+    * triangle query does.
+    */
+  def graphFoaf(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir) // (src, dst), both directions
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("n_1hop"))
+    val two = e.toDF("node", "mid")
+      .join(e.toDF("mid", "w"), "mid")
+      .filter(col("w") =!= col("node"))
+      .select("node", "w").distinct()
+      .join(e.toDF("node", "w"), Seq("node", "w"), "left_anti")
+      .groupBy(col("node")).agg(count(lit(1)).as("n_2hop"))
+    deg.join(two, Seq("node"), "left")
+      .select(col("node"), col("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+      .orderBy("node")
+  }
+
+  val graphFoafSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey % 8 = 0),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey != y.l_partkey),
+      |deg AS (SELECT src AS node, count(*) AS n_1hop FROM edges GROUP BY 1),
+      |two AS (
+      |  SELECT node, count(*) AS n_2hop FROM (
+      |    SELECT DISTINCT a.src AS node, b.dst AS w
+      |    FROM edges a JOIN edges b ON b.src = a.dst
+      |    WHERE b.dst != a.src) t
+      |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+      |                    WHERE e.src = t.node AND e.dst = t.w)
+      |  GROUP BY node)
+      |SELECT d.node, CAST(d.n_1hop AS BIGINT) AS n_1hop,
+      |  CAST(COALESCE(two.n_2hop, 0) AS BIGINT) AS n_2hop
+      |FROM deg d LEFT JOIN two USING (node)
+      |ORDER BY node""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Community detection: synchronous label propagation
+  // ----------------------------------------------------------------
+
+  /** Synchronous rounds for [[graphCommunity]] — fixed, not
+    * fixpoint-detected: sync LP can 2-cycle on bipartite structure,
+    * so the standard practice is a fixed small round budget; four
+    * rounds give stable communities on the gate graphs and the
+    * oracle unrolls exactly the same four. */
+  private val LpRounds = 4
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007, public formula) with the DETERMINISTIC
+    * tie rule (most-frequent neighbor label; ties → smallest label):
+    * after [[LpRounds]] sync rounds, report communities of size ≥ 2
+    * with their size and span. Differs from `graph_components`
+    * (min-label fixpoint = connectivity) by mode-voting: dense
+    * regions keep their own label against a bridge, so one connected
+    * component can split into several communities.
+    *
+    * Scale shape: per round, ONE equi-join of the edge relation with
+    * the node→label map (labels are longs — no payload), then a
+    * two-level map-side-combinable agg ((node,label) count → argmax
+    * via max(struct(cnt, −label))). Labels localCheckpoint per round
+    * (the kcore lineage discipline); rounds are a constant. The
+    * oracle unrolls the identical rounds as MATERIALIZED CTEs.
+    */
+  def graphCommunity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir) // both directions present
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to LpRounds) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+        .select(col("src").as("node"), (-col("top.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .filter(col("n_members") >= 2)
+      .orderBy("label")
+  }
+
+  val graphCommunitySql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT src AS node, label FROM (
+         |    SELECT e.src, l.label, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+         |    GROUP BY e.src, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey != y.l_partkey),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(node) AS BIGINT) AS min_node,
+       |  CAST(max(node) AS BIGINT) AS max_node
+       |FROM l$LpRounds
+       |GROUP BY label HAVING count(*) >= 2
+       |ORDER BY label""".stripMargin
+  }
 }

@@ -949,4 +949,69 @@ object PipelineOps {
        |  d.score // d.n_tokens >= thr.mean_ppm AS selected
        |FROM d JOIN documents doc USING (doc_id) CROSS JOIN thr
        |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Epoch ordering: the deterministic training shuffle
+  // ----------------------------------------------------------------
+
+  /** Epochs materialized by [[pipelineEpochOrder]]. */
+  private val Epochs = 3
+
+  /** Shards per epoch (data-parallel readers). */
+  private val OrderShards = 8
+
+  /** Deterministic per-epoch training shuffle: every document gets a
+    * hash ORDER KEY per epoch (`polyHash(doc_id:epoch)`), defining a
+    * reproducible pseudo-random read order that DIFFERS across
+    * epochs — the "seeded shuffle" every large-scale trainer needs
+    * so a restarted job resumes the same sequence (cf. the
+    * deterministic-data-order discipline in public LLM training
+    * stacks). The gate view audits the shuffle per (epoch, shard):
+    * count, the FIRST and LAST documents under the order (the
+    * permutation's endpoints — any drift in the hash or the shard
+    * map moves them), and the order-key sum.
+    *
+    * Scale shape: one pure-map pass per epoch (a 3-element explode),
+    * then ONE map-side-combinable hash agg into epoch × shard cells;
+    * the endpoint picks are min/max(struct(h, doc_id)) INSIDE the
+    * agg — no window, no sort at corpus scale. The actual
+    * train-time materialization would range-write by (epoch, shard,
+    * h) — the audit deliberately verifies the ORDER DEFINITION
+    * without paying that sort in the gate.
+    */
+  def pipelineEpochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = (0 until Epochs).map(lit(_))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(array(epochs: _*)).as("epoch"))
+      .withColumn("h", TextAnalysis.polyHashCol(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+      .withColumn("shard", col("h") % OrderShards)
+      .groupBy(col("epoch").cast("long").as("epoch"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(struct(col("h"), col("doc_id"))).getField("doc_id").as("first_doc"),
+        max(struct(col("h"), col("doc_id"))).getField("doc_id").as("last_doc"),
+        sum(col("h")).as("sum_h"))
+      .orderBy("epoch", "shard")
+  }
+
+  val pipelineEpochOrderSql: String = {
+    val h = TextAnalysis.polyHashSql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(e AS VARCHAR)")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, e AS epoch, $h AS h
+       |  FROM documents, generate_series(0, ${Epochs - 1}) s(e)),
+       |sharded AS (SELECT *, h % $OrderShards AS shard FROM keyed),
+       |ends AS (
+       |  SELECT epoch, shard,
+       |    first(doc_id ORDER BY h ASC, doc_id ASC) AS first_doc,
+       |    first(doc_id ORDER BY h DESC, doc_id DESC) AS last_doc,
+       |    count(*) AS n_docs, sum(h) AS sum_h
+       |  FROM sharded GROUP BY 1, 2)
+       |SELECT epoch, CAST(shard AS BIGINT) AS shard,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  first_doc, last_doc, CAST(sum_h AS BIGINT) AS sum_h
+       |FROM ends ORDER BY epoch, shard""".stripMargin
+  }
 }

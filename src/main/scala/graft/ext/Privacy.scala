@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -229,4 +229,89 @@ object Privacy {
        |FROM banded, total
        |GROUP BY band, total_docs
        |ORDER BY band""".stripMargin
+
+  // ----------------------------------------------------------------
+  // DP histogram: the release mechanism, not just the audit
+  // ----------------------------------------------------------------
+
+  /** Thresholds of the discrete-Laplace inverse CDF over a uniform
+    * draw in [0, 3·2¹⁸): P(|noise| = 0) = 1/3, P(noise = ±j) =
+    * (1/3)·2⁻ʲ — the canonical two-sided geometric with α = 1/2,
+    * i.e. ε = ln 2 per sensitivity-1 count (Ghosh, Roughgarden &
+    * Sundararajan 2009's universally-optimal mechanism, public).
+    * All widths are powers of two, so every probability is EXACT in
+    * integer arithmetic — no float CDF anywhere.
+    */
+  private val DpRange = 786432L // 3 * 2^18
+  private val DpZeroT = 262144L // 2^18: P(mag = 0) = 1/3
+  private def dpMagThresholds: Seq[(Int, Long)] =
+    (0, DpZeroT) +: (1 to 19).map(j => (j, DpRange - (1L << (19 - j))))
+
+  /** ε = ln 2 differentially-private histogram of orders by
+    * (priority, status) under DETERMINISTIC hash-seeded noise: the
+    * per-cell noise is drawn from the canonical discrete Laplace
+    * (α = 1/2) via inverse CDF over uniform bits derived from the
+    * repo's polynomial hash of the cell key — the "seeded DP
+    * release" shape reproducible-pipeline papers use, where a fixed
+    * seed makes the release replayable while the MECHANISM's
+    * distribution over seeds carries the privacy accounting. (A
+    * production release would rotate the seed per release and emit
+    * only `dp_n`; `n` and `noise` are surfaced here because the
+    * oracle gate exists to verify the sampler's exactness.)
+    *
+    * Scale shape: one map-side-combinable hash agg over orders to
+    * the 15-cell histogram; noise is computed per CELL (bounded), so
+    * the mechanism costs nothing at corpus scale. The inverse-CDF
+    * cascade and the hash are both INTEGER-exact and replayed
+    * bit-for-bit in DuckDB.
+    */
+  def privacyDpHist(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val h = TextAnalysis.polyHashCol(
+      concat(col("o_orderpriority"), lit("|"), col("o_orderstatus"),
+        lit("|dp1")))
+    val mag = dpMagThresholds.foldRight(lit(19L): Column) {
+      case ((j, t), acc) => when(col("u3") < t, j.toLong).otherwise(acc)
+    }
+    cells
+      .withColumn("h", h)
+      .withColumn("u3", col("h") % DpRange)
+      .withColumn("mag", mag)
+      .withColumn("noise",
+        when(col("mag") === 0L, 0L)
+          .otherwise(when(expr("(h div 2097152) % 2") === 0L, col("mag"))
+            .otherwise(-col("mag"))))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        col("noise"), greatest(col("n") + col("noise"), lit(0L)).as("dp_n"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val privacyDpHistSql: String = {
+    val casc = dpMagThresholds
+      .map { case (j, t) => s"WHEN u3 < $t THEN $j" }
+      .mkString(" ")
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+       |  FROM orders GROUP BY 1, 2),
+       |hashed AS (
+       |  SELECT o_orderpriority, o_orderstatus, n,
+       |    ${TextAnalysis.polyHashSql(
+            "o_orderpriority || '|' || o_orderstatus || '|dp1'")} AS h
+       |  FROM cells),
+       |noised AS (
+       |  SELECT o_orderpriority, o_orderstatus, n, h,
+       |    CASE $casc ELSE 19 END AS mag
+       |  FROM (SELECT *, h % $DpRange AS u3 FROM hashed))
+       |SELECT o_orderpriority, o_orderstatus, CAST(n AS BIGINT) AS n,
+       |  CAST(CASE WHEN mag = 0 THEN 0
+       |    WHEN (h // 2097152) % 2 = 0 THEN mag ELSE -mag END
+       |    AS BIGINT) AS noise,
+       |  CAST(greatest(n + CASE WHEN mag = 0 THEN 0
+       |    WHEN (h // 2097152) % 2 = 0 THEN mag ELSE -mag END, 0)
+       |    AS BIGINT) AS dp_n
+       |FROM noised
+       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+  }
 }

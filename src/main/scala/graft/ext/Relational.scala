@@ -2707,6 +2707,145 @@ object Relational {
   }
 
   // ----------------------------------------------------------------
+  // Inter-arrival distribution
+  // ----------------------------------------------------------------
+
+  /** Log₂-binned inter-arrival-time histogram per event type — the
+    * burstiness profile capacity planning and anomaly baselining
+    * read (Poisson traffic shows a geometric bin profile; heavy
+    * bins at both ends mean bursts + dead air). Gaps are per USER
+    * (the stream each user emits), binned by
+    * `length(bin(gap_seconds)) − 1` — the same integer log₂ as
+    * `graph_degree_dist`, zero-gap (same-second) events in bucket
+    * −1.
+    *
+    * Scale shape: one lag window per (user) stream — the sessionize
+    * exchange, reused convention — then ONE map-side-combinable agg
+    * into type × ~40 buckets. Nothing else shuffles.
+    */
+  def eventLagDist(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_ns", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(order))
+      .filter(col("prev_ns").isNotNull)
+      .withColumn("gap_s", expr("(ts_ns - prev_ns) div 1000000000"))
+      .withColumn("gap_bucket",
+        when(col("gap_s") === 0L, lit(-1L))
+          .otherwise((length(bin(col("gap_s"))) - 1).cast("long")))
+      .groupBy(col("event_type"), col("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        sum(col("gap_s")).as("sum_gap_s"))
+      .orderBy("event_type", "gap_bucket")
+  }
+
+  val eventLagDistSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER
+      |      (PARTITION BY user_id, event_type
+      |       ORDER BY epoch_ns(ts), event_id)) // 1000000000 AS gap_s
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, gap_s,
+      |    CASE WHEN gap_s = 0 THEN -1
+      |         ELSE length(bin(gap_s)) - 1 END AS gap_bucket
+      |  FROM g WHERE gap_s IS NOT NULL)
+      |SELECT event_type, CAST(gap_bucket AS BIGINT) AS gap_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+      |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+      |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
+  // IQR outlier fences
+  // ----------------------------------------------------------------
+
+  /** Tukey-fence outlier audit of lineitem prices per return flag
+    * (Tukey 1977's boxplot rule: fences at quartile ± 1.5·IQR,
+    * public convention), INTEGER-EXACT:
+    * quartiles are DISCRETE picks — the element at rank ⌈n/4⌉ /
+    * ⌈3n/4⌉ under the total (cents) order (SQL type-1 quantile), so
+    * no interpolation float enters; fences are
+    * `q1 − (3·iqr) div 2` / `q3 + (3·iqr) div 2` on BIGINT cents.
+    *
+    * Scale shape (the `agg_weighted_median` lesson, window-free at
+    * fact scale): the fact table meets ONE map-side-combinable hash
+    * agg to (flag, price) counts — PRICE-DOMAIN state, bounded by
+    * the cents domain, not the corpus; the cumulative walk and rank
+    * picks then run windows over domain-scale rows only, and the
+    * outlier tally is a second domain-scale pass against the
+    * broadcast fences. No fact-scale sort anywhere.
+    */
+  def dqIqr(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("pc"))
+      .groupBy(col("l_returnflag"), col("pc"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // two consumers: rank walk + outlier tally
+    val walk = Window.partitionBy("l_returnflag").orderBy("pc")
+    val all = Window.partitionBy("l_returnflag")
+    val cum = byPrice
+      .withColumn("cum", sum(col("c")).over(walk))
+      .withColumn("n", sum(col("c")).over(all))
+    val fences = cum
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("pc"))).as("q1_c"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("pc"))).as("q3_c"))
+      .withColumn("iqr_c", col("q3_c") - col("q1_c"))
+      .withColumn("lo_c", col("q1_c") - expr("(3 * iqr_c) div 2"))
+      .withColumn("hi_c", col("q3_c") + expr("(3 * iqr_c) div 2"))
+    byPrice.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("q1_c")).as("q1_c"), max(col("q3_c")).as("q3_c"),
+        max(col("iqr_c")).as("iqr_c"),
+        max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
+        sum(when(col("pc") < col("lo_c"), col("c")).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("pc") > col("hi_c"), col("c")).otherwise(0L)).as("n_out_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  val dqIqrSql: String =
+    """WITH bp AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, pc, c,
+      |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY pc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM bp),
+      |f AS (
+      |  SELECT l_returnflag, max(n) AS n,
+      |    min(CASE WHEN cum >= (n + 3) // 4 THEN pc END) AS q1_c,
+      |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN pc END) AS q3_c
+      |  FROM cum GROUP BY 1),
+      |ff AS (
+      |  SELECT *, q3_c - q1_c AS iqr_c,
+      |    q1_c - (3 * (q3_c - q1_c)) // 2 AS lo_c,
+      |    q3_c + (3 * (q3_c - q1_c)) // 2 AS hi_c
+      |  FROM f)
+      |SELECT b.l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(q1_c) AS BIGINT) AS q1_c, CAST(max(q3_c) AS BIGINT) AS q3_c,
+      |  CAST(max(iqr_c) AS BIGINT) AS iqr_c,
+      |  CAST(max(lo_c) AS BIGINT) AS lo_c, CAST(max(hi_c) AS BIGINT) AS hi_c,
+      |  CAST(sum(CASE WHEN pc < lo_c THEN c ELSE 0 END) AS BIGINT) AS n_out_lo,
+      |  CAST(sum(CASE WHEN pc > hi_c THEN c ELSE 0 END) AS BIGINT) AS n_out_hi
+      |FROM bp b JOIN ff USING (l_returnflag)
+      |GROUP BY b.l_returnflag
+      |ORDER BY b.l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------
   // Two-proportion A/B test
   // ----------------------------------------------------------------
 

@@ -897,14 +897,15 @@ object Similarity {
        |${assignBlock(IvfIters + 1, s"cent$IvfIters")}""".stripMargin
   }
 
-  /** Oracle: replays the ENTIRE IVF query — strided seeds, three
-    * unrolled Lloyd iterations over fixed-point coordinate sums,
-    * final list assignment, the probe ranking, and the cosine
-    * top-k — in DuckDB (training chain shared via [[ivfAssignCtes]]).
+  /** The IVF serving chain past the trained model — probe ranking,
+    * candidate join, cosine scoring, per-query ranking — shared by
+    * [[simIvfSql]] and [[retrievalNdcgSql]] (r13: factored so the
+    * NDCG oracle replays the IDENTICAL approximate relation it
+    * grades, not a re-derivation that could drift). Expects
+    * [[ivfAssignCtes]] in scope.
     */
-  val simIvfSql: String = {
-    s"""WITH $ivfAssignCtes,
-       |probes AS (
+  private val ivfTopkCtes: String =
+    s"""probes AS (
        |  SELECT vec_id AS q_id, c FROM (
        |    SELECT vec_id, c,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
@@ -931,9 +932,101 @@ object Similarity {
        |  SELECT q_id, c_id, cos_sim,
        |    row_number() OVER (PARTITION BY q_id
        |                       ORDER BY cos_sim DESC, c_id ASC) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** Oracle: replays the ENTIRE IVF query — strided seeds, three
+    * unrolled Lloyd iterations over fixed-point coordinate sums,
+    * final list assignment, the probe ranking, and the cosine
+    * top-k — in DuckDB (training chain shared via [[ivfAssignCtes]]).
+    */
+  val simIvfSql: String = {
+    s"""WITH $ivfAssignCtes,
+       |$ivfTopkCtes
        |SELECT q_id, rn, c_id, cos_sim FROM r WHERE rn <= $K
        |ORDER BY q_id, rn""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // NDCG: graded ranking quality of the approximate tier
+  // ----------------------------------------------------------------
+
+  /** Rank discounts for [[retrievalNdcg]]: D(i) = round(10⁶ / log₂(i+1))
+    * — PRECOMPUTED literals (Järvelin & Kekäläinen 2002's DCG
+    * discount, public formula), shared verbatim by both engines so
+    * no runtime float log can diverge. */
+  private[ext] val NdcgDiscountsMicro: IndexedSeq[Long] =
+    (1 to K).map(i => math.rint(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ideal DCG in micro units: exact top-[[K]] in exact order —
+    * relevance (K+1−i) at discount D(i). */
+  private[ext] val NdcgIdealMicro: Long =
+    (1 to K).map(i => (K + 1 - i).toLong * NdcgDiscountsMicro(i - 1)).sum
+
+  /** NDCG@k of the IVF tier against the exact cosine ranking — the
+    * GRADED companion of `sim_recall`'s binary hit rate: a candidate
+    * at exact rank r carries relevance K+1−r (so swapping ranks 1 and
+    * 10 costs, where recall@10 is blind to order). All arithmetic is
+    * INTEGER: the log₂ discounts are compile-time literal micros
+    * ([[NdcgDiscountsMicro]]), DCG is a Σ rel·D(i) of BIGINTs, and
+    * the final score is one ppm floor division — the gate replays
+    * every bit.
+    *
+    * Scale shape: both input relations are the registered ones —
+    * exact top-k (broadcast; queries × k rows) left-joined to the IVF
+    * top-k (bucketed serving path). The grade adds one
+    * broadcast join + a queries-cardinality agg on top of `sim_ivf`;
+    * nothing new touches corpus scale.
+    */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(spark, dir)
+      .select(col("q_id"), col("c_id"), (lit(K + 1L) - col("rn")).as("rel"))
+    val approx = simIvf(spark, dir).select(col("q_id"), col("rn"), col("c_id"))
+    val d = element_at(
+      array(NdcgDiscountsMicro.map(lit(_)): _*), col("rn").cast("int"))
+    approx
+      .join(broadcast(exact), Seq("q_id", "c_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("gain_micro", col("rel") * d)
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_ranked"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+        sum(col("gain_micro")).as("dcg_micro"))
+      .withColumn("idcg_micro", lit(NdcgIdealMicro))
+      .withColumn("ndcg_ppm", expr("dcg_micro * 1000000L div idcg_micro"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle: the exact arm is the [[simTopkSql]] all-pairs relation,
+    * the approximate arm is the SHARED [[ivfTopkCtes]] chain (the
+    * identical relation `sim_ivf` serves), and the grade is the same
+    * literal-discount integer algebra.
+    */
+  val retrievalNdcgSql: String = {
+    val discounts = NdcgDiscountsMicro.mkString("[", ", ", "]")
+    s"""WITH $ivfAssignCtes,
+       |$ivfTopkCtes,
+       |approx AS (
+       |  SELECT q_id, rn, c_id FROM r WHERE rn <= $K),
+       |ex AS (
+       |  SELECT q_id, c_id, ${K + 1} - rn AS rel FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |          i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |          / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+       |  WHERE rn <= $K),
+       |graded AS (
+       |  SELECT a.q_id, a.rn, COALESCE(x.rel, 0) AS rel
+       |  FROM approx a LEFT JOIN ex x USING (q_id, c_id))
+       |SELECT q_id, CAST(count(*) AS BIGINT) AS n_ranked,
+       |  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(rel * ($discounts)[rn]) AS BIGINT) AS dcg_micro,
+       |  CAST($NdcgIdealMicro AS BIGINT) AS idcg_micro,
+       |  CAST(sum(rel * ($discounts)[rn]) * 1000000 // $NdcgIdealMicro
+       |    AS BIGINT) AS ndcg_ppm
+       |FROM graded GROUP BY q_id ORDER BY q_id""".stripMargin
   }
 
   private val RecallProbesList = Seq(1, 2, 4)

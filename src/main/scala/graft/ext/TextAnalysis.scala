@@ -2579,4 +2579,124 @@ object TextAnalysis {
       |  CAST(206835 - (84600 * sum(s)) // sum(w)
       |    - (1015 * sum(w)) // count(*) AS BIGINT) AS fre_milli
       |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Type-token ratio: per-document lexical diversity
+  // ----------------------------------------------------------------
+
+  /** Per-document type-token ratio (Templin 1957's classic lexical-
+    * diversity measure) in exact ppm: distinct word forms over total
+    * tokens, plus the hapax count (forms occurring exactly once —
+    * the Zipf-tail share that drives vocabulary-growth curves).
+    * Complements the CORPUS-level `text_vocab`/`text_zipf` views
+    * with the per-document score a quality-filtering pipeline
+    * thresholds on (word-salad spam has TTR ≈ 1; template boilerplate
+    * has TTR ≈ 0).
+    *
+    * Scale shape: pure per-row map — tokenize, `array_distinct`,
+    * and a bounded `aggregate` fold per document, all inside
+    * whole-stage codegen; NO explode, NO shuffle (the doc-length
+    * bound makes per-row set ops cheaper than an exploded
+    * two-level agg, which would shuffle corpus × tokens rows).
+    * Tokenization is the repo convention: split on runs of spaces,
+    * drop empties — identical in DuckDB.
+    */
+  def textTtr(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_types"),
+        expr("""CAST(size(filter(array_distinct(ws),
+             w -> size(filter(ws, x -> x = w)) = 1)) AS BIGINT)""")
+          .as("n_hapax"))
+      .withColumn("ttr_ppm",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_types * 1000000L div n_tokens")))
+      .orderBy("doc_id")
+
+  val textTtrSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_tokens,
+      |    len(list_distinct(ws)) AS n_types,
+      |    len(list_filter(list_distinct(ws),
+      |        w -> len(list_filter(ws, x -> x = w)) = 1)) AS n_hapax
+      |  FROM base)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_hapax AS BIGINT) AS n_hapax,
+      |  CAST(CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE n_types * 1000000 // n_tokens END AS BIGINT) AS ttr_ppm
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Bigram predictability: corpus-LM conditional-probability score
+  // ----------------------------------------------------------------
+
+  /** Per-document mean bigram conditional probability under the
+    * corpus's own bigram model (the integer-exact core of an n-gram
+    * LM score, cf. the `text_lm_score` unigram view): for each
+    * in-document bigram (w₁,w₂), p = count(w₁w₂)·10⁶ ÷ count(w₁·),
+    * floor-divided per bigram and averaged per document. High values
+    * mean the document's word transitions are corpus-typical
+    * (templated/duplicated prose); low values mean novel transitions
+    * — the signal data-selection pipelines use beside perplexity,
+    * here with NO float log so the gate replays bit-exact.
+    *
+    * Scale shape: bigrams form map-side from a per-row
+    * `zip_with(ws, slice(ws, 2, n))` — no self-join, no window, the
+    * order rides inside the token array. Two corpus hash aggs build
+    * the model (bigram counts, prefix counts — vocabulary-scale
+    * state, map-side combined); two equi-joins score the exploded
+    * bigrams back; one final per-doc agg. Everything shuffles at
+    * token/vocab scale with partial aggregation — the canonical
+    * postings-join shape every text op here uses.
+    */
+  def textPredictability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+      // a <2-token doc has no bigram; the slice(…, size-1) below
+      // would error on size 0 rather than emit empty
+      .filter(size(col("ws")) >= 2)
+    val bi = d
+      .select(col("doc_id"), explode(
+        expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val pfCnt = bgCnt.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+    bi
+      .join(bgCnt, Seq("w1", "w2"))
+      .join(pfCnt, Seq("w1"))
+      .withColumn("p_ppm", expr("bc * 1000000L div pc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("pred_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val textPredictabilitySql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, ' +'), x -> x != '') AS ws
+      |  FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, ' +'),
+      |                        x -> x != '')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+      |    unnest(ws[2:len(ws)]) AS w2
+      |  FROM base),
+      |bg AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+      |pf AS (SELECT w1, sum(bc) AS pc FROM bg GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(bc * 1000000 // pc) // count(*) AS BIGINT) AS pred_ppm
+      |FROM bi JOIN bg USING (w1, w2) JOIN pf USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

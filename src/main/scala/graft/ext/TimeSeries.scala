@@ -1160,4 +1160,145 @@ object TimeSeries {
       |    // (n_days * (sum(cents) OVER (PARTITION BY event_type)))
       |    AS BIGINT) AS index_milli
       |FROM dw ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
+  // RSI: bounded-momentum oscillator over daily revenue
+  // ----------------------------------------------------------------
+
+  /** Lookback window (observed days) for [[tsRsi]] — Wilder's
+    * canonical 14. */
+  private val RsiDays = 14
+
+  /** Cutler's RSI (the SMA variant of Wilder 1978's relative strength
+    * index — public formula; Cutler's is chosen over Wilder's
+    * recursive smoothing because the SMA form is integer-exact and
+    * windowed, where the 1/14-weighted recursion is float-only) per
+    * event-type series over daily revenue cents:
+    * {{{ gain_t = max(0, Δ_t), loss_t = max(0, −Δ_t)
+    *     RSI_t  = 10⁶ · Σ₁₄gain ÷ (Σ₁₄gain + Σ₁₄loss)   (ppm) }}}
+    * Deltas are vs the previous OBSERVED day (gaps documented:
+    * `ts_gapfill` is the resample primitive for calendar-strict
+    * feeds). The all-flat window (Σgain+Σloss = 0) pins RSI to the
+    * neutral 500000 rather than dividing by zero.
+    *
+    * Scale shape: ONE map-side-combinable hash agg touches fact-scale
+    * rows; the lag and the two rolling sums ride a single
+    * day-grain exchange per event type (calendar-bounded relation).
+    * Integer rails throughout — BIGINT cents, ppm floor division —
+    * so DuckDB replays bit-exact.
+    */
+  def tsRsi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    val byDay = Window.partitionBy("event_type").orderBy("day_idx")
+    val roll = byDay.rowsBetween(-(RsiDays - 1), 0)
+    daily
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(byDay))
+      .withColumn("gain", greatest(col("delta"), lit(0L)))
+      .withColumn("loss", greatest(-col("delta"), lit(0L)))
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("gain14", sum(col("gain")).over(roll))
+      .withColumn("loss14", sum(col("loss")).over(roll))
+      // rows 1..RsiDays lack a full lookback (row 1 has no delta at
+      // all) — emit only fully-windowed rows, the convention every
+      // charting stack uses
+      .filter(col("rn") > RsiDays)
+      .select(col("event_type"), col("day_idx"), col("cents"),
+        col("gain14"), col("loss14"),
+        when(col("gain14") + col("loss14") === 0L, lit(500000L))
+          .otherwise(expr("gain14 * 1000000L div (gain14 + loss14)"))
+          .as("rsi_ppm"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val tsRsiSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |d AS (
+       |  SELECT event_type, day_idx, cents,
+       |    cents - lag(cents) OVER w AS delta,
+       |    row_number() OVER w AS rn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+       |g AS (
+       |  SELECT event_type, day_idx, cents, rn,
+       |    sum(greatest(delta, 0)) OVER r AS gain14,
+       |    sum(greatest(-delta, 0)) OVER r AS loss14
+       |  FROM d
+       |  WINDOW r AS (PARTITION BY event_type ORDER BY day_idx
+       |    ROWS BETWEEN ${RsiDays - 1} PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day_idx, cents,
+       |  CAST(gain14 AS BIGINT) AS gain14, CAST(loss14 AS BIGINT) AS loss14,
+       |  CAST(CASE WHEN gain14 + loss14 = 0 THEN 500000
+       |    ELSE gain14 * 1000000 // (gain14 + loss14) END AS BIGINT) AS rsi_ppm
+       |FROM g WHERE rn > $RsiDays
+       |ORDER BY event_type, day_idx""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Interval gaps: the complement of interval_merge
+  // ----------------------------------------------------------------
+
+  /** Idle-gap analysis per user: the silent spans BETWEEN a user's
+    * daily activity intervals (the complement of `interval_merge`'s
+    * coverage view — capacity planning asks "how busy", retention
+    * asks "how long silent"). One row per user with ≥ 2 active days:
+    * gap count, total/max idle nanoseconds between consecutive
+    * day-intervals, and the longest-gap start day.
+    *
+    * Scale shape: one map-side hash agg to day-interval grain, one
+    * lag window per user over bounded calendar rows, one final agg.
+    * Ties: the longest-gap pick is pinned via max(struct(gap, -day))
+    * — equal gaps choose the EARLIEST end day; the oracle replays it
+    * as a row_number pick over (gap DESC, day ASC). Both are total
+    * orders over the same keys, so the result is identical.
+    */
+  def intervalGaps(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg(min(col("ts_ns")).as("s"), (max(col("ts_ns")) + 1).as("e"))
+    val byDay = Window.partitionBy("user_id").orderBy("day_idx")
+    iv
+      .withColumn("prev_e", lag(col("e"), 1).over(byDay))
+      .filter(col("prev_e").isNotNull)
+      .withColumn("gap_ns", col("s") - col("prev_e"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_ns")).as("idle_ns"),
+        max(col("gap_ns")).as("max_gap_ns"),
+        (-max(struct(col("gap_ns"), (-col("day_idx")).as("nd")))
+          .getField("nd")).as("max_gap_end_day"))
+      .orderBy("user_id")
+  }
+
+  val intervalGapsSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day_idx,
+      |    min(epoch_ns(ts)) AS s, max(epoch_ns(ts)) + 1 AS e
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id, day_idx, s - lag(e) OVER w AS gap_ns
+      |  FROM iv
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)),
+      |gg AS (SELECT * FROM g WHERE gap_ns IS NOT NULL),
+      |pick AS (
+      |  SELECT user_id, day_idx AS max_gap_end_day FROM (
+      |    SELECT user_id, day_idx,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY gap_ns DESC, day_idx ASC) AS rn
+      |    FROM gg) WHERE rn = 1)
+      |SELECT a.user_id, a.n_gaps, a.idle_ns, a.max_gap_ns,
+      |  p.max_gap_end_day
+      |FROM (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(gap_ns) AS BIGINT) AS idle_ns,
+      |    CAST(max(gap_ns) AS BIGINT) AS max_gap_ns
+      |  FROM gg GROUP BY user_id) a
+      |JOIN pick p USING (user_id)
+      |ORDER BY user_id""".stripMargin
 }
