@@ -278,6 +278,84 @@ def knn_recompute_check(sf1_dir, sf1_verify):
     return "recomputed_fail", f"numpy brute-force kNN: {note}"
 
 
+def ivf_recompute_check(sf1_dir, sf1_verify):
+    """Independent numpy replay of the ENTIRE sim_ivf pipeline —
+    strided seeds, 3 fixed-point Lloyd iterations, final assignment,
+    4-probe candidate join, rounded-cosine top-10.
+
+    Exists for the factor-1000 audit (r13): the direct DuckDB replay
+    of the Lloyd-unrolled CTE chain spilled past the box's 79 GB free
+    disk at 500k vectors ("No space left on device"), so the direct
+    route is honestly infeasible there; this recompute is the same
+    class of oracle as knn_recompute_check (BLAS + exact integer
+    sums). The per-cluster sums are int64 fixed-point (floor(x*2^20))
+    — order-independent, so they match Spark bit-for-bit; distance
+    argmins use BLAS with a near-tie exact-sequential recheck so a
+    pairwise-summation ulp can never silently flip an assignment.
+    """
+    emb = pd.read_parquet(f"{sf1_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n = len(ids)
+    k = int(min(65536, max(8, (n + 999) // 1000)))
+    stride = max(1, n // k)
+    seed_rows = np.where(ids % stride == 0)[0][:k]
+    cents = M[seed_rows].copy()
+    q20 = np.floor(M * 1048576.0).astype(np.int64)
+
+    def seq_dist(v, c):  # Spark's exact left-to-right accumulation
+        d = 0.0
+        for i in range(len(v)):
+            diff = v[i] - c[i]
+            d += diff * diff
+        return d
+
+    def assign(cs):
+        # d^2 = |v|^2 - 2 v.c + |c|^2 (BLAS); near-ties recheck exact
+        d2 = (np.sum(M * M, axis=1)[:, None] - 2.0 * (M @ cs.T)
+              + np.sum(cs * cs, axis=1)[None, :])
+        order = np.argsort(d2, axis=1, kind="stable")
+        best, second = order[:, 0], order[:, 1]
+        bd = d2[np.arange(n), best]
+        sd = d2[np.arange(n), second]
+        out = best.copy()
+        for i in np.where(sd - bd <= 1e-9 * np.maximum(1.0, np.abs(bd)))[0]:
+            ds = [(seq_dist(M[i], cs[c]), c) for c in range(len(cs))]
+            out[i] = min(ds)[1]
+        return out
+
+    for _ in range(3):
+        a = assign(cents)
+        counts = np.bincount(a, minlength=k)
+        sums = np.zeros((k, M.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, q20)
+        nz = counts > 0
+        cents[nz] = sums[nz] / (1048576.0 * counts[nz, None])
+    a = assign(cents)
+
+    # probes: 4 nearest lists per query, ties (d asc, c asc)
+    qrows = np.where(ids < 5)[0]
+    nrm = np.linalg.norm(M, axis=1)
+    rows = []
+    for qi in qrows:
+        d2 = np.array([seq_dist(M[qi], cents[c]) for c in range(k)])
+        probe = sorted(range(k), key=lambda c: (d2[c], c))[:4]
+        cand = np.where(np.isin(a, probe))[0]
+        cand = cand[ids[cand] != ids[qi]]
+        cos = np.round((M[cand] @ M[qi]) / (nrm[cand] * nrm[qi]), 6)
+        ranked = sorted(zip(-cos, ids[cand]))[:10]
+        for rn, (negc, cid) in enumerate(ranked, start=1):
+            rows.append((int(ids[qi]), rn, int(cid), float(-negc)))
+    exp = pd.DataFrame(rows, columns=["q_id", "rn", "c_id", "cos_sim"])
+    act = pd.read_parquet(f"{sf1_verify}/sim_ivf")
+    verdict, note = compare_frames(exp, act, ["q_id", "rn"], len(exp))
+    if verdict == "replica_pass":
+        return "recomputed_pass", (
+            f"numpy IVF replay (k={k}, fixed-point Lloyd): {len(exp)} rows match")
+    return "recomputed_fail", f"numpy IVF replay: {note}"
+
+
 def sorted_nbhd_recompute_check(sf1_dir, sf1_verify):
     """Independent pandas/python replay of the sorted-neighborhood
     join: normalized 64-char key, 8-char block, rank window w=5,
@@ -627,6 +705,10 @@ def main():
         "dedup_sorted_nbhd": sorted_nbhd_recompute_check,
         "dedup_incremental": incremental_recompute_check,
     }
+    if FACTOR >= 1000:
+        # the Lloyd-unrolled DuckDB chain spills past the box's free
+        # disk at 500k vectors (r13, measured) — recompute instead
+        recompute_fns["sim_ivf"] = ivf_recompute_check
 
     for name in selected(feasible):
         if name in recompute_fns:
