@@ -90,6 +90,17 @@ def selftest():
     m = json.load(open(fp))
     assert m["degraded"] is True and m["calib_s"] == 0.9, (
         m["degraded"], m["calib_s"])
+    # the mirror (ADVICE r13): a probe-less PRIOR (calib_s -1, vacuous
+    # degraded=false) merged with a degraded add — the only real probe
+    # was degraded, so the merged flag must be degraded=True and the
+    # calib must be the add's, not laundered through the prior.
+    json.dump(dict(base, degraded=False, calib_s=-1), open(fp, "w"))
+    json.dump(dict(add, degraded=True, calib_s=0.9), open(ap, "w"))
+    sys.argv = ["bench_merge.py", fp, ap]
+    main()
+    m = json.load(open(fp))
+    assert m["degraded"] is True and m["calib_s"] == 0.9, (
+        m["degraded"], m["calib_s"])
     print("bench_merge selftest OK")
 
 
@@ -153,16 +164,23 @@ def main():
     # window any value came from, and it is degraded only if EVERY
     # source was. The old behavior kept the last add's fields, which
     # made a best-known-state artifact read as a degraded run.
-    calibs = [c for c in (full.get("calib_s"), add.get("calib_s"))
+    # capture the prior's calib BEFORE the min() overwrite: the flags
+    # gate below must see each source's ORIGINAL probe state, or a
+    # probe-less prior (calib_s=-1, vacuous degraded=false) inherits the
+    # add's calib and its stale degraded=false masks a degraded add
+    # (ADVICE r13 — the mirror of the probe-less-add case).
+    prior_calib = full.get("calib_s")
+    calibs = [c for c in (prior_calib, add.get("calib_s"))
               if isinstance(c, (int, float)) and c > 0]  # -1 = probe not run
     if calibs:
         full["calib_s"] = min(calibs)
     # degraded = AND over sources whose probe actually ran: a filtered
     # (SPARK_GRAFT_ONLY) add skips the probe and writes degraded=false
-    # vacuously — it must not launder the flag off a degraded prior.
+    # vacuously — it must not launder the flag off a degraded prior,
+    # nor may a probe-less prior launder a degraded add.
     flags = [bool(d.get("degraded", False))
-             for d in (full, add)
-             if isinstance(d.get("calib_s"), (int, float)) and d["calib_s"] > 0]
+             for d, c in ((full, prior_calib), (add, add.get("calib_s")))
+             if isinstance(c, (int, float)) and c > 0]
     full["degraded"] = all(flags) if flags else False
     full["merged_from"] = full.get("merged_from", []) + [
         {"path": add_path, "calib_s": add.get("calib_s"),

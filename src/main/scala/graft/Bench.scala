@@ -234,6 +234,42 @@ object Bench {
     val degraded = calibS > CalibRefSec * DegradedFactor
     System.err.println(
       f"[bench] calib_s=$calibS%.2f ref=$CalibRefSec (degraded=$degraded)")
+
+    // Fixed-order kernel warm-up prelude (round 14, VERDICT r13 ask
+    // #7 — retiring the retrieval_rrf cold-swing CLASS structurally):
+    // the r13 diagnosis showed a fused query's round-head cold
+    // inherits the JIT compilation of whichever shared heavy kernels
+    // no earlier query has exercised yet, so registry growth reorders
+    // who pays — rrf swung 1.3–3.7 s cold across rounds with code and
+    // plan unchanged. The fix: exercise the two shared kernel SHAPES
+    // here, in a FIXED order, on tiny synthetic data (512 rows — JIT
+    // the codegen paths without touching the corpus or page cache),
+    // so the compilation cost lands in this untimed prelude for every
+    // run, not on a registry-order-dependent victim. Skipped in
+    // SPARK_GRAFT_ONLY mode, which exists to observe true cold paths.
+    if (only.isEmpty) {
+      val tw = System.nanoTime()
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{broadcast, col, desc, round => sround}
+      // kernel 1: the word-explode + hash-agg chain (BM25 family)
+      (0 until 512).map(i => (i.toLong, s"warm token$i stream ${i % 7} kernel"))
+        .toDF("doc_id", "text")
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+        .groupBy("w").count().orderBy(desc("count"), col("w")).limit(16)
+        .collect()
+      // kernel 2: the 64-dim native cosine + TakeOrderedAndProject
+      val vecs = (0 until 512).map(i =>
+        (i.toLong, Array.tabulate(64)(j => ((i * 31 + j) % 97) / 97.0f)))
+        .toDF("vec_id", "embedding")
+      val probe = vecs.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qe"))
+      vecs.filter(col("vec_id") =!= 0L).crossJoin(broadcast(probe))
+        .withColumn("cs", sround(
+          graft.functions.NativeFunctions.cosineSim(col("qe"), col("embedding")), 6))
+        .orderBy(col("cs").desc, col("vec_id").asc).limit(16).collect()
+      System.err.println(
+        f"[bench] kernel warm-up prelude ${(System.nanoTime() - tw) / 1e9}%.2f s")
+    }
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
 

@@ -470,10 +470,22 @@ object Dedup {
     * banding cannot win; see the tier rule there).
     */
   private[graft] def dedupEmbeddingGridAt(
-      spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+      spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    dedupEmbeddingGridOn(
+      graft.sources.Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      threshold)
+
+  /** The grid kernel over an arbitrary `(vec_id, embedding)` relation
+    * — split from the dir-reading wrapper (round 14) so the planted-
+    * pair derived corpus ([[plantedHiTwins]]) can flow through the
+    * same physical kernel the gate query uses.
+    */
+  private[graft] def dedupEmbeddingGridOn(
+      embIn: DataFrame, threshold: Double): DataFrame = {
+    val spark = embIn.sparkSession
     import spark.implicits._
-    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     // Grid geometry from one metadata-scale aggregate.
     val n = emb.agg(count(lit(1))).head().getLong(0)
     if (n == 0) return emb
@@ -555,12 +567,14 @@ object Dedup {
   /** All-pairs cosine relation at `threshold` — the shared oracle
     * template for the exact grid and both ANN compositions.
     */
-  private def embeddingPairsSql(threshold: Double): String =
-    s"""WITH e AS (
+  private def embeddingPairsSql(
+      threshold: Double, prelude: String = "", src: String = "embeddings")
+      : String =
+    s"""WITH $prelude e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
        |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
-       |  FROM embeddings)
+       |  FROM $src)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(list_sum(list_transform(generate_series(1, len(a.embedding)),
        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
@@ -572,7 +586,46 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   val dedupEmbeddingSql: String = embeddingPairsSql(CosineThreshold)
-  val dedupEmbeddingAnnHiSql: String = embeddingPairsSql(CosineThresholdHi)
+
+  /** Planted-twin hosts: the [[PlantedHiHosts]] smallest vec_ids.
+    * (Declared BEFORE [[dedupEmbeddingAnnHiSql]] — a forward val
+    * reference in the object initializer would interpolate 0.)
+    */
+  private[graft] val PlantedHiHosts = 4
+
+  /** Oracle for `dedup_embedding_ann_hi` (round 14): all-pairs cosine
+    * at 0.8 over the SAME corpus ∪ planted-twin relation the query
+    * runs on ([[plantedHiTwins]]) — `sq` entries are exact doubles
+    * (float² fits a 53-bit mantissa), so `list_position(sq,
+    * list_min(sq))` is the same first-min-index pin as the Scala
+    * strict-`<` loop, and the twin floats are bit-identical copies or
+    * sign flips in both engines.
+    */
+  val dedupEmbeddingAnnHiSql: String = embeddingPairsSql(
+    CosineThresholdHi,
+    prelude =
+      s"""raw AS (SELECT vec_id, embedding FROM embeddings),
+         |hosts AS (
+         |  SELECT vec_id, embedding FROM raw
+         |  ORDER BY vec_id LIMIT $PlantedHiHosts),
+         |twins AS (
+         |  SELECT h.vec_id + (SELECT MAX(vec_id) + 1 FROM raw) AS vec_id,
+         |    list_transform(generate_series(1, len(h.embedding)),
+         |      i -> CASE WHEN i = h.jmin THEN -h.embedding[i]
+         |                ELSE h.embedding[i] END) AS embedding
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |      list_position(sq, list_min(sq)) AS jmin
+         |    FROM (
+         |      SELECT vec_id, embedding,
+         |        list_transform(generate_series(1, len(embedding)),
+         |          k -> CAST(embedding[k] AS DOUBLE) * embedding[k]) AS sq
+         |      FROM hosts) h0) h),
+         |derived AS (
+         |  SELECT vec_id, embedding FROM raw
+         |  UNION ALL SELECT vec_id, embedding FROM twins),
+         |""".stripMargin,
+    src = "derived")
 
   /** Band count from the banded-LSH recall envelope, CO-SCALED with
     * the per-band plane width (ADVICE r3: a fixed band count silently
@@ -786,10 +839,63 @@ object Dedup {
     * banding loses on CPU outright).
     */
   def dedupEmbeddingAnnHi(spark: SparkSession, dir: String): DataFrame = {
-    val n = graft.sources.Tables.table(spark, dir, "embeddings").count()
+    val base = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val derived = base.unionByName(plantedHiTwins(base))
+    val n = derived.count()
     val width = annWidthFor(n)
-    dedupEmbeddingAnnAt(spark, dir, CosineThresholdHi, width,
+    dedupEmbeddingAnnOn(derived, CosineThresholdHi, width,
       annBandsFor(CosineThresholdHi, width, 1e-2))
+  }
+
+  /** Deterministic ≥ 0.9-cosine planted twins (round 14, VERDICT r13
+    * ask #1): the gate corpora carry no natural cos ≥ 0.8 pair, so
+    * `dedup_embedding_ann_hi`'s green was vacuous IN the gate (its
+    * non-vacuous evidence lived only in `tools/AnnHiPlanted`). The
+    * gate relation is now corpus ∪ K planted twins, constructed
+    * identically by the registered DuckDB oracle, so the query's green
+    * proves the banding finds real above-threshold pairs.
+    *
+    * Twin construction — sign-flip of the single minimum-|v_i|
+    * coordinate (first index on exact-square ties):
+    *
+    *   cos(v, twin) = (Σv² − 2·v_j²) / Σv²  ≥  1 − 2/dim  = 0.96875
+    *
+    * because min_i v_i² ≤ Σv²/dim. Chosen over the `AnnHiPlanted`
+    * rotation deliberately: every twin coordinate is a COPY or a sign
+    * flip — exact in any IEEE system — and v_i² from a float is exact
+    * in a double (24-bit×24-bit fits 53), so the Spark relation and
+    * the DuckDB oracle's `list_position(sq, list_min(sq))` pick
+    * bit-identical twins with ZERO float-arithmetic parity risk
+    * (the rotation would hinge on cross-engine summation-order and
+    * cast agreement for every coordinate). The pair is still a real
+    * near-dup, not an exact duplicate: the flipped coordinate makes
+    * any hyperplane whose decision hinges on dim j disagree, so the
+    * banding's per-plane agreement is exercised, not bypassed.
+    *
+    * Twin ids sit at host + stride (stride = max id + 1, a 1-row
+    * aggregate — statistics, not data); the K host rows come to the
+    * driver (model-scale, K = 4). At 100 TB the planted relation is
+    * still K rows — the construction is scale-free.
+    */
+  private[graft] def plantedHiTwins(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val hosts = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(PlantedHiHosts)
+      .as[(Long, Array[Float])].collect()
+    val twins = hosts.map { case (id, v) =>
+      var j = 0; var best = Double.MaxValue; var i = 0
+      while (i < v.length) {
+        val sq = v(i).toDouble * v(i) // exact: 24-bit × 24-bit ≤ 53
+        if (sq < best) { best = sq; j = i }
+        i += 1
+      }
+      val t = v.clone(); t(j) = -t(j)
+      (id + stride, t)
+    }
+    spark.createDataset(twins.toSeq).toDF("vec_id", "embedding")
   }
 
   /** Per-candidate cost of the join/verify formulation relative to
@@ -891,7 +997,22 @@ object Dedup {
 
   private[graft] def dedupEmbeddingAnnAt(
       spark: SparkSession, dir: String,
+      threshold: Double, width: Int, bands: Int): DataFrame =
+    dedupEmbeddingAnnOn(
+      graft.sources.Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+      threshold, width, bands)
+
+  /** The tiered ANN over an arbitrary `(vec_id, embedding)` relation
+    * (round 14: the hi-threshold gate query now runs over the
+    * corpus ∪ planted-twin derived relation, so the tier machinery is
+    * parameterized by DataFrame; the dir wrapper above keeps the
+    * audit tools' entry points unchanged).
+    */
+  private[graft] def dedupEmbeddingAnnOn(
+      embIn: DataFrame,
       threshold: Double, width: Int, bands: Int): DataFrame = {
+    val spark = embIn.sparkSession
     // TIER SELECTION (round-8 scale-up audit finding): for a RANDOM
     // pair, per-plane agreement is exactly ½ (signed hyperplanes over
     // centered data), so the banding emits ≈ n²/2 · B · 2⁻ʷ candidate
@@ -914,9 +1035,8 @@ object Dedup {
     // hi-threshold production regime (per-plane 0.795, w=12, B=70:
     // B·2⁻ʷ·C_join ≈ 0.09) keeps the banded arm.
     if (bands * math.pow(0.5, width) * JoinRowCostVsKernel >= 1.0)
-      return dedupEmbeddingGridAt(spark, dir, threshold)
-    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+      return dedupEmbeddingGridOn(embIn, threshold)
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     // MEASURED tier selection (round-9 factor-100 audit finding): the
     // closed-form test above prices the RANDOM-pair background, i.e.
     // ~uniform bucket occupancy — but real embedding corpora are
@@ -958,16 +1078,16 @@ object Dedup {
         annTierFor(mass, nVec, usableScratchBytes(spark))
       }
     tier match {
-      case AnnGrid => dedupEmbeddingGridAt(spark, dir, threshold)
+      case AnnGrid => dedupEmbeddingGridOn(emb, threshold)
       case AnnStream =>
-        verifyCosinePairs(emb, rawBandCandidates(spark, dir, width, bands),
+        verifyCosinePairs(emb, rawBandCandidates(emb, width, bands),
           threshold, broadcastEmb = true, dedupeVerified = true)
       case AnnStaged(groups) =>
         verifyCosinePairs(emb,
           stagedBandCandidates(emb, width, bands, groups), threshold)
       case AnnBanded =>
         verifyCosinePairs(emb,
-          rawBandCandidates(spark, dir, width, bands).distinct(), threshold)
+          rawBandCandidates(emb, width, bands).distinct(), threshold)
     }
   }
 
@@ -978,8 +1098,9 @@ object Dedup {
     * (stream)).
     */
   private def rawBandCandidates(
-      spark: SparkSession, dir: String, width: Int, bands: Int): DataFrame = {
-    val banded = annBands(spark, dir, width, bands)
+      emb: DataFrame, width: Int, bands: Int): DataFrame = {
+    val banded = bandSignatures(
+      emb.select(col("vec_id"), col("embedding")), width, bands)
     banded
       .select(col("vec_id").as("vec_a"), col("band"), col("sig"))
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("sig")),

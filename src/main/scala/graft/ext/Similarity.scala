@@ -344,7 +344,13 @@ object Similarity {
     * signature rather than truncating.
     */
   private[ext] def corpusDim(emb: DataFrame): Int =
-    emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    emb.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "corpusDim: embeddings corpus is empty — cannot derive the LSH " +
+          "plane dimension from a zero-row relation (ADVICE r13: fail " +
+          "with the condition named instead of a bare NoSuchElement)"))
 
   /** Signature width as a function of corpus size: enough hyperplanes
     * that the expected bucket occupancy is ~[[TargetPerBucket]]

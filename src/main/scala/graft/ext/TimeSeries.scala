@@ -801,9 +801,10 @@ object TimeSeries {
     * running-sums +1/−1: `peak = max running`, and `n_overlap_pairs
     * = Σ over starts (running − 1)` — each overlapping pair counted
     * exactly once, at the later start (tie pinned by user id).
-    * Closed-interval semantics: the +1ns exclusive end keeps
-    * touching spans counted as overlapping and zero-length spans
-    * non-empty.
+    * Half-open semantics (r13): the end is exclusive (+1ns past the
+    * last event) and at equal t the sweep orders ends BEFORE starts,
+    * so adjacent spans share zero nanoseconds and do NOT count as
+    * overlapping; zero-length spans stay non-empty ([t, t+1ns)).
     *
     * Scale shape: the fact table meets ONE hash agg (interval
     * build); the sweep window runs over INTERVAL endpoints (2 rows

@@ -44,7 +44,15 @@ object AnnCrossCheck {
         val hi = Dedup.dedupEmbeddingAnnHi(spark, dir)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         val tHi = (System.nanoTime() - t2) / 1e9
-        val exactHi = exact.filter(_._3 >= 0.8)
+        // the hi gate query runs over corpus ∪ planted twins (r14),
+        // so its exact reference is the grid kernel over the SAME
+        // derived relation at 0.8
+        val base = graft.sources.Tables.table(spark, dir, "embeddings")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding"))
+        val exactHi = Dedup
+          .dedupEmbeddingGridOn(base.unionByName(Dedup.plantedHiTwins(base)), 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         val missedHi = exactHi -- hi
         val extraHi = hi -- exactHi
         println(f"$dir: pairs=${exact.size} ann=${ann.size} " +

@@ -273,7 +273,11 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
     val hi = Dedup.dedupEmbeddingAnnHi(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+    // the gate query runs over corpus ∪ planted twins (round 14) —
+    // brute-force the SAME derived relation
+    val base = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val e = base.unionByName(Dedup.plantedHiTwins(base))
     val brute = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
       .filter(col("a") < col("b"))
@@ -282,8 +286,58 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .filter(!isnan(col("cs")) && col("cs") >= 0.8)
       .select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(brute.size == 15, "5 families x C(3,2) in-family pairs")
+    val inFamily = brute.filter { case (a, b) => a < 700L && b < 700L }
+    assert(inFamily.size == 15, "5 families x C(3,2) in-family pairs")
+    // ids 0..3 are clone-family members, so their planted twins at
+    // id + 700 must be recovered alongside the natural pairs
+    assert((0L until 4L).forall(id => brute.contains((id, id + 700L))))
     assert(hi == brute)
+  }
+
+  test("plantedHiTwins: exact sign-flip twins with guaranteed cosine floor") {
+    import spark.implicits._
+    val base = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val hosts = base.orderBy("vec_id").limit(Dedup.PlantedHiHosts)
+      .as[(Long, Array[Float])].collect().toMap
+    val stride = base.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head().getLong(0) + 1L
+    val twins = Dedup.plantedHiTwins(base)
+      .as[(Long, Array[Float])].collect()
+    assert(twins.length == Dedup.PlantedHiHosts)
+    for ((tid, t) <- twins) {
+      val v = hosts(tid - stride)
+      // exactly ONE coordinate differs, and it is the sign flip of
+      // the minimum-square coordinate (first index on ties)
+      val diff = v.indices.filter(i => v(i) != t(i) ||
+        (v(i) == 0f && java.lang.Float.floatToRawIntBits(v(i)) !=
+          java.lang.Float.floatToRawIntBits(t(i))))
+      val sq = v.map(x => x.toDouble * x)
+      val jmin = sq.indices.minBy(i => (sq(i), i))
+      assert(diff == Seq(jmin) && t(jmin) == -v(jmin))
+      // cosine floor: (s - 2 v_j^2) / s >= 1 - 2/dim
+      var dot = 0.0; var s = 0.0
+      for (i <- v.indices) { dot += v(i).toDouble * t(i); s += sq(i) }
+      val cos = dot / s
+      assert(cos >= 1.0 - 2.0 / v.length && cos >= 0.9,
+        s"planted cosine $cos under the 1-2/dim floor")
+    }
+  }
+
+  test("dedup_embedding_ann_hi is non-vacuous in the gate (planted pairs found)") {
+    // VERDICT r13 ask #1: the registry's last zero-row entry — the
+    // gate relation now carries K deterministic >=0.9-cosine pairs
+    // and the gate query must emit every one of them
+    val stride = graft.sources.Tables.table(spark, dir, "embeddings")
+      .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0) + 1L
+    val hi = Dedup.dedupEmbeddingAnnHi(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hi.nonEmpty, "gate query must not be vacuous")
+    val found = hi.map(r => (r._1, r._2)).toSet
+    for (id <- 0L until Dedup.PlantedHiHosts.toLong)
+      assert(found.contains((id, id + stride)), s"planted pair $id missing")
+    assert(hi.forall(_._3 >= 0.8))
   }
 
   test("annBandsFor co-scales with plane width and threshold") {
