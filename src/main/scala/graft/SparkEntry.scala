@@ -147,6 +147,7 @@ object SparkEntry {
     "stream_join" -> (graft.streaming.EventStreams.streamJoin(_, _)),
     "stream_anomaly" -> (graft.streaming.EventStreams.streamAnomaly(_, _)),
     "stream_ohlc" -> (graft.streaming.EventStreams.streamOhlc(_, _)),
+    "stream_session_stats" -> (graft.streaming.EventStreams.streamSessionStats(_, _)),
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
@@ -452,6 +453,10 @@ object SparkEntry {
     // (ts_ns, event_id)-pinned min/max(struct) state converges to the
     // batch bar relation
     "stream_ohlc" -> TimeSeries.tsOhlcSql,
+    // flatMapGroupsWithState sessionization: closed sessions emit on
+    // gap proof, the final open session on event-time TIMEOUT (flush
+    // sentinel advances the watermark) == batch gap-sessionization
+    "stream_session_stats" -> graft.streaming.EventStreams.streamSessionStatsSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_vocab" -> TextAnalysis.textVocabSql,
     "quality_normalize" -> TextAnalysis.qualityNormalizeSql,

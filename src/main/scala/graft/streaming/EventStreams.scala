@@ -469,6 +469,192 @@ object EventStreams {
     spark.read.parquet(resultPath)
   }
 
+  /** Staging for the state-timeout gate query ([[streamSessionStats]]):
+    * the events file PLUS a one-row watermark-flush sentinel (user_id
+    * −1, event time 2 hours past the corpus max). The sentinel's only
+    * job is to advance the end-of-replay watermark beyond every
+    * trailing session's `last event + gap`, so the event-time TIMEOUT
+    * path actually fires (in the engine's no-data micro-batch after
+    * the replay) and emits each user's final open session — the
+    * flush-record idiom production pipelines use to drain session
+    * state at stream end. Kept separate from [[stagedEventsDir]]: the
+    * other eight gate queries depend on a SINGLE staged file.
+    */
+  private val stagedFlushDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedEventsWithFlushDir(spark: SparkSession, dir: String): String =
+    stagedFlushDirs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_flush")
+      val file = tmp.resolve("00-events.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), file)
+      // one sentinel row in the SOURCE schema (ts flavor varies by
+      // generation): sample a row, rewrite user_id/event_id/ts
+      scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      val raw = spark.read.parquet(file.toString)
+      val marginNs = 2L * 3600L * 1000000000L
+      val sentinel = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+          raw.limit(1).withColumn("ts", lit(maxNs + marginNs))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          val maxUs = raw.agg(max(unix_micros(col("ts").cast("timestamp"))))
+            .head().getLong(0)
+          raw.limit(1).withColumn("ts",
+            timestamp_micros(lit(maxUs + marginNs / 1000L)).cast("timestamp_ntz"))
+        case _ =>
+          val maxUs = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+          raw.limit(1).withColumn("ts", timestamp_micros(lit(maxUs + marginNs / 1000L)))
+      }
+      val flushTmp = tmp.resolve("_flush_build")
+      sentinel
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_id", lit(-1L))
+        .coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
+      val part = flushTmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, tmp.resolve("01-flush.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(flushTmp.toFile)
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    })
+
+  /** Per-session gap timeout shared by [[sessionStats]] and the batch
+    * rails: 30 minutes, compared in µs (the ns/µs discipline — both
+    * engines compare at µs, and the corpus is verified edge-free
+    * within 10 µs of the boundary).
+    */
+  private val SessionGapUs = 1800L * 1000000L
+
+  /** Driver-gate streaming query (`stream_session_stats`) — the
+    * arbitrary-state operator, oracle-gated (round 14, VERDICT r13
+    * ask #5): gap-sessionization with PER-SESSION custom state that
+    * `session_window` + aggregates cannot express in one pass —
+    * per-session event count, DISTINCT event-type count, and
+    * DECIMAL-cents value sum. `flatMapGroupsWithState` holds each
+    * user's open session (bounded: one session's rows) plus its
+    * session ordinal; closed sessions emit as soon as a later event
+    * proves the gap, and the FINAL open session emits on event-time
+    * timeout when the watermark passes `last event + gap` — driven at
+    * end-of-replay by the flush sentinel
+    * ([[stagedEventsWithFlushDir]]). Converged output equals the
+    * batch gap-sessionization and shares its DuckDB oracle.
+    *
+    * Determinism rails: rows sort by (ts_us, event_id) inside the
+    * group (shuffle arrival order is not a contract), cents are
+    * per-row HALF_UP DECIMAL(18,2)×100 BIGINTs (summation-order-free),
+    * and session ids are ordinals over that pinned order. At cluster
+    * scale this is RocksDB-backed keyed state behind one user_id
+    * shuffle; state per key is one OPEN session, not the user's
+    * history.
+    */
+  def streamSessionStats(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, stagedEventsWithFlushDir(spark, dir),
+        "graft_stream_session_stats", sessionStats, "append")
+      .orderBy("user_id", "session_id")
+
+  /** The stateful transform behind [[streamSessionStats]]. */
+  def sessionStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val typed = events
+      .select(col("user_id"), col("ts"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp, Long, Long, String, Double)]
+
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+
+    def emit(userId: Long, sid: Long, rows: Seq[SessionEventRow])
+        : (Long, Long, Long, Long, Long, Long, Long) = (
+      userId, sid, rows.length.toLong,
+      rows.map(_.eventType).distinct.length.toLong,
+      rows.map(_.cents).sum,
+      rows.head.tsUs / 1000000L, rows.last.tsUs / 1000000L)
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionStatsState,
+        (Long, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, Long, String, Double)],
+         state: GroupState[SessionStatsState]) =>
+          if (userId < 0L) {
+            // the watermark-flush sentinel: advances event time only
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is
+            // final — emit and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s.nextSessionId, s.open))
+          } else {
+            // merge new rows into the open session under the pinned
+            // (ts_us, event_id) order, emitting every session a later
+            // event closes (gap > 30 min)
+            val incoming = rows
+              .map(r => SessionEventRow(r._3, r._4, r._5, cents(r._6))).toArray
+            val prior = state.getOption
+            val all = (prior.map(_.open).getOrElse(Vector.empty) ++ incoming)
+              .sortBy(r => (r.tsUs, r.eventId))
+            var sid = prior.map(_.nextSessionId).getOrElse(1L)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Long, Long, Long)]
+            var open = Vector.empty[SessionEventRow]
+            for (r <- all) {
+              if (open.nonEmpty && r.tsUs - open.last.tsUs > SessionGapUs) {
+                out += emit(userId, sid, open)
+                sid += 1
+                open = Vector.empty
+              }
+              open = open :+ r
+            }
+            state.update(SessionStatsState(sid, open))
+            state.setTimeoutTimestamp(open.last.tsUs / 1000L + SessionGapUs / 1000L)
+            out.iterator
+          }
+      }
+      .toDF("user_id", "session_id", "n_events", "n_types", "cents",
+        "start_s", "end_s")
+  }
+
+  /** Oracle for `stream_session_stats`: batch gap-sessionization with
+    * the same µs gaps, (ts_us, event_id) tie order, and DECIMAL-cents
+    * rails.
+    */
+  val streamSessionStatsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v,
+      |    epoch_ns(ts) // 1000 AS ts_us,
+      |    CASE WHEN lag(epoch_ns(ts) // 1000, 1)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+      |           IS NULL
+      |         OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000, 1)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+      |           > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, event_type, v, ts_us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(sum(v) * 100 AS BIGINT) AS cents,
+      |  min(ts_us) // 1000000 AS start_s,
+      |  max(ts_us) // 1000000 AS end_s
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** Custom keyed state via `flatMapGroupsWithState` — the surface for
     * stateful logic `session_window`/aggregates can't express: a
     * per-user running profile (event count, value sum, distinct event
@@ -517,3 +703,18 @@ object EventStreams {
 
 /** Keyed state for [[EventStreams.userProfiles]]. */
 final case class UserProfileState(n: Long, sum: Double, types: Set[String])
+
+/** One buffered event of the OPEN session ([[EventStreams.sessionStats]]):
+  * µs event time, id tie-break, type for the distinct count, value
+  * pre-quantized to DECIMAL(18,2) cents so emission order can never
+  * touch a float.
+  */
+final case class SessionEventRow(
+    tsUs: Long, eventId: Long, eventType: String, cents: Long)
+
+/** Keyed state for [[EventStreams.sessionStats]]: the next session
+  * ordinal and the open session's rows (bounded by one session, not
+  * the user's history).
+  */
+final case class SessionStatsState(
+    nextSessionId: Long, open: Vector[SessionEventRow])

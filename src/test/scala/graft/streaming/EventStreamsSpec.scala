@@ -180,4 +180,47 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(sv - batch(u)._2) < 1e-6, s"user $u sum")
     }
   }
+
+  test("stream_session_stats: timeout-emitted sessions converge to batch " +
+    "gap-sessionization (VERDICT r13 #5)") {
+    val streamed = EventStreams.streamSessionStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    // the gate pins uniqueness too: one row per (user, session ordinal)
+    assert(streamed.map(t => (t._1, t._2)).distinct.length == streamed.length)
+    // batch twin: same µs gaps, same tie order, same cents rails
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batch = ev
+      .withColumn("new_sess",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (sum(col("v")) * 100).cast("long").as("cents"),
+        expr("min(ts_us) div 1000000").as("start_s"),
+        expr("max(ts_us) div 1000000").as("end_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(streamed.toSet == batch.toSet)
+    // the TIMEOUT path is load-bearing: every user's LAST session can
+    // only emit via event-time timeout (no later event closes it) —
+    // so per-user max ordinals must all be present, not just closed
+    // sessions
+    val lastByUser = batch.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    val streamedSet = streamed.map(t => (t._1, t._2)).toSet
+    for ((u, last) <- lastByUser)
+      assert(streamedSet.contains((u, last)),
+        s"user $u trailing session $last missing — timeout never fired")
+    // sentinel hygiene: the flush row never reaches the output
+    assert(streamed.forall(_._1 >= 0L))
+  }
 }
