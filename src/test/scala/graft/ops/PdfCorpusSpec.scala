@@ -86,8 +86,8 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("seven-variant CJK synthesis round-trips DBCS text bit-exact") {
-    // one text per CMap variant (ids 0..6): mixed-case + digits keep
+  test("eight-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..7): mixed-case + digits keep
     // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
     val texts = Seq(
       "gbk simplified (Horizontal) 0123 " + "a" * 300,
@@ -96,17 +96,19 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
       "ksc euc-kr Vertical variant " + "d" * 400,
       "uhc Half-Width 949 row 456 " + "e" * 350, // KSCms-UHC-HW-H (r11)
       "uhc half-width Vertical 789 " + "f" * 320, // KSCms-UHC-HW-V (r12)
-      "gb18030 2k Vertical variant 13 " + "g" * 280) // GBK2K-V (r13)
+      "gb18030 2k Vertical variant 13 " + "g" * 280, // GBK2K-V (r13)
+      "euc-jp japan1 Horizontal 14 " + "h" * 260) // EUC-H (r14)
     val dir = miniCorpus(texts)
     val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
-    assert(rows.length == 8, "7 docs + SUM TOTAL")
+    assert(rows.length == 9, "8 docs + SUM TOTAL")
     val byPath = rows.map(r => r.getString(0) -> r).toMap
     for ((t, i) <- texts.zipWithIndex) {
       val derived = PdfCorpus.toCjk(t)
       assert(derived.length == t.length, "translate preserves length")
       val r = byPath(i.toString)
       val (pg, ch, ts) = expected(derived)
-      assert(r.getLong(1) == i % 7, s"variant of doc $i")
+      assert(r.getLong(1) == i % PdfCorpus.CjkVariants.length,
+        s"variant of doc $i")
       assert(r.getLong(2) == pg, s"pages of doc $i")
       assert(r.getLong(3) == ch, s"chunks of doc $i")
       assert(r.getLong(4) == ts, s"text_size of doc $i")
