@@ -87,12 +87,6 @@ REPLICA_EQUIVARIANT = {
     # the Jaccard tiers above, direction notwithstanding
     "dedup_containment": ("doc",),
     "dedup_simhash": ("doc",),
-    # NOTE: _ann_hi's contract is a 1e-2 per-pair miss ENVELOPE, not
-    # exhaustiveness; strict replica equality is only a sound expectation
-    # while the corpus has no 0.8-cosine pairs (currently 0 = 10 x 0). If
-    # a future corpus gains hi-threshold pairs, a small per-replica miss
-    # count is within contract and this check needs an envelope allowance.
-    "dedup_embedding_ann_hi": ("vec",),
 }
 ID_COLS = {"doc": ("doc_id", "doc_a", "doc_b", "cluster", "cluster_id"),
            "vec": ("vec_id", "vec_a", "vec_b")}
@@ -102,7 +96,12 @@ DIRECT_RETRY = {"dedup_embedding"}           # brute-force oracle, big budget
 TWIN_OF = {"dedup_embedding_ann": "dedup_embedding"}  # contract: same relation
 UNION_FIND = {"dedup_cluster": "dedup_minhash"}       # CC over the pair dump
 # independent numpy/pandas replays
-RECOMPUTE = {"sim_knn", "dedup_sorted_nbhd", "dedup_incremental"}
+# _ann_hi left REPLICA_EQUIVARIANT in round 14: the in-gate planted
+# twins (corpus + sign-flip twins of the 4 globally-smallest ids) are
+# NOT per-replica, so replica equality no longer models the big-corpus
+# relation; annhi_planted_check recomputes the derived relation instead.
+RECOMPUTE = {"sim_knn", "dedup_sorted_nbhd", "dedup_incremental",
+             "dedup_embedding_ann_hi"}
 
 # Round 9 (VERDICT r8 #3): the split-dependent pipeline queries. Their
 # ONLY scale-infeasible sub-relation is the embedded dedup_cluster
@@ -276,6 +275,60 @@ def knn_recompute_check(sf1_dir, sf1_verify):
     if verdict == "replica_pass":
         return "recomputed_pass", f"numpy brute-force kNN: {len(exp)} rows match"
     return "recomputed_fail", f"numpy brute-force kNN: {note}"
+
+
+def annhi_planted_check(sf1_dir, sf1_verify):
+    """dedup_embedding_ann_hi after round 14's in-gate planted twins.
+
+    The query (and its oracle) run over corpus + K sign-flip twins of
+    the K globally-smallest vec_ids, so the replica argument breaks
+    (the big corpus plants K pairs TOTAL, not K per replica). Replaced
+    by a two-sided recompute on the big corpus itself:
+
+    SOUNDNESS — reconstruct the derived corpus (numpy; the twin is a
+    bit-exact copy/sign-flip, and the argmin-of-exact-squares pick is
+    the same first-min rule) and recompute the exact cosine of EVERY
+    dumped pair: all must clear the 0.8 threshold and match the dumped
+    6-dp value.
+
+    COMPLETENESS — every planted (host, host + stride) pair must be
+    in the dump (cos >= 1 - 2/dim = 0.96875 by construction, far above
+    the banding's 1e-2 miss envelope at 0.8; the deterministic planes
+    make recovery a fixed fact, not a probabilistic one).
+    """
+    K = 4
+    emb = pd.read_parquet(f"{sf1_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy().astype("int64")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    stride = int(ids.max()) + 1
+    order = np.argsort(ids)[:K]
+    vecs = {int(ids[i]): M[i] for i in range(len(ids))}
+    for i in order:
+        v = M[i].copy()
+        sq = v.astype(np.float64) * v.astype(np.float64)
+        j = int(np.argmin(sq))  # first min on ties, like the Scala loop
+        v[j] = -v[j]
+        vecs[int(ids[i]) + stride] = v
+    act = pd.read_parquet(f"{sf1_verify}/dedup_embedding_ann_hi")
+    n_bad = 0
+    for va, vb, c in act[[act.columns[0], act.columns[1],
+                          act.columns[2]]].itertuples(index=False):
+        x = vecs[int(va)].astype(np.float64)
+        y = vecs[int(vb)].astype(np.float64)
+        cs = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        if round(cs, 6) < 0.8 - 2e-6 or abs(cs - float(c)) > 2e-6:
+            n_bad += 1
+    found = set(zip(act[act.columns[0]].astype("int64"),
+                    act[act.columns[1]].astype("int64")))
+    missing = [(int(ids[i]), int(ids[i]) + stride) for i in order
+               if (int(ids[i]), int(ids[i]) + stride) not in found]
+    if n_bad or missing:
+        return ("recomputed_fail",
+                f"{n_bad}/{len(act)} dumped pairs fail the exact cosine; "
+                f"planted pairs missing: {missing}")
+    return ("recomputed_pass",
+            f"{len(act)} dumped pairs sound (exact numpy cosine); "
+            f"{K}/{K} planted sign-flip twins recovered (stride {stride})")
 
 
 def ivf_recompute_check(sf1_dir, sf1_verify):
@@ -704,6 +757,7 @@ def main():
         "sim_knn": knn_recompute_check,
         "dedup_sorted_nbhd": sorted_nbhd_recompute_check,
         "dedup_incremental": incremental_recompute_check,
+        "dedup_embedding_ann_hi": annhi_planted_check,
     }
     if FACTOR >= 1000:
         # the Lloyd-unrolled DuckDB chain spills past the box's free

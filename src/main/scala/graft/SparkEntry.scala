@@ -207,6 +207,15 @@ object SparkEntry {
     "privacy_dp_hist" -> (Privacy.privacyDpHist(_, _)),
     "dq_iqr" -> (Relational.dqIqr(_, _)),
     "pipeline_epoch_order" -> (PipelineOps.pipelineEpochOrder(_, _)),
+    // round 14
+    "retrieval_mrr" -> (Similarity.retrievalMrr(_, _)),
+    "privacy_dp_mean" -> (Privacy.privacyDpMean(_, _)),
+    "agg_corr" -> (Relational.aggCorr(_, _)),
+    "window_ntile" -> (Relational.windowNtile(_, _)),
+    "event_paths" -> (Relational.eventPaths(_, _)),
+    "event_stickiness" -> (Relational.eventStickiness(_, _)),
+    "event_new_users" -> (Relational.eventNewUsers(_, _)),
+    "ts_winsorize" -> (TimeSeries.tsWinsorize(_, _)),
     "dq_benford" -> (Relational.dqBenford(_, _)),
     "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -563,6 +572,22 @@ object SparkEntry {
     "privacy_dp_hist" -> Privacy.privacyDpHistSql,
     // discrete type-1 quartiles at price-domain scale; integer fences
     "dq_iqr" -> Relational.dqIqrSql,
+    // round 14: integer micro reciprocal of the first exact-top-k hit
+    "retrieval_mrr" -> Similarity.retrievalMrrSql,
+    // clamped noisy-sum/noisy-count mean, two hash-seeded eps=ln2 draws
+    "privacy_dp_mean" -> Privacy.privacyDpMeanSql,
+    // day-grain integer moments in DECIMAL(38)/HUGEINT; r^2 ppm + sign
+    "agg_corr" -> Relational.aggCorrSql,
+    // ANSI ntile(4), custkey tie pin, per-bucket cents rollup
+    "window_ntile" -> Relational.windowNtileSql,
+    // two leads per user, |types|^3 hash agg, 1-row share denominator
+    "event_paths" -> Relational.eventPathsSql,
+    // distinct (day,user) pairs; 7-day trailing join vs broadcast grid
+    "event_stickiness" -> Relational.eventStickinessSql,
+    // first-seen split: new vs returning users per day, ppm share
+    "event_new_users" -> Relational.eventNewUsersSql,
+    // discrete type-1 p05/p95 picks; clamped + raw BIGINT means
+    "ts_winsorize" -> TimeSeries.tsWinsorizeSql,
     // polyHash order keys; endpoint picks via min/max(struct(h, doc))
     "pipeline_epoch_order" -> PipelineOps.pipelineEpochOrderSql,
     // string-extracted first digit vs pinned log10 ppm literals

@@ -288,6 +288,104 @@ object Privacy {
       .orderBy("o_orderpriority", "o_orderstatus")
   }
 
+  /** Clamp bound for [[privacyDpMean]]'s sum release, in cents: each
+    * order contributes min(totalprice, $100,000.00) — the standard
+    * clip that fixes the sum's sensitivity at C so Laplace noise
+    * scaled by C gives ε = ln 2 for the sum release (Dwork & Roth
+    * 2014 §3.3's clamped-mean recipe, public).
+    */
+  private val DpClampCents = 10000000L
+
+  /** ε-DP mean of order totalprice per priority under DETERMINISTIC
+    * hash-seeded noise (round 14 — the release-mechanism companion of
+    * [[privacyDpHist]]): the classic clamped noisy-sum / noisy-count
+    * mean — per cell release `dp_n = n + Lap(1/ε)` and `dp_sum_c =
+    * Σ min(price_c, C) + C·Lap(1/ε)` with INDEPENDENT draws (distinct
+    * hash salts), then `dp_mean_c = dp_sum_c div max(dp_n, 1)`. Each
+    * release is the same ε = ln 2 discrete-Laplace cascade as the
+    * histogram ([[dpMagThresholds]] — exact power-of-two inverse
+    * CDF), so the pair costs 2·ln 2 under basic composition. As with
+    * the histogram, `n`/`sum_c`/`noise_*` are surfaced because the
+    * gate exists to verify the sampler bit-for-bit; a production
+    * release would emit only the dp_* columns and rotate the seed.
+    *
+    * Scale shape: ONE map-side-combinable hash agg over orders to 5
+    * cells (count + pre-clamped DECIMAL cents sum); noise is per-cell
+    * integer algebra. Nothing else touches fact scale.
+    */
+  def privacyDpMean(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        least((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+          lit(DpClampCents)).as("pc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_c"))
+    def draw(salt: String, out: String)(df: DataFrame): DataFrame = {
+      val h = TextAnalysis.polyHashCol(
+        concat(col("o_orderpriority"), lit(s"|$salt")))
+      val mag = dpMagThresholds.foldRight(lit(19L): Column) {
+        case ((j, t), acc) => when(col("u3") < t, j.toLong).otherwise(acc)
+      }
+      df.withColumn("h", h)
+        .withColumn("u3", col("h") % DpRange)
+        .withColumn("mag", mag)
+        .withColumn(out,
+          when(col("mag") === 0L, 0L)
+            .otherwise(when(expr("(h div 2097152) % 2") === 0L, col("mag"))
+              .otherwise(-col("mag"))))
+        .drop("h", "u3", "mag")
+    }
+    draw("dpm-s", "noise_s")(draw("dpm-n", "noise_n")(cells))
+      .withColumn("dp_n", greatest(col("n") + col("noise_n"), lit(0L)))
+      .withColumn("dp_sum_c",
+        greatest(col("sum_c") + col("noise_s") * DpClampCents, lit(0L)))
+      .withColumn("dp_mean_c",
+        expr("dp_sum_c div greatest(dp_n, 1L)"))
+      .select(col("o_orderpriority"), col("n"), col("sum_c"),
+        col("noise_n"), col("noise_s"), col("dp_n"), col("dp_sum_c"),
+        col("dp_mean_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  val privacyDpMeanSql: String = {
+    def casc(u: String) = dpMagThresholds
+      .map { case (j, t) => s"WHEN $u < $t THEN $j" }
+      .mkString(" ")
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority, count(*) AS n,
+       |    CAST(sum(least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT), $DpClampCents)) AS BIGINT) AS sum_c
+       |  FROM orders GROUP BY 1),
+       |hashed AS (
+       |  SELECT o_orderpriority, n, sum_c,
+       |    ${TextAnalysis.polyHashSql("o_orderpriority || '|dpm-n'")} AS hn,
+       |    ${TextAnalysis.polyHashSql("o_orderpriority || '|dpm-s'")} AS hs
+       |  FROM cells),
+       |mags AS (
+       |  SELECT o_orderpriority, n, sum_c, hn, hs,
+       |    CASE ${casc("hn % " + DpRange)} ELSE 19 END AS mag_n,
+       |    CASE ${casc("hs % " + DpRange)} ELSE 19 END AS mag_s
+       |  FROM hashed),
+       |noised AS (
+       |  SELECT o_orderpriority, n, sum_c,
+       |    CASE WHEN mag_n = 0 THEN 0
+       |         WHEN (hn // 2097152) % 2 = 0 THEN mag_n ELSE -mag_n END
+       |      AS noise_n,
+       |    CASE WHEN mag_s = 0 THEN 0
+       |         WHEN (hs // 2097152) % 2 = 0 THEN mag_s ELSE -mag_s END
+       |      AS noise_s
+       |  FROM mags)
+       |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, sum_c,
+       |  CAST(noise_n AS BIGINT) AS noise_n,
+       |  CAST(noise_s AS BIGINT) AS noise_s,
+       |  CAST(greatest(n + noise_n, 0) AS BIGINT) AS dp_n,
+       |  CAST(greatest(sum_c + noise_s * $DpClampCents, 0) AS BIGINT)
+       |    AS dp_sum_c,
+       |  CAST(greatest(sum_c + noise_s * $DpClampCents, 0)
+       |    // greatest(greatest(n + noise_n, 0), 1) AS BIGINT) AS dp_mean_c
+       |FROM noised ORDER BY o_orderpriority""".stripMargin
+  }
+
   val privacyDpHistSql: String = {
     val casc = dpMagThresholds
       .map { case (j, t) => s"WHEN u3 < $t THEN $j" }

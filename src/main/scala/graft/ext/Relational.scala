@@ -2927,4 +2927,267 @@ object Relational {
        |    > ${AnomalyZ * AnomalyZ} * n_a * n_b * (c_a + c_b)
        |      * (n_a + n_b - c_a - c_b) AS significant
        |FROM wide ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Pearson correlation: exact integer moments (round 14)
+  // ----------------------------------------------------------------
+
+  /** Pearson correlation of daily order volume vs daily revenue per
+    * priority class, INTEGER-EXACT (the `agg_regression` /
+    * `event_abtest` moment discipline): x = orders per day, y = the
+    * day's revenue floor-divided to whole k$ (both exact BIGINTs),
+    * five moment sums accumulated as DECIMAL(38,0) (HUGEINT on the
+    * oracle side — the recurring BIGINT-overflow class the factor-100
+    * audit keeps catching), and the square of Pearson's r released in
+    * ppm as the cross-multiplied integral quotient
+    *
+    *   r²_ppm = cov² div ((varx·vary) div 10⁶),  cov = n·Σxy − Σx·Σy
+    *
+    * with the sign released separately — no float division or sqrt
+    * anywhere, so the gate replays every bit. Headroom at the audit
+    * scales: day-grain series (n ≤ 2 556), x ≤ 10⁵, y ≤ 10⁶ ⇒
+    * cov² ≤ ~4e33 and varx·vary ≤ ~4e33, both inside DECIMAL(38,0).
+    *
+    * Scale shape: the fact table meets ONE map-side-combinable hash
+    * agg to (priority, day) cells; the moment rollup and the quotient
+    * run at 5-row cardinality. No window, no sort, no fact-scale
+    * state.
+    */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day_i"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("pc"))
+      .groupBy(col("prio"), col("day_i"))
+      .agg(count(lit(1)).as("x"),
+        expr("CAST(sum(pc) AS BIGINT) div 100000").as("y"))
+    daily
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("cov", expr("n_days * sxy - sx * sy"))
+      .withColumn("varx", expr("n_days * sxx - sx * sx"))
+      .withColumn("vary", expr("n_days * syy - sy * sy"))
+      .select(col("prio"), col("n_days"),
+        signum(col("cov")).cast("long").as("sign_r"),
+        expr("CAST(cov * cov AS DECIMAL(38,0)) div " +
+          "greatest(CAST(varx * vary AS DECIMAL(38,0)) div 1000000L, 1L)")
+          .as("r2_ppm"))
+      .orderBy("prio")
+  }
+
+  val aggCorrSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day_i,
+      |    count(*) AS x,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) // 100000 AS y
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT prio, count(*) AS n_days,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT prio, n_days,
+      |    n_days * sxy - sx * sy AS cov,
+      |    n_days * sxx - sx * sx AS varx,
+      |    n_days * syy - sy * sy AS vary
+      |  FROM m)
+      |SELECT prio, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(sign(cov) AS BIGINT) AS sign_r,
+      |  CAST(cov * cov // greatest(varx * vary // 1000000, 1)
+      |    AS BIGINT) AS r2_ppm
+      |FROM c ORDER BY prio""".stripMargin
+
+  // ----------------------------------------------------------------
+  // ntile quartiles (round 14): the window-rank bucketing surface
+  // ----------------------------------------------------------------
+
+  /** Per-segment account-balance quartiles via `ntile(4)` (ANSI
+    * semantics in both engines: earlier buckets take the remainder
+    * row each), ties pinned on c_custkey, reduced to per-(segment,
+    * quartile) cardinality — count plus min/max/sum of BIGINT cents.
+    *
+    * Scale note: ntile needs each partition's global rank, so this
+    * plans as a per-segment sort (5 partitions here). At fact scale
+    * the same quartile assignment is computable sort-free from the
+    * cents-DOMAIN cumulative walk (`dqIqr`'s shape) when the value
+    * domain is bounded; `ntile` is registered as the §2.7 window
+    * surface itself, with that swap documented as the 100 TB path.
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("segment"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_c"),
+        col("c_custkey"))
+    val w = Window.partitionBy("segment").orderBy(col("bal_c"), col("c_custkey"))
+    c.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("segment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bal_c")).as("min_c"), max(col("bal_c")).as("max_c"),
+        sum(col("bal_c")).as("sum_c"))
+      .orderBy("segment", "quartile")
+  }
+
+  val windowNtileSql: String =
+    """WITH q AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+      |    ntile(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |        c_custkey) AS quartile
+      |  FROM customer)
+      |SELECT segment, CAST(quartile AS BIGINT) AS quartile,
+      |  count(*) AS n, CAST(min(bal_c) AS BIGINT) AS min_c,
+      |  CAST(max(bal_c) AS BIGINT) AS max_c,
+      |  CAST(sum(bal_c) AS BIGINT) AS sum_c
+      |FROM q GROUP BY segment, quartile
+      |ORDER BY segment, quartile""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Event-type path analysis (round 14)
+  // ----------------------------------------------------------------
+
+  /** 3-step event-type path distribution: every consecutive triple of
+    * one user's events (µs order, event_id tie pin) counted into the
+    * (step1, step2, step3) histogram with a ppm share of all triples
+    * — the product-analytics "common journeys" primitive and the
+    * trajectory-n-gram shape agent-log analysis uses.
+    *
+    * Scale shape: two `lead` windows per user partition (bounded
+    * per-user rows) feed one map-side-combinable hash agg at
+    * |types|³ ≤ 125 cardinality; the share denominator is a 1-row
+    * broadcast. No global sort, no self-join.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tri = ev
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+    val total = tri.agg(sum(col("n")).as("total"))
+    tri.crossJoin(broadcast(total))
+      .select(col("step1"), col("step2"), col("step3"), col("n"),
+        expr("n * 1000000L div total").as("share_ppm"))
+      .orderBy("step1", "step2", "step3")
+  }
+
+  val eventPathsSql: String =
+    """WITH tri AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      |          event_id FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |paths AS (
+      |  SELECT step1, step2, step3, count(*) AS n
+      |  FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT sum(n) AS total FROM paths)
+      |SELECT step1, step2, step3, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM paths, tot ORDER BY step1, step2, step3""".stripMargin
+
+  // ----------------------------------------------------------------
+  // DAU / WAU stickiness (round 14)
+  // ----------------------------------------------------------------
+
+  /** Daily active users, trailing-7-day weekly actives, and the
+    * DAU/WAU "stickiness" ratio in ppm — the engagement statistic
+    * every product-analytics stack publishes. Exact distinct counts
+    * (no sketch): the fact table first collapses to DISTINCT
+    * (day, user) pairs — the one fact-scale aggregation — then the
+    * 7-day trailing window is an interval join of those pairs against
+    * the BROADCAST day grid (each pair lands in ≤ 7 grid days) and a
+    * second distinct count at day grain. State is day×user pairs,
+    * never raw events; the ppm ratio is integer floor division.
+    */
+  def eventStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day_i"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day_i")).agg(count(lit(1)).as("dau"))
+    val grid = du.select(col("day_i").as("d")).distinct()
+    val wau = du
+      .join(broadcast(grid),
+        col("day_i").between(col("d") - 6L, col("d")))
+      .select(col("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day_i") === wau("d"))
+      .select(col("day_i"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_ppm"))
+      .orderBy("day_i")
+  }
+
+  /** New-vs-returning daily split (round 14, the acquisition
+    * companion of [[eventStickiness]]): per day, how many active
+    * users are seen for the FIRST time vs returning, plus the new
+    * share in ppm — the growth-accounting statistic every activation
+    * dashboard carries. Exact: first-seen day is one min-agg over the
+    * distinct (day, user) pairs; both rollups are day-grain.
+    */
+  def eventNewUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day_i"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day_i")).agg(count(lit(1)).as("dau"))
+    val fresh = du.groupBy(col("user_id")).agg(min(col("day_i")).as("fd"))
+      .groupBy(col("fd").as("day_i")).agg(count(lit(1)).as("new_users"))
+    dau.join(fresh, Seq("day_i"), "left")
+      .select(col("day_i"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("dau") - coalesce(col("new_users"), lit(0L))).as("returning"),
+        expr("coalesce(new_users, 0L) * 1000000L div dau").as("new_share_ppm"))
+      .orderBy("day_i")
+  }
+
+  val eventNewUsersSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day_i, user_id
+      |  FROM events),
+      |dau AS (SELECT day_i, count(*) AS dau FROM du GROUP BY 1),
+      |fresh AS (
+      |  SELECT fd AS day_i, count(*) AS new_users FROM (
+      |    SELECT user_id, min(day_i) AS fd FROM du GROUP BY 1)
+      |  GROUP BY 1)
+      |SELECT day_i, CAST(dau AS BIGINT) AS dau,
+      |  CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(dau - coalesce(new_users, 0) AS BIGINT) AS returning,
+      |  CAST(coalesce(new_users, 0) * 1000000 // dau AS BIGINT)
+      |    AS new_share_ppm
+      |FROM dau LEFT JOIN fresh USING (day_i)
+      |ORDER BY day_i""".stripMargin
+
+  val eventStickinessSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day_i, user_id
+      |  FROM events),
+      |dau AS (SELECT day_i, count(*) AS dau FROM du GROUP BY 1),
+      |grid AS (SELECT DISTINCT day_i AS d FROM du),
+      |wau AS (
+      |  SELECT d, count(*) AS wau FROM (
+      |    SELECT DISTINCT g.d, du.user_id
+      |    FROM du JOIN grid g ON du.day_i BETWEEN g.d - 6 AND g.d)
+      |  GROUP BY 1)
+      |SELECT day_i, CAST(dau AS BIGINT) AS dau,
+      |  CAST(wau AS BIGINT) AS wau,
+      |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+      |FROM dau JOIN wau ON day_i = d
+      |ORDER BY day_i""".stripMargin
 }

@@ -1035,6 +1035,67 @@ object Similarity {
        |FROM graded GROUP BY q_id ORDER BY q_id""".stripMargin
   }
 
+  /** MRR@k of the IVF tier against the exact cosine ranking (round
+    * 14) — the third retrieval-quality grade beside `sim_recall`
+    * (binary) and `retrieval_ndcg` (graded): Mean Reciprocal Rank
+    * measures HOW SOON the approximate ranking surfaces its first
+    * truly-relevant item (Voorhees 1999's TREC QA metric, public) —
+    * the "first good result" statistic interactive retrieval tunes
+    * for, which NDCG's whole-list grade can mask. Relevant = member
+    * of the exact top-[[K]]; per query the score is the INTEGER
+    * micro reciprocal `10⁶ div first_hit_rank` (0 when no exact-top-k
+    * member appears in the approximate list), so the gate replays
+    * every bit — no float division.
+    *
+    * Scale shape: identical to `retrieval_ndcg` — both arms are the
+    * registered relations (exact top-k broadcast at queries × k rows;
+    * IVF served from the durable ivf-assign-v1 artifact), plus one
+    * broadcast semi-join and a queries-cardinality agg. Nothing new
+    * touches corpus scale.
+    */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(spark, dir).select(col("q_id"), col("c_id"))
+    val approx = simIvf(spark, dir).select(col("q_id"), col("rn"), col("c_id"))
+    val firstHit = approx
+      .join(broadcast(exact), Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(min(col("rn")).as("first_hit_rn"))
+    approx.select(col("q_id")).distinct()
+      .join(broadcast(firstHit), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("first_hit_rn"), lit(0L)).as("first_hit_rn"),
+        coalesce(expr("1000000L div first_hit_rn"), lit(0L)).as("rr_micro"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle: the same [[ivfTopkCtes]] approximate arm and exact
+    * all-pairs top-k arm as [[retrievalNdcgSql]], graded by the
+    * integer reciprocal instead of the literal discounts.
+    */
+  val retrievalMrrSql: String =
+    s"""WITH $ivfAssignCtes,
+       |$ivfTopkCtes,
+       |approx AS (
+       |  SELECT q_id, rn, c_id FROM r WHERE rn <= $K),
+       |ex AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |          i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |          / (q.nrm * c.nrm), 6) DESC, c.vec_id ASC) AS rn
+       |    FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id != q.vec_id)
+       |  WHERE rn <= $K),
+       |hits AS (
+       |  SELECT a.q_id, min(a.rn) AS first_hit_rn
+       |  FROM approx a SEMI JOIN ex x ON a.q_id = x.q_id AND a.c_id = x.c_id
+       |  GROUP BY a.q_id)
+       |SELECT q.q_id,
+       |  CAST(COALESCE(h.first_hit_rn, 0) AS BIGINT) AS first_hit_rn,
+       |  CAST(COALESCE(1000000 // h.first_hit_rn, 0) AS BIGINT) AS rr_micro
+       |FROM (SELECT DISTINCT q_id FROM approx) q
+       |LEFT JOIN hits h USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   private val RecallProbesList = Seq(1, 2, 4)
 
   /** ANN TUNING AUDIT — the measurement an operator needs before

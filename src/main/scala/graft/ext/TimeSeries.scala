@@ -1302,4 +1302,80 @@ object TimeSeries {
       |  FROM gg GROUP BY user_id) a
       |JOIN pick p USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Winsorized daily means (round 14)
+  // ----------------------------------------------------------------
+
+  /** Winsorized daily-revenue mean per event type (Tukey/Dixon's
+    * winsorization, the robust-mean preprocessing step reporting
+    * stacks run before trend fits): per type the daily cents series
+    * is clamped to its own DISCRETE p05/p95 picks — the element at
+    * rank ⌈0.05·n⌉ / ⌈0.95·n⌉ under the cents order (SQL type-1
+    * quantile, the `dq_iqr`/`ts_mad` convention — no interpolation
+    * float) — and both the raw and winsorized means are released as
+    * BIGINT floor divisions.
+    *
+    * Scale shape: events meet ONE map-side-combinable hash agg to
+    * (type, day) cells; the cumulative rank walk and the clamped
+    * rollup are windows/aggs over day-grain rows only (≤ types ×
+    * days). No fact-scale sort.
+    */
+  def tsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_i"),
+        (dec(col("value")) * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("day_i"))
+      .agg(sum(col("vc")).as("day_c"))
+      .localCheckpoint(true) // two consumers: rank walk + clamped rollup
+    val walk = Window.partitionBy("event_type").orderBy("day_c", "day_i")
+    val all = Window.partitionBy("event_type")
+    val picks = daily
+      .withColumn("rk", row_number().over(walk).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        min(when(col("rk") >= expr("(n * 5 + 99) div 100"), col("day_c")))
+          .as("p05_c"),
+        min(when(col("rk") >= expr("(n * 95 + 99) div 100"), col("day_c")))
+          .as("p95_c"))
+    daily.join(broadcast(picks), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("p05_c")).as("p05_c"), max(col("p95_c")).as("p95_c"),
+        sum(col("day_c")).as("sum_c"),
+        sum(greatest(least(col("day_c"), col("p95_c")), col("p05_c")))
+          .as("wsum_c"))
+      .select(col("event_type"), col("n_days"), col("p05_c"), col("p95_c"),
+        expr("sum_c div n_days").as("mean_c"),
+        expr("wsum_c div n_days").as("wmean_c"))
+      .orderBy("event_type")
+  }
+
+  val tsWinsorizeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_i,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS day_c
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, day_c,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY day_c, day_i) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |picks AS (
+      |  SELECT event_type, max(n) AS n_days,
+      |    min(CASE WHEN rk >= (n * 5 + 99) // 100 THEN day_c END) AS p05_c,
+      |    min(CASE WHEN rk >= (n * 95 + 99) // 100 THEN day_c END) AS p95_c
+      |  FROM ranked GROUP BY 1)
+      |SELECT d.event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+      |  CAST(max(p05_c) AS BIGINT) AS p05_c,
+      |  CAST(max(p95_c) AS BIGINT) AS p95_c,
+      |  CAST(sum(day_c) // max(n_days) AS BIGINT) AS mean_c,
+      |  CAST(sum(greatest(least(day_c, p95_c), p05_c)) // max(n_days)
+      |    AS BIGINT) AS wmean_c
+      |FROM daily d JOIN picks USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
 }

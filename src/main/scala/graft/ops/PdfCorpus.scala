@@ -162,6 +162,12 @@ object PdfCorpus {
       import spark.implicits._
       Tables.table(spark, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
+        // the write inherits the SOURCE partitioning otherwise — a
+        // one-file documents table synthesized 500k PDFs on ONE task
+        // at the factor-1000 audit (AES-256 hardened hashes are the
+        // cost center); spread the CPU-bound synthesis over the
+        // executors (round 14, measured)
+        .repartition(spark.sparkContext.defaultParallelism)
         .foreachPartition { it: Iterator[(Long, String)] =>
           // fresh Configuration per task: resolves file:// locally and
           // the cluster's fs.defaultFS when artifactDir is a shared URI
