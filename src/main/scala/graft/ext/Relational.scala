@@ -2941,12 +2941,18 @@ object Relational {
     * audit keeps catching), and the square of Pearson's r released in
     * ppm as the cross-multiplied integral quotient
     *
-    *   r²_ppm = cov² div ((varx·vary) div 10⁶),  cov = n·Σxy − Σx·Σy
+    *   r²_ppm = (cov²·10⁶) div (varx·vary),  cov = n·Σxy − Σx·Σy
     *
     * with the sign released separately — no float division or sqrt
-    * anywhere, so the gate replays every bit. Headroom at the audit
-    * scales: day-grain series (n ≤ 2 556), x ≤ 10⁵, y ≤ 10⁶ ⇒
-    * cov² ≤ ~4e33 and varx·vary ≤ ~4e33, both inside DECIMAL(38,0).
+    * anywhere (Spark's `div` on decimals is BigDecimal
+    * divideToIntegralValue: EXACT, probe-verified at knife edges), so
+    * the gate replays every bit. The division must be the SINGLE
+    * outer div: an inner `x div 10⁶` materializes its quotient as
+    * LONG and a ≥ 2⁶³ intermediate wraps silently — the factor-100
+    * gate caught exactly that in this operator's first cut (r14).
+    * Headroom at the audit scales with y in 10k$ units: at sf10,
+    * cov²·10⁶ ≤ ~2e36 and varx·vary ≤ ~2e30, inside DECIMAL(38,0)/
+    * HUGEINT; one more decade needs a unit bump (documented rail).
     *
     * Scale shape: the fact table meets ONE map-side-combinable hash
     * agg to (priority, day) cells; the moment rollup and the quotient
@@ -2960,7 +2966,7 @@ object Relational {
         (dec(col("o_totalprice")) * 100).cast("long").as("pc"))
       .groupBy(col("prio"), col("day_i"))
       .agg(count(lit(1)).as("x"),
-        expr("CAST(sum(pc) AS BIGINT) div 100000").as("y"))
+        expr("CAST(sum(pc) AS BIGINT) div 1000000").as("y"))
     daily
       .groupBy(col("prio"))
       .agg(
@@ -2975,9 +2981,9 @@ object Relational {
       .withColumn("vary", expr("n_days * syy - sy * sy"))
       .select(col("prio"), col("n_days"),
         signum(col("cov")).cast("long").as("sign_r"),
-        expr("CAST(cov * cov AS DECIMAL(38,0)) div " +
-          "greatest(CAST(varx * vary AS DECIMAL(38,0)) div 1000000L, 1L)")
-          .as("r2_ppm"))
+        expr("(CAST(cov * cov AS DECIMAL(38,0)) * 1000000L) div " +
+          "greatest(CAST(varx * vary AS DECIMAL(38,0)), " +
+          "CAST(1 AS DECIMAL(38,0)))").as("r2_ppm"))
       .orderBy("prio")
   }
 
@@ -2988,7 +2994,7 @@ object Relational {
       |      AS BIGINT) AS day_i,
       |    count(*) AS x,
       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-      |      AS BIGINT)) AS BIGINT) // 100000 AS y
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS y
       |  FROM orders GROUP BY 1, 2),
       |m AS (
       |  SELECT prio, count(*) AS n_days,
@@ -3005,7 +3011,7 @@ object Relational {
       |  FROM m)
       |SELECT prio, CAST(n_days AS BIGINT) AS n_days,
       |  CAST(sign(cov) AS BIGINT) AS sign_r,
-      |  CAST(cov * cov // greatest(varx * vary // 1000000, 1)
+      |  CAST(cov * cov * 1000000 // greatest(varx * vary, 1)
       |    AS BIGINT) AS r2_ppm
       |FROM c ORDER BY prio""".stripMargin
 

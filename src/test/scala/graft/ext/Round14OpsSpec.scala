@@ -64,7 +64,7 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("pc"))
       .groupBy("prio", "d")
-      .agg(count(lit(1)).as("x"), expr("CAST(sum(pc) AS BIGINT) div 100000").as("y"))
+      .agg(count(lit(1)).as("x"), expr("CAST(sum(pc) AS BIGINT) div 1000000").as("y"))
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
     val expect = daily.groupBy(_._1).map { case (prio, rs) =>
       val n = BigInt(rs.length)
@@ -75,7 +75,7 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
       val cov = n * sxy - sx * sy
       val vxy = (n * sxx - sx * sx) * (n * syy - sy * sy)
       (prio, n.toLong, cov.signum.toLong,
-        ((cov * cov) / ((vxy / 1000000L) max BigInt(1))).toLong)
+        ((cov * cov * 1000000L) / (vxy max BigInt(1))).toLong)
     }.toSet
     val got = Relational.aggCorr(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1),
