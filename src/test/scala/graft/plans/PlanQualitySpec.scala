@@ -124,10 +124,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     val hi = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exactHi = graft.ext.Dedup.dedupEmbedding(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .filter(_._3 >= 0.8).toSet
+    // the gate query runs over corpus ∪ planted twins (r14) — the
+    // exact reference is the grid kernel over the SAME derived relation
+    val base = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val exactHi = graft.ext.Dedup
+      .dedupEmbeddingGridOn(
+        base.unionByName(graft.ext.Dedup.plantedHiTwins(base)), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(hi == exactHi)
+    assert(hi.nonEmpty, "planted twins must make the hi gate non-vacuous")
   }
 
   test("dedup_contamination: eval shingle set broadcasts, df partial-aggregates, no product") {
