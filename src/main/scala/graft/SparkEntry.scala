@@ -216,6 +216,10 @@ object SparkEntry {
     "event_stickiness" -> (Relational.eventStickiness(_, _)),
     "event_new_users" -> (Relational.eventNewUsers(_, _)),
     "ts_winsorize" -> (TimeSeries.tsWinsorize(_, _)),
+    "event_gini" -> (Relational.eventGini(_, _)),
+    "agg_hhi" -> (Relational.aggHhi(_, _)),
+    "ts_drawdown" -> (TimeSeries.tsDrawdown(_, _)),
+    "event_funnel_time" -> (Relational.eventFunnelTime(_, _)),
     "dq_benford" -> (Relational.dqBenford(_, _)),
     "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -588,6 +592,14 @@ object SparkEntry {
     "event_new_users" -> Relational.eventNewUsersSql,
     // discrete type-1 p05/p95 picks; clamped + raw BIGINT means
     "ts_winsorize" -> TimeSeries.tsWinsorizeSql,
+    // count-domain rank-sum Gini, closed-form block rank mass
+    "event_gini" -> Relational.eventGiniSql,
+    // sum-of-squared-shares in ppm, one exact outer integral divide
+    "agg_hhi" -> Relational.aggHhiSql,
+    // cum/running-peak windows at day grain; earliest-trough tie pin
+    "ts_drawdown" -> TimeSeries.tsDrawdownSql,
+    // funnel-composed deltas; count-domain discrete median
+    "event_funnel_time" -> Relational.eventFunnelTimeSql,
     // polyHash order keys; endpoint picks via min/max(struct(h, doc))
     "pipeline_epoch_order" -> PipelineOps.pipelineEpochOrderSql,
     // string-extracted first digit vs pinned log10 ppm literals

@@ -3141,6 +3141,211 @@ object Relational {
       .orderBy("day_i")
   }
 
+  // ----------------------------------------------------------------
+  // Gini concentration of per-user activity (round 14, batch 2)
+  // ----------------------------------------------------------------
+
+  /** Gini coefficient of events-per-user, per event type, in ppm —
+    * the inequality statistic engagement analyses report ("how
+    * concentrated is this activity in a few heavy users"). Exact
+    * integer rank-sum formula (the standard discrete Gini, public):
+    * with per-user counts x sorted ascending at ranks i = 1..n,
+    *
+    *   G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    *
+    * released as `gini_ppm` by one DECIMAL(38)/HUGEINT floor
+    * division. Computed WITHOUT a user-grain sort: users sharing a
+    * count value x occupy a contiguous rank block [cum−c+1, cum]
+    * whose rank-sum is closed-form (block midpoint × c), so the walk
+    * runs over the (type, x) COUNT DOMAIN — the `dq_iqr` discipline —
+    * and the rank tie order cannot matter (equal x contribute
+    * identically under any permutation of their block).
+    *
+    * Scale shape: events meet one map-side-combinable hash agg to
+    * (type, user) then (type, x) counts; the cumulative walk and the
+    * final rollup run at count-domain cardinality.
+    */
+  def eventGini(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy("event_type").orderBy("x")
+    perUser
+      .withColumn("cum", sum(col("c")).over(walk))
+      // Σ i over the block [cum−c+1, cum] = c·(2·cum − c + 1)/2; the
+      // block's Gini mass is x · that (exact: c·(2cum−c+1) is even)
+      .withColumn("block_mass",
+        expr("CAST(x AS DECIMAL(38,0)) * c * (2 * cum - c + 1) div 2"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_users"),
+        sum(col("x") * col("c")).as("total_events"),
+        sum(col("block_mass")).as("rank_mass"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        expr("(2L * rank_mass - (CAST(n_users AS DECIMAL(38,0)) + 1) " +
+          "* total_events) * 1000000L div " +
+          "(CAST(n_users AS DECIMAL(38,0)) * total_events)").as("gini_ppm"))
+      .orderBy("event_type")
+  }
+
+  val eventGiniSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT event_type, x, count(*) AS c FROM pu GROUP BY 1, 2),
+      |walked AS (
+      |  SELECT event_type, x, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM dom),
+      |rolled AS (
+      |  SELECT event_type, sum(c) AS n_users,
+      |    sum(CAST(x AS HUGEINT) * c) AS total_events,
+      |    sum(CAST(x AS HUGEINT) * c * (2 * cum - c + 1) // 2) AS rank_mass
+      |  FROM walked GROUP BY 1)
+      |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(total_events AS BIGINT) AS total_events,
+      |  CAST((2 * rank_mass - (n_users + 1) * total_events) * 1000000
+      |    // (n_users * total_events) AS BIGINT) AS gini_ppm
+      |FROM rolled ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Herfindahl–Hirschman concentration (round 14, batch 2)
+  // ----------------------------------------------------------------
+
+  /** HHI of order revenue across customers, per nation, in ppm — the
+    * market-concentration index (Σ share²; public antitrust formula),
+    * INTEGER-EXACT: customer revenue in DECIMAL cents, and
+    *
+    *   hhi_ppm = (Σ x_i²)·10⁶ div (Σx)²
+    *
+    * over DECIMAL(38)/HUGEINT (one exact outer integral divide — the
+    * `agg_corr` lesson). `top_share_ppm` (the largest single
+    * customer's share) rides along from the same aggregate. Scale
+    * shape: orders→customer is one equi-join (customer side carries
+    * only (custkey, nationkey)); then a (nation, cust) hash agg and a
+    * nation-grain rollup — no window, no sort.
+    */
+  def aggHhi(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val byCust = t(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("pc"))
+      .join(cust, "c_custkey")
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(col("pc")).as("x"))
+    byCust
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("x").cast("decimal(38,0)")).as("tot"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sq"),
+        max(col("x")).as("mx"))
+      .select(col("c_nationkey").cast("long").as("nation"), col("n_cust"),
+        col("tot").cast("long").as("total_c"),
+        expr("(sq * 1000000L) div (tot * tot)").as("hhi_ppm"),
+        expr("(CAST(mx AS DECIMAL(38,0)) * 1000000L) div tot")
+          .as("top_share_ppm"))
+      .orderBy("nation")
+  }
+
+  val aggHhiSql: String =
+    """WITH bc AS (
+      |  SELECT c.c_nationkey, o.o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_cust,
+      |  CAST(sum(CAST(x AS HUGEINT)) AS BIGINT) AS total_c,
+      |  CAST(sum(CAST(x AS HUGEINT) * x) * 1000000
+      |    // (sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT)))
+      |    AS BIGINT) AS hhi_ppm,
+      |  CAST(CAST(max(x) AS HUGEINT) * 1000000
+      |    // sum(CAST(x AS HUGEINT)) AS BIGINT) AS top_share_ppm
+      |FROM bc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Funnel conversion-time distribution (round 14, batch 2)
+  // ----------------------------------------------------------------
+
+  /** Time-to-convert distribution for the registered funnel's two
+    * transitions (view→click, click→purchase): converted-user count,
+    * discrete type-1 median delta (µs), and the floor mean — the
+    * "how long does conversion take" companion every funnel report
+    * carries. Deltas come from [[eventFunnel]]'s own relation (the
+    * operator composes, it cannot drift); the median is the
+    * count-DOMAIN rank walk (`dq_iqr` discipline), so no user-grain
+    * sort exists in the plan.
+    */
+  def eventFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val f = eventFunnel(spark, dir)
+    val deltas = f
+      .select(lit("1_view_to_click").as("transition"),
+        (col("t_click_us") - col("t_view_us")).as("delta_us"))
+      .unionByName(f.select(lit("2_click_to_purchase").as("transition"),
+        (col("t_purchase_us") - col("t_click_us")).as("delta_us")))
+      .filter(col("delta_us").isNotNull)
+      .groupBy(col("transition"), col("delta_us"))
+      .agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy("transition").orderBy("delta_us")
+    val all = Window.partitionBy("transition")
+    deltas
+      .withColumn("cum", sum(col("c")).over(walk))
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("sum_d", sum(col("delta_us") * col("c")).over(all))
+      .groupBy(col("transition"))
+      .agg(
+        max(col("n")).as("n_converted"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("delta_us")))
+          .as("p50_us"),
+        expr("max(sum_d) div max(n)").as("mean_us"))
+      .orderBy("transition")
+  }
+
+  val eventFunnelTimeSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click_us
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+      |  GROUP BY e.user_id),
+      |d AS (
+      |  SELECT '1_view_to_click' AS transition,
+      |    c.t_click_us - v.t_view_us AS delta_us
+      |  FROM c JOIN v USING (user_id)
+      |  UNION ALL
+      |  SELECT '2_click_to_purchase' AS transition,
+      |    p.t_purchase_us - c.t_click_us AS delta_us
+      |  FROM p JOIN c USING (user_id)),
+      |dom AS (
+      |  SELECT transition, delta_us, count(*) AS c
+      |  FROM d GROUP BY 1, 2),
+      |walked AS (
+      |  SELECT transition, delta_us, c,
+      |    sum(c) OVER (PARTITION BY transition ORDER BY delta_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY transition) AS n,
+      |    sum(delta_us * c) OVER (PARTITION BY transition) AS sum_d
+      |  FROM dom)
+      |SELECT transition, CAST(max(n) AS BIGINT) AS n_converted,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN delta_us END)
+      |    AS BIGINT) AS p50_us,
+      |  CAST(max(sum_d) // max(n) AS BIGINT) AS mean_us
+      |FROM walked GROUP BY transition
+      |ORDER BY transition""".stripMargin
+
   /** New-vs-returning daily split (round 14, the acquisition
     * companion of [[eventStickiness]]): per day, how many active
     * users are seen for the FIRST time vs returning, plus the new

@@ -1304,6 +1304,74 @@ object TimeSeries {
       |ORDER BY user_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // Maximum drawdown (round 14, batch 2)
+  // ----------------------------------------------------------------
+
+  /** Maximum drawdown of the cumulative daily-revenue series per
+    * event type — the running-peak-to-trough statistic (standard
+    * finance definition, here over operational revenue): with
+    * C(d) = Σ_{d'≤d} revenue and P(d) = max_{d'≤d} C(d'), the
+    * drawdown at d is P(d) − C(d); released are the peak cumulative
+    * value, the maximum drawdown, and the trough day (earliest day on
+    * ties), all BIGINT cents / day indexes.
+    *
+    * Scale shape: events meet ONE hash agg to (type, day) cells; the
+    * cumulative sum, running max, and argmax-by-(drawdown desc, day
+    * asc) run as windows over day-grain rows only.
+    */
+  def tsDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_i"),
+        (dec(col("value")) * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"), col("day_i"))
+      .agg(sum(col("vc")).as("day_c"))
+    val walk = Window.partitionBy("event_type").orderBy("day_i")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = daily
+      .withColumn("cum", sum(col("day_c")).over(walk))
+      .withColumn("peak", max(col("cum")).over(walk))
+      .withColumn("dd", col("peak") - col("cum"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("dd").desc, col("day_i").asc)
+    dd.withColumn("rn", row_number().over(pick))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(col("peak")).as("peak_cum_c"),
+        max(col("dd")).as("max_drawdown_c"),
+        min(when(col("rn") === 1, col("day_i"))).as("trough_day"))
+      .orderBy("event_type")
+  }
+
+  val tsDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_i,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS day_c
+      |  FROM events GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT event_type, day_i,
+      |    sum(day_c) OVER (PARTITION BY event_type ORDER BY day_i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM daily),
+      |walked AS (
+      |  SELECT event_type, day_i, cum,
+      |    max(cum) OVER (PARTITION BY event_type ORDER BY day_i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM cums),
+      |dd AS (
+      |  SELECT event_type, day_i, cum, peak, peak - cum AS dd,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY peak - cum DESC, day_i ASC) AS rn
+      |  FROM walked)
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(max(peak) AS BIGINT) AS peak_cum_c,
+      |  CAST(max(dd) AS BIGINT) AS max_drawdown_c,
+      |  CAST(min(CASE WHEN rn = 1 THEN day_i END) AS BIGINT) AS trough_day
+      |FROM dd GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
   // Winsorized daily means (round 14)
   // ----------------------------------------------------------------
 

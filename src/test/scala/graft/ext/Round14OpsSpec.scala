@@ -163,6 +163,89 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq.map(_._3).sum == firstDay.size.toLong)
   }
 
+  test("eventGini: rank-sum Gini replays against a sorted local computation") {
+    val perUser = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val expect = perUser.groupBy(_._1).map { case (t, rs) =>
+      val xs = rs.map(_._2).sorted // ascending ranks 1..n
+      val n = BigInt(xs.length)
+      val tot = xs.map(BigInt(_)).sum
+      val rankMass = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (2 * rankMass - (n + 1) * tot) * 1000000 / (n * tot)
+      (t, n.toLong, tot.toLong, gini.toLong)
+    }.toSet
+    val got = Relational.eventGini(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.forall(r => r._4 >= 0L && r._4 < 1000000L), "0 <= G < 1")
+  }
+
+  test("aggHhi: sum-of-squared-shares replays in BigInt; bounds hold") {
+    val byCust = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("pc"))
+      .join(spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .groupBy("c_nationkey", "o_custkey").agg(sum("pc").as("x"))
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS nat", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = byCust.groupBy(_._1).map { case (nat, rs) =>
+      val xs = rs.map(r => BigInt(r._2))
+      val tot = xs.sum
+      (nat, rs.length.toLong, tot.toLong,
+        (xs.map(x => x * x).sum * 1000000 / (tot * tot)).toLong,
+        (xs.max * 1000000 / tot).toLong)
+    }.toSet
+    val got = Relational.aggHhi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+    // 1/n <= HHI <= 1: the lower bound in ppm, with floor slack
+    for (r <- got.toSeq)
+      assert(r._4 >= 1000000L / r._2 - 1 && r._4 <= 1000000L)
+  }
+
+  test("tsDrawdown: running-peak drawdown replays locally") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d").agg(sum("vc").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, rs) =>
+      val s = rs.sortBy(_._2)
+      var cum = 0L; var peak = Long.MinValue
+      var bestDd = Long.MinValue; var trough = 0L; var peakMax = Long.MinValue
+      for ((_, d, c) <- s) {
+        cum += c; peak = math.max(peak, cum); peakMax = math.max(peakMax, peak)
+        val dd = peak - cum
+        if (dd > bestDd) { bestDd = dd; trough = d }
+      }
+      (t, s.length.toLong, peakMax, bestDd, trough)
+    }.toSet
+    val got = TimeSeries.tsDrawdown(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+  }
+
+  test("eventFunnelTime: deltas compose from the funnel relation; discrete median") {
+    val f = Relational.eventFunnel(spark, dir).collect()
+    def stats(ds: Seq[Long]): (Long, Long, Long) = {
+      val s = ds.sorted
+      (s.length.toLong, s(((s.length + 1) / 2 - 1).toInt), s.sum / s.length)
+    }
+    val vToC = f.filter(!_.isNullAt(3)).map(r => r.getLong(3) - r.getLong(2))
+    val cToP = f.filter(!_.isNullAt(4)).map(r => r.getLong(4) - r.getLong(3))
+    val expect = Set(
+      ("1_view_to_click", stats(vToC.toSeq)),
+      ("2_click_to_purchase", stats(cToP.toSeq)))
+    val got = Relational.eventFunnelTime(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+    assert(got == expect)
+    assert(got.forall(_._2._2 > 0L), "conversion takes positive time")
+  }
+
   test("tsWinsorize: discrete picks and clamped means replay locally") {
     val daily = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"),
