@@ -694,4 +694,44 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     val rows = df.collect()
     assert(rows.length == 200)
   }
+
+  test("round-14 operators: no products, broadcast where designed") {
+    // one plan sweep over the round's additions — every plan must be
+    // product-free, and the designed broadcast sides must actually
+    // broadcast (a silent fallback to SMJ on a day-grid or a 50-row
+    // exact top-k is the regression this pins against)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      ("retrieval_mrr", graft.ext.Similarity.retrievalMrr(spark, dir), true),
+      ("privacy_dp_mean", graft.ext.Privacy.privacyDpMean(spark, dir), false),
+      ("agg_corr", graft.ext.Relational.aggCorr(spark, dir), false),
+      ("window_ntile", graft.ext.Relational.windowNtile(spark, dir), false),
+      ("event_paths", graft.ext.Relational.eventPaths(spark, dir), true),
+      ("event_stickiness",
+        graft.ext.Relational.eventStickiness(spark, dir), true),
+      ("event_new_users", graft.ext.Relational.eventNewUsers(spark, dir), false),
+      ("ts_winsorize", graft.ext.TimeSeries.tsWinsorize(spark, dir), true),
+      ("event_gini", graft.ext.Relational.eventGini(spark, dir), false),
+      ("agg_hhi", graft.ext.Relational.aggHhi(spark, dir), false),
+      ("ts_drawdown", graft.ext.TimeSeries.tsDrawdown(spark, dir), false),
+      ("event_funnel_time",
+        graft.ext.Relational.eventFunnelTime(spark, dir), true))
+    for ((name, df, wantsBroadcast) <- cases) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // sanctioned nested-loop shapes — all with a DAY-GRAIN or
+      // QUERY-GRAIN broadcast build side, bounded by the calendar or
+      // the probe count rather than the corpus: event_paths' 1-row
+      // share denominator, retrieval_mrr's composed sim_topk
+      // self-exclusion predicate, event_stickiness' 7-day interval
+      // join against the broadcast day grid. Anything else must not
+      // NL-join.
+      if (!Set("event_paths", "retrieval_mrr",
+          "event_stickiness").contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      if (wantsBroadcast)
+        assert(plan.contains("BroadcastExchange") ||
+          plan.contains("BroadcastHashJoin"),
+          s"$name: designed broadcast side fell back to a shuffle:\n$plan")
+    }
+  }
 }
