@@ -220,6 +220,7 @@ object SparkEntry {
     "agg_hhi" -> (Relational.aggHhi(_, _)),
     "ts_drawdown" -> (TimeSeries.tsDrawdown(_, _)),
     "event_funnel_time" -> (Relational.eventFunnelTime(_, _)),
+    "source_xml" -> (graft.sources.SourceFormats.sourceXml(_, _)),
     "dq_benford" -> (Relational.dqBenford(_, _)),
     "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -600,6 +601,8 @@ object SparkEntry {
     "ts_drawdown" -> TimeSeries.tsDrawdownSql,
     // funnel-composed deltas; count-domain discrete median
     "event_funnel_time" -> Relational.eventFunnelTimeSql,
+    // native Spark 4 XML source; xor-fingerprint lossless proof
+    "source_xml" -> graft.sources.SourceFormats.sourceRoundtripSql,
     // polyHash order keys; endpoint picks via min/max(struct(h, doc))
     "pipeline_epoch_order" -> PipelineOps.pipelineEpochOrderSql,
     // string-extracted first digit vs pinned log10 ppm literals

@@ -36,6 +36,8 @@ object SourceFormats {
         case "csv" => docs.write.mode("overwrite")
           .option("header", "true").csv(tmp)
         case "orc" => docs.write.mode("overwrite").orc(tmp)
+        case "xml" => docs.write.mode("overwrite").format("xml")
+          .option("rootTag", "docs").option("rowTag", "doc").save(tmp)
       }
       tmp
     })
@@ -58,6 +60,8 @@ object SourceFormats {
       case "jsonl" => spark.read.schema(schema).json(path)
       case "csv" => spark.read.schema(schema).option("header", "true").csv(path)
       case "orc" => spark.read.orc(path) // self-describing schema
+      case "xml" => spark.read.schema(schema)
+        .option("rowTag", "doc").format("xml").load(path)
     }
     fingerprinted(back)
   }
@@ -70,6 +74,16 @@ object SourceFormats {
 
   def sourceOrc(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, "orc")
+
+  /** XML interchange roundtrip (round 14): Spark 4's NATIVE xml data
+    * source (the spark-xml package folded into core, SPARK-44265) —
+    * the fourth interchange format under the same xor-fingerprint
+    * lossless proof. XML is the interchange shape of regulatory and
+    * publishing corpora (PubMed, patents, Wikipedia dumps), so an
+    * engine claiming corpus interchange needs the roundtrip gated.
+    */
+  def sourceXml(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "xml")
 
   /** One oracle for all three: the aggregate over the ORIGINAL
     * parquet — equality is the lossless-roundtrip proof.

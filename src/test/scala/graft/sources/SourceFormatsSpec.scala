@@ -9,7 +9,7 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("jsonl/csv/orc roundtrips equal the parquet-direct fingerprint") {
+  test("jsonl/csv/orc/xml roundtrips equal the parquet-direct fingerprint") {
     val expected = SourceFormats
       .fingerprinted(Tables.table(spark, dir, "documents"))
       .collect().map(_.toString).toSeq
@@ -17,7 +17,8 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestBase {
     for ((name, q) <- Seq(
         "jsonl" -> SourceFormats.sourceJsonl _,
         "csv" -> SourceFormats.sourceCsv _,
-        "orc" -> SourceFormats.sourceOrc _)) {
+        "orc" -> SourceFormats.sourceOrc _,
+        "xml" -> SourceFormats.sourceXml _)) {
       val got = q(spark, dir).collect().map(_.toString).toSeq
       assert(got == expected, s"$name roundtrip drifted")
     }
