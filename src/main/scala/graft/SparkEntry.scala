@@ -221,6 +221,7 @@ object SparkEntry {
     "ts_drawdown" -> (TimeSeries.tsDrawdown(_, _)),
     "event_funnel_time" -> (Relational.eventFunnelTime(_, _)),
     "source_xml" -> (graft.sources.SourceFormats.sourceXml(_, _)),
+    "source_xml_attrs" -> (graft.sources.SourceFormats.sourceXmlAttrs(_, _)),
     "dq_benford" -> (Relational.dqBenford(_, _)),
     "event_abtest" -> (Relational.eventAbtest(_, _)),
     "dq_psi" -> (TextAnalysis.dqPsi(_, _)),
@@ -603,6 +604,7 @@ object SparkEntry {
     "event_funnel_time" -> Relational.eventFunnelTimeSql,
     // native Spark 4 XML source; xor-fingerprint lossless proof
     "source_xml" -> graft.sources.SourceFormats.sourceRoundtripSql,
+    "source_xml_attrs" -> graft.sources.SourceFormats.sourceRoundtripSql,
     // polyHash order keys; endpoint picks via min/max(struct(h, doc))
     "pipeline_epoch_order" -> PipelineOps.pipelineEpochOrderSql,
     // string-extracted first digit vs pinned log10 ppm literals

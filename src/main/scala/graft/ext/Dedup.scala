@@ -895,7 +895,15 @@ object Dedup {
   private[graft] def plantedHiTwins(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    // loud empty-corpus guard (ADVICE r14, the corpusDim convention):
+    // max() over zero rows is a null row and a bare getLong would
+    // throw an unnamed NullPointerException
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (maxRow.isNullAt(0))
+      throw new IllegalArgumentException(
+        "plantedHiTwins: embeddings corpus is empty — no host rows to " +
+          "plant twins on (is the embeddings table present and non-empty?)")
+    val stride = maxRow.getLong(0) + 1L
     val hosts = emb.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(PlantedHiHosts)
       .as[(Long, Array[Float])].collect()

@@ -3118,22 +3118,30 @@ object Relational {
     * DAU/WAU "stickiness" ratio in ppm — the engagement statistic
     * every product-analytics stack publishes. Exact distinct counts
     * (no sketch): the fact table first collapses to DISTINCT
-    * (day, user) pairs — the one fact-scale aggregation — then the
-    * 7-day trailing window is an interval join of those pairs against
-    * the BROADCAST day grid (each pair lands in ≤ 7 grid days) and a
-    * second distinct count at day grain. State is day×user pairs,
-    * never raw events; the ppm ratio is integer floor division.
+    * (day, user) pairs — the one fact-scale aggregation — then each
+    * pair is EXPLODED to the ≤ 7 trailing grid days it covers
+    * (`explode(sequence(day_i, day_i+6))`) and distinct-counted at
+    * day grain. Round 15 (ADVICE r14): the previous shape joined
+    * pairs BETWEEN a broadcast day grid, which plans as a
+    * BroadcastNestedLoopJoin costing |pairs| × |days| predicate
+    * evaluations — quadratic-ish in calendar length at audit scale;
+    * the explode is exactly 7 rows per pair (linear), and the final
+    * inner join against `dau` discards the ≤ 6 trailing phantom days
+    * past the corpus max, so no grid relation is needed at all.
+    * State is day×user pairs ×7, never raw events; the ppm ratio is
+    * integer floor division. Unbounded-user caveat: the exact
+    * distinct state grows with the user population — the sketch twin
+    * `event_stickiness_kmv` bounds it (KMV, ≤ K hashes per day).
     */
   def eventStickiness(spark: SparkSession, dir: String): DataFrame = {
     val du = Tables.events(spark, dir)
       .select(expr("ts_ns div 86400000000000").as("day_i"), col("user_id"))
       .distinct()
     val dau = du.groupBy(col("day_i")).agg(count(lit(1)).as("dau"))
-    val grid = du.select(col("day_i").as("d")).distinct()
     val wau = du
-      .join(broadcast(grid),
-        col("day_i").between(col("d") - 6L, col("d")))
-      .select(col("d"), col("user_id")).distinct()
+      .select(explode(expr("sequence(day_i, day_i + 6)")).as("d"),
+        col("user_id"))
+      .distinct()
       .groupBy(col("d")).agg(count(lit(1)).as("wau"))
     dau.join(wau, dau("day_i") === wau("d"))
       .select(col("day_i"), col("dau"), col("wau"),
@@ -3174,10 +3182,18 @@ object Relational {
     val walk = Window.partitionBy("event_type").orderBy("x")
     perUser
       .withColumn("cum", sum(col("c")).over(walk))
-      // Σ i over the block [cum−c+1, cum] = c·(2·cum − c + 1)/2; the
-      // block's Gini mass is x · that (exact: c·(2cum−c+1) is even)
+      // Σ i over the block [cum−c+1, cum] = c·(2·cum − c + 1)/2. The
+      // halving happens on the even LONG factor BEFORE the DECIMAL
+      // multiply: exactly one of c and (2cum−c+1) is even, each
+      // factor is ≤ 2n+1 (no LONG overflow), and an inner `div` on
+      // the DECIMAL product would materialize LONG and silently wrap
+      // past 2⁶³ (the agg_corr lesson — ADVICE r14)
+      .withColumn("block_ranks",
+        expr("CASE WHEN c % 2 = 0 " +
+          "THEN CAST(c div 2 AS DECIMAL(38,0)) * (2 * cum - c + 1) " +
+          "ELSE CAST(c AS DECIMAL(38,0)) * ((2 * cum - c + 1) div 2) END"))
       .withColumn("block_mass",
-        expr("CAST(x AS DECIMAL(38,0)) * c * (2 * cum - c + 1) div 2"))
+        expr("CAST(x AS DECIMAL(38,0)) * block_ranks"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("c")).as("n_users"),
@@ -3275,12 +3291,29 @@ object Relational {
 
   /** Time-to-convert distribution for the registered funnel's two
     * transitions (view→click, click→purchase): converted-user count,
-    * discrete type-1 median delta (µs), and the floor mean — the
+    * the log₂ bucket containing the discrete type-1 median delta (and
+    * that bucket's smallest observed delta, a deterministic lower
+    * envelope of the true median), and the exact floor mean — the
     * "how long does conversion take" companion every funnel report
     * carries. Deltas come from [[eventFunnel]]'s own relation (the
-    * operator composes, it cannot drift); the median is the
-    * count-DOMAIN rank walk (`dq_iqr` discipline), so no user-grain
-    * sort exists in the plan.
+    * operator composes, it cannot drift).
+    *
+    * Median domain bound (round 15, VERDICT r14 ask #1): the round-14
+    * shape walked the raw `delta_us` count domain, but µs-grain
+    * conversion deltas are near-unique per user, so that "domain" had
+    * ~n_converted cardinality and the rank walk's 2-value
+    * `partitionBy(transition)` window was a skewed near-global sort of
+    * user-grain rows at 100×. The walk now runs over the log₂-bucketed
+    * delta domain — the [[eventLagDist]] pattern — which is VALUE-
+    * bounded: deltas are µs in (0, 2⁶³), so ≤ 63 buckets per
+    * transition ever exist, however many users convert. The rank walk
+    * and both full-partition sums see ≤ 2 × 63 rows; the one
+    * fact-grain operation left is the map-side-combinable hash agg
+    * into (transition, bucket) cells. The bucket pick is exact for the
+    * bucketed statistic (the DuckDB oracle buckets identically);
+    * `p50_floor_us` is a data value (each bucket's min delta is
+    * strictly increasing across buckets, so the first rank-covering
+    * bucket's min is well-defined under `min(when...)`).
     */
   def eventFunnelTime(spark: SparkSession, dir: String): DataFrame = {
     val f = eventFunnel(spark, dir)
@@ -3293,19 +3326,28 @@ object Relational {
           "'2_click_to_purchase', t_purchase_us - t_click_us) " +
           "AS (transition, delta_us)"))
       .filter(col("delta_us").isNotNull)
-      .groupBy(col("transition"), col("delta_us"))
-      .agg(count(lit(1)).as("c"))
-    val walk = Window.partitionBy("transition").orderBy("delta_us")
+      // deltas are strictly positive (the funnel's step inequalities
+      // are strict), but keep the zero guard: bucket −1, the
+      // event_lag_dist convention
+      .withColumn("bucket",
+        when(col("delta_us") === 0L, lit(-1L))
+          .otherwise((length(bin(col("delta_us"))) - 1).cast("long")))
+      .groupBy(col("transition"), col("bucket"))
+      .agg(count(lit(1)).as("c"), min(col("delta_us")).as("mn"),
+        sum(col("delta_us")).as("sd"))
+    val walk = Window.partitionBy("transition").orderBy("bucket")
     val all = Window.partitionBy("transition")
     deltas
       .withColumn("cum", sum(col("c")).over(walk))
       .withColumn("n", sum(col("c")).over(all))
-      .withColumn("sum_d", sum(col("delta_us") * col("c")).over(all))
+      .withColumn("sum_d", sum(col("sd")).over(all))
       .groupBy(col("transition"))
       .agg(
         max(col("n")).as("n_converted"),
-        min(when(col("cum") >= expr("(n + 1) div 2"), col("delta_us")))
-          .as("p50_us"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bucket")))
+          .as("p50_bucket"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("mn")))
+          .as("p50_floor_us"),
         expr("max(sum_d) div max(n)").as("mean_us"))
       .orderBy("transition")
   }
@@ -3333,18 +3375,23 @@ object Relational {
       |    p.t_purchase_us - c.t_click_us AS delta_us
       |  FROM p JOIN c USING (user_id)),
       |dom AS (
-      |  SELECT transition, delta_us, count(*) AS c
+      |  SELECT transition,
+      |    CASE WHEN delta_us = 0 THEN -1
+      |         ELSE length(bin(delta_us)) - 1 END AS bucket,
+      |    count(*) AS c, min(delta_us) AS mn, sum(delta_us) AS sd
       |  FROM d GROUP BY 1, 2),
       |walked AS (
-      |  SELECT transition, delta_us, c,
-      |    sum(c) OVER (PARTITION BY transition ORDER BY delta_us
+      |  SELECT transition, bucket, c, mn,
+      |    sum(c) OVER (PARTITION BY transition ORDER BY bucket
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    sum(c) OVER (PARTITION BY transition) AS n,
-      |    sum(delta_us * c) OVER (PARTITION BY transition) AS sum_d
+      |    sum(sd) OVER (PARTITION BY transition) AS sum_d
       |  FROM dom)
       |SELECT transition, CAST(max(n) AS BIGINT) AS n_converted,
-      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN delta_us END)
-      |    AS BIGINT) AS p50_us,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bucket END)
+      |    AS BIGINT) AS p50_bucket,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN mn END)
+      |    AS BIGINT) AS p50_floor_us,
       |  CAST(max(sum_d) // max(n) AS BIGINT) AS mean_us
       |FROM walked GROUP BY transition
       |ORDER BY transition""".stripMargin

@@ -111,6 +111,16 @@ object PdfCorpus {
     * (spec-verified), and the variant puts a SIXTH distinct JVM
     * charset — and the second Adobe-Japan1 byte structure beside
     * Shift-JIS — under the md5 gate.
+    * Round 15 (VERDICT r14 ask #6) adds `HKscs-B5-H` as the ninth
+    * variant: Adobe-CNS1's Hong Kong Supplementary Character Set
+    * CMap (ISO 32000 Table 118; `PdfFonts.charsetFor` has carried
+    * the `HKscs-B5` → Big5-HKSCS entry since r9 with no gate
+    * exercising it). Big5-HKSCS is a strict superset of Big5 over
+    * the common URO region, so the 26 alphabet ideographs keep their
+    * Big5 2-byte codes and the round-trip contract holds
+    * (spec-verified by the alphabet round-trip test) — a SEVENTH
+    * distinct JVM charset and the second Adobe-CNS1 byte structure
+    * beside ETen-B5 under the md5 gate.
     */
   private[graft] val CjkVariants: Vector[(String, String)] = Vector(
     ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
@@ -120,7 +130,8 @@ object PdfCorpus {
     ("KSCms-UHC-HW-H", "x-windows-949"), // Adobe-Korea1, UHC half-width
     ("KSCms-UHC-HW-V", "x-windows-949"), // Adobe-Korea1, UHC half-width, vertical
     ("GBK2K-V", "GB18030"),        // Adobe-GB1, GB18030, vertical (r13)
-    ("EUC-H", "EUC-JP"))           // Adobe-Japan1, EUC-JP flavor (r14)
+    ("EUC-H", "EUC-JP"),           // Adobe-Japan1, EUC-JP flavor (r14)
+    ("HKscs-B5-H", "Big5-HKSCS"))  // Adobe-CNS1, HKSCS (r15)
 
   /** The derived DBCS text: lowercase ASCII letters become
     * ideographs, everything else (digits, space, punctuation,
@@ -200,9 +211,9 @@ object PdfCorpus {
     * VERDICT r9 ask #1; five variants in round 11, six in round 12,
     * seven in round 13):
     * same pipeline, but the corpus is the [[toCjk]]-derived DBCS text
-    * written as SEVEN legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
+    * written as NINE legacy Type0 shapes ([[CjkVariants]]: GBK-EUC-H /
     * ETen-B5-V / 90ms-RKSJ-H / KSC-EUC-V / KSCms-UHC-HW-H /
-    * KSCms-UHC-HW-V / GBK2K-V, no
+    * KSCms-UHC-HW-V / GBK2K-V / EUC-H / HKscs-B5-H, no
     * ToUnicode), so extraction must decode charset-encoded shown bytes
     * through [[graft.sources.pdf.PdfFonts]]'s charset-codespace tier.
     * The md5 of the in-order extracted page concatenation is checked
@@ -215,10 +226,10 @@ object PdfCorpus {
     */
   def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
     statsOver(spark,
-      // tag bumped per variant-count change (v4 -> v5 in r14): the
+      // tag bumped per variant-count change (v5 -> v6 in r15): the
       // doc_id % CjkVariants.length assignment reshuffles which CMap
       // each document gets, so the prior corpus must regenerate
-      ensureAssets(spark, dir, "pdf-cjk-assets-v5", synthesizeCjk),
+      ensureAssets(spark, dir, "pdf-cjk-assets-v6", synthesizeCjk),
       variantMod = CjkVariants.length)
 
   /** Shared scan→extract→chunk→aggregate tail of both gate queries. */

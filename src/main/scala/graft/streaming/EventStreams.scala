@@ -112,13 +112,21 @@ object EventStreams {
     * helper is private precisely so no caller can feed a multi-file
     * directory into the gate queries.
     */
+  /** Recursive staging-dir cleanup at JVM exit (ADVICE r14):
+    * `File.deleteOnExit` cannot remove a non-empty directory, so the
+    * flush staging dir (two parquet files) leaked one dir per corpus
+    * per JVM. One shutdown hook, quiet recursive delete.
+    */
+  private def deleteRecursivelyOnExit(tmp: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile): Unit))
+
   private def stagedEventsDir(dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
       val file = tmp.resolve("events.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), file)
-      tmp.toFile.deleteOnExit()
-      file.toFile.deleteOnExit()
+      deleteRecursivelyOnExit(tmp)
       tmp.toString
     })
 
@@ -488,8 +496,13 @@ object EventStreams {
       val file = tmp.resolve("00-events.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), file)
       // one sentinel row in the SOURCE schema (ts flavor varies by
-      // generation): sample a row, rewrite user_id/event_id/ts
-      scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      // generation): sample a row, rewrite user_id/event_id/ts.
+      // Save/restore the legacy-nanos conf around the build (ADVICE
+      // r14 — staging must not mutate session state as a side effect)
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val nanosPrev = scala.util.Try(spark.conf.get(nanosKey)).toOption
+      scala.util.Try(spark.conf.set(nanosKey, "true"))
+      try {
       val raw = spark.read.parquet(file.toString)
       val marginNs = 2L * 3600L * 1000000000L
       val sentinel = raw.schema("ts").dataType match {
@@ -514,7 +527,13 @@ object EventStreams {
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, tmp.resolve("01-flush.parquet"))
       org.apache.commons.io.FileUtils.deleteDirectory(flushTmp.toFile)
-      tmp.toFile.deleteOnExit()
+      } finally {
+        nanosPrev match {
+          case Some(v) => scala.util.Try(spark.conf.set(nanosKey, v))
+          case None => scala.util.Try(spark.conf.unset(nanosKey))
+        }
+      }
+      deleteRecursivelyOnExit(tmp)
       tmp.toString
     })
 

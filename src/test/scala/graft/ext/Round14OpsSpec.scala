@@ -229,11 +229,19 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
-  test("eventFunnelTime: deltas compose from the funnel relation; discrete median") {
+  test("eventFunnelTime: deltas compose from the funnel relation; " +
+    "log2-bucketed median (round-15 domain bound) replays locally") {
     val f = Relational.eventFunnel(spark, dir).collect()
-    def stats(ds: Seq[Long]): (Long, Long, Long) = {
+    def bk(d: Long): Long =
+      if (d == 0L) -1L else (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong
+    def stats(ds: Seq[Long]): (Long, Long, Long, Long) = {
       val s = ds.sorted
-      (s.length.toLong, s(((s.length + 1) / 2 - 1).toInt), s.sum / s.length)
+      // bucket ordering refines delta ordering (log2 is monotone), so
+      // the rank-(n+1)/2 element's bucket IS the first cum-covering
+      // bucket, and p50_floor is that bucket's smallest delta
+      val med = s(((s.length + 1) / 2 - 1).toInt)
+      val b = bk(med)
+      (s.length.toLong, b, s.filter(bk(_) == b).min, s.sum / s.length)
     }
     val vToC = f.filter(!_.isNullAt(3)).map(r => r.getLong(3) - r.getLong(2))
     val cToP = f.filter(!_.isNullAt(4)).map(r => r.getLong(4) - r.getLong(3))
@@ -241,9 +249,12 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
       ("1_view_to_click", stats(vToC.toSeq)),
       ("2_click_to_purchase", stats(cToP.toSeq)))
     val got = Relational.eventFunnelTime(spark, dir).collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toSet
     assert(got == expect)
-    assert(got.forall(_._2._2 > 0L), "conversion takes positive time")
+    assert(got.forall(_._2._2 >= 0L), "conversion takes positive time")
+    assert(got.forall(t => bk(t._2._3) == t._2._2),
+      "p50_floor_us lies inside the median bucket")
   }
 
   test("tsWinsorize: discrete picks and clamped means replay locally") {

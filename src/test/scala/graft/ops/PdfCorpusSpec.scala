@@ -86,8 +86,8 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("eight-variant CJK synthesis round-trips DBCS text bit-exact") {
-    // one text per CMap variant (ids 0..7): mixed-case + digits keep
+  test("nine-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..8): mixed-case + digits keep
     // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
     val texts = Seq(
       "gbk simplified (Horizontal) 0123 " + "a" * 300,
@@ -97,10 +97,11 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
       "uhc Half-Width 949 row 456 " + "e" * 350, // KSCms-UHC-HW-H (r11)
       "uhc half-width Vertical 789 " + "f" * 320, // KSCms-UHC-HW-V (r12)
       "gb18030 2k Vertical variant 13 " + "g" * 280, // GBK2K-V (r13)
-      "euc-jp japan1 Horizontal 14 " + "h" * 260) // EUC-H (r14)
+      "euc-jp japan1 Horizontal 14 " + "h" * 260, // EUC-H (r14)
+      "hkscs big5 cns1 Horizontal 15 " + "i" * 240) // HKscs-B5-H (r15)
     val dir = miniCorpus(texts)
     val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
-    assert(rows.length == 9, "8 docs + SUM TOTAL")
+    assert(rows.length == 10, "9 docs + SUM TOTAL")
     val byPath = rows.map(r => r.getString(0) -> r).toMap
     for ((t, i) <- texts.zipWithIndex) {
       val derived = PdfCorpus.toCjk(t)

@@ -707,7 +707,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       ("window_ntile", graft.ext.Relational.windowNtile(spark, dir), false),
       ("event_paths", graft.ext.Relational.eventPaths(spark, dir), true),
       ("event_stickiness",
-        graft.ext.Relational.eventStickiness(spark, dir), true),
+        graft.ext.Relational.eventStickiness(spark, dir), false),
       ("event_new_users", graft.ext.Relational.eventNewUsers(spark, dir), false),
       ("ts_winsorize", graft.ext.TimeSeries.tsWinsorize(spark, dir), true),
       ("event_gini", graft.ext.Relational.eventGini(spark, dir), false),
@@ -718,20 +718,75 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     for ((name, df, wantsBroadcast) <- cases) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
-      // sanctioned nested-loop shapes — all with a DAY-GRAIN or
-      // QUERY-GRAIN broadcast build side, bounded by the calendar or
-      // the probe count rather than the corpus: event_paths' 1-row
-      // share denominator, retrieval_mrr's composed sim_topk
-      // self-exclusion predicate, event_stickiness' 7-day interval
-      // join against the broadcast day grid. Anything else must not
-      // NL-join.
-      if (!Set("event_paths", "retrieval_mrr",
-          "event_stickiness").contains(name))
+      // sanctioned nested-loop shapes — all with a 1-ROW or
+      // QUERY-GRAIN broadcast build side, bounded by the probe count
+      // rather than the corpus: event_paths' 1-row share denominator,
+      // retrieval_mrr's composed sim_topk self-exclusion predicate.
+      // event_stickiness left this set in round 15: its interval join
+      // became an explode(sequence)+equi-join (ADVICE r14). Anything
+      // else must not NL-join.
+      if (!Set("event_paths", "retrieval_mrr").contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
       if (wantsBroadcast)
         assert(plan.contains("BroadcastExchange") ||
           plan.contains("BroadcastHashJoin"),
           s"$name: designed broadcast side fell back to a shuffle:\n$plan")
     }
+  }
+
+  test("rank-walk domain audit (round 15, VERDICT r14 ask #2): every " +
+    "cumulative-walk window runs over a value-bounded domain, never entity grain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // A "walk" is a window whose partition key is low-cardinality
+    // (≤ a handful of values) — the shape that serializes onto a few
+    // tasks at 100× unless its INPUT is value-bounded. Per-entity
+    // windows (user_id / doc_id partitions) are the sessionize
+    // exchange and scale with the key; they are exempt here.
+    val walkKeys = Set("transition", "event_type", "l_returnflag")
+    // columns whose presence in a walk input proves entity/fact grain
+    val entityGrain = Set("user_id", "event_id", "doc_id", "vec_id",
+      "delta_us", "ts_us", "ts_ns", "l_orderkey", "o_orderkey",
+      "c_custkey", "o_custkey", "p_partkey", "s_suppkey")
+    // The audit table — each walk query with its declared domain
+    // bound (the witness column the walk input must be grouped to):
+    //   dq_iqr            price-cents domain   (pc)
+    //   ts_mad            calendar days        (day_idx)
+    //   ts_winsorize      calendar days        (day_c — the day-grain
+    //                     cents cell; column pruning drops day_i from
+    //                     the upper count window's input)
+    //   event_gini        events-per-user counts (x)
+    //   event_funnel_time log2 delta buckets ≤63 (bucket; round-15 fix)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("dq_iqr", graft.ext.Relational.dqIqr(spark, dir), "pc"),
+      ("ts_mad", graft.ext.TimeSeries.tsMad(spark, dir), "day_idx"),
+      ("ts_winsorize", graft.ext.TimeSeries.tsWinsorize(spark, dir), "day_c"),
+      ("event_gini", graft.ext.Relational.eventGini(spark, dir), "x"),
+      ("event_funnel_time",
+        graft.ext.Relational.eventFunnelTime(spark, dir), "bucket"))
+    for ((name, df, witness) <- cases) {
+      val windows = df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+      val walks = windows.filter(w => w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.forall(a =>
+          walkKeys.contains(a.name))))
+      assert(walks.nonEmpty,
+        s"$name: no low-cardinality walk window found — audit table stale?")
+      for (w <- walks) {
+        val cols = w.child.output.map(_.name).toSet
+        assert(cols.contains(witness),
+          s"$name: walk input lost its domain witness '$witness' (saw $cols)")
+        val leaked = cols.intersect(entityGrain)
+        assert(leaked.isEmpty,
+          s"$name: walk input carries entity-grain columns $leaked — the " +
+            "window would sort entity-grain rows on a low-cardinality " +
+            "partition key at 100x (the event_funnel_time r14 miss)")
+      }
+    }
+    // agg_weighted_median is window-free BY DESIGN (the
+    // partition-parallel 1024-bin bisection) — pin that too
+    val wm = graft.ext.Relational.aggWeightedMedian(spark, dir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wm.isEmpty,
+      "agg_weighted_median grew a window — the bisection design is window-free")
   }
 }
