@@ -214,6 +214,7 @@ object SparkEntry {
     "window_ntile" -> (Relational.windowNtile(_, _)),
     "event_paths" -> (Relational.eventPaths(_, _)),
     "event_stickiness" -> (Relational.eventStickiness(_, _)),
+    "event_stickiness_kmv" -> (Relational.eventStickinessKmv(_, _)),
     "event_new_users" -> (Relational.eventNewUsers(_, _)),
     "ts_winsorize" -> (TimeSeries.tsWinsorize(_, _)),
     "event_gini" -> (Relational.eventGini(_, _)),
@@ -590,6 +591,7 @@ object SparkEntry {
     "event_paths" -> Relational.eventPathsSql,
     // distinct (day,user) pairs; 7-day trailing join vs broadcast grid
     "event_stickiness" -> Relational.eventStickinessSql,
+    "event_stickiness_kmv" -> Relational.eventStickinessKmvSql,
     // first-seen split: new vs returning users per day, ppm share
     "event_new_users" -> Relational.eventNewUsersSql,
     // discrete type-1 p05/p95 picks; clamped + raw BIGINT means

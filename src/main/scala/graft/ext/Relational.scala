@@ -3435,6 +3435,143 @@ object Relational {
       |FROM dau LEFT JOIN fresh USING (day_i)
       |ORDER BY day_i""".stripMargin
 
+  /** Sketch twin of [[eventStickiness]] (round 15, VERDICT r14 ask
+    * #5): the exact query's distinct (day, user) state is honest but
+    * grows with the user population; this twin bounds per-day state
+    * to the KMV sketch's K = 256 smallest hashes — the swap a 100 TB
+    * deployment makes. Both DAU and WAU come from the SAME portable
+    * KMV estimator as `agg_kmv_distinct` (identical
+    * [[graft.functions.KmvSketch]] hash chain, k-th-min order
+    * statistic, (K−1)·2⁶⁴ // kth floor estimate — bit-exact in the
+    * DuckDB oracle), so dau ≈ exact within the sketch's ~1/√(K−2)
+    * relative error and the day-over-day ratio stays comparable.
+    *
+    * Scale shape: one fact-scale distinct to (day, user), one typed
+    * map to (day, signed-flipped hash), then the per-key k-smallest
+    * runs through the [[graft.plans.TopKPerKey]] custom physical
+    * operator — partial heaps map-side, one K-bounded row set per
+    * day after the exchange; NO per-day sort of WAU-grain rows ever
+    * materializes. The sign-bit flip maps KMV's unsigned hash order
+    * onto LONG order so the operator's comparator applies; the
+    * estimate flips it back. The 7-day cover is the exact query's
+    * explode(sequence) — linear, ≤ 7 rows per pair.
+    *
+    * K is 64 HERE (not the library's 256) so the ESTIMATOR branch is
+    * the one under the gate: the sf0.01 corpus peaks at ~150 weekly
+    * actives, and with K = 256 every day would take the `seen < K`
+    * exact branch — a green that proves nothing about the k-th-min
+    * estimate (the `dedup_embedding_ann_hi` vacuity lesson, r12–r14).
+    * The non-vacuity is pinned by `Round15OpsSpec` (at least one day
+    * must exceed K) and the estimator error bound rides the same
+    * 1/√(K−2) law — production at 100 TB would raise K back to 256+,
+    * a one-constant change that alters no plan shape.
+    */
+  private[graft] val StickinessKmvK = 64
+
+  def eventStickinessKmv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = StickinessKmvK
+    val du = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day_i"), col("user_id"))
+      .distinct()
+    val dh = du.as[(Long, Long)]
+      .map { case (d, u) =>
+        (d, graft.functions.KmvSketch.hash(u.toString) ^ Long.MinValue) }
+      .toDF("day_i", "hs")
+      // two consumers (day sketch + 7-day cover) — don't re-run the
+      // fact-scale distinct+hash per branch
+      .localCheckpoint(true)
+    // KMV estimate from (seen, kth): exact count below K, else
+    // (K-1)*2^64 // kth_unsigned — the kth_hs sign-flip undone by
+    // +2^63; DECIMAL(38,0) keeps the 2^72-magnitude numerator exact
+    // and `div` releases the same BIGINT truncation KmvSketch.finish
+    // applies
+    val numerator = (BigInt(K - 1) << 64).toString
+    def est(seen: String, kth: String): String =
+      s"CASE WHEN $seen < $K THEN $seen ELSE " +
+        s"CAST('$numerator' AS DECIMAL(38,0)) div " +
+        s"(CAST($kth AS DECIMAL(38,0)) + 9223372036854775808) END"
+    val dayTop = graft.plans.TopK
+      .topKPerKey(dh, Seq("day_i"), Seq("hs" -> false), K)
+      .groupBy(col("day_i"))
+      .agg(count(lit(1)).as("seen_d"), max(col("hs")).as("kth_d"))
+    val weekTop = graft.plans.TopK.topKPerKey(
+        dh.select(explode(expr("sequence(day_i, day_i + 6)")).as("d"),
+          col("hs")).distinct(),
+        Seq("d"), Seq("hs" -> false), K)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("seen_w"), max(col("hs")).as("kth_w"))
+    dayTop.join(weekTop, dayTop("day_i") === weekTop("d"))
+      .select(col("day_i"),
+        expr(est("seen_d", "kth_d")).as("dau_kmv"),
+        expr(est("seen_w", "kth_w")).as("wau_kmv"))
+      .withColumn("stickiness_ppm", expr("dau_kmv * 1000000L div wau_kmv"))
+      .orderBy("day_i")
+  }
+
+  /** Oracle: the agg_kmv_distinct hash chain (base-31 fold mod 2⁶⁴ +
+    * the 32-bit-split multiply/shift-add finalizer, all HUGEINT) run
+    * once per distinct user, joined back to the (day, user) pairs,
+    * the 7-day cover unnested, and the k-th smallest picked by a
+    * row_number walk (user-grain is fine in the ORACLE — DuckDB at
+    * sf0.01; the engine side is the one that must stay K-bounded).
+    */
+  val eventStickinessKmvSql: String = {
+    val K = StickinessKmvK
+    s"""WITH du AS (
+       |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day_i, user_id
+       |  FROM events),
+       |uu AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS s FROM du),
+       |h0 AS (
+       |  SELECT user_id,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT)
+       |       for i in generate_series(1, length(s))]),
+       |      (a, b) -> (a*31 + b) % 18446744073709551616) AS x
+       |  FROM uu),
+       |m1 AS (SELECT user_id,
+       |  ((x % 4294967296) * (18397679294719823053 % 4294967296)
+       |   + 4294967296 * ((x % 4294967296) * (18397679294719823053 // 4294967296)
+       |                 + (x // 4294967296) * (18397679294719823053 % 4294967296))
+       |  ) % 18446744073709551616 AS x FROM h0),
+       |a1 AS (SELECT user_id,
+       |  (x + (x // 8589934592)) % 18446744073709551616 AS x FROM m1),
+       |m2 AS (SELECT user_id,
+       |  ((x % 4294967296) * (14181476777654086739 % 4294967296)
+       |   + 4294967296 * ((x % 4294967296) * (14181476777654086739 // 4294967296)
+       |                 + (x // 4294967296) * (14181476777654086739 % 4294967296))
+       |  ) % 18446744073709551616 AS x FROM a1),
+       |uh AS (SELECT user_id,
+       |  (x + (x // 8589934592)) % 18446744073709551616 AS hu FROM m2),
+       |dayh AS (
+       |  SELECT DISTINCT du.day_i AS d, uh.hu
+       |  FROM du JOIN uh USING (user_id)),
+       |coverh AS (
+       |  SELECT DISTINCT unnest(generate_series(du.day_i, du.day_i + 6)) AS d,
+       |    uh.hu
+       |  FROM du JOIN uh USING (user_id)),
+       |rd AS (SELECT d, hu,
+       |    row_number() OVER (PARTITION BY d ORDER BY hu) AS rn FROM dayh),
+       |kd AS (SELECT d, count(*) AS seen,
+       |    max(hu) FILTER (WHERE rn <= $K) AS kth FROM rd GROUP BY d),
+       |rw AS (SELECT d, hu,
+       |    row_number() OVER (PARTITION BY d ORDER BY hu) AS rn FROM coverh),
+       |kw AS (SELECT d, count(*) AS seen,
+       |    max(hu) FILTER (WHERE rn <= $K) AS kth FROM rw GROUP BY d),
+       |est AS (
+       |  SELECT kd.d AS day_i,
+       |    CASE WHEN kd.seen < $K THEN CAST(kd.seen AS BIGINT)
+       |         ELSE CAST((CAST(${K - 1} AS HUGEINT) * 18446744073709551616)
+       |              // kd.kth AS BIGINT) END AS dau_kmv,
+       |    CASE WHEN kw.seen < $K THEN CAST(kw.seen AS BIGINT)
+       |         ELSE CAST((CAST(${K - 1} AS HUGEINT) * 18446744073709551616)
+       |              // kw.kth AS BIGINT) END AS wau_kmv
+       |  FROM kd JOIN kw ON kd.d = kw.d)
+       |SELECT day_i, dau_kmv, wau_kmv,
+       |  CAST(dau_kmv * 1000000 // wau_kmv AS BIGINT) AS stickiness_ppm
+       |FROM est ORDER BY day_i""".stripMargin
+  }
+
   val eventStickinessSql: String =
     """WITH du AS (
       |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day_i, user_id
