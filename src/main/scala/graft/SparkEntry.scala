@@ -49,6 +49,7 @@ object SparkEntry {
     "q3_shipping" -> (Relational.q3Shipping(_, _)),
     "q5_local_supplier" -> (Relational.q5LocalSupplier(_, _)),
     "q6_forecast" -> (Relational.q6Forecast(_, _)),
+    "q18_large_orders" -> (Relational.q18LargeOrders(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
@@ -65,6 +66,7 @@ object SparkEntry {
     "agg_histogram_quantile" -> (Relational.aggHistogramQuantile(_, _)),
     "agg_percentile" -> (Relational.aggPercentile(_, _)),
     "agg_variance" -> (Relational.aggVariance(_, _)),
+    "agg_moments" -> (Relational.aggMoments(_, _)),
     "agg_pivot" -> (Relational.aggPivot(_, _)),
     "agg_unpivot" -> (Relational.aggUnpivot(_, _)),
     "agg_mode" -> (Relational.aggMode(_, _)),
@@ -109,6 +111,7 @@ object SparkEntry {
     "date_arith" -> (Relational.dateArith(_, _)),
     // Event-time: as-of join, sessionization, tumbling window
     "asof_join" -> (Relational.asofJoin(_, _)),
+    "asof_tolerance" -> (Relational.asofTolerance(_, _)),
     "sessionize" -> (Relational.sessionize(_, _)),
     "event_tumbling" -> (Relational.eventTumbling(_, _)),
     "event_hopping" -> (Relational.eventHopping(_, _)),
@@ -137,6 +140,7 @@ object SparkEntry {
     "graph_ktruss" -> (Graph.graphKtruss(_, _)),
     "graph_assortativity" -> (Graph.graphAssortativity(_, _)),
     "graph_clustcoeff" -> (Graph.graphClustcoeff(_, _)),
+    "graph_motifs" -> (Graph.graphMotifs(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -169,6 +173,7 @@ object SparkEntry {
     "text_gini" -> (TextAnalysis.textGini(_, _)),
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_rank" -> (TextAnalysis.textRank(_, _)),
+    "text_rake" -> (TextAnalysis.textRake(_, _)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     "text_cdc" -> (TextAnalysis.textCdc(_, _)),
     "text_zipf" -> (TextAnalysis.textZipf(_, _)),
@@ -261,6 +266,7 @@ object SparkEntry {
     "sim_sparse" -> (Similarity.simSparse(_, _)),
     // sign-bit signatures: popcount ranking over 32x-compressed vectors
     "sim_hamming" -> (Similarity.simHamming(_, _)),
+    "sim_bq_rerank" -> (Similarity.simBqRerank(_, _)),
     // MMR diversified rerank: distributed pool, per-probe greedy
     "sim_mmr" -> (Similarity.simMmr(_, _)),
     // int8 scalar quantization: integer-exact ranking over 4x-
@@ -329,6 +335,7 @@ object SparkEntry {
     "q3_shipping" -> Relational.q3ShippingSql,
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,
     "q6_forecast" -> Relational.q6ForecastSql,
+    "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_cube" -> Relational.aggCubeSql,
     "agg_distinct" -> Relational.aggDistinctSql,
@@ -366,6 +373,7 @@ object SparkEntry {
     "sketch_bloom" -> TextAnalysis.sketchBloomSql,
     "agg_percentile" -> Relational.aggPercentileSql,
     "agg_variance" -> Relational.aggVarianceSql,
+    "agg_moments" -> Relational.aggMomentsSql,
     "agg_pivot" -> Relational.aggPivotSql,
     "agg_unpivot" -> Relational.aggUnpivotSql,
     "agg_mode" -> Relational.aggModeSql,
@@ -425,6 +433,7 @@ object SparkEntry {
     "graph_assortativity" -> Graph.graphAssortativitySql,
     // 3·triangles over Σ deg(deg−1)/2 wedges: two integer counts
     "graph_clustcoeff" -> Graph.graphClustcoeffSql,
+    "graph_motifs" -> Graph.graphMotifsSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -441,6 +450,7 @@ object SparkEntry {
     "date_trunc" -> Relational.dateTruncSql,
     "date_arith" -> Relational.dateArithSql,
     "asof_join" -> Relational.asofJoinSql,
+    "asof_tolerance" -> Relational.asofToleranceSql,
     "sessionize" -> Relational.sessionizeSql,
     "event_tumbling" -> Relational.eventTumblingSql,
     "event_hopping" -> Relational.eventHoppingSql,
@@ -493,6 +503,7 @@ object SparkEntry {
     "text_pmi" -> TextAnalysis.textPmiSql,
     // graph_pagerank's fixed-point rounds applied to word adjacency
     "text_rank" -> TextAnalysis.textRankSql,
+    "text_rake" -> TextAnalysis.textRakeSql,
     // one encoded integer key carries min hash + rightmost tie: the
     // window-min winnowing selection replays as a plain min-fold
     "text_winnow" -> TextAnalysis.textWinnowSql,
@@ -692,6 +703,7 @@ object SparkEntry {
     // integer Hamming distances: sign-mismatch count replays the
     // packed popcount definitionally, zero FP anywhere
     "sim_hamming" -> Similarity.simHammingSql,
+    "sim_bq_rerank" -> Similarity.simBqRerankSql,
     // the greedy unrolled as chained CTEs; scores are IEEE doubles
     // from shared 6dp-rounded rel/sim inputs -> bit-identical argmax
     "sim_mmr" -> Similarity.simMmrSql,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -938,4 +939,96 @@ object Graph {
        |GROUP BY label HAVING count(*) >= 2
        |ORDER BY label""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Directed triad motif census (round 15)
+  // ----------------------------------------------------------------
+
+  /** Directed network-motif census (Milo et al. 2002, public): over
+    * the DIRECTED part-successor graph — within each order, the part
+    * at line i points at the part at line i+1 (the "ordered next"
+    * relation), distinct across orders — count the two closed triad
+    * motifs every motif analysis separates: FEED-FORWARD (a→b→c with
+    * a→c) vs CYCLE (a→b→c with c→a), plus the open-path and
+    * reciprocal-edge baselines the motif Z-scores normalize by.
+    * Counts are TRIPLET counts (each 3-cycle appears under 3
+    * rotations, each FFL once per its unique 2-path) — documented
+    * convention, deterministic, no canonical-form tie logic.
+    *
+    * Every graph_* query so far is UNDIRECTED co-occurrence; this is
+    * the directed complement, built from `l_linenumber` order — a
+    * per-order lag window (the sessionize exchange: partition key is
+    * the high-cardinality orderkey), then two hash equi-joins on the
+    * edge relation (the graph_triangles cost shape) with left-join
+    * closure flags and ONE global rollup. No product, no global
+    * sort; the `% 8` subsetting matches the family's edge artifact
+    * convention.
+    */
+  def graphMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val byLine = Window.partitionBy("ok").orderBy("ln")
+    val e = Tables.table(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(8)) === 0)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(byLine))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true) // five consumers below
+    val paths = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .filter(col("a") =!= col("c"))
+    val closedT = e.toDF("a", "c").withColumn("t", lit(1L))
+    val closedC = e.toDF("c", "a").withColumn("y", lit(1L))
+    val triads = paths
+      .join(closedT, Seq("a", "c"), "left")
+      .join(closedC, Seq("c", "a"), "left")
+      .agg(count(lit(1)).as("n_paths"),
+        sum(coalesce(col("t"), lit(0L))).as("n_feedforward"),
+        sum(coalesce(col("y"), lit(0L))).as("n_cycle"))
+    val recip = e.join(e.toDF("dst", "src"), Seq("src", "dst"), "left_semi")
+      .agg((count(lit(1)) / 2).cast("long").as("n_recip_pairs"))
+    val base = e.agg(count(lit(1)).as("n_edges"))
+    base.crossJoin(recip).crossJoin(triads) // three 1-row aggregates
+      .select(col("n_edges"), col("n_recip_pairs"), col("n_paths"),
+        col("n_feedforward"), col("n_cycle"),
+        expr("n_feedforward * 1000000L div greatest(n_paths, 1L)")
+          .as("ffl_share_ppm"))
+  }
+
+  val graphMotifsSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey % 8 = 0),
+      |nx AS (
+      |  SELECT ok, p AS src,
+      |    lead(p) OVER (PARTITION BY ok ORDER BY ln) AS dst
+      |  FROM li),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM nx
+      |  WHERE dst IS NOT NULL AND src != dst),
+      |paths AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |  WHERE e1.src != e2.dst),
+      |triads AS (
+      |  SELECT count(*) AS n_paths,
+      |    sum(CASE WHEN t.src IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS n_feedforward,
+      |    sum(CASE WHEN y.src IS NOT NULL THEN 1 ELSE 0 END) AS n_cycle
+      |  FROM paths p
+      |  LEFT JOIN e t ON t.src = p.a AND t.dst = p.c
+      |  LEFT JOIN e y ON y.src = p.c AND y.dst = p.a),
+      |recip AS (
+      |  SELECT count(*) // 2 AS n_recip_pairs
+      |  FROM e a WHERE EXISTS (
+      |    SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)),
+      |base AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_recip_pairs AS BIGINT) AS n_recip_pairs,
+      |  CAST(n_paths AS BIGINT) AS n_paths,
+      |  CAST(n_feedforward AS BIGINT) AS n_feedforward,
+      |  CAST(n_cycle AS BIGINT) AS n_cycle,
+      |  CAST(n_feedforward * 1000000 // greatest(n_paths, 1)
+      |    AS BIGINT) AS ffl_share_ppm
+      |FROM base, recip, triads""".stripMargin
 }

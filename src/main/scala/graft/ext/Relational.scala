@@ -1438,6 +1438,61 @@ object Relational {
       |  FROM events p WHERE p.event_type = 'purchase')
       |ORDER BY event_id""".stripMargin
 
+  /** Max staleness for [[asofTolerance]]: 1 hour, in ns. */
+  private val AsofToleranceNs = 3600L * 1000000000L
+
+  /** As-of join WITH a tolerance bound (round 15) — the
+    * `merge_asof(..., tolerance=...)` surface pandas/polars users
+    * expect: each purchase joins its latest preceding click ONLY if
+    * that click is within 1 hour; staler matches null out and the
+    * row reports `matched = 0`. Same single-shuffle union-window
+    * shape as [[asofJoin]] (partition by user, running max of click
+    * timestamps) with the staleness predicate applied AFTER the pick
+    * — semantically "match then validate", the tolerance contract
+    * (a too-old click does NOT fall through to an even older one).
+    */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("last_click_ns",
+        max(when(col("is_click") === 1, col("ts_ns"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("fresh",
+        col("last_click_ns").isNotNull &&
+          col("ts_ns") - col("last_click_ns") <= AsofToleranceNs)
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts_ns div 1000000000").as("purchase_s"),
+        when(col("fresh"), expr("last_click_ns div 1000000000"))
+          .as("click_s"),
+        when(col("fresh"), expr("(ts_ns - last_click_ns) div 1000000000"))
+          .as("gap_s"),
+        col("fresh").cast("long").as("matched"))
+      .orderBy("event_id")
+  }
+
+  val asofToleranceSql: String =
+    s"""WITH m AS (
+       |  SELECT p.event_id, p.user_id,
+       |    epoch_ns(p.ts) AS p_ns,
+       |    (SELECT max(epoch_ns(c.ts)) FROM events c
+       |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+       |       AND c.ts <= p.ts) AS c_ns
+       |  FROM events p WHERE p.event_type = 'purchase')
+       |SELECT event_id, user_id,
+       |  p_ns // 1000000000 AS purchase_s,
+       |  CASE WHEN c_ns IS NOT NULL AND p_ns - c_ns <= $AsofToleranceNs
+       |       THEN c_ns // 1000000000 END AS click_s,
+       |  CASE WHEN c_ns IS NOT NULL AND p_ns - c_ns <= $AsofToleranceNs
+       |       THEN (p_ns - c_ns) // 1000000000 END AS gap_s,
+       |  CAST(c_ns IS NOT NULL AND p_ns - c_ns <= $AsofToleranceNs
+       |       AS BIGINT) AS matched
+       |FROM m ORDER BY event_id""".stripMargin
+
   /** Gap-based sessionization (30-min inactivity): the classic
     * two-window formulation — lag to flag session starts, running sum
     * to number them, then per-session aggregation. Single shuffle on
@@ -2041,6 +2096,59 @@ object Relational {
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
+
+  /** Qty threshold for [[q18LargeOrders]]: TPC-H specifies 300–315,
+    * but the gate corpora top out near 350 total units per order, so
+    * 250 keeps the HAVING survivors non-vacuous at every SF (204
+    * orders at sf0.01, 25 at sf0.001) while still selecting the
+    * extreme tail TPC-H intends (~0.3% of orders).
+    */
+  private val Q18Qty = 250L
+
+  /** TPC-H Q18 (large-volume customers, round 15): orders whose total
+    * lineitem quantity exceeds [[Q18Qty]], with customer attribution,
+    * top 100 by order value. The reference pattern for "HAVING over a
+    * fact rollup feeds the join": the qualifying orderkey set is a
+    * ~0.3% survivor relation, so after ONE map-side-combinable
+    * lineitem aggregation it BROADCASTS into the orders and customer
+    * probes — no fact-fact shuffle join anywhere — and the top-100 is
+    * TakeOrderedAndProject, never a global sort. Money in integer
+    * cents, dates as epoch seconds (the q3 rails).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > Q18Qty)
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      unix_timestamp(col("o_orderdate")).as("order_epoch_s"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("totalprice_c"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("order_epoch_s"), col("totalprice_c"), col("sum_qty"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch_s,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS totalprice_c,
+       |  big.sum_qty
+       |FROM orders
+       |JOIN (SELECT l_orderkey,
+       |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+       |          AS sum_qty
+       |      FROM lineitem GROUP BY 1
+       |      HAVING sum_qty > $Q18Qty) big ON big.l_orderkey = o_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY totalprice_c DESC, o_orderkey ASC
+       |LIMIT 100""".stripMargin
 
   /** RANGE-frame window: per part type, each part's price vs the
     * average over parts within +/-5 size units (value-range frame, the
@@ -2986,6 +3094,93 @@ object Relational {
           "CAST(1 AS DECIMAL(38,0)))").as("r2_ppm"))
       .orderBy("prio")
   }
+
+  /** Skewness and excess kurtosis of the daily-revenue distribution
+    * per order priority (round 15) — the third- and fourth-moment
+    * shape statistics every distribution report carries beside
+    * `agg_variance`. Standard population formulas (public):
+    * g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3, computed WITHOUT floats until
+    * the final release: with yᵢ the daily revenues, S_k = Σyᵏ exact,
+    * the substitution zᵢ = n·yᵢ − S₁ (an exact integer) gives
+    *
+    *   A₂ = Σz² = n(nS₂ − S₁²),   A₃ = Σz³ = n(n²S₃ − 3nS₁S₂ + 2S₁³),
+    *   A₄ = Σz⁴ = n(n³S₄ − 4n²S₁S₃ + 6nS₁²S₂ − 3S₁⁴)
+    *
+    * (dividing the common n out keeps magnitudes a decade lower:
+    * a₂ = A₂/n etc. are still exact integers, and the n-powers
+    * cancel entirely), so g₁ = a₃ / √(a₂³), g₂ = a₄/a₂² − 3 —
+    * algebra: m₂ = A₂/n³ = a₂/n², m₃ = a₃/n³, m₄ = a₄/n⁴, hence
+    * m₃/m₂^1.5 = (a₃/n³)/(a₂^1.5/n³) and m₄/m₂² = (a₄/n⁴)/(a₂²/n⁴).
+    * The DAY-GRAIN input is
+    * the scale rail (the `agg_corr` discipline): n is calendar-
+    * bounded (~2.4k days), y is cents div 10⁶, so every exact term
+    * stays ≤ ~10³² — inside DECIMAL(38,0)/HUGEINT at any corpus
+    * size. The one lossy step is the final cast of each exact term
+    * to DOUBLE; every release-side operation (mul/div/sqrt) is
+    * IEEE-exactly-rounded, so both engines land bit-identical
+    * doubles — `pow(x, 1.5)` is deliberately avoided (libm pow is
+    * not correctly rounded and may differ across engines; two sqrts
+    * and a multiply are).
+    */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day_i"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("pc"))
+      .groupBy(col("prio"), col("day_i"))
+      .agg(expr("CAST(sum(pc) AS BIGINT) div 1000000").as("y"))
+    daily
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("s1"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("s2"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y * y")).as("s3"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y * y * y")).as("s4"))
+      .withColumn("a2", expr("n * s2 - s1 * s1"))
+      .withColumn("a3", expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1"))
+      .withColumn("a4", expr("CAST(n AS DECIMAL(38,0)) * n * n * s4 " +
+        "- 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"))
+      .select(col("prio"), col("n"),
+        col("s1").cast("long").as("sum_y"),
+        expr("CAST(a3 AS DOUBLE) / " +
+          "sqrt(CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))")
+          .as("skewness"),
+        expr("CAST(a4 AS DOUBLE) / " +
+          "(CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0D")
+          .as("kurtosis_excess"))
+      .orderBy("prio")
+  }
+
+  val aggMomentsSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day_i,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) // 1000000 AS y
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT prio, count(*) AS n,
+      |    sum(CAST(y AS HUGEINT)) AS s1,
+      |    sum(CAST(y AS HUGEINT) * y) AS s2,
+      |    sum(CAST(y AS HUGEINT) * y * y) AS s3,
+      |    sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+      |  FROM daily GROUP BY 1),
+      |a AS (
+      |  SELECT prio, n, s1,
+      |    n * s2 - s1 * s1 AS a2,
+      |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+      |    CAST(n AS HUGEINT) * n * n * s4 - 4 * n * n * s1 * s3
+      |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+      |  FROM m)
+      |SELECT prio, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS sum_y,
+      |  CAST(a3 AS DOUBLE)
+      |    / sqrt(CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)
+      |           * CAST(a2 AS DOUBLE)) AS skewness,
+      |  CAST(a4 AS DOUBLE)
+      |    / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0 AS kurtosis_excess
+      |FROM a ORDER BY prio""".stripMargin
 
   val aggCorrSql: String =
     """WITH daily AS (

@@ -2171,6 +2171,98 @@ object Similarity {
        |FROM r WHERE rn <= $HamK ORDER BY q_id, rn""".stripMargin
 
   // ----------------------------------------------------------------
+  // Binary-quantization rerank: hamming shortlist + exact rescore
+  // ----------------------------------------------------------------
+
+  /** Oversampling factor: the hamming stage keeps 3·K candidates per
+    * probe, the rescore stage re-ranks that shortlist down to K —
+    * the oversample+rescore contract every production BQ deployment
+    * uses (Lucene/Qdrant binary quantization; public design).
+    */
+  private val BqOversample = 3
+
+  /** Binary-quantization RERANK (round 15) — the two-stage retrieval
+    * [[simHamming]] is stage one of: the 1-bit sign signature prunes
+    * the corpus to a 3·K hamming shortlist per probe, then the EXACT
+    * cosine (the shared codegen'd [[NativeFunctions.cosineSim]],
+    * 6dp-rounded — bit-identical in DuckDB) re-ranks only that
+    * shortlist to the final top-K. The separation matters: 1-bit
+    * codes are 32× smaller than SQ8 and the popcount is one
+    * instruction, but their distance is too coarse to ORDER results
+    * — production BQ always rescores, and the gate proves the
+    * composed contract (shortlist by bits, order by floats), not
+    * either stage alone.
+    *
+    * Scale shape: both stages are the family's probe-broadcast
+    * pattern — candidates stream once past the 5 broadcast probes;
+    * the rescore's cosine runs on ≤ probes × 3K rows (shortlist
+    * grain, NOT corpus grain). Same dim-64 packed-word contract as
+    * [[simHamming]] (assert_true fused into the signature).
+    */
+  def simBqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val sig = expr(
+      """ifnull(
+        |  assert_true(size(embedding) = 64,
+        |    'sim_bq_rerank: packed one-word signature requires dim = 64'),
+        |  aggregate(
+        |    zip_with(embedding, sequence(0, 63),
+        |      (x, i) -> IF(x > CAST(0 AS FLOAT),
+        |                   shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+        |    CAST(0 AS BIGINT), (acc, v) -> acc | v))""".stripMargin)
+    val s = e.select(col("vec_id"), col("embedding"), sig.as("sig"))
+    val q = s.filter(col("vec_id") < HamQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("sig").as("qsig"))
+    val c = s.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("sig").as("csig"))
+    val wh = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("c_id").asc)
+    val shortlist = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("hamming", expr("CAST(bit_count(qsig ^ csig) AS BIGINT)"))
+      .withColumn("rn_h", row_number().over(wh))
+      .filter(col("rn_h") <= HamK * BqOversample)
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    shortlist
+      .withColumn("cos_sim",
+        round(NativeFunctions.cosineSim(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .filter(col("rn") <= HamK)
+      .select(col("q_id"), col("rn"), col("c_id"), col("hamming"),
+        col("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  val simBqRerankSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CASE WHEN (q.embedding[i] > 0) != (c.embedding[i] > 0)
+       |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+       |    round(list_sum(list_transform(generate_series(1, len(q.embedding)),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $HamQueries AND c.vec_id != q.vec_id),
+       |sl AS (
+       |  SELECT q_id, c_id, hamming, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY hamming ASC, c_id ASC) AS rn_h
+       |  FROM p),
+       |r AS (
+       |  SELECT q_id, c_id, hamming, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, c_id ASC) AS rn
+       |  FROM sl WHERE rn_h <= ${HamK * BqOversample})
+       |SELECT q_id, rn, c_id, hamming, cos_sim
+       |FROM r WHERE rn <= $HamK ORDER BY q_id, rn""".stripMargin
+
+  // ----------------------------------------------------------------
   // Diversified reranking: maximal marginal relevance (MMR)
   // ----------------------------------------------------------------
 

@@ -2699,4 +2699,98 @@ object TextAnalysis {
       |  CAST(sum(bc * 1000000 // pc) // count(*) AS BIGINT) AS pred_ppm
       |FROM bi JOIN bg USING (w1, w2) JOIN pf USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // RAKE keyword extraction (round 15)
+  // ----------------------------------------------------------------
+
+  /** RAKE's stoplist extends the shared function-word set with the
+    * corpus's frequency-adjective tokens — RAKE stoplists
+    * conventionally include generic modifiers, and without them the
+    * synthetic word-soup corpus would yield one giant run per
+    * document (no phrase boundaries to learn from).
+    */
+  private val rakeStops =
+    stopwords ++ Seq("slow", "fast", "big", "small")
+
+  /** rake-nltk's max_length: runs longer than this are dropped from
+    * candidacy entirely (they are not keyword-shaped). */
+  private val RakeMaxLen = 4
+
+  /** RAKE keyword extraction (Rose et al. 2010, public): candidate
+    * phrases are maximal runs of non-stopword tokens (runs longer
+    * than [[RakeMaxLen]] dropped, the rake-nltk `max_length`
+    * convention); each word scores degree/frequency where freq
+    * counts its occurrences inside candidates and degree sums the
+    * lengths of the candidate occurrences containing it; a phrase
+    * scores the sum of its words' scores (multiplicity included).
+    * Integer rails: per-word score is `deg·10⁶ div freq` ppm, phrase
+    * score the exact sum of those — no float anywhere — and the
+    * top-20 ties pin on the phrase string.
+    *
+    * Scale shape: tokenization is a per-doc columnar explode; the
+    * island walk (run id = token index − row_number) partitions by
+    * doc_id — the sessionize exchange; word stats aggregate onto the
+    * BOUNDED vocabulary and broadcast back into the phrase scoring;
+    * the top-20 is TakeOrderedAndProject. No global sort, no
+    * fact-scale window.
+    */
+  def textRake(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("idx", "w")))
+    val ns = toks
+      .filter(!col("w").isin(rakeStops: _*))
+      .withColumn("grp",
+        col("idx") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("idx")))
+    val ph = ns.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, w)))," +
+          " x -> x.w), ' ')").as("phrase"))
+      .filter(col("len") <= RakeMaxLen)
+    val pw = ns.select(col("doc_id"), col("grp"), col("w"))
+      .join(ph, Seq("doc_id", "grp"))
+    val ws = pw.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val occ = pw.join(broadcast(ws), "w")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(expr("deg * 1000000L div freq")).as("occ_score"))
+    occ.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("occ_score")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(20)
+  }
+
+  val textRakeSql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, i AS idx, l[i] AS w
+       |  FROM toks0, unnest(generate_series(1, length(l))) AS t(i)),
+       |ns AS (
+       |  SELECT doc_id, idx, w,
+       |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+       |  FROM toks WHERE w NOT IN ${sqlList(rakeStops)}),
+       |ph AS (
+       |  SELECT doc_id, grp, count(*) AS len,
+       |    string_agg(w, ' ' ORDER BY idx) AS phrase
+       |  FROM ns GROUP BY 1, 2 HAVING count(*) <= $RakeMaxLen),
+       |pw AS (
+       |  SELECT ns.doc_id, ns.grp, ns.w, ph.len, ph.phrase
+       |  FROM ns JOIN ph ON ph.doc_id = ns.doc_id AND ph.grp = ns.grp),
+       |ws AS (
+       |  SELECT w, count(*) AS freq, sum(len) AS deg FROM pw GROUP BY 1),
+       |occ AS (
+       |  SELECT pw.doc_id, pw.grp, pw.phrase,
+       |    sum(ws.deg * 1000000 // ws.freq) AS occ_score
+       |  FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3)
+       |SELECT phrase, count(*) AS n_occurrences,
+       |  CAST(max(occ_score) AS BIGINT) AS score_ppm
+       |FROM occ GROUP BY phrase
+       |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin
 }

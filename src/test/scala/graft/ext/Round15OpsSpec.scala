@@ -55,4 +55,170 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TopKPerKey"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q18LargeOrders: HAVING survivors replay locally; top-100 order pinned") {
+    val qty = graft.sources.Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,2)"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getDecimal(1).longValueExact()).sum }
+    val big = qty.filter(_._2 > 250L)
+    assert(big.nonEmpty, "threshold must keep survivors at sf0.001")
+    val got = Relational.q18LargeOrders(spark, dir).collect()
+    assert(got.length == math.min(big.size, 100))
+    for (r <- got) {
+      assert(big(r.getLong(2)) == r.getLong(5), s"sum_qty of ${r.getLong(2)}")
+    }
+    // descending by order value, orderkey tiebreak
+    val tp = got.map(r => (r.getLong(4), r.getLong(2)))
+    assert(tp.sameElements(tp.sortBy(t => (-t._1, t._2))))
+  }
+
+  test("aggMoments: exact central-sum algebra replays in BigInt + IEEE release") {
+    val daily = graft.sources.Tables.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((p, d), rs) => (p, d, rs.map(_._2).sum / 1000000L) }
+    val expect = daily.groupBy(_._1).map { case (p, rs) =>
+      val ys = rs.map(r => BigInt(r._3)).toSeq
+      val n = BigInt(ys.length)
+      val s1 = ys.sum; val s2 = ys.map(y => y * y).sum
+      val s3 = ys.map(y => y * y * y).sum; val s4 = ys.map(y => y * y * y * y).sum
+      val a2 = n * s2 - s1 * s1
+      val a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      val a4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      val (a2d, a3d, a4d) = (a2.toDouble, a3.toDouble, a4.toDouble)
+      (p, ys.length.toLong, s1.toLong,
+        a3d / math.sqrt(a2d * a2d * a2d), a4d / (a2d * a2d) - 3.0)
+    }.toSet
+    val got = Relational.aggMoments(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expect)
+    // kurtosis of any real distribution ≥ skew² − 2 (public bound) —
+    // a sanity pin that the released pair is a coherent moment pair
+    for ((_, _, _, sk, ku) <- got)
+      assert(ku + 3.0 >= sk * sk + 1.0 - 1e-9, s"moment bound violated: $sk $ku")
+  }
+
+  test("asofTolerance: staleness nulls out, never falls through to older clicks") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val tolNs = 3600L * 1000000000L
+    val byUser = ev.groupBy(_._1)
+    val expect = ev.filter(_._2 == "purchase").map { case (u, _, ts, eid) =>
+      val clicks = byUser(u).filter(e => e._2 == "click" && e._3 <= ts).map(_._3)
+      val last = if (clicks.isEmpty) None else Some(clicks.max)
+      val fresh = last.exists(c => ts - c <= tolNs)
+      (eid, u, ts / 1000000000L,
+        if (fresh) Some(last.get / 1000000000L) else None,
+        if (fresh) Some((ts - last.get) / 1000000000L) else None,
+        if (fresh) 1L else 0L)
+    }.toSet
+    val got = Relational.asofTolerance(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))
+    }.toSet
+    assert(got == expect)
+    assert(got.exists(_._6 == 0L) && got.exists(_._6 == 1L),
+      "both fresh and stale matches must occur (non-vacuity)")
+  }
+
+  test("graphMotifs: directed triad census replays with scala sets") {
+    val li = graft.sources.Tables.table(spark, dir, "lineitem")
+      .filter(expr("l_orderkey % 8 = 0"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = li.groupBy(_._1).values.flatMap { rs =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      sorted.zip(sorted.drop(1)).filter(p => p._1 != p._2)
+    }.toSet
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val paths = edges.toSeq.flatMap { case (a, b) =>
+      out.getOrElse(b, Set.empty).filter(_ != a).map(c => (a, b, c)) }
+    val nFfl = paths.count { case (a, _, c) => edges((a, c)) }
+    val nCyc = paths.count { case (a, _, c) => edges((c, a)) }
+    val nRecip = edges.count { case (a, b) => edges((b, a)) } / 2
+    val r = Graph.graphMotifs(spark, dir).collect().head
+    assert(r.getLong(0) == edges.size && r.getLong(1) == nRecip &&
+      r.getLong(2) == paths.size && r.getLong(3) == nFfl &&
+      r.getLong(4) == nCyc,
+      s"got $r vs (${edges.size}, $nRecip, ${paths.size}, $nFfl, $nCyc)")
+    assert(paths.nonEmpty, "census must be non-vacuous")
+  }
+
+  test("textRake: phrase scores replay a from-scratch RAKE implementation") {
+    val stops = Set("the", "a", "and", "of", "to", "in", "is", "on", "for",
+      "with", "slow", "fast", "big", "small")
+    val texts = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // candidate phrase occurrences: maximal non-stop runs, len <= 4
+    val occs = texts.flatMap { case (_, t) =>
+      val toks = "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      for (w <- toks) {
+        if (stops(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.filter(_.length <= 4)
+    }
+    val freq = occs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = occs.flatMap(p => p.map(w => (w, p.length.toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def score(p: Vector[String]): Long =
+      p.map(w => deg(w) * 1000000L / freq(w)).sum
+    val expect = occs.groupBy(identity).map { case (p, os) =>
+      (p.mkString(" "), os.length.toLong, score(p))
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(20)
+    val rows = TextAnalysis.textRake(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == expect, s"\ngot:    $rows\nexpect: $expect")
+  }
+
+  test("simBqRerank: hamming shortlist + exact rescore replays; rescore reorders") {
+    val vecs = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(vecs.head._2.length == 64)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0)).toLong
+    val expect = vecs.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val shortlist = vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, ham(qv, cv), cv) }
+        .sortBy { case (cid, h, _) => (h, cid) }.take(30)
+      shortlist.map { case (cid, h, cv) => (cid, h, cos6(qv, cv)) }
+        .sortBy { case (cid, _, c) => (-c, cid) }.take(10).zipWithIndex
+        .map { case ((cid, h, c), i) => (qid, i + 1L, cid, h, c) }
+    }.toSet
+    val got = Similarity.simBqRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expect)
+    // non-vacuity: the rescore must actually change the order — some
+    // final ranking must not be the hamming-ascending prefix order
+    val reordered = got.groupBy(_._1).exists { case (_, rs) =>
+      val hs = rs.toSeq.sortBy(_._2).map(_._4)
+      hs != hs.sorted
+    }
+    assert(reordered, "rescore never reordered the shortlist — vacuous")
+  }
 }
