@@ -965,7 +965,12 @@ object Graph {
     * convention.
     */
   def graphMotifs(spark: SparkSession, dir: String): DataFrame = {
-    val byLine = Window.partitionBy("ok").orderBy("ln")
+    // tie pin: (orderkey, linenumber) is unique in TPC-H but NOT in
+    // the ScaleUp-derived corpora (the factor-100 corpus carries
+    // ~147k colliding pairs on the %8 subset), and lead() over ties
+    // is engine-nondeterministic — order by the partkey too (caught
+    // by the r15 factor-100 parity sweep)
+    val byLine = Window.partitionBy("ok").orderBy("ln", "src")
     val e = Tables.table(spark, dir, "lineitem")
       .filter(pmod(col("l_orderkey"), lit(8)) === 0)
       .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
@@ -1001,7 +1006,7 @@ object Graph {
       |  FROM lineitem WHERE l_orderkey % 8 = 0),
       |nx AS (
       |  SELECT ok, p AS src,
-      |    lead(p) OVER (PARTITION BY ok ORDER BY ln) AS dst
+      |    lead(p) OVER (PARTITION BY ok ORDER BY ln, p) AS dst
       |  FROM li),
       |e AS (
       |  SELECT DISTINCT src, dst FROM nx

@@ -136,7 +136,8 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestBase {
         col("l_partkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val edges = li.groupBy(_._1).values.flatMap { rs =>
-      val sorted = rs.sortBy(_._2).map(_._3)
+      // (linenumber, partkey) — the engine's tie pin
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._3)
       sorted.zip(sorted.drop(1)).filter(p => p._1 != p._2)
     }.toSet
     val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
