@@ -50,6 +50,8 @@ object SparkEntry {
     "q5_local_supplier" -> (Relational.q5LocalSupplier(_, _)),
     "q6_forecast" -> (Relational.q6Forecast(_, _)),
     "q18_large_orders" -> (Relational.q18LargeOrders(_, _)),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers(_, _)),
+    "q22_global_sales" -> (Relational.q22GlobalSales(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
@@ -215,6 +217,7 @@ object SparkEntry {
     // round 14
     "retrieval_mrr" -> (Similarity.retrievalMrr(_, _)),
     "privacy_dp_mean" -> (Privacy.privacyDpMean(_, _)),
+    "privacy_dp_topk" -> (Privacy.privacyDpTopk(_, _)),
     "agg_corr" -> (Relational.aggCorr(_, _)),
     "window_ntile" -> (Relational.windowNtile(_, _)),
     "event_paths" -> (Relational.eventPaths(_, _)),
@@ -336,6 +339,8 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5LocalSupplierSql,
     "q6_forecast" -> Relational.q6ForecastSql,
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
+    "q21_waiting_suppliers" -> Relational.q21WaitingSuppliersSql,
+    "q22_global_sales" -> Relational.q22GlobalSalesSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_cube" -> Relational.aggCubeSql,
     "agg_distinct" -> Relational.aggDistinctSql,
@@ -594,6 +599,7 @@ object SparkEntry {
     "retrieval_mrr" -> Similarity.retrievalMrrSql,
     // clamped noisy-sum/noisy-count mean, two hash-seeded eps=ln2 draws
     "privacy_dp_mean" -> Privacy.privacyDpMeanSql,
+    "privacy_dp_topk" -> Privacy.privacyDpTopkSql,
     // day-grain integer moments in DECIMAL(38)/HUGEINT; r^2 ppm + sign
     "agg_corr" -> Relational.aggCorrSql,
     // ANSI ntile(4), custkey tie pin, per-bucket cents rollup

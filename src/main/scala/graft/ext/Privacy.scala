@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -411,5 +412,95 @@ object Privacy {
        |    AS BIGINT) AS dp_n
        |FROM noised
        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+  }
+
+  /** Release threshold for [[privacyDpTopk]]: cells whose NOISY count
+    * falls below tau are withheld. 64 splits the sf0.01 brand-size
+    * domain near its median (368 of 988 cells at/above), so both the
+    * release and the withhold arm are exercised in-gate.
+    */
+  private val DpTopkTau = 64L
+
+  /** epsilon-DP heavy hitters with noisy thresholding (round 15) -- the
+    * "release only what stands above the noise" mechanism (the
+    * noisy-threshold / stability-based release of Dwork & Roth 2014
+    * ch.3, public): per (brand, size) cell of the lineitem-part join,
+    * the count gets the same deterministic hash-seeded discrete-Laplace
+    * draw as [[privacyDpHist]] (salt `|dptk`, epsilon = ln 2), and only
+    * cells with `dp_n >= tau` are released, ranked by noisy count. A
+    * plain noisy histogram ([[privacyDpHist]]) still reveals the
+    * DOMAIN; thresholded release is what production DP deployments use
+    * when the category set itself is sensitive. As with the histogram,
+    * `n`/`noise` are surfaced because the gate verifies the sampler
+    * bit-for-bit; production would emit dp_n/rank only and rotate the
+    * seed.
+    *
+    * Scale shape: one fact-scale hash agg onto the bounded brand-size
+    * domain (part side broadcasts); noise, threshold, and the rank
+    * window all run at domain cardinality (<= ~1000 rows).
+    */
+  def privacyDpTopk(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cells = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"))
+      .join(broadcast(part), "p_partkey")
+      .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+      .agg(count(lit(1)).as("n"))
+    val h = TextAnalysis.polyHashCol(
+      concat(col("p_brand"), lit("|"), col("p_size").cast("string"),
+        lit("|dptk")))
+    val mag = dpMagThresholds.foldRight(lit(19L): Column) {
+      case ((j, t), acc) => when(col("u3") < t, j.toLong).otherwise(acc)
+    }
+    val noised = cells
+      .withColumn("h", h)
+      .withColumn("u3", col("h") % DpRange)
+      .withColumn("mag", mag)
+      .withColumn("noise",
+        when(col("mag") === 0L, 0L)
+          .otherwise(when(expr("(h div 2097152) % 2") === 0L, col("mag"))
+            .otherwise(-col("mag"))))
+      .withColumn("dp_n", greatest(col("n") + col("noise"), lit(0L)))
+      .filter(col("dp_n") >= DpTopkTau)
+    val byNoisy = Window.orderBy(col("dp_n").desc, col("p_brand").asc,
+      col("p_size").asc)
+    noised
+      .withColumn("rank", row_number().over(byNoisy).cast("long"))
+      .select(col("rank"), col("p_brand"), col("p_size"), col("n"),
+        col("noise"), col("dp_n"))
+      .orderBy("rank")
+  }
+
+  val privacyDpTopkSql: String = {
+    val casc = dpMagThresholds
+      .map { case (j, t) => s"WHEN u3 < $t THEN $j" }
+      .mkString(" ")
+    s"""WITH cells AS (
+       |  SELECT p_brand, p_size, count(*) AS n
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  GROUP BY 1, 2),
+       |hashed AS (
+       |  SELECT p_brand, p_size, n,
+       |    ${TextAnalysis.polyHashSql(
+            "p_brand || '|' || CAST(p_size AS VARCHAR) || '|dptk'")} AS h
+       |  FROM cells),
+       |noised AS (
+       |  SELECT p_brand, p_size, n, h,
+       |    CASE $casc ELSE 19 END AS mag
+       |  FROM (SELECT *, h % $DpRange AS u3 FROM hashed)),
+       |rel AS (
+       |  SELECT p_brand, p_size, n,
+       |    CASE WHEN mag = 0 THEN 0
+       |      WHEN (h // 2097152) % 2 = 0 THEN mag ELSE -mag END AS noise,
+       |    greatest(n + CASE WHEN mag = 0 THEN 0
+       |      WHEN (h // 2097152) % 2 = 0 THEN mag ELSE -mag END, 0) AS dp_n
+       |  FROM noised)
+       |SELECT CAST(row_number() OVER (ORDER BY dp_n DESC, p_brand, p_size)
+       |    AS BIGINT) AS rank,
+       |  p_brand, CAST(p_size AS BIGINT) AS p_size, CAST(n AS BIGINT) AS n,
+       |  CAST(noise AS BIGINT) AS noise, CAST(dp_n AS BIGINT) AS dp_n
+       |FROM rel WHERE dp_n >= $DpTopkTau
+       |ORDER BY rank""".stripMargin
   }
 }

@@ -2150,6 +2150,132 @@ object Relational {
        |ORDER BY totalprice_c DESC, o_orderkey ASC
        |LIMIT 100""".stripMargin
 
+  /** Late threshold for [[q21WaitingSuppliers]]: the corpus carries no
+    * receipt/commit dates (TPC-H Q21's lateness columns), so "late"
+    * is adapted to ship-lag > 60 days after the order date —
+    * documented deviation, same query shape.
+    */
+  private val Q21LateDays = 60
+
+  /** TPC-H Q21 (suppliers who kept orders waiting; adapted lateness
+    * predicate, see [[Q21LateDays]]): suppliers who were the ONLY
+    * late supplier on a multi-supplier order, counted per supplier,
+    * top 100. The textbook formulation is EXISTS (another supplier on
+    * the order) AND NOT EXISTS (another LATE supplier) — two
+    * correlated self-joins of the fact table; the distributed rewrite
+    * here is ONE aggregation: per order, count distinct suppliers,
+    * count distinct late suppliers, and keep max(late supplier), then
+    * an order qualifies for that supplier iff `n_supp ≥ 2 ∧ n_late =
+    * 1` (when exactly one late supplier exists, the max IS it). Same
+    * relation, zero self-joins — the fact table is read once into a
+    * map-side-combinable hash agg, then order-grain rows roll up per
+    * supplier and the top-100 is TakeOrderedAndProject.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(col("l_shipdate"), col("o_orderdate")) > Q21LateDays)
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    perOrder
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_suppkey")
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) > $Q21LateDays AS late
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+       |per_order AS (
+       |  SELECT l_orderkey,
+       |    count(DISTINCT l_suppkey) AS n_supp,
+       |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+       |    max(CASE WHEN late THEN l_suppkey END) AS late_supp
+       |  FROM li GROUP BY 1)
+       |SELECT s_name, s_suppkey, count(*) AS numwait
+       |FROM per_order JOIN supplier ON s_suppkey = late_supp
+       |WHERE n_supp >= 2 AND n_late = 1
+       |GROUP BY 1, 2
+       |ORDER BY numwait DESC, s_name ASC
+       |LIMIT 100""".stripMargin
+
+  /** Dormancy horizon for [[q22GlobalSales]], in days before the
+    * corpus's max order date. Corpus-derived rather than a literal
+    * date: this generator gives EVERY customer at least one order, so
+    * Q22's textbook "never ordered" arm is empty at every SF — the
+    * vacuous-green failure class — while "no order in the trailing
+    * 180 days" selects a real dormant tail (30 customers at sf0.001,
+    * 322 at sf0.01) and survives corpus regeneration.
+    */
+  private val Q22DormantDays = 180
+
+  /** TPC-H Q22 (global sales opportunity; adapted — the corpus has no
+    * c_phone, so the country grouping is c_nationkey, and "never
+    * ordered" becomes "dormant for [[Q22DormantDays]] days", see
+    * there): customers with ABOVE-AVERAGE positive account balance
+    * and no recent order, rolled up per nation. The average
+    * comparison is INTEGER-EXACT by cross-multiplying
+    * (c_cents · n_pos > sum_pos_cents — no float average enters),
+    * both 1-row aggregates broadcast (the sanctioned scalar-subquery
+    * shape), and dormancy is one LEFT ANTI join against the
+    * recent-orderer key set. One fact pass each over customer and
+    * orders, nation-grain output.
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("bal_c"))
+    val pos = c.filter(col("bal_c") > 0L)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("bal_c")).cast("long").as("sum_pos_c"))
+    val o = t(spark, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+    val mx = o.agg(max(col("o_orderdate")).as("mx_date"))
+    val recent = o.crossJoin(broadcast(mx)) // 1-row aggregate
+      .filter(col("o_orderdate") >=
+        expr(s"mx_date - INTERVAL $Q22DormantDays DAYS"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    c.crossJoin(broadcast(pos)) // 1-row aggregate
+      .filter(col("bal_c") > 0L &&
+        col("bal_c") * col("n_pos") > col("sum_pos_c"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22GlobalSalesSql: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+       |  FROM customer),
+       |pos AS (
+       |  SELECT count(*) AS n_pos, CAST(sum(bal_c) AS BIGINT) AS sum_pos_c
+       |  FROM c WHERE bal_c > 0),
+       |mx AS (SELECT max(o_orderdate) AS mx_date FROM orders),
+       |recent AS (
+       |  SELECT DISTINCT o_custkey FROM orders, mx
+       |  WHERE o_orderdate >= mx_date - INTERVAL $Q22DormantDays DAY)
+       |SELECT c_nationkey, count(*) AS numcust,
+       |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+       |FROM c, pos
+       |WHERE bal_c > 0 AND bal_c * n_pos > sum_pos_c
+       |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** RANGE-frame window: per part type, each part's price vs the
     * average over parts within +/-5 size units (value-range frame, the
     * ROWS-frame complement of window_running).

@@ -185,6 +185,98 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == expect, s"\ngot:    $rows\nexpect: $expect")
   }
 
+  test("q21WaitingSuppliers: only-late-supplier-on-multi-supplier-order replays") {
+    val orders = graft.sources.Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate))
+      .toMap
+    val li = graft.sources.Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate))
+    val byOrder = li.groupBy(_._1)
+    val numwait = scala.collection.mutable.Map.empty[Long, Long]
+    for ((ok, rs) <- byOrder) {
+      val od = orders(ok)
+      val supp = rs.map(_._2).toSet
+      val late = rs.filter(r =>
+        java.time.temporal.ChronoUnit.DAYS.between(od, r._3) > 60)
+        .map(_._2).toSet
+      if (supp.size >= 2 && late.size == 1)
+        numwait(late.head) = numwait.getOrElse(late.head, 0L) + 1L
+    }
+    assert(numwait.nonEmpty, "census must be non-vacuous")
+    val got = Relational.q21WaitingSuppliers(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    for ((sk, nw) <- got) assert(numwait(sk) == nw, s"numwait of $sk")
+    assert(got.length == math.min(numwait.size, 100))
+  }
+
+  test("q22GlobalSales: integer-exact above-average + dormancy anti join replays") {
+    val cust = graft.sources.Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = graft.sources.Tables.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mx = orders.map(_._2).max
+    val recent = orders.filter(_._2 >= mx - 180L * 86400L).map(_._1).toSet
+    val pos = cust.filter(_._3 > 0L)
+    val (nPos, sumPos) = (pos.length.toLong, pos.map(_._3).sum)
+    val dormantRich = pos.filter(c =>
+      c._3 * nPos > sumPos && !recent(c._1))
+    assert(dormantRich.nonEmpty, "dormant-rich arm must be non-vacuous")
+    val expect = dormantRich.groupBy(_._2).map { case (nk, rs) =>
+      (nk, rs.length.toLong, rs.map(_._3).sum)
+    }.toSet
+    val got = Relational.q22GlobalSales(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("privacyDpTopk: noisy-threshold release replays the exact sampler; " +
+    "both arms exercised") {
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % P)
+    val DpRange = 786432L
+    def mag(u3: Long): Long =
+      if (u3 < 262144L) 0L
+      else (1 to 19).find(j => u3 < DpRange - (1L << (19 - j)))
+        .getOrElse(19).toLong
+    def noise(key: String): Long = {
+      val h = polyHash(key)
+      val m = mag(h % DpRange)
+      if (m == 0L) 0L else if ((h / 2097152) % 2 == 0) m else -m
+    }
+    // sf0.01: the sf0.001 domain tops out at n=66, so whether anything
+    // clears tau=64 there is noise-luck; the mid corpus splits 368/988
+    val parts = graft.sources.Tables.table(spark, dirMid, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val cells = graft.sources.Tables.table(spark, dirMid, "lineitem")
+      .select(col("l_partkey")).collect().map(r => parts(r.getLong(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val released = cells.toSeq.flatMap { case ((b, sz), n) =>
+      val dpN = math.max(n + noise(s"$b|$sz|dptk"), 0L)
+      if (dpN >= 64L) Some((b, sz, n, dpN)) else None
+    }
+    assert(released.nonEmpty && released.size < cells.size,
+      "both the release AND the withhold arm must fire (non-vacuity)")
+    val expect = released
+      .sortBy { case (b, sz, _, dpN) => (-dpN, b, sz) }.zipWithIndex
+      .map { case ((b, sz, n, dpN), i) => (i + 1L, b, sz, n, dpN) }.toSet
+    val got = Privacy.privacyDpTopk(spark, dirMid).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(5))).toSet
+    assert(got == expect)
+  }
+
   test("simBqRerank: hamming shortlist + exact rescore replays; rescore reorders") {
     val vecs = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
