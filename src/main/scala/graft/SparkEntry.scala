@@ -90,6 +90,7 @@ object SparkEntry {
     "join_division" -> (Relational.joinDivision(_, _)),
     "dq_checks" -> (Relational.dqChecks(_, _)),
     "dq_profile" -> (Relational.dqProfile(_, _)),
+    "dq_referential" -> (Relational.dqReferential(_, _)),
     "diag_skew" -> (Relational.diagSkew(_, _)),
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     "window_growth" -> (Relational.windowGrowth(_, _)),
@@ -146,6 +147,7 @@ object SparkEntry {
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
+    "stream_topk" -> (graft.streaming.EventStreams.streamTopk(_, _)),
     "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
     "stream_dedup" -> (graft.streaming.EventStreams.streamDedup(_, _)),
     "stream_enrich" -> (graft.streaming.EventStreams.streamEnrich(_, _)),
@@ -226,6 +228,7 @@ object SparkEntry {
     "event_new_users" -> (Relational.eventNewUsers(_, _)),
     "ts_winsorize" -> (TimeSeries.tsWinsorize(_, _)),
     "event_gini" -> (Relational.eventGini(_, _)),
+    "agg_theil" -> (Relational.aggTheil(_, _)),
     "agg_hhi" -> (Relational.aggHhi(_, _)),
     "ts_drawdown" -> (TimeSeries.tsDrawdown(_, _)),
     "event_funnel_time" -> (Relational.eventFunnelTime(_, _)),
@@ -363,6 +366,7 @@ object SparkEntry {
     "dq_checks" -> Relational.dqChecksSql,
     // one-scan column profile; BIGINT/VARCHAR casts render identically
     "dq_profile" -> Relational.dqProfileSql,
+    "dq_referential" -> Relational.dqReferentialSql,
     // integer ppm shares and ×mean ratios: no float percentages
     "diag_skew" -> Relational.diagSkewSql,
     // exact DECIMAL cumulative-coverage selection: no interpolation
@@ -461,6 +465,7 @@ object SparkEntry {
     "event_hopping" -> Relational.eventHoppingSql,
     // converged streaming results == the batch twins' relations
     "stream_tumbling" -> Relational.eventTumblingSql,
+    "stream_topk" -> graft.streaming.EventStreams.streamTopkSql,
     "stream_hopping" -> Relational.eventHoppingSql,
     "stream_sessionize" -> Relational.sessionizeSql,
     // unique ids ⟹ batching-independent appended rows == the batch projection
@@ -615,6 +620,7 @@ object SparkEntry {
     "ts_winsorize" -> TimeSeries.tsWinsorizeSql,
     // count-domain rank-sum Gini, closed-form block rank mass
     "event_gini" -> Relational.eventGiniSql,
+    "agg_theil" -> Relational.aggTheilSql,
     // sum-of-squared-shares in ppm, one exact outer integral divide
     "agg_hhi" -> Relational.aggHhiSql,
     // cum/running-peak windows at day grain; earliest-trough tie pin

@@ -3527,6 +3527,145 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Referential-integrity audit over the star schema's four FK edges
+    * (round 15) — the dq check every warehouse runs before trusting a
+    * join: per edge, distinct child keys, distinct parent keys,
+    * ORPHANS (child keys with no parent — broken FK) and CHILDLESS
+    * parents (parents no fact row references — coverage holes), with
+    * the childless share in ppm. On this corpus orphans are zero by
+    * construction (that IS the expected clean-audit result) and the
+    * childless arm is non-vacuous (257 orders carry no lineitem at
+    * sf0.01), so the gate proves both directions of the key
+    * reconciliation, not an empty intersection.
+    *
+    * Scale shape: each edge is two key-grain DISTINCT aggregates
+    * (map-side combinable) and two LEFT ANTI joins at key grain —
+    * never a fact×fact join; the four 1-row edge summaries union.
+    */
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val cd = child.toDF("k").distinct()
+      val pd = parent.toDF("k").distinct()
+      val orphans = cd.join(pd, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val childless = pd.join(cd, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless"))
+      cd.agg(count(lit(1)).as("n_child_keys"))
+        .crossJoin(pd.agg(count(lit(1)).as("n_parent_keys")))
+        .crossJoin(orphans).crossJoin(childless) // 1-row aggregates
+        .select(lit(name).as("edge"), col("n_child_keys"),
+          col("n_parent_keys"), col("n_orphans"), col("n_childless"),
+          expr("n_childless * 1000000L div n_parent_keys")
+            .as("childless_ppm"))
+    }
+    val li = t(spark, dir, "lineitem")
+    edge("lineitem->orders", li.select(col("l_orderkey")),
+        t(spark, dir, "orders").select(col("o_orderkey")))
+      .unionByName(edge("lineitem->part", li.select(col("l_partkey")),
+        t(spark, dir, "part").select(col("p_partkey"))))
+      .unionByName(edge("lineitem->supplier", li.select(col("l_suppkey")),
+        t(spark, dir, "supplier").select(col("s_suppkey"))))
+      .unionByName(edge("orders->customer",
+        t(spark, dir, "orders").select(col("o_custkey")),
+        t(spark, dir, "customer").select(col("c_custkey"))))
+      .orderBy("edge")
+  }
+
+  val dqReferentialSql: String = {
+    def edge(name: String, ck: String, ct: String, pk: String,
+        pt: String): String =
+      s"""SELECT '$name' AS edge,
+         |  (SELECT count(DISTINCT $ck) FROM $ct) AS n_child_keys,
+         |  (SELECT count(DISTINCT $pk) FROM $pt) AS n_parent_keys,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $ck AS k FROM $ct) c
+         |    WHERE NOT EXISTS (SELECT 1 FROM $pt WHERE $pk = c.k))
+         |    AS n_orphans,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $pk AS k FROM $pt) p
+         |    WHERE NOT EXISTS (SELECT 1 FROM $ct WHERE $ck = p.k))
+         |    AS n_childless""".stripMargin
+    s"""WITH edges AS (
+       |${edge("lineitem->orders", "l_orderkey", "lineitem",
+                "o_orderkey", "orders")}
+       |UNION ALL
+       |${edge("lineitem->part", "l_partkey", "lineitem",
+                "p_partkey", "part")}
+       |UNION ALL
+       |${edge("lineitem->supplier", "l_suppkey", "lineitem",
+                "s_suppkey", "supplier")}
+       |UNION ALL
+       |${edge("orders->customer", "o_custkey", "orders",
+                "c_custkey", "customer")})
+       |SELECT edge, CAST(n_child_keys AS BIGINT) AS n_child_keys,
+       |  CAST(n_parent_keys AS BIGINT) AS n_parent_keys,
+       |  CAST(n_orphans AS BIGINT) AS n_orphans,
+       |  CAST(n_childless AS BIGINT) AS n_childless,
+       |  CAST(n_childless * 1000000 // n_parent_keys AS BIGINT)
+       |    AS childless_ppm
+       |FROM edges ORDER BY edge""".stripMargin
+  }
+
+  /** Theil T and Theil L (mean log deviation) of events-per-user, per
+    * event type — the decomposable inequality indices that accompany
+    * [[eventGini]] in concentration reports (Theil 1967, public):
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ),  L = (1/n)·Σ ln(μ/xᵢ).
+    * Computed over the same (type, x) COUNT DOMAIN as the Gini — a
+    * user with count x contributes c(x) identical terms, so the sums
+    * run at domain cardinality and no user-grain relation survives
+    * the first hash agg. Float rails (the text_entropy discipline):
+    * the per-domain-value terms are summed in a PINNED order
+    * (collect_list sorted by x, sequential fold) and released at 6dp,
+    * so cross-engine libm/summation drift cannot reach the gate.
+    */
+  def aggTheil(spark: SparkSession, dir: String): DataFrame = {
+    val dom = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val tot = dom.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("tot"))
+    dom.join(tot, "event_type")
+      .withColumn("r", col("x").cast("double") * col("n") / col("tot"))
+      .withColumn("t_term", col("c") * col("r") * log(col("r")))
+      .withColumn("l_term", -col("c").cast("double") * log(col("r")))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_users"),
+        max(col("tot")).as("total_events"),
+        sort_array(collect_list(struct(col("x"), col("t_term"),
+          col("l_term")))).as("parts"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, p) => acc + p.getField("t_term")) /
+          col("n_users"), 6).as("theil_t"),
+        round(aggregate(col("parts"), lit(0.0),
+          (acc, p) => acc + p.getField("l_term")) /
+          col("n_users"), 6).as("theil_l"))
+      .orderBy("event_type")
+  }
+
+  val aggTheilSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT event_type, x, count(*) AS c FROM pu GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, sum(c) AS n, sum(x * c) AS tot
+      |  FROM dom GROUP BY 1),
+      |p AS (
+      |  SELECT dom.event_type, dom.x, tot.n, tot.tot,
+      |    dom.c * (CAST(dom.x AS DOUBLE) * tot.n / tot.tot)
+      |      * ln(CAST(dom.x AS DOUBLE) * tot.n / tot.tot) AS t_term,
+      |    -CAST(dom.c AS DOUBLE)
+      |      * ln(CAST(dom.x AS DOUBLE) * tot.n / tot.tot) AS l_term
+      |  FROM dom JOIN tot USING (event_type))
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+      |  CAST(max(tot) AS BIGINT) AS total_events,
+      |  round(list_sum(list(t_term ORDER BY x)) / max(n), 6) AS theil_t,
+      |  round(list_sum(list(l_term ORDER BY x)) / max(n), 6) AS theil_l
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val eventGiniSql: String =
     """WITH pu AS (
       |  SELECT event_type, user_id, count(*) AS x

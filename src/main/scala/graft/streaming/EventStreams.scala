@@ -135,6 +135,54 @@ object EventStreams {
         tumblingCounts, "complete")
       .orderBy("hour_s", "event_type")
 
+  /** Driver-gate streaming query (`stream_topk`, round 15): per-hour
+    * top-3 users by event count — the "trending entities per window"
+    * leaderboard every streaming analytics stack serves. The STREAM
+    * maintains (hour-window, user) counts (watermarked tumbling
+    * state, complete-mode convergence makes it the batch relation
+    * exactly); the top-3 rank is a BATCH window over the converged
+    * COMPACT state (hours × active users, never raw events) — the
+    * stream-the-state / batch-finish convention the memory-sink
+    * protocol prescribes (no self-join of the sink view). Ties pin
+    * on user_id. At cluster scale the rank step reads a
+    * state-store-sized relation; a true low-latency leaderboard
+    * would move the top-k into per-window keyed state
+    * ([[graft.plans.TopKPerKey]]'s heap shape inside
+    * flatMapGroupsWithState) — the converged result is identical,
+    * which is what the gate proves.
+    */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = runToMemory(spark, stagedEventsDir(dir),
+      "graft_stream_topk",
+      ev => ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("hour_s"),
+          col("user_id"), col("n")),
+      "complete")
+    val byHour = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_s").orderBy(col("n").desc, col("user_id").asc)
+    counts
+      .withColumn("rk", row_number().over(byHour).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("hour_s"), col("rk"), col("user_id"), col("n"))
+      .orderBy("hour_s", "rk")
+  }
+
+  /** Batch twin oracle for [[streamTopk]]. */
+  val streamTopkSql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+      |    AS hour_s, user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT hour_s, user_id, n,
+      |    row_number() OVER (PARTITION BY hour_s
+      |                       ORDER BY n DESC, user_id ASC) AS rk
+      |  FROM c)
+      |SELECT hour_s, CAST(rk AS BIGINT) AS rk, user_id, n
+      |FROM r WHERE rk <= 3 ORDER BY hour_s, rk""".stripMargin
+
   /** Driver-gate streaming query (`stream_sessionize`): session
     * windows over the replayed events, converged (complete mode) and
     * reshaped to the batch `sessionize` contract, whose oracle it

@@ -277,6 +277,81 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
+  test("aggTheil: pinned-order fold replays; indices coherent with Gini") {
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val dom = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = dom.groupBy(_._1).map { case (t, rs) =>
+      val n = rs.map(_._3).sum
+      val tot = rs.map(r => r._2 * r._3).sum
+      val sorted = rs.sortBy(_._2)
+      var tt = 0.0; var tl = 0.0
+      for ((_, x, c) <- sorted) {
+        val r = x.toDouble * n / tot
+        tt += c * r * math.log(r)
+        tl += -c.toDouble * math.log(r)
+      }
+      (t, n, tot, round6(tt / n), round6(tl / n))
+    }.toSet
+    val got = Relational.aggTheil(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expect)
+    // Theil indices are non-negative and zero only under equality
+    for ((_, _, _, tt, tl) <- got) assert(tt >= 0.0 && tl >= 0.0)
+  }
+
+  test("dqReferential: both reconciliation directions replay with sets") {
+    def keys(tbl: String, c: String): Set[Long] =
+      graft.sources.Tables.table(spark, dir, tbl).select(col(c))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val cases = Seq(
+      ("lineitem->orders", keys("lineitem", "l_orderkey"),
+        keys("orders", "o_orderkey")),
+      ("lineitem->part", keys("lineitem", "l_partkey"),
+        keys("part", "p_partkey")),
+      ("lineitem->supplier", keys("lineitem", "l_suppkey"),
+        keys("supplier", "s_suppkey")),
+      ("orders->customer", keys("orders", "o_custkey"),
+        keys("customer", "c_custkey")))
+    val expect = cases.map { case (name, ck, pk) =>
+      val childless = (pk -- ck).size.toLong
+      (name, ck.size.toLong, pk.size.toLong, (ck -- pk).size.toLong,
+        childless, childless * 1000000L / pk.size)
+    }.toSet
+    val got = Relational.dqReferential(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect)
+    // clean corpus: zero orphans is the EXPECTED audit result, and the
+    // childless arm must be non-vacuous somewhere
+    assert(got.forall(_._4 == 0L))
+    assert(got.exists(_._5 > 0L), "childless arm never fired (vacuity)")
+  }
+
+  test("streamTopk: converged per-hour leaderboard equals the batch top-3") {
+    val counts = graft.sources.Tables.events(spark, dir)
+      .select(expr("ts_ns div 3600000000000 * 3600").as("hour_s"),
+        col("user_id"))
+      .groupBy("hour_s", "user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).toSeq.flatMap { case (h, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case ((_, u, n), i) => (h, i + 1L, u, n) }
+    }.toSet
+    val got = graft.streaming.EventStreams.streamTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("simBqRerank: hamming shortlist + exact rescore replays; rescore reorders") {
     val vecs = graft.sources.Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
