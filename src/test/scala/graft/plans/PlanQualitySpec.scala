@@ -734,6 +734,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-15 operators: no products, broadcast where designed") {
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      ("q18_large_orders",
+        graft.ext.Relational.q18LargeOrders(spark, dir), true),
+      ("q21_waiting_suppliers",
+        graft.ext.Relational.q21WaitingSuppliers(spark, dir), false),
+      ("q22_global_sales",
+        graft.ext.Relational.q22GlobalSales(spark, dir), true),
+      ("asof_tolerance", graft.ext.Relational.asofTolerance(spark, dir), false),
+      ("agg_moments", graft.ext.Relational.aggMoments(spark, dir), false),
+      ("agg_theil", graft.ext.Relational.aggTheil(spark, dir), false),
+      ("dq_referential", graft.ext.Relational.dqReferential(spark, dir), false),
+      ("graph_motifs", graft.ext.Graph.graphMotifs(spark, dir), false),
+      ("text_rake", graft.ext.TextAnalysis.textRake(spark, dir), true),
+      ("sim_bq_rerank", graft.ext.Similarity.simBqRerank(spark, dir), true),
+      ("privacy_dp_topk", graft.ext.Privacy.privacyDpTopk(spark, dir), true),
+      ("event_stickiness_kmv",
+        graft.ext.Relational.eventStickinessKmv(spark, dir), false))
+    for ((name, df, wantsBroadcast) <- cases) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // sanctioned nested-loop shapes: the 1-ROW broadcast aggregates
+      // (q22's positive-balance scalar + max-date cutoff,
+      // dq_referential's four 1-row edge summaries, graph_motifs'
+      // three 1-row census aggregates) and sim_bq_rerank's
+      // probe-broadcast self-exclusion predicate (the sim_hamming
+      // family shape)
+      if (!Set("q22_global_sales", "dq_referential", "graph_motifs",
+          "sim_bq_rerank").contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      if (wantsBroadcast)
+        assert(plan.contains("BroadcastExchange") ||
+          plan.contains("BroadcastHashJoin"),
+          s"$name: designed broadcast side fell back to a shuffle:\n$plan")
+    }
+  }
+
   test("rank-walk domain audit (round 15, VERDICT r14 ask #2): every " +
     "cumulative-walk window runs over a value-bounded domain, never entity grain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
