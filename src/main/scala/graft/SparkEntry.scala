@@ -311,6 +311,7 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.mmFrames(_, _)),
     "mm_audio" -> (Multimodal.mmAudio(_, _)),
     "mm_image" -> (Multimodal.mmImage(_, _)),
+    "mm_image_meta" -> (Multimodal.mmImageMeta(_, _)),
     "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
     "mm_video" -> (Multimodal.mmVideo(_, _)),
     "mm_audio_mp3" -> (Multimodal.mmAudioMp3(_, _)),
@@ -753,6 +754,7 @@ object SparkEntry {
     // WAV encode→RIFF-walk→decode loop exact per asset
     "mm_audio" -> Multimodal.mmAudioSql,
     "mm_image" -> Multimodal.mmImageSql,
+    "mm_image_meta" -> Multimodal.mmImageMetaSql,
     "mm_image_jpeg" -> Multimodal.mmImageJpegSql,
     "mm_video" -> Multimodal.mmVideoSql,
     "mm_audio_mp3" -> Multimodal.mmAudioMp3Sql,

@@ -397,6 +397,56 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  /** PNG ancillary-metadata tier (`mm_image_meta`, round 15): the same
+    * image-slice assets re-synthesized WITH physical-density (pHYs)
+    * and two tEXt keyword/value chunks, then read back through
+    * [[PngCodec.metaGray8]] — the CRC-verified metadata walk that
+    * surfaces ancillary chunks WITHOUT inflating a single IDAT byte.
+    * This is the cheap first pass a 100 TB image-corpus audit runs
+    * (dimensions, DPI, provenance tags) before deciding what to
+    * pixel-decode; the gate proves the writer's §4.2 chunk ordering,
+    * the NULL-separated tEXt layout, and the reader's walk
+    * bit-exactly via the closed-form oracle. Per-asset rowwise work,
+    * no shuffle beyond the final sort (the mm family convention).
+    */
+  def mmImageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // assets()'s image slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val w = (1 + nChars % 32).toInt
+        val h = (1 + id % 24).toInt
+        val px = new Array[Byte](w * h) // pixels irrelevant to the meta walk
+        val ppmX = (1000 + id % 50).toInt
+        val ppmY = (1000 + nChars % 40).toInt
+        val bytes = PngCodec.encodeGray8(w, h, px,
+          physPpm = Some((ppmX, ppmY)),
+          texts = Seq("Title" -> s"doc-$id", "Software" -> "graft-png"))
+        val m = PngCodec.metaGray8(bytes)
+          .getOrElse(sys.error(s"unwalkable PNG meta for asset $id"))
+        (id, m.width.toLong, m.height.toLong,
+          m.ppmX.toLong, m.ppmY.toLong,
+          m.texts.length.toLong, m.texts.head._2)
+      }
+    }.toDF("asset_id", "width", "height", "ppm_x", "ppm_y",
+        "n_texts", "title")
+      .orderBy("asset_id")
+  }
+
+  val mmImageMetaSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CAST(1 + n_chars % 32 AS BIGINT) AS width,
+      |  CAST(1 + doc_id % 24 AS BIGINT) AS height,
+      |  CAST(1000 + doc_id % 50 AS BIGINT) AS ppm_x,
+      |  CAST(1000 + n_chars % 40 AS BIGINT) AS ppm_y,
+      |  CAST(2 AS BIGINT) AS n_texts,
+      |  'doc-' || CAST(doc_id AS VARCHAR) AS title
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY asset_id""".stripMargin
+
   /** Registered JPEG pixel-decode tier (round 8 — retires the JPEG
     * tier of the pixel stub the same way [[mmImage]] retired PNG's):
     * every image-slice asset gets a real baseline JFIF JPEG built

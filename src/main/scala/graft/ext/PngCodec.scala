@@ -43,7 +43,12 @@ object PngCodec {
       width: Int,
       height: Int,
       pixels: Array[Byte],
-      filterOfRow: Int => Int = _ => 0): Array[Byte] = {
+      filterOfRow: Int => Int = _ => 0,
+      // ancillary metadata (round 15, the mm_image_meta gate): pHYs
+      // pixels-per-metre pair and tEXt keyword/value pairs, written
+      // BETWEEN IHDR and IDAT per the RFC 2083 §4.2 ordering rules
+      physPpm: Option[(Int, Int)] = None,
+      texts: Seq[(String, String)] = Nil): Array[Byte] = {
     require(width > 0 && height > 0 && pixels.length == width * height,
       s"bad gray8 geometry ${width}x$height vs ${pixels.length}")
     // filter scanlines (encode side of RFC 2083 §6.6: raw - predictor)
@@ -80,9 +85,77 @@ object PngCodec {
     val out = new java.io.ByteArrayOutputStream(64 + raw.length)
     out.write(Signature, 0, Signature.length)
     writeChunk(out, "IHDR", ihdr)
+    for ((px, py) <- physPpm) {
+      val d = java.nio.ByteBuffer.allocate(9)
+        .putInt(px).putInt(py).put(1.toByte) // unit: metre
+        .array()
+      writeChunk(out, "pHYs", d)
+    }
+    for ((k, v) <- texts) {
+      require(k.nonEmpty && k.length <= 79 && !k.contains('\u0000'),
+        s"bad tEXt keyword '$k'")
+      val d = (k + "\u0000" + v).getBytes("ISO-8859-1")
+      writeChunk(out, "tEXt", d)
+    }
     writeChunk(out, "IDAT", deflate(raw))
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** Extracted ancillary metadata of a PNG: dimensions, the pHYs
+    * pixels-per-metre pair (0,0 when absent), and tEXt pairs in file
+    * order.
+    */
+  final case class PngMeta(width: Int, height: Int, ppmX: Int, ppmY: Int,
+      texts: Seq[(String, String)])
+
+  /** CRC-verified metadata walk (round 15): the same chunk discipline
+    * as [[decodeGray8]] — hostile lengths guarded in Long, every CRC
+    * checked, None (never a garble) on anything structurally corrupt
+    * — but surfacing the ANCILLARY chunks the pixel decoder skips:
+    * pHYs physical density and tEXt keyword/value pairs. No inflate
+    * runs; this is the cheap metadata pass a 100 TB image-corpus
+    * audit does before deciding what to decode.
+    */
+  def metaGray8(bytes: Array[Byte]): Option[PngMeta] = {
+    if (bytes.length < Signature.length + 12 ||
+        !bytes.startsWith(Signature)) return None
+    var width = -1
+    var height = -1
+    var ppmX = 0
+    var ppmY = 0
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = Signature.length
+    var ended = false
+    while (!ended) {
+      if (i + 8 > bytes.length) return None
+      val len = be32(bytes, i)
+      if (len < 0 || i.toLong + 12L + len > bytes.length) return None
+      val typ = new String(bytes, i + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(bytes, i + 4, 4 + len)
+      if (crc.getValue.toInt != be32(bytes, i + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(bytes, i + 8)
+          height = be32(bytes, i + 12)
+        case "pHYs" =>
+          if (len != 9) return None
+          ppmX = be32(bytes, i + 8)
+          ppmY = be32(bytes, i + 12)
+        case "tEXt" =>
+          val d = new String(bytes, i + 8, len, "ISO-8859-1")
+          val sep = d.indexOf('\u0000')
+          if (sep <= 0) return None
+          texts += ((d.substring(0, sep), d.substring(sep + 1)))
+        case "IEND" => ended = true
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (width <= 0 || height <= 0) None
+    else Some(PngMeta(width, height, ppmX, ppmY, texts.toSeq))
   }
 
   private def writeChunk(

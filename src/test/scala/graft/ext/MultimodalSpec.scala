@@ -122,6 +122,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("PngCodec.metaGray8: surfaces pHYs + tEXt written by the encoder, CRC-gated") {
+    val px = Array.fill(6 * 4)(42.toByte)
+    val enc = PngCodec.encodeGray8(6, 4, px,
+      physPpm = Some((2835, 1417)),
+      texts = Seq("Title" -> "t1", "Author" -> "a, with punct: é"))
+    val m = PngCodec.metaGray8(enc).getOrElse(fail("meta walk failed"))
+    assert(m.width == 6 && m.height == 4)
+    assert(m.ppmX == 2835 && m.ppmY == 1417)
+    assert(m.texts == Seq("Title" -> "t1", "Author" -> "a, with punct: é"))
+    // absent pHYs -> (0, 0); empty tEXt list preserved
+    val plain = PngCodec.encodeGray8(6, 4, px)
+    val mp = PngCodec.metaGray8(plain).get
+    assert(mp.ppmX == 0 && mp.ppmY == 0 && mp.texts.isEmpty)
+    // the metadata walk keeps the pixel decoder's corruption discipline
+    val bad = enc.clone()
+    bad(40) = (bad(40) ^ 0x5a).toByte // inside pHYs -> CRC mismatch
+    assert(PngCodec.metaGray8(bad).isEmpty)
+    assert(PngCodec.metaGray8(enc.take(30)).isEmpty)
+    assert(PngCodec.metaGray8("no".getBytes).isEmpty)
+    // metadata-bearing PNGs still pixel-decode (ancillary chunks skipped)
+    assert(PngCodec.decodeGray8(enc).get.pixels.sameElements(px))
+    // and an independent producer's PNG walks fine (no pHYs/tEXt)
+    val mi = PngCodec.metaGray8(imageBytes("png", 9, 7))
+    assert(mi.exists(x => x.width == 9 && x.height == 7))
+  }
+
+  test("mmImageMeta: ancillary metadata of every image asset equals the closed form") {
+    val rows = Multimodal.mmImageMeta(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nChars = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(id % 3 == 0)
+      assert(r.getLong(1) == 1 + nChars(id) % 32, s"width $id")
+      assert(r.getLong(2) == 1 + id % 24, s"height $id")
+      assert(r.getLong(3) == 1000 + id % 50, s"ppm_x $id")
+      assert(r.getLong(4) == 1000 + nChars(id) % 40, s"ppm_y $id")
+      assert(r.getLong(5) == 2L && r.getString(6) == s"doc-$id")
+    }
+  }
+
   test("mmImageProg: progressive-JPEG stats equal the closed-form block grid") {
     val rows = Multimodal.mmImageProg(spark, dir).collect()
     assert(rows.nonEmpty)
