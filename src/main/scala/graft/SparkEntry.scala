@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Privacy, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.ext.{Dedup, Graph, Layout, Multimodal, PipelineOps, Privacy, Relational, Similarity, TextAnalysis, TimeSeries, TpchMore}
 import graft.ops.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +52,14 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders(_, _)),
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers(_, _)),
     "q22_global_sales" -> (Relational.q22GlobalSales(_, _)),
+    "q4_order_priority" -> (TpchMore.q4OrderPriority(_, _)),
+    "q10_returned_items" -> (TpchMore.q10ReturnedItems(_, _)),
+    "q12_ship_priority" -> (TpchMore.q12ShipPriority(_, _)),
+    "q13_customer_dist" -> (TpchMore.q13CustomerDist(_, _)),
+    "q14_promo_share" -> (TpchMore.q14PromoShare(_, _)),
+    "q15_top_supplier" -> (TpchMore.q15TopSupplier(_, _)),
+    "q17_small_quantity" -> (TpchMore.q17SmallQuantity(_, _)),
+    "q19_discounted" -> (TpchMore.q19Discounted(_, _)),
     "agg_rollup" -> (Relational.aggRollup(_, _)),
     "agg_cube" -> (Relational.aggCube(_, _)),
     "agg_distinct" -> (Relational.aggDistinct(_, _)),
@@ -345,6 +353,14 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "q21_waiting_suppliers" -> Relational.q21WaitingSuppliersSql,
     "q22_global_sales" -> Relational.q22GlobalSalesSql,
+    "q4_order_priority" -> TpchMore.q4OrderPrioritySql,
+    "q10_returned_items" -> TpchMore.q10ReturnedItemsSql,
+    "q12_ship_priority" -> TpchMore.q12ShipPrioritySql,
+    "q13_customer_dist" -> TpchMore.q13CustomerDistSql,
+    "q14_promo_share" -> TpchMore.q14PromoShareSql,
+    "q15_top_supplier" -> TpchMore.q15TopSupplierSql,
+    "q17_small_quantity" -> TpchMore.q17SmallQuantitySql,
+    "q19_discounted" -> TpchMore.q19DiscountedSql,
     "agg_rollup" -> Relational.aggRollupSql,
     "agg_cube" -> Relational.aggCubeSql,
     "agg_distinct" -> Relational.aggDistinctSql,
