@@ -53,6 +53,9 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers(_, _)),
     "q22_global_sales" -> (Relational.q22GlobalSales(_, _)),
     "q4_order_priority" -> (TpchMore.q4OrderPriority(_, _)),
+    "q7_volume_shipping" -> (TpchMore.q7VolumeShipping(_, _)),
+    "q8_market_share" -> (TpchMore.q8MarketShare(_, _)),
+    "q9_product_profit" -> (TpchMore.q9ProductProfit(_, _)),
     "q10_returned_items" -> (TpchMore.q10ReturnedItems(_, _)),
     "q12_ship_priority" -> (TpchMore.q12ShipPriority(_, _)),
     "q13_customer_dist" -> (TpchMore.q13CustomerDist(_, _)),
@@ -354,6 +357,9 @@ object SparkEntry {
     "q21_waiting_suppliers" -> Relational.q21WaitingSuppliersSql,
     "q22_global_sales" -> Relational.q22GlobalSalesSql,
     "q4_order_priority" -> TpchMore.q4OrderPrioritySql,
+    "q7_volume_shipping" -> TpchMore.q7VolumeShippingSql,
+    "q8_market_share" -> TpchMore.q8MarketShareSql,
+    "q9_product_profit" -> TpchMore.q9ProductProfitSql,
     "q10_returned_items" -> TpchMore.q10ReturnedItemsSql,
     "q12_ship_priority" -> TpchMore.q12ShipPrioritySql,
     "q13_customer_dist" -> TpchMore.q13CustomerDistSql,

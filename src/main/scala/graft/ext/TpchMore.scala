@@ -74,6 +74,193 @@ object TpchMore {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------------
+  // Q7 — volume shipping between two nations
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q7 (volume shipping): bilateral 1996–1997 trade revenue
+    * between NATION_1 and NATION_2, by (supplier nation, customer
+    * nation, ship year). Both dimension paths are nation-PRUNED
+    * before they touch the fact: the supplier and customer slices
+    * carry only the two nations (~8% of each), so they broadcast at
+    * gate SFs — at warehouse scale the customer path degrades to one
+    * key-grain shuffle join, the fact-orders join is the single
+    * fact-fact shuffle either way. Revenue in e4 fixed-point (exact;
+    * per-group sums ≤ ~1e17 at sf1000), 4-row output.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val n = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+        * 10000).cast("long")).as("revenue_e4"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+      |      AS rev_e4
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Q8 — national market share
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q8 (national market share): NATION_5's share of STANDARD-
+    * part revenue sold into ASIA-region customers, by order year
+    * (1996–1997). The deepest join tree in the dashboard (7 tables);
+    * every dimension path is pruned before joining — part to one type
+    * (~1/6), customer to one region (~1/5), nation/region broadcast —
+    * and the share is a TRUNCATING integer ppm from the conditional
+    * e4 sums (the Q14 rail: DECIMAL(38) cross-multiply `div`,
+    * quotient ≤ 1e6). 2-row output.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(n.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val p = t(spark, dir, "part").filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_year"), col("supp_nation"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * 10000).cast("long").as("rev_e4"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("rev_e4"))
+          .otherwise(0L)).as("nation_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .select(col("o_year"), col("nation_e4"), col("total_e4"),
+        expr("CAST(nation_e4 AS DECIMAL(38,0)) * 1000000 div total_e4")
+          .cast("long").as("share_ppm"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+      |      AS rev_e4,
+      |    n1.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n2.n_regionkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END)
+      |    AS BIGINT) AS nation_e4,
+      |  CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+      |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4
+      |            ELSE 0 END) AS HUGEINT) * 1000000
+      |       // CAST(sum(rev_e4) AS HUGEINT) AS BIGINT) AS share_ppm
+      |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Q9 — product-type profit
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q9 (product-type profit; adapted — the corpus has no
+    * `partsupp`, so supply cost is defined as 60% of the part's
+    * retail price: `cost_e4 = retail_c · 60 · qty`, exact in e4
+    * fixed-point with zero division): profit on '%bolt%' parts by
+    * supplier nation and ship year. The name-filtered part slice
+    * (~1/8) and the supplier/nation dims broadcast into one fact
+    * pass; per-(nation, year) BIGINT sums stay ≤ ~1e17 at sf1000
+    * (per-row |profit_e4| < 1e10, group width ~n/175).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("retail_c"))
+    val sup = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"),
+        ((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * 10000).cast("long")
+          - col("retail_c") * 60L * dec(col("l_quantity")).cast("long"))
+          .as("profit_e4"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("profit_e4")).as("profit_e4"))
+      .orderBy("nation", "o_year")
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+      |       - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         * 60 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
   // Q10 — returned items report
   // ----------------------------------------------------------------
 

@@ -164,6 +164,102 @@ class TpchMoreSpec extends AnyFunSuite with SparkTestBase {
     assert(BigInt(r.getLong(0)) == expectAvg)
   }
 
+  test("q7VolumeShipping: bilateral nation-pair revenue replays (sf0.01)") {
+    // sf0.001 has zero NATION_1<->NATION_2 trade in the window — the
+    // replay runs at sf0.01 where all 4 (pair, year) cells are real
+    val nat = graft.sources.Tables.table(spark, dirMid, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val supN = graft.sources.Tables.table(spark, dirMid, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nat(r.getLong(1))).toMap
+    val custN = graft.sources.Tables.table(spark, dirMid, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nat(r.getLong(1))).toMap
+    val ordCust = orderRows(dirMid).map(o => o._1 -> o._4).toMap
+    val pair = Set("NATION_1", "NATION_2")
+    val expect = lineRows(dirMid)
+      .filter(l => l._2 >= day("1996-01-01") && l._2 < day("1998-01-01"))
+      .map { l =>
+        val sn = supN(l._8); val cn = custN(ordCust(l._1))
+        (sn, cn, 1970 + java.time.LocalDate.ofEpochDay(l._2).getYear - 1970,
+          l)
+      }
+      .collect { case (sn, cn, _, l) if pair(sn) && pair(cn) && sn != cn =>
+        ((sn, cn, java.time.LocalDate.ofEpochDay(l._2).getYear.toLong),
+          BigInt(revE4(l._4, l._5)))
+      }
+      .groupBy(_._1).map { case (k, rs) => (k._1, k._2, k._3, rs.map(_._2).sum.toLong) }
+      .toSet
+    val got = TpchMore.q7VolumeShipping(spark, dirMid).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.map(t => (t._1, t._2)).size == 2, s"both directions: $got")
+  }
+
+  test("q8MarketShare: conditional e4 sums + truncating ppm replay (sf0.01)") {
+    val nat = graft.sources.Tables.table(spark, dirMid, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val asiaKey = graft.sources.Tables.table(spark, dirMid, "region")
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey").cast("long"))
+      .collect().head.getLong(0)
+    val supN = graft.sources.Tables.table(spark, dirMid, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nat(r.getLong(1))._1).toMap
+    val custAsia = graft.sources.Tables.table(spark, dirMid, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .collect().filter(r => nat(r.getLong(1))._2 == asiaKey)
+      .map(_.getLong(0)).toSet
+    val std = graft.sources.Tables.table(spark, dirMid, "part")
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val ord = orderRows(dirMid)
+      .filter(o => o._2 >= day("1996-01-01") && o._2 < day("1998-01-01"))
+      .map(o => o._1 -> (java.time.LocalDate.ofEpochDay(o._2).getYear.toLong, o._4))
+      .toMap
+    val byYear = lineRows(dirMid)
+      .filter(l => std(l._7) && ord.contains(l._1) && custAsia(ord(l._1)._2))
+      .groupBy(l => ord(l._1)._1)
+    val expect = byYear.map { case (y, rs) =>
+      val tot = rs.map(l => BigInt(revE4(l._4, l._5))).sum
+      val n5 = rs.filter(l => supN(l._8) == "NATION_5")
+        .map(l => BigInt(revE4(l._4, l._5))).sum
+      (y, n5.toLong, tot.toLong, (n5 * 1000000 / tot).toLong)
+    }.toSet
+    val got = TpchMore.q8MarketShare(spark, dirMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.forall(r => r._2 > 0 && r._2 < r._3),
+      s"the NATION_5 arm must be real and partial: $got")
+  }
+
+  test("q9ProductProfit: adapted 60%-retail cost algebra replays in BigInt") {
+    val bolt = graft.sources.Tables.table(spark, dir, "part")
+      .filter(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = graft.sources.Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val supN = graft.sources.Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> nat(r.getLong(1))).toMap
+    val expect = lineRows(dir).filter(l => bolt.contains(l._7))
+      .map { l =>
+        val y = java.time.LocalDate.ofEpochDay(l._2).getYear.toLong
+        ((supN(l._8), y),
+          BigInt(revE4(l._4, l._5)) - BigInt(bolt(l._7)) * 60 * l._6)
+      }
+      .groupBy(_._1)
+      .map { case ((n, y), rs) => (n, y, rs.map(_._2).sum.toLong) }.toSet
+    val got = TpchMore.q9ProductProfit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.size >= 50, s"nation x year grid too sparse: ${got.size}")
+  }
+
   test("q19Discounted: all three OR arms contribute; revenue replays") {
     val part = graft.sources.Tables.table(spark, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long"))
