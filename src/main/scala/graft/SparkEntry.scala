@@ -52,8 +52,12 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders(_, _)),
     "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers(_, _)),
     "q22_global_sales" -> (Relational.q22GlobalSales(_, _)),
+    "q2_min_cost_supplier" -> (TpchMore.q2MinCostSupplier(_, _)),
     "q4_order_priority" -> (TpchMore.q4OrderPriority(_, _)),
     "q7_volume_shipping" -> (TpchMore.q7VolumeShipping(_, _)),
+    "q11_important_stock" -> (TpchMore.q11ImportantStock(_, _)),
+    "q16_parts_suppliers" -> (TpchMore.q16PartsSuppliers(_, _)),
+    "q20_dominant_suppliers" -> (TpchMore.q20DominantSuppliers(_, _)),
     "q8_market_share" -> (TpchMore.q8MarketShare(_, _)),
     "q9_product_profit" -> (TpchMore.q9ProductProfit(_, _)),
     "q10_returned_items" -> (TpchMore.q10ReturnedItems(_, _)),
@@ -356,8 +360,12 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "q21_waiting_suppliers" -> Relational.q21WaitingSuppliersSql,
     "q22_global_sales" -> Relational.q22GlobalSalesSql,
+    "q2_min_cost_supplier" -> TpchMore.q2MinCostSupplierSql,
     "q4_order_priority" -> TpchMore.q4OrderPrioritySql,
     "q7_volume_shipping" -> TpchMore.q7VolumeShippingSql,
+    "q11_important_stock" -> TpchMore.q11ImportantStockSql,
+    "q16_parts_suppliers" -> TpchMore.q16PartsSuppliersSql,
+    "q20_dominant_suppliers" -> TpchMore.q20DominantSuppliersSql,
     "q8_market_share" -> TpchMore.q8MarketShareSql,
     "q9_product_profit" -> TpchMore.q9ProductProfitSql,
     "q10_returned_items" -> TpchMore.q10ReturnedItemsSql,

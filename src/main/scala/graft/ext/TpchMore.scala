@@ -74,6 +74,208 @@ object TpchMore {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------------
+  // Q2 — minimum-cost supplier (observed unit price)
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q2 (minimum-cost supplier; adapted — the corpus has no
+    * `partsupp.ps_supplycost`, so "cost" is the minimum OBSERVED unit
+    * price a supplier ever sold the part at: `unit_e6 = price_c ·
+    * 10000 div qty`, a truncating integer both engines compute
+    * identically): for SMALL parts of size < 6, the cheapest supplier
+    * per part (min-suppkey tiebreak ⟹ exactly one row per part). The
+    * part slice (~1.7% of parts) broadcasts into the fact scan; the
+    * (part, supplier) unit-price agg is map-side-combinable at
+    * slice-pruned grain; the per-part min joins back BROADCAST (one
+    * row per slice part). No window, no correlated subquery — the
+    * textbook Q2 min-cost rewrite.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "part")
+      .filter(col("p_type") === "SMALL" && col("p_size") < 6)
+      .select(col("p_partkey"))
+    val up = t(spark, dir, "lineitem")
+      .join(broadcast(ps), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " * 10000 div CAST(l_quantity AS BIGINT)").as("u"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("u")).as("unit_e6"))
+    val pm = up.groupBy(col("l_partkey").as("pm_partkey"))
+      .agg(min(col("unit_e6")).as("mn"))
+    up.join(broadcast(pm),
+        col("l_partkey") === col("pm_partkey") && col("unit_e6") === col("mn"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"), min(col("unit_e6")).as("unit_e6"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey").as("sup_key"), col("s_name"))),
+        col("s_suppkey") === col("sup_key"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("unit_e6"))
+      .orderBy("p_partkey")
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH up AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        * 10000 // CAST(l_quantity AS BIGINT)) AS unit_e6
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'SMALL' AND p_size < 6
+      |  GROUP BY 1, 2),
+      |pm AS (SELECT l_partkey, min(unit_e6) AS mn FROM up GROUP BY 1),
+      |win AS (
+      |  SELECT l_partkey AS p_partkey, min(l_suppkey) AS s_suppkey,
+      |    min(unit_e6) AS unit_e6
+      |  FROM up JOIN pm USING (l_partkey)
+      |  WHERE unit_e6 = mn GROUP BY 1)
+      |SELECT p_partkey, s_suppkey, s_name, unit_e6
+      |FROM win JOIN supplier USING (s_suppkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Q11 — important stock identification
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q11 (important stock; adapted — no `partsupp.ps_availqty`,
+    * so "stock value" is the shipped-quantity value `qty · retail_c`
+    * from NATION_3's suppliers): parts whose value exceeds 0.1% of
+    * the national total. The threshold comparison is integer-exact
+    * by cross-multiplying in DECIMAL(38) (`value_c · 1000 > total` —
+    * never a float fraction), with the total as the sanctioned 1-row
+    * broadcast aggregate. One fact pass, part-grain hash agg,
+    * value-ordered output.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val p = t(spark, dir, "part").select(col("p_partkey"),
+      (dec(col("p_retailprice")) * 100).cast("long").as("retail_c"))
+    val v = t(spark, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(sum(dec(col("l_quantity")).cast("long") * col("retail_c"))
+        .cast("long").as("value_c"))
+    val tot = v.agg(sum(col("value_c")).cast("long").as("t"))
+    v.crossJoin(broadcast(tot)) // 1-row aggregate
+      .filter(expr("CAST(value_c AS DECIMAL(38,0)) * 1000 > t"))
+      .select(col("p_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("p_partkey").asc)
+  }
+
+  val q11ImportantStockSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)
+      |         * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS value_c
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name = 'NATION_3' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS t FROM v)
+      |SELECT p_partkey, value_c
+      |FROM v, tot
+      |WHERE CAST(value_c AS HUGEINT) * 1000 > CAST(t AS HUGEINT)
+      |ORDER BY value_c DESC, p_partkey ASC""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Q16 — parts/supplier relationship count
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q16 (parts/supplier relationships; adapted — no `partsupp`
+    * relation, so the relationship is OBSERVED in the fact: a
+    * supplier relates to a part iff a lineitem links them): distinct
+    * supplier counts per (brand, type, size) over the Q16-style
+    * slice (one brand excluded, one type excluded, seven sizes). The
+    * part dim broadcasts; the distinct count is the two-stage
+    * aggregate at (group, suppkey) grain — map-side partials at the
+    * (brand,type,size,supp) key, never a global distinct.
+    */
+  def q16PartsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 16, 25, 36, 49)
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    t(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  val q16PartsSuppliersSql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Q20 — dominant promo suppliers
+  // ----------------------------------------------------------------
+
+  /** TPC-H Q20 (potential part promotion; adapted — no
+    * `ps_availqty`, so the "excess" predicate becomes DOMINANCE: a
+    * supplier qualifies if, on some multi-supplier PROMO part, they
+    * shipped MORE THAN HALF of its 1996 quantity — `2·sqty > tqty`,
+    * integer-exact, with the ≥2-supplier floor keeping single-source
+    * parts from qualifying trivially, the Q21 `n_supp ≥ 2`
+    * convention): qualifying suppliers with their dominated-part
+    * counts. PROMO slice broadcast into one window-pruned fact pass;
+    * (part, supplier) then part-grain aggs, both map-side-
+    * combinable; the part-totals relation re-joins at key grain.
+    */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pp = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val sq = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity")).cast("long")).as("sqty"))
+    val tq = sq.groupBy(col("l_partkey").as("tq_partkey"))
+      .agg(sum(col("sqty")).as("tqty"), count(lit(1)).as("nsup"))
+    sq.join(broadcast(tq), col("l_partkey") === col("tq_partkey"))
+      .filter(lit(2L) * col("sqty") > col("tqty") && col("nsup") >= 2L)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey").as("sup_key"), col("s_name"))),
+        col("s_suppkey") === col("sup_key"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20DominantSuppliersSql: String =
+    """WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+      |sq AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqty
+      |  FROM lineitem JOIN pp ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1, 2),
+      |tq AS (
+      |  SELECT l_partkey, CAST(sum(sqty) AS BIGINT) AS tqty,
+      |    count(*) AS nsup
+      |  FROM sq GROUP BY 1)
+      |SELECT l_suppkey AS s_suppkey, s_name, count(*) AS n_parts
+      |FROM sq JOIN tq USING (l_partkey)
+      |JOIN supplier ON supplier.s_suppkey = sq.l_suppkey
+      |WHERE 2 * sqty > tqty AND nsup >= 2
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
   // Q7 — volume shipping between two nations
   // ----------------------------------------------------------------
 

@@ -164,6 +164,101 @@ class TpchMoreSpec extends AnyFunSuite with SparkTestBase {
     assert(BigInt(r.getLong(0)) == expectAvg)
   }
 
+  test("q2MinCostSupplier: truncating unit-price min + suppkey tiebreak replay") {
+    val ps = graft.sources.Tables.table(spark, dir, "part")
+      .filter(col("p_type") === "SMALL" && col("p_size") < 6)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val up = lineRows(dir).filter(l => ps(l._7))
+      .map(l => ((l._7, l._8), l._4 * 10000L / l._6)) // positive: / == div
+      .groupBy(_._1).map { case (k, rs) => (k._1, k._2, rs.map(_._2).min) }
+    val expect = up.groupBy(_._1).map { case (p, rs) =>
+      val mn = rs.map(_._3).min
+      val win = rs.filter(_._3 == mn).map(_._2).min
+      (p, win, mn)
+    }.toSet
+    val got = TpchMore.q2MinCostSupplier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.map(_._1).size == got.size,
+      "exactly one winner row per part")
+  }
+
+  test("q11ImportantStock: DECIMAL(38) cross-multiplied threshold replays") {
+    val nat = graft.sources.Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sup3 = graft.sources.Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"))
+      .collect().filter(r => nat(r.getLong(1)) == "NATION_3")
+      .map(_.getLong(0)).toSet
+    val retail = graft.sources.Tables.table(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = lineRows(dir).filter(l => sup3(l._8))
+      .groupBy(_._7).map { case (p, rs) =>
+        p -> rs.map(l => BigInt(l._6) * retail(p)).sum
+      }
+    val tot = v.values.sum
+    val expect = v.filter { case (_, vc) => vc * 1000 > tot }
+      .map { case (p, vc) => (p, vc.toLong) }.toSet
+    val got = TpchMore.q11ImportantStock(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < v.size,
+      "threshold must prune some parts and keep some")
+  }
+
+  test("q16PartsSuppliers: observed distinct-supplier counts replay") {
+    val sizes = Set(1L, 4L, 9L, 16L, 25L, 36L, 49L)
+    val pf = graft.sources.Tables.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long"))
+      .collect()
+      .filter(r => r.getString(1) != "Brand#9" && r.getString(2) != "PROMO" &&
+        sizes(r.getLong(3)))
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val expect = lineRows(dir).filter(l => pf.contains(l._7))
+      .map(l => (pf(l._7), l._8)).distinct
+      .groupBy(_._1).map { case ((b, t2, s), rs) => (b, t2, s, rs.length.toLong) }
+      .toSet
+    val got = TpchMore.q16PartsSuppliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // ordering pin: supplier_cnt desc then the three-way group key asc
+    val rows = TpchMore.q16PartsSuppliers(spark, dir).collect()
+      .map(r => (r.getLong(3), r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.sameElements(rows.sortBy(t => (-t._1, t._2, t._3, t._4))))
+  }
+
+  test("q20DominantSuppliers: 2*sqty > tqty dominance on multi-supplier parts replays") {
+    val pp = graft.sources.Tables.table(spark, dir, "part")
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val sq = lineRows(dir)
+      .filter(l => pp(l._7) &&
+        l._2 >= day("1996-01-01") && l._2 < day("1997-01-01"))
+      .groupBy(l => (l._7, l._8))
+      .map { case ((p, s), rs) => (p, s, rs.map(_._6).sum) }
+    val tq = sq.groupBy(_._1).map { case (p, rs) =>
+      p -> (rs.map(_._3).sum, rs.size.toLong)
+    }
+    val expect = sq.filter { case (p, _, q) =>
+      val (tot, nsup) = tq(p); 2 * q > tot && nsup >= 2
+    }.groupBy(_._2).map { case (s, rs) => (s, rs.size.toLong) }.toSet
+    val got = TpchMore.q20DominantSuppliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "dominance arm must be non-vacuous at sf0.001")
+    // single-supplier parts must never qualify (the nsup >= 2 floor)
+    val single = tq.filter(_._2._2 == 1).keySet
+    val qualParts = sq.filter { case (p, _, q) =>
+      val (tot, nsup) = tq(p); 2 * q > tot && nsup >= 2
+    }.map(_._1).toSet
+    assert(qualParts.intersect(single).isEmpty)
+  }
+
   test("q7VolumeShipping: bilateral nation-pair revenue replays (sf0.01)") {
     // sf0.001 has zero NATION_1<->NATION_2 trade in the window — the
     // replay runs at sf0.01 where all 4 (pair, year) cells are real
