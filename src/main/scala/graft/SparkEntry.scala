@@ -106,6 +106,7 @@ object SparkEntry {
     "dq_checks" -> (Relational.dqChecks(_, _)),
     "dq_profile" -> (Relational.dqProfile(_, _)),
     "dq_referential" -> (Relational.dqReferential(_, _)),
+    "dq_freshness" -> (Relational.dqFreshness(_, _)),
     "diag_skew" -> (Relational.diagSkew(_, _)),
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     "window_growth" -> (Relational.windowGrowth(_, _)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "graph_assortativity" -> (Graph.graphAssortativity(_, _)),
     "graph_clustcoeff" -> (Graph.graphClustcoeff(_, _)),
     "graph_motifs" -> (Graph.graphMotifs(_, _)),
+    "graph_hits" -> (Graph.graphHits(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -240,8 +242,10 @@ object SparkEntry {
     "event_paths" -> (Relational.eventPaths(_, _)),
     "event_stickiness" -> (Relational.eventStickiness(_, _)),
     "event_stickiness_kmv" -> (Relational.eventStickinessKmv(_, _)),
+    "event_cohort_ltv" -> (Relational.eventCohortLtv(_, _)),
     "event_new_users" -> (Relational.eventNewUsers(_, _)),
     "ts_winsorize" -> (TimeSeries.tsWinsorize(_, _)),
+    "ts_bollinger" -> (TimeSeries.tsBollinger(_, _)),
     "event_gini" -> (Relational.eventGini(_, _)),
     "agg_theil" -> (Relational.aggTheil(_, _)),
     "agg_hhi" -> (Relational.aggHhi(_, _)),
@@ -398,6 +402,7 @@ object SparkEntry {
     // one-scan column profile; BIGINT/VARCHAR casts render identically
     "dq_profile" -> Relational.dqProfileSql,
     "dq_referential" -> Relational.dqReferentialSql,
+    "dq_freshness" -> Relational.dqFreshnessSql,
     // integer ppm shares and ×mean ratios: no float percentages
     "diag_skew" -> Relational.diagSkewSql,
     // exact DECIMAL cumulative-coverage selection: no interpolation
@@ -474,6 +479,7 @@ object SparkEntry {
     // 3·triangles over Σ deg(deg−1)/2 wedges: two integer counts
     "graph_clustcoeff" -> Graph.graphClustcoeffSql,
     "graph_motifs" -> Graph.graphMotifsSql,
+    "graph_hits" -> Graph.graphHitsSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,
@@ -645,10 +651,12 @@ object SparkEntry {
     // distinct (day,user) pairs; 7-day trailing join vs broadcast grid
     "event_stickiness" -> Relational.eventStickinessSql,
     "event_stickiness_kmv" -> Relational.eventStickinessKmvSql,
+    "event_cohort_ltv" -> Relational.eventCohortLtvSql,
     // first-seen split: new vs returning users per day, ppm share
     "event_new_users" -> Relational.eventNewUsersSql,
     // discrete type-1 p05/p95 picks; clamped + raw BIGINT means
     "ts_winsorize" -> TimeSeries.tsWinsorizeSql,
+    "ts_bollinger" -> TimeSeries.tsBollingerSql,
     // count-domain rank-sum Gini, closed-form block rank mass
     "event_gini" -> Relational.eventGiniSql,
     "agg_theil" -> Relational.aggTheilSql,

@@ -1036,4 +1036,118 @@ object Graph {
       |  CAST(n_feedforward * 1000000 // greatest(n_paths, 1)
       |    AS BIGINT) AS ffl_share_ppm
       |FROM base, recip, triads""".stripMargin
+
+  // ----------------------------------------------------------------
+  // HITS: hubs & authorities over the canonical directed orientation
+  // ----------------------------------------------------------------
+
+  private val HitsIters = 3
+  private val HitsTopK = 20
+  private val HitsScale = 1000000000L // 1e9: Σ(raw) ≤ E·1e9 ≪ 2^63 to ~1e9 edges
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999 — public
+    * algorithm) over the canonical DIRECTED orientation (`src < dst`)
+    * of the shared [[edges]] set — the undirected co-occurrence graph
+    * would degenerate (hub ≡ authority under symmetric updates), so
+    * low ids "cite" high ids and the two scores measure genuinely
+    * different structure (out-fan quality vs in-fan quality).
+    *
+    * Integer fixed-point like [[graphPagerank]]: L1 normalization
+    * replaces the usual L2 (`score·Scale div Σscore` — a truncating
+    * integral divide both engines compute identically; the
+    * cross-multiply lifts to DECIMAL(38,0)/HUGEINT so `score·1e9`
+    * never wraps). Each half-step is one equi-join + hash agg on the
+    * edge key; the L1 total is the sanctioned 1-row broadcast
+    * aggregate; [[HitsIters]] fixed rounds, state 2 longs per node.
+    * The oracle unrolls the identical recurrence CTE-per-round (the
+    * pagerank pattern).
+    */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val canon = edges(spark, dir)
+      .filter(col("src") < col("dst")).localCheckpoint(true)
+    val nodes = canon.select(col("src").as("node"))
+      .union(canon.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    def normalize(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c)).as("tot"))
+      df.crossJoin(broadcast(tot)) // 1-row aggregate
+        .select(col("node"),
+          expr(s"CAST($c AS DECIMAL(38,0)) * $HitsScale div tot").as(c))
+    }
+    var hub = nodes.select(col("node"), lit(HitsScale).as("h"))
+    var auth = hub.select(col("node"), col("h").as("a"))
+    for (_ <- 1 to HitsIters) {
+      val aRaw = canon.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      auth = normalize(
+        nodes.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      val hRaw = canon.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      hub = normalize(
+        nodes.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+    }
+    val scored = auth.join(hub, "node")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("a").desc, col("node").asc)
+    scored.orderBy(col("a").desc, col("node").asc).limit(HitsTopK)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), col("node").as("part_key"),
+        col("a").as("auth_fp"), col("h").as("hub_fp"))
+      .orderBy("rn")
+  }
+
+  /** Oracle: identical integer recurrence unrolled round-by-round —
+    * same canonical orientation, same L1 `· Scale // Σ` floors
+    * (HUGEINT cross-multiplies), same left-join zeros.
+    */
+  val graphHitsSql: String = {
+    val iters = (1 to HitsIters).map { i =>
+      val ph = s"h${i - 1}"
+      s"""az$i AS MATERIALIZED (
+         |  SELECT nodes.node, coalesce(ar.a, 0) AS a
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.h) AS a
+         |    FROM canon e JOIN $ph p ON p.node = e.src GROUP BY 1) ar
+         |  ON ar.node = nodes.node),
+         |a$i AS MATERIALIZED (
+         |  SELECT node,
+         |    CAST(a AS HUGEINT) * $HitsScale // (SELECT sum(a) FROM az$i) AS a
+         |  FROM az$i),
+         |hz$i AS MATERIALIZED (
+         |  SELECT nodes.node, coalesce(hr.h, 0) AS h
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node, sum(p.a) AS h
+         |    FROM canon e JOIN a$i p ON p.node = e.dst GROUP BY 1) hr
+         |  ON hr.node = nodes.node),
+         |h$i AS MATERIALIZED (
+         |  SELECT node,
+         |    CAST(h AS HUGEINT) * $HitsScale // (SELECT sum(h) FROM hz$i) AS h
+         |  FROM hz$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |canon AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src < dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM canon
+       |  UNION SELECT dst FROM canon),
+       |h0 AS (SELECT node, $HitsScale AS h FROM nodes),
+       |$iters,
+       |ranked AS (
+       |  SELECT a$HitsIters.node, a$HitsIters.a, h$HitsIters.h,
+       |    row_number() OVER (ORDER BY a$HitsIters.a DESC,
+       |      a$HitsIters.node ASC) AS rn
+       |  FROM a$HitsIters JOIN h$HitsIters
+       |    ON h$HitsIters.node = a$HitsIters.node)
+       |SELECT CAST(rn AS BIGINT) AS rn, node AS part_key,
+       |  CAST(a AS BIGINT) AS auth_fp, CAST(h AS BIGINT) AS hub_fp
+       |FROM ranked WHERE rn <= $HitsTopK ORDER BY rn""".stripMargin
+  }
 }

@@ -4048,4 +4048,133 @@ object Relational {
       |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
       |FROM dau JOIN wau ON day_i = d
       |ORDER BY day_i""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Data freshness audit: per-stream staleness + hour coverage
+  // ----------------------------------------------------------------
+
+  /** Stream freshness audit per event type — the pipeline-monitoring
+    * complement of the value-drift audits (dq_psi) and the volume
+    * audits (event_anomaly): how stale is each stream vs the corpus
+    * watermark, and what fraction of the corpus's hour grid did it
+    * cover? Staleness is `corpus_max − stream_max` in exact epoch
+    * seconds (µs floors, the eventRfm rail); coverage is a DISTINCT
+    * hour-bucket count against the corpus hour span — a hash agg at
+    * calendar-bounded (type × hour) grain with map-side partials,
+    * deliberately NOT a per-stream ordered gap scan (a max-intra-gap
+    * variant would sort fact-scale rows per (type, day) partition,
+    * which GROWS with corpus size — the event_funnel_time lesson).
+    * Both ppm divides truncate identically in both engines.
+    */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ns div 1000000000").as("s"),
+        expr("ts_ns div 3600000000000").as("hour_i"))
+    val per = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("s")).as("first_s"),
+        max(col("s")).as("last_s"),
+        countDistinct(col("hour_i")).as("hours_covered"))
+    val corpus = ev.agg(
+      max(col("s")).as("corpus_last_s"),
+      (max(col("hour_i")) - min(col("hour_i")) + 1).as("corpus_hours"))
+    per.crossJoin(broadcast(corpus)) // 1-row aggregate
+      .select(col("event_type"), col("n"),
+        col("first_s"), col("last_s"),
+        (col("corpus_last_s") - col("last_s")).as("staleness_s"),
+        col("hours_covered"),
+        expr("hours_covered * 1000000 div corpus_hours")
+          .as("coverage_ppm"))
+      .orderBy("event_type")
+  }
+
+  val dqFreshnessSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000000000 AS s,
+      |    epoch_ns(ts) // 3600000000000 AS hour_i
+      |  FROM events),
+      |per AS (
+      |  SELECT event_type, count(*) AS n,
+      |    min(s) AS first_s, max(s) AS last_s,
+      |    count(DISTINCT hour_i) AS hours_covered
+      |  FROM ev GROUP BY 1),
+      |corpus AS (
+      |  SELECT max(s) AS corpus_last_s,
+      |    max(hour_i) - min(hour_i) + 1 AS corpus_hours
+      |  FROM ev)
+      |SELECT event_type, n, first_s, last_s,
+      |  corpus_last_s - last_s AS staleness_s,
+      |  CAST(hours_covered AS BIGINT) AS hours_covered,
+      |  CAST(hours_covered * 1000000 // corpus_hours AS BIGINT)
+      |    AS coverage_ppm
+      |FROM per, corpus
+      |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Cohort LTV: week cohorts x age, cumulative revenue per user
+  // ----------------------------------------------------------------
+
+  /** Cohort lifetime value — the revenue companion of the retention
+    * matrix (event_retention): users cohorted by their FIRST purchase
+    * week, purchase revenue accumulated per cohort-age week, released
+    * as cumulative LTV per cohort user in exact integer cents and a
+    * per-user trunc-div. Shapes: the first-purchase relation is one
+    * user-grain map-side-combinable min; it joins back at user key
+    * grain; the (cohort, age) cell agg is calendar²-bounded; the
+    * cumulative sum is a window over the CELL relation (≤ weeks² rows
+    * — value-bounded, never entity-grain). Ages are ≥ 0 by
+    * construction (only purchase events, cohort = their min week).
+    */
+  def eventCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("ts_ns div 604800000000000").as("week_i"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val cohort = p.groupBy(col("user_id"))
+      .agg(min(col("week_i")).as("cohort_w"))
+    val sized = cohort.groupBy(col("cohort_w"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val cells = p.join(cohort, "user_id")
+      .groupBy(col("cohort_w"), (col("week_i") - col("cohort_w")).as("age_w"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        sum(col("cents")).as("rev_c"))
+    val w = Window.partitionBy("cohort_w").orderBy("age_w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sized), "cohort_w")
+      .withColumn("cum_ltv_c", sum(col("rev_c")).over(w))
+      .select(col("cohort_w"), col("age_w"), col("cohort_users"),
+        col("active_users"), col("rev_c"), col("cum_ltv_c"),
+        expr("cum_ltv_c div cohort_users").as("ltv_per_user_c"))
+      .orderBy("cohort_w", "age_w")
+  }
+
+  val eventCohortLtvSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week_i,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |cohort AS (
+      |  SELECT user_id, min(week_i) AS cohort_w FROM p GROUP BY 1),
+      |sized AS (
+      |  SELECT cohort_w, count(DISTINCT user_id) AS cohort_users
+      |  FROM cohort GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_w, p.week_i - c.cohort_w AS age_w,
+      |    count(DISTINCT p.user_id) AS active_users,
+      |    CAST(sum(cents) AS BIGINT) AS rev_c
+      |  FROM p JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_w, age_w,
+      |  CAST(cohort_users AS BIGINT) AS cohort_users,
+      |  CAST(active_users AS BIGINT) AS active_users, rev_c,
+      |  CAST(sum(rev_c) OVER (PARTITION BY cohort_w ORDER BY age_w
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ltv_c,
+      |  CAST(CAST(sum(rev_c) OVER (PARTITION BY cohort_w ORDER BY age_w
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) // cohort_users
+      |    AS BIGINT) AS ltv_per_user_c
+      |FROM cells JOIN sized USING (cohort_w)
+      |ORDER BY cohort_w, age_w""".stripMargin
 }

@@ -1446,4 +1446,82 @@ object TimeSeries {
       |FROM daily d JOIN picks USING (event_type)
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Bollinger bands: trailing mean ± 2σ envelope per day series
+  // ----------------------------------------------------------------
+
+  private val BollWindow = 7
+
+  /** Bollinger bands (Bollinger 1980s, public formula) per event-type
+    * day series: trailing [[BollWindow]]-day mean ± 2σ envelope with
+    * a breach flag. The moments are EXACT until the final release —
+    * window sums of cents (LONG) and of squared cents lifted to
+    * DECIMAL(38,0) (`c² ≤ 4·10¹⁸` already brushes LONG at the f1000
+    * audit scale; HUGEINT on the oracle side) — then
+    * `σ = √(n·Σx² − (Σx)²)/n` is one correctly-rounded DECIMAL→DOUBLE
+    * conversion, one IEEE sqrt, one IEEE divide, released at 6 dp
+    * (the agg_moments convention). The breach compares exact cents
+    * against the ROUNDED bands so both engines compare identical
+    * values. The window is partitioned per series over the DAY-grain
+    * relation — calendar-bounded rows, never fact-scale (the
+    * sanctioned TimeSeries frame shape).
+    */
+  def tsBollinger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_i"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("day_c"))
+    val w = Window.partitionBy("event_type").orderBy("day_i")
+      .rowsBetween(-(BollWindow - 1), 0)
+    daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("sum_c", sum(col("day_c")).over(w))
+      .withColumn("sumsq",
+        sum(col("day_c").cast(DecimalType(38, 0)) * col("day_c")).over(w))
+      .withColumn("mean_c",
+        round(col("sum_c").cast("double") / col("n_w"), 6))
+      .withColumn("sd_c",
+        round(sqrt((col("n_w") * col("sumsq")
+          - col("sum_c").cast(DecimalType(38, 0)) * col("sum_c"))
+          .cast("double")) / col("n_w"), 6))
+      .withColumn("upper_c", round(col("mean_c") + col("sd_c") * 2, 6))
+      .withColumn("lower_c", round(col("mean_c") - col("sd_c") * 2, 6))
+      .withColumn("breach",
+        when(col("day_c") > col("upper_c"), 1L)
+          .when(col("day_c") < col("lower_c"), -1L).otherwise(0L))
+      .select(col("event_type"), col("day_i"), col("day_c"), col("n_w"),
+        col("mean_c"), col("sd_c"), col("upper_c"), col("lower_c"),
+        col("breach"))
+      .orderBy("event_type", "day_i")
+  }
+
+  val tsBollingerSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_i,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_c
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, day_i, day_c,
+       |    count(*) OVER w AS n_w,
+       |    sum(day_c) OVER w AS sum_c,
+       |    sum(CAST(day_c AS HUGEINT) * day_c) OVER w AS sumsq
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_i
+       |               ROWS BETWEEN ${BollWindow - 1} PRECEDING
+       |               AND CURRENT ROW)),
+       |bands AS (
+       |  SELECT event_type, day_i, day_c, CAST(n_w AS BIGINT) AS n_w,
+       |    round(CAST(sum_c AS DOUBLE) / n_w, 6) AS mean_c,
+       |    round(sqrt(CAST(n_w * sumsq - CAST(sum_c AS HUGEINT) * sum_c
+       |          AS DOUBLE)) / n_w, 6) AS sd_c
+       |  FROM win)
+       |SELECT event_type, day_i, day_c, n_w, mean_c, sd_c,
+       |  round(mean_c + 2 * sd_c, 6) AS upper_c,
+       |  round(mean_c - 2 * sd_c, 6) AS lower_c,
+       |  CAST(CASE WHEN day_c > round(mean_c + 2 * sd_c, 6) THEN 1
+       |       WHEN day_c < round(mean_c - 2 * sd_c, 6) THEN -1
+       |       ELSE 0 END AS BIGINT) AS breach
+       |FROM bands
+       |ORDER BY event_type, day_i""".stripMargin
 }

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Round-15 second-session operators (graph_hits / ts_bollinger /
+  * dq_freshness / event_cohort_ltv): independent local replays in
+  * BigInt/Double + non-vacuity pins.
+  */
+class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The graph family's edge derivation, recomputed independently. */
+  private def canonEdges(d: String): Set[(Long, Long)] = {
+    val li = graft.sources.Tables.table(spark, d, "lineitem")
+      .filter(expr("l_orderkey % 8 = 0"))
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { rs =>
+      val ps = rs.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps; if a < b) yield (a, b)
+    }.toSet
+  }
+
+  test("graphHits: 3-round L1 fixed-point replays in BigInt; direction is real") {
+    val canon = canonEdges(dir)
+    val nodes = (canon.map(_._1) ++ canon.map(_._2)).toSeq.sorted
+    val scale = BigInt(1000000000L)
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      // iterate the edge SET as a seq: mapping a Set of equal scores
+      // would dedup them before the sum (the Map.keys lesson)
+      val aRaw = nodes.map(n => n -> canon.iterator.filter(_._2 == n)
+        .map(e => hub(e._1)).sum).toMap
+      val aTot = aRaw.values.sum
+      auth = aRaw.map { case (n, v) => n -> v * scale / aTot }
+      val hRaw = nodes.map(n => n -> canon.iterator.filter(_._1 == n)
+        .map(e => auth(e._2)).sum).toMap
+      val hTot = hRaw.values.sum
+      hub = hRaw.map { case (n, v) => n -> v * scale / hTot }
+    }
+    val expect = nodes.map(n => (n, auth(n), hub(n)))
+      .sortBy { case (n, a, _) => (-a, n) }.take(20).zipWithIndex
+      .map { case ((n, a, h), i) => (i + 1L, n, a.toLong, h.toLong) }.toSet
+    val got = Graph.graphHits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // the canonical orientation must make hubs and authorities
+    // genuinely different scores (the undirected-degeneracy guard)
+    assert(got.exists(r => r._3 != r._4),
+      "hub == authority everywhere — orientation degenerate")
+  }
+
+  test("tsBollinger: trailing-window moments + IEEE band release replay") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = daily.groupBy(_._1).flatMap { case (t, rs) =>
+      val srt = rs.sortBy(_._2)
+      srt.indices.map { i =>
+        val w = srt.slice(math.max(0, i - 6), i + 1)
+        val n = w.length.toLong
+        val s = w.map(x => BigInt(x._3)).sum
+        val sq = w.map(x => BigInt(x._3) * x._3).sum
+        val mean = r6(s.toDouble / n)
+        val sd = r6(math.sqrt((sq * n - s * s).toDouble) / n)
+        val up = r6(mean + 2 * sd); val lo = r6(mean - 2 * sd)
+        val breach =
+          if (srt(i)._3 > up) 1L else if (srt(i)._3 < lo) -1L else 0L
+        (t, srt(i)._2, srt(i)._3, n, mean, sd, up, lo, breach)
+      }
+    }.toSet
+    val got = TimeSeries.tsBollinger(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getLong(8))).toSet
+    assert(got == expect)
+    assert(got.exists(_._9 != 0L), "no band breach anywhere (vacuous flag)")
+    assert(got.exists(_._9 == 0L), "every day breaches (degenerate bands)")
+  }
+
+  test("dqFreshness: staleness + hour coverage replay; coverage is partial") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ns")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val hours = ev.map(e => e._2 / 3600000000000L)
+    val corpusLast = ev.map(_._2 / 1000000000L).max
+    val corpusHours = hours.max - hours.min + 1
+    val expect = ev.groupBy(_._1).map { case (t, rs) =>
+      val ss = rs.map(_._2 / 1000000000L)
+      val hc = rs.map(_._2 / 3600000000000L).distinct.length.toLong
+      (t, rs.length.toLong, ss.min, ss.max, corpusLast - ss.max,
+        hc, hc * 1000000L / corpusHours)
+    }.toSet
+    val got = Relational.dqFreshness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect)
+    assert(got.forall(_._5 >= 0L))
+    assert(got.exists(_._7 < 1000000L),
+      "every stream covers every hour — coverage arm vacuous at sf0.001")
+  }
+
+  test("eventCohortLtv: week cohorts, non-negative ages, cumulative LTV replay") {
+    val p = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 604800000000000").as("w"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohort = p.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val sized = cohort.groupBy(_._2).map { case (w, us) => w -> us.size.toLong }
+    val cells = p.groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .map { case ((cw, age), rs) =>
+        (cw, age, rs.map(_._1).distinct.size.toLong,
+          rs.map(e => BigInt(e._3)).sum)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val expect = cells.groupBy(_._1).flatMap { case (cw, rs) =>
+      val srt = rs.sortBy(_._2)
+      srt.indices.map { i =>
+        val cum = srt.take(i + 1).map(_._4).sum
+        (cw, srt(i)._2, sized(cw), srt(i)._3, srt(i)._4.toLong,
+          cum.toLong, (cum / sized(cw)).toLong)
+      }
+    }.toSet
+    val got = Relational.eventCohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect)
+    assert(got.forall(_._2 >= 0L), "negative cohort age")
+    assert(got.map(_._1).size >= 2, "need at least two cohorts")
+    assert(got.exists(_._2 > 0L), "no cohort survives past age 0")
+  }
+}
