@@ -219,6 +219,7 @@ object SparkEntry {
     "ts_ohlc" -> (TimeSeries.tsOhlc(_, _)),
     "ts_seasonal" -> (TimeSeries.tsSeasonal(_, _)),
     "interval_sweep" -> (TimeSeries.intervalSweep(_, _)),
+    "interval_allen" -> (TimeSeries.intervalAllen(_, _)),
     "ts_mad" -> (TimeSeries.tsMad(_, _)),
     "ts_acf" -> (TimeSeries.tsAcf(_, _)),
     "ts_crosscorr" -> (TimeSeries.tsCrosscorr(_, _)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "retrieval_mrr" -> (Similarity.retrievalMrr(_, _)),
     "privacy_dp_mean" -> (Privacy.privacyDpMean(_, _)),
     "privacy_dp_topk" -> (Privacy.privacyDpTopk(_, _)),
+    "privacy_dp_quantile" -> (Privacy.privacyDpQuantile(_, _)),
     "agg_corr" -> (Relational.aggCorr(_, _)),
     "window_ntile" -> (Relational.windowNtile(_, _)),
     "event_paths" -> (Relational.eventPaths(_, _)),
@@ -331,6 +333,7 @@ object SparkEntry {
     "mm_audio" -> (Multimodal.mmAudio(_, _)),
     "mm_image" -> (Multimodal.mmImage(_, _)),
     "mm_image_meta" -> (Multimodal.mmImageMeta(_, _)),
+    "mm_audio_meta" -> (Multimodal.mmAudioMeta(_, _)),
     "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
     "mm_video" -> (Multimodal.mmVideo(_, _)),
     "mm_audio_mp3" -> (Multimodal.mmAudioMp3(_, _)),
@@ -610,6 +613,7 @@ object SparkEntry {
     "ts_seasonal" -> TimeSeries.tsSeasonalSql,
     // ±1 endpoint sweep: integer running sums, ties (t, k, user)-pinned
     "interval_sweep" -> TimeSeries.intervalSweepSql,
+    "interval_allen" -> TimeSeries.intervalAllenSql,
     // discrete lower medians picked by row position: BIGINT-exact
     "ts_mad" -> TimeSeries.tsMadSql,
     // n-scaled integer deviations over floor-dollars; one ppm division
@@ -642,6 +646,7 @@ object SparkEntry {
     // clamped noisy-sum/noisy-count mean, two hash-seeded eps=ln2 draws
     "privacy_dp_mean" -> Privacy.privacyDpMeanSql,
     "privacy_dp_topk" -> Privacy.privacyDpTopkSql,
+    "privacy_dp_quantile" -> Privacy.privacyDpQuantileSql,
     // day-grain integer moments in DECIMAL(38)/HUGEINT; r^2 ppm + sign
     "agg_corr" -> Relational.aggCorrSql,
     // ANSI ntile(4), custkey tie pin, per-bucket cents rollup
@@ -793,6 +798,7 @@ object SparkEntry {
     "mm_audio" -> Multimodal.mmAudioSql,
     "mm_image" -> Multimodal.mmImageSql,
     "mm_image_meta" -> Multimodal.mmImageMetaSql,
+    "mm_audio_meta" -> Multimodal.mmAudioMetaSql,
     "mm_image_jpeg" -> Multimodal.mmImageJpegSql,
     "mm_video" -> Multimodal.mmVideoSql,
     "mm_audio_mp3" -> Multimodal.mmAudioMp3Sql,

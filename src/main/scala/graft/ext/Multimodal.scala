@@ -292,19 +292,87 @@ object Multimodal {
     * the synthesis half of the audio tier (RIFF/WAVE public layout;
     * 16-bit samples, so block align = 2·channels).
     */
-  private[ext] def wavBytes(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+  private[ext] def wavBytes(rate: Int, channels: Int, nSamples: Int,
+      info: Seq[(String, String)] = Nil): Array[Byte] = {
     val block = channels * 2
     val dataSize = nSamples * block
-    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+    // LIST(INFO) chunk (round 15, the mm_audio_meta gate): each tag is
+    // fourcc + size + null-terminated ISO-8859-1 text, word-aligned
+    // (the public RIFF §INFO layout); written between fmt and data
+    val infoBody: Array[Byte] =
+      if (info.isEmpty) Array.emptyByteArray
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("INFO".getBytes("US-ASCII"), 0, 4)
+        for ((k, v) <- info) {
+          require(k.length == 4 && k.forall(c => c < 128),
+            s"bad INFO fourcc '$k'")
+          val z = (v + "\u0000").getBytes("ISO-8859-1")
+          val hdr = java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          hdr.put(k.getBytes("US-ASCII")); hdr.putInt(z.length)
+          out.write(hdr.array(), 0, 8)
+          out.write(z, 0, z.length)
+          if ((z.length & 1) == 1) out.write(0) // word alignment pad
+        }
+        out.toByteArray
+      }
+    val listSize = if (infoBody.isEmpty) 0 else 8 + infoBody.length
+    val buf = java.nio.ByteBuffer.allocate(44 + listSize + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataSize)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + listSize + dataSize)
     buf.put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
     buf.putShort(1); buf.putShort(channels.toShort)
     buf.putInt(rate); buf.putInt(rate * block)
     buf.putShort(block.toShort); buf.putShort(16)
+    if (infoBody.nonEmpty) {
+      buf.put("LIST".getBytes("US-ASCII")); buf.putInt(infoBody.length)
+      buf.put(infoBody)
+    }
     buf.put("data".getBytes("US-ASCII")); buf.putInt(dataSize)
     buf.array()
+  }
+
+  /** RIFF LIST(INFO) tag walk (round 15): the same hostile-size-safe
+    * chunk discipline as [[AudioHeaderDecoder.wavMeta]], surfacing
+    * the INFO metadata tags the sample decoder skips — fourcc keys
+    * with their null-terminated values, in file order. None on
+    * anything structurally malformed, never a garble.
+    */
+  private[ext] def wavInfo(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    def tag(i: Int, s: String): Boolean =
+      b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+        b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    val tags = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (tag(at, "LIST") && size >= 4 && i + 8 + size <= b.length &&
+          tag(at + 8, "INFO")) {
+        var j = i + 12
+        val end = i + 8 + size
+        while (j + 8 <= end) {
+          val ja = j.toInt
+          val zl = le32(ja + 4)
+          if (j + 8 + zl > end) return None // truncated tag
+          val four = new String(b, ja, 4, "US-ASCII")
+          val raw = new String(b, ja + 8, zl.toInt, "ISO-8859-1")
+          val z = raw.indexOf('\u0000')
+          if (z < 0) return None // INFO values are null-terminated
+          tags += ((four, raw.substring(0, z)))
+          j += 8L + zl + (zl & 1L)
+        }
+      }
+      i += 8L + size + (size & 1L)
+    }
+    Some(tags.toSeq)
   }
 
   /** Registered AUDIO decode tier: every audio-slice asset gets a
@@ -445,6 +513,51 @@ object Multimodal {
       |  CAST(2 AS BIGINT) AS n_texts,
       |  'doc-' || CAST(doc_id AS VARCHAR) AS title
       |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY asset_id""".stripMargin
+
+  /** WAV ancillary-metadata tier (`mm_audio_meta`, round 15 — the
+    * audio twin of [[mmImageMeta]]): the audio-slice assets
+    * re-synthesized WITH a RIFF LIST(INFO) chunk (INAM title + ISFT
+    * software tags, null-terminated word-aligned per the public RIFF
+    * INFO layout) and walked back through [[wavInfo]] + the existing
+    * [[AudioHeaderDecoder.wavMeta]] — proving the writer's chunk
+    * interleave (fmt → LIST → data) breaks NEITHER the format walk
+    * nor the tag walk, and the tag loop is bit-exact against the
+    * closed-form oracle. Per-asset rowwise work, no shuffle beyond
+    * the presentation sort.
+    */
+  def mmAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // assets()'s audio slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val channels = (1 + id % 2).toInt
+        val bytes = wavBytes(rate, channels, nChars.toInt,
+          info = Seq("INAM" -> s"track-$id", "ISFT" -> "graft-wav"))
+        val m = AudioHeaderDecoder.wavMeta(bytes)
+          .getOrElse(sys.error(s"undecodable tagged WAV for asset $id"))
+        val tags = wavInfo(bytes)
+          .getOrElse(sys.error(s"unwalkable INFO for asset $id"))
+        (id, m.sampleRate.toLong, m.channels.toLong, m.nSamples,
+          tags.length.toLong, tags.head._2)
+      }
+    }.toDF("asset_id", "sample_rate", "channels", "n_samples",
+        "n_tags", "title")
+      .orderBy("asset_id")
+  }
+
+  val mmAudioMetaSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(n_chars AS BIGINT) AS n_samples,
+      |  CAST(2 AS BIGINT) AS n_tags,
+      |  'track-' || CAST(doc_id AS VARCHAR) AS title
+      |FROM documents WHERE doc_id % 3 = 1
       |ORDER BY asset_id""".stripMargin
 
   /** Registered JPEG pixel-decode tier (round 8 — retires the JPEG

@@ -503,4 +503,122 @@ object Privacy {
        |FROM rel WHERE dp_n >= $DpTopkTau
        |ORDER BY rank""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // DP quantile: base-2 exponential mechanism over a fixed grid
+  // ----------------------------------------------------------------
+
+  private val DpqBuckets = 4096
+  private val DpqWidthC = 16384L // 2^14 cents per bucket
+  private val DpqClampBits = 50 // weights below 2^-50 of max truncated
+
+  /** ε-DP median of order value (McSherry & Talwar 2007's exponential
+    * mechanism, instantiated EXACTLY in integers): the output domain
+    * is a FIXED grid of [[DpqBuckets]] price buckets ([[DpqWidthC]]
+    * cents wide, values clamped into range — data-independent, as DP
+    * requires), the utility is the classic median rank distance
+    * `u(b) = −|cum(b) − n/2|` (sensitivity 1), and with ε = 2·ln 2
+    * the mechanism's weights `exp(ε·u/2) = 2^u` are exact powers of
+    * two — the same trick that makes [[privacyDpHist]]'s α = 1/2
+    * geometric float-free. Weights more than 2^[[DpqClampBits]]
+    * below the max are truncated to zero (the CLAMPED exponential
+    * mechanism; the truncated tail mass is < 4096·2⁻⁵⁰ of the total,
+    * a documented deviation that keeps every weight, the total, and
+    * the cumulative walk inside BIGINT: W ≤ 4096·2⁵⁰ = 2⁶²; bucket
+    * width 2¹⁴ cents keeps per-bucket counts near the median small
+    * enough at gate SFs that SEVERAL buckets carry weight — at
+    * warehouse n the utility peak sharpens and the release
+    * concentrates on the true median, which is the mechanism's
+    * documented large-n behavior, not a bug). The
+    * pick is inverse-CDF over the integer weights at a hash-seeded
+    * draw (`polyHash` of a literal salt + n, the seeded-release
+    * convention of the dp_* family — internals surfaced for the
+    * gate, a production release rotates the seed and emits the
+    * bucket alone). Every window runs over the 256-row DOMAIN grid —
+    * value-bounded, never data-grain.
+    */
+  def privacyDpQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.table(spark, dir, "orders")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("pc"))
+      .select(least(expr(s"pc div $DpqWidthC"), lit(DpqBuckets - 1L))
+        .cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_b"))
+    val grid = spark.range(DpqBuckets).select(col("id").as("b"))
+      .join(occ, Seq("b"), "left")
+      .select(col("b"), coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val wOrd = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum(col("n_b")).as("n"))
+    val utils = grid.crossJoin(broadcast(tot)) // 1-row aggregate
+      .withColumn("cum", sum(col("n_b")).over(wOrd))
+      .withColumn("u", -abs(col("cum") - expr("n div 2")))
+    val uMax = utils.agg(max(col("u")).as("u_max"))
+    val weighted = utils.crossJoin(broadcast(uMax)) // 1-row aggregate
+      .withColumn("w",
+        when(col("u") >= col("u_max") - DpqClampBits,
+          expr(s"shiftleft(CAST(1 AS BIGINT)," +
+            s" CAST(u - u_max + $DpqClampBits AS INT))"))
+          .otherwise(0L))
+    val wTot = weighted.agg(sum(col("w")).as("w_total"))
+    val drawn = weighted.crossJoin(broadcast(wTot)) // 1-row aggregate
+      .withColumn("draw", pmod(graft.ext.TextAnalysis.polyHashCol(
+        concat(lit("dpq|"), col("n").cast("string"))), col("w_total")))
+      .withColumn("cumw", sum(col("w")).over(wOrd))
+    drawn.filter(col("cumw") > col("draw"))
+      .groupBy(col("n"), col("w_total"), col("draw"))
+      .agg(min(col("b")).as("picked_bucket"))
+      .crossJoin(broadcast(drawn.filter(col("u") === col("u_max"))
+        .agg(min(col("b")).as("true_med_bucket")))) // 1-row aggregate
+      .select(col("n"), expr("n div 2").as("med_rank"),
+        col("true_med_bucket"), col("picked_bucket"),
+        (col("picked_bucket") * DpqWidthC).as("picked_lo_c"),
+        ((col("picked_bucket") + 1) * DpqWidthC - 1).as("picked_hi_c"),
+        col("w_total"), col("draw"))
+  }
+
+  val privacyDpQuantileSql: String = {
+    val hashExpr = graft.ext.TextAnalysis.polyHashSql(
+      "'dpq|' || CAST(n AS VARCHAR)")
+    s"""WITH occ AS (
+       |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) // $DpqWidthC, ${DpqBuckets - 1}) AS b,
+       |    count(*) AS n_b
+       |  FROM orders GROUP BY 1),
+       |grid AS (
+       |  SELECT r.range AS b, coalesce(n_b, 0) AS n_b
+       |  FROM range(0, $DpqBuckets) r LEFT JOIN occ ON occ.b = r.range),
+       |tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n FROM grid),
+       |utils AS (
+       |  SELECT b, n,
+       |    sum(n_b) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM grid, tot),
+       |u AS (SELECT b, n, -abs(cum - n // 2) AS u FROM utils),
+       |um AS (SELECT max(u) AS u_max FROM u),
+       |w AS (
+       |  SELECT b, n, u, u_max,
+       |    CASE WHEN u >= u_max - $DpqClampBits
+       |      THEN CAST(1 AS BIGINT) << CAST(u - u_max + $DpqClampBits
+       |        AS INTEGER)
+       |      ELSE 0 END AS w
+       |  FROM u, um),
+       |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+       |drawn AS (
+       |  SELECT b, n, u, u_max, w, w_total,
+       |    (($hashExpr % w_total) + w_total) % w_total AS draw,
+       |    sum(w) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cumw
+       |  FROM w, wt),
+       |pick AS (
+       |  SELECT min(b) AS picked_bucket, max(n) AS n,
+       |    max(w_total) AS w_total, max(draw) AS draw
+       |  FROM drawn WHERE cumw > draw),
+       |med AS (SELECT min(b) AS true_med_bucket FROM drawn WHERE u = u_max)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n // 2 AS BIGINT) AS med_rank,
+       |  CAST(true_med_bucket AS BIGINT) AS true_med_bucket,
+       |  CAST(picked_bucket AS BIGINT) AS picked_bucket,
+       |  CAST(picked_bucket * $DpqWidthC AS BIGINT) AS picked_lo_c,
+       |  CAST((picked_bucket + 1) * $DpqWidthC - 1 AS BIGINT) AS picked_hi_c,
+       |  CAST(w_total AS BIGINT) AS w_total, CAST(draw AS BIGINT) AS draw
+       |FROM pick, med""".stripMargin
+  }
 }

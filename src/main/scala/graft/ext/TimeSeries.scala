@@ -1448,6 +1448,82 @@ object TimeSeries {
       |ORDER BY d.event_type""".stripMargin
 
   // ----------------------------------------------------------------
+  // Allen interval-algebra census
+  // ----------------------------------------------------------------
+
+  /** Allen interval-relation census (Allen, CACM 1983 — the 13-relation
+    * temporal algebra) over the same per-user activity spans as
+    * [[intervalMerge]]: every lexicographically-ordered pair of a
+    * user's intervals classified into the 7 canonical relations
+    * (precedes / meets / overlaps / finished_by / contains / starts /
+    * equals — the other 6 are their inverses and the lex order
+    * (s, e, id) makes them unreachable), summed corpus-wide against a
+    * STATIC 7-row relation grid so the zero counts are visible,
+    * asserted values, not missing rows. µs-grain boundaries make the
+    * equality relations exact zeros in this corpus — the census
+    * proves that, it doesn't hide it.
+    *
+    * Scale shape: one self-equi-join on user_id — quadratic per user
+    * but events-per-user is corpus-invariant (the graph-edge
+    * argument), so pair count grows linearly with users; the census
+    * is a 7-cell map-side-combinable aggregate.
+    */
+  def intervalAllen(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("s"),
+        (expr("ts_ns div 1000") +
+          floor(col("value") * 60000000L).cast("long")).as("e"))
+    val a = spans.toDF("user_id", "aid", "as_", "ae")
+    val b = spans.toDF("user_id", "bid", "bs", "be")
+    val pairs = a.join(b, "user_id")
+      .filter(struct(col("as_"), col("ae"), col("aid")) <
+        struct(col("bs"), col("be"), col("bid")))
+    val rels = Seq("precedes", "meets", "equals", "starts",
+      "finished_by", "contains", "overlaps")
+    val classified = pairs.select(
+      when(col("ae") < col("bs"), "precedes")
+        .when(col("ae") === col("bs"), "meets")
+        .when(col("as_") === col("bs") && col("ae") === col("be"), "equals")
+        .when(col("as_") === col("bs") && col("ae") < col("be"), "starts")
+        .when(col("as_") < col("bs") && col("ae") === col("be"), "finished_by")
+        .when(col("as_") < col("bs") && col("be") < col("ae"), "contains")
+        .otherwise("overlaps").as("rel"))
+      .groupBy("rel").agg(count(lit(1)).as("n_pairs"))
+    import spark.implicits._
+    rels.toDF("rel").join(classified, Seq("rel"), "left")
+      .select(col("rel"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("rel")
+  }
+
+  val intervalAllenSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS s,
+      |    epoch_ns(ts) // 1000
+      |      + CAST(floor(value * 60000000) AS BIGINT) AS e
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+      |  FROM spans a JOIN spans b ON a.user_id = b.user_id
+      |  WHERE (a.s, a.e, a.event_id) < (b.s, b.e, b.event_id)),
+      |cls AS (
+      |  SELECT CASE
+      |    WHEN ae < bs THEN 'precedes'
+      |    WHEN ae = bs THEN 'meets'
+      |    WHEN as_ = bs AND ae = be THEN 'equals'
+      |    WHEN as_ = bs AND ae < be THEN 'starts'
+      |    WHEN as_ < bs AND ae = be THEN 'finished_by'
+      |    WHEN as_ < bs AND be < ae THEN 'contains'
+      |    ELSE 'overlaps' END AS rel, count(*) AS n_pairs
+      |  FROM pairs GROUP BY 1),
+      |grid AS (
+      |  SELECT unnest(['precedes', 'meets', 'equals', 'starts',
+      |    'finished_by', 'contains', 'overlaps']) AS rel)
+      |SELECT grid.rel, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs
+      |FROM grid LEFT JOIN cls ON cls.rel = grid.rel
+      |ORDER BY grid.rel""".stripMargin
+
+  // ----------------------------------------------------------------
   // Bollinger bands: trailing mean ± 2σ envelope per day series
   // ----------------------------------------------------------------
 

@@ -108,6 +108,112 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
       "every stream covers every hour — coverage arm vacuous at sf0.001")
   }
 
+  test("intervalAllen: ordered-pair relation census replays; grid is total") {
+    val spans = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("s"),
+        (expr("ts_ns div 1000") +
+          floor(col("value") * 60000000L).cast("long")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for {
+      (_, us) <- spans.groupBy(_._1)
+      a <- us; b <- us
+      if Ordering[(Long, Long, Long)].lt((a._3, a._4, a._2), (b._3, b._4, b._2))
+    } {
+      val rel =
+        if (a._4 < b._3) "precedes"
+        else if (a._4 == b._3) "meets"
+        else if (a._3 == b._3 && a._4 == b._4) "equals"
+        else if (a._3 == b._3 && a._4 < b._4) "starts"
+        else if (a._3 < b._3 && a._4 == b._4) "finished_by"
+        else if (a._3 < b._3 && b._4 < a._4) "contains"
+        else "overlaps"
+      counts(rel) += 1L
+    }
+    val rels = Seq("contains", "equals", "finished_by", "meets",
+      "overlaps", "precedes", "starts")
+    val expect = rels.map(r => (r, counts(r)))
+    val got = TimeSeries.intervalAllen(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.length == 7, "relation grid must be total")
+    for (r <- Seq("precedes", "overlaps", "contains"))
+      assert(counts(r) > 0L, s"$r arm vacuous at sf0.001")
+  }
+
+  test("privacyDpQuantile: clamped base-2 exponential mechanism replays in BigInt") {
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % P)
+    val B = 4096; val width = 16384L; val clamp = 50
+    val pcs = graft.sources.Tables.table(spark, dir, "orders")
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val nB = Array.fill(B)(0L)
+    pcs.foreach(pc => nB(math.min(pc / width, B - 1L).toInt) += 1)
+    val n = pcs.length.toLong
+    val cums = nB.scanLeft(0L)(_ + _).tail
+    val u = cums.map(c => -math.abs(c - n / 2))
+    val uMax = u.max
+    val w = u.map(x => if (x >= uMax - clamp) 1L << (x - uMax + clamp) else 0L)
+    val wTot = w.sum
+    val draw = ((polyHash(s"dpq|$n") % wTot) + wTot) % wTot
+    val cumw = w.scanLeft(0L)(_ + _).tail
+    val picked = cumw.indexWhere(_ > draw).toLong
+    val trueMed = u.indexWhere(_ == uMax).toLong
+    val r = Privacy.privacyDpQuantile(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n, n / 2, trueMed, picked)))
+    assert((r.getLong(4), r.getLong(5)) ==
+      ((picked * width, (picked + 1) * width - 1)))
+    assert((r.getLong(6), r.getLong(7)) == ((wTot, draw)))
+    // the mechanism arm must be real in-gate: weight mass off the
+    // argmax bucket, so the draw genuinely selects (the dp_topk
+    // both-arms discipline)
+    assert(w.count(_ > 0L) >= 2, "weight support degenerate to argmax")
+  }
+
+  test("wavInfo: LIST(INFO) tags round-trip; format walk unaffected; hostile inputs None") {
+    val tagged = Multimodal.wavBytes(8000, 2, 55,
+      info = Seq("INAM" -> "a song", "ISFT" -> "graft", "ICMT" -> "odd"))
+    assert(Multimodal.wavInfo(tagged).contains(
+      Seq("INAM" -> "a song", "ISFT" -> "graft", "ICMT" -> "odd")))
+    // the sample walker must still see fmt/data THROUGH the LIST chunk
+    assert(Multimodal.AudioHeaderDecoder.wavMeta(tagged).contains(
+      Multimodal.AudioMeta(8000, 2, 16, 55L)))
+    // an independent reader decodes the tagged container
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(tagged))
+    assert(ais.getFormat.getSampleRate == 8000f &&
+      ais.getFormat.getChannels == 2 && ais.getFrameLength == 55L)
+    // untagged wavs report empty tag lists, not None
+    assert(Multimodal.wavInfo(Multimodal.wavBytes(8000, 1, 3)).contains(Nil))
+    assert(Multimodal.wavInfo("not riff".getBytes).isEmpty)
+    // truncated tag size inside INFO -> None, never a garble
+    val bad = tagged.clone()
+    val listAt = tagged.indexOfSlice("LIST".getBytes)
+    bad(listAt + 16) = 0x7f.toByte // inflate first tag's size field
+    assert(Multimodal.wavInfo(bad).isEmpty)
+  }
+
+  test("mmAudioMeta: tagged-WAV walk equals the attribute closed form") {
+    val rows = Multimodal.mmAudioMeta(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nChars = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(id % 3 == 1)
+      assert(r.getLong(1) == 8000 + (id % 4) * 4000, s"rate $id")
+      assert(r.getLong(2) == 1 + id % 2, s"channels $id")
+      assert(r.getLong(3) == nChars(id), s"samples $id")
+      assert(r.getLong(4) == 2L && r.getString(5) == s"track-$id")
+    }
+  }
+
   test("eventCohortLtv: week cohorts, non-negative ages, cumulative LTV replay") {
     val p = graft.sources.Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
