@@ -334,6 +334,7 @@ object SparkEntry {
     "mm_image" -> (Multimodal.mmImage(_, _)),
     "mm_image_meta" -> (Multimodal.mmImageMeta(_, _)),
     "mm_audio_meta" -> (Multimodal.mmAudioMeta(_, _)),
+    "mm_video_meta" -> (Multimodal.mmVideoMeta(_, _)),
     "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
     "mm_video" -> (Multimodal.mmVideo(_, _)),
     "mm_audio_mp3" -> (Multimodal.mmAudioMp3(_, _)),
@@ -799,6 +800,7 @@ object SparkEntry {
     "mm_image" -> Multimodal.mmImageSql,
     "mm_image_meta" -> Multimodal.mmImageMetaSql,
     "mm_audio_meta" -> Multimodal.mmAudioMetaSql,
+    "mm_video_meta" -> Multimodal.mmVideoMetaSql,
     "mm_image_jpeg" -> Multimodal.mmImageJpegSql,
     "mm_video" -> Multimodal.mmVideoSql,
     "mm_audio_mp3" -> Multimodal.mmAudioMp3Sql,

@@ -825,6 +825,77 @@ object Multimodal {
     * bit-exact on every asset. Inter-frame codecs (H.264-class)
     * remain the documented boundary.
     */
+  /** MP4 ancillary-metadata tier (`mm_video_meta`, round 15 — the
+    * video rung of the metadata ladder beside [[mmImageMeta]] and
+    * [[mmAudioMeta]]): the same MJPEG containers demuxed for their
+    * BOX metadata alone — stsd fourcc, mvhd timescale/duration, tkhd
+    * dims, stts sample durations — with NO frame pixel-decode
+    * anywhere (the cheap container audit a 100 TB video corpus runs
+    * before deciding what to transcode). The kernel additionally
+    * asserts the mvhd duration equals the stts sum — the
+    * cross-box consistency check a real probe (ffprobe-class) does.
+    * Per-asset rowwise, no shuffle beyond the presentation sort.
+    */
+  def mmVideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // assets()'s video slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val wb = (1 + nChars % 4).toInt
+        val hb = (1 + id % 3).toInt
+        val w = wb * 8
+        val h = hb * 8
+        val nf = (1 + id % 5).toInt
+        val frames = Array.tabulate(nf) { f =>
+          val px = constBlockRaster(wb, hb)((bx, by) =>
+            (((17L * id + 23L * f + 5L * bx + 11L * by) % 256).toInt & 0xff).toByte)
+          JpegCodec.encodeGray8(w, h, px, JpegCodec.flatQuant(8))
+        }
+        val durs = Array.tabulate(nf)(f => (24 + (id + f) % 2).toInt)
+        val mp4 = Mp4Codec.muxMjpeg(w, h, 600, durs, frames)
+        val m = Mp4Codec.demux(mp4)
+          .getOrElse(sys.error(s"undemuxable MP4 for asset $id"))
+        // cross-box consistency: mvhd duration == Σ stts durations
+        if (m.durationTicks != m.samples.map(_.durationTicks).sum)
+          sys.error(s"mvhd/stts duration mismatch for asset $id")
+        (id, m.format, m.timescale, m.width.toLong, m.height.toLong,
+          m.samples.size.toLong, m.durationTicks,
+          m.samples.map(_.durationTicks).min,
+          m.samples.map(_.durationTicks).max)
+      }
+    }.toDF("asset_id", "format", "timescale", "width", "height",
+        "n_frames", "duration_ticks", "min_tick", "max_tick")
+      .orderBy("asset_id")
+  }
+
+  /** Closed form: every container field restates a synthesis
+    * attribute; per-frame ticks are 24 + (id+f) mod 2, so the min is
+    * 24 unless the single frame is odd-parity, and the max is 25
+    * unless every frame is even-parity.
+    */
+  val mmVideoMetaSql: String =
+    """WITH vid AS (
+      |  SELECT doc_id AS asset_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |    1 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT asset_id, n_chars, nf,
+      |    unnest(generate_series(0, nf - 1)) AS f
+      |  FROM vid)
+      |SELECT asset_id, 'jpeg' AS format, CAST(600 AS BIGINT) AS timescale,
+      |  CAST((1 + n_chars % 4) * 8 AS BIGINT) AS width,
+      |  CAST((1 + asset_id % 3) * 8 AS BIGINT) AS height,
+      |  CAST(max(nf) AS BIGINT) AS n_frames,
+      |  CAST(sum(24 + (asset_id + f) % 2) AS BIGINT) AS duration_ticks,
+      |  CAST(min(24 + (asset_id + f) % 2) AS BIGINT) AS min_tick,
+      |  CAST(max(24 + (asset_id + f) % 2) AS BIGINT) AS max_tick
+      |FROM fr
+      |GROUP BY asset_id, n_chars
+      |ORDER BY asset_id""".stripMargin
+
   def mmVideo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = graft.sources.Tables.table(spark, dir, "documents")

@@ -214,6 +214,28 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mmVideoMeta: box-metadata walk equals the attribute closed form, no pixel decode") {
+    val rows = Multimodal.mmVideoMeta(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nChars = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(id % 3 == 2)
+      assert(r.getString(1) == "jpeg" && r.getLong(2) == 600L)
+      assert(r.getLong(3) == (1 + nChars(id) % 4) * 8, s"width $id")
+      assert(r.getLong(4) == (1 + id % 3) * 8, s"height $id")
+      val nf = 1 + id % 5
+      assert(r.getLong(5) == nf)
+      val ticks = (0L until nf).map(f => 24 + (id + f) % 2)
+      assert(r.getLong(6) == ticks.sum, s"duration $id")
+      assert(r.getLong(7) == ticks.min && r.getLong(8) == ticks.max)
+    }
+    // both tick values occur somewhere (the 24/25 cadence is real)
+    assert(rows.exists(_.getLong(7) == 24L) && rows.exists(_.getLong(8) == 25L))
+  }
+
   test("eventCohortLtv: week cohorts, non-negative ages, cumulative LTV replay") {
     val p = graft.sources.Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
