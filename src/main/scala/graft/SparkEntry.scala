@@ -161,6 +161,7 @@ object SparkEntry {
     "graph_clustcoeff" -> (Graph.graphClustcoeff(_, _)),
     "graph_motifs" -> (Graph.graphMotifs(_, _)),
     "graph_hits" -> (Graph.graphHits(_, _)),
+    "graph_walks" -> (Graph.graphWalks(_, _)),
     // Structured Streaming under the hard gate: micro-batch replay of
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
@@ -484,6 +485,7 @@ object SparkEntry {
     "graph_clustcoeff" -> Graph.graphClustcoeffSql,
     "graph_motifs" -> Graph.graphMotifsSql,
     "graph_hits" -> Graph.graphHitsSql,
+    "graph_walks" -> Graph.graphWalksSql,
     "scalar_subquery" -> Relational.scalarSubquerySql,
     "agg_typed_ratio" -> TextAnalysis.aggTypedRatioSql,
     "array_ops" -> TextAnalysis.arrayOpsSql,

@@ -1038,6 +1038,87 @@ object Graph {
       |FROM base, recip, triads""".stripMargin
 
   // ----------------------------------------------------------------
+  // Deterministic random walks (DeepWalk/node2vec sampling primitive)
+  // ----------------------------------------------------------------
+
+  private val WalkSteps = 4
+
+  /** Hash-seeded random walks from EVERY node of the shared
+    * symmetric [[edges]] set — the corpus-generation step of
+    * DeepWalk/node2vec (Perozzi et al. 2014; Grover & Leskovec 2016):
+    * graph embeddings train on exactly such a walk corpus, and the
+    * walk generator, not the SGD, is the part that must scale. One
+    * walk per node, [[WalkSteps]] steps; at step k from node v the
+    * next hop is the neighbor at index `polyHash(start|k|v) mod
+    * deg(v)` in the (src, dst-ordered) adjacency — a deterministic
+    * stand-in for the uniform sampler that BOTH engines replay
+    * bit-for-bit (rotating the salt recovers fresh randomness; the
+    * distributional properties are the hash's). Symmetric edges ⟹
+    * no dead ends.
+    *
+    * Scale shape: the neighbor index is a row_number per src over the
+    * adjacency — degree-bounded partitions, and ScaleUp's disjoint
+    * replicas keep degrees corpus-invariant; each step is ONE
+    * equi-join of the walk frontier (state: 6 longs per node)
+    * against the indexed adjacency. The oracle unrolls the identical
+    * recurrence.
+    */
+  def graphWalks(spark: SparkSession, dir: String): DataFrame = {
+    val es = edges(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val adj = es
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true)
+    var state = adj.select(col("src").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    for (k <- 1 to WalkSteps) {
+      val pick = pmod(graft.ext.TextAnalysis.polyHashCol(
+        concat(col("start"), lit(s"|$k|"), col("cur"))), col("deg"))
+      state = state
+        .join(adj, state("cur") === adj("src"))
+        .filter(col("idx") === pick)
+        .drop("cur", "src", "idx", "deg")
+        .withColumnRenamed("dst", s"s$k")
+        .withColumn("cur", col(s"s$k"))
+    }
+    state.select(col("start") +: (1 to WalkSteps).map(k => col(s"s$k")): _*)
+      .orderBy("start")
+  }
+
+  val graphWalksSql: String = {
+    def hash(k: Int) = graft.ext.TextAnalysis.polyHashSql(
+      s"CAST(start AS VARCHAR) || '|$k|' || CAST(cur AS VARCHAR)")
+    val steps = (1 to WalkSteps).map { k =>
+      val prev = s"w${k - 1}"
+      val cols = (1 until k).map(j => s"$prev.s$j, ").mkString
+      s"""w$k AS MATERIALIZED (
+         |  SELECT $prev.start, ${cols}adj.dst AS s$k, adj.dst AS cur
+         |  FROM $prev JOIN adj ON adj.src = $prev.cur
+         |  WHERE adj.idx = ((${hash(k)} % adj.deg) + adj.deg) % adj.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey % 8 = 0),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey != b.l_partkey),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM edges),
+       |w0 AS (SELECT DISTINCT src AS start, src AS cur FROM adj),
+       |$steps
+       |SELECT start, ${(1 to WalkSteps).map(k => s"s$k").mkString(", ")}
+       |FROM w$WalkSteps ORDER BY start""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // HITS: hubs & authorities over the canonical directed orientation
   // ----------------------------------------------------------------
 

@@ -55,6 +55,36 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
       "hub == authority everywhere — orientation degenerate")
   }
 
+  test("graphWalks: hash-seeded 4-step walks replay; every hop is a real edge") {
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % P)
+    val sym = canonEdges(dir).flatMap(e => Seq(e, (e._2, e._1)))
+    val adj = sym.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).toSeq.sorted
+    }
+    val expect = adj.keySet.toSeq.sorted.map { start =>
+      var cur = start
+      val hops = (1 to 4).map { k =>
+        val ns = adj(cur)
+        val h = polyHash(s"$start|$k|$cur")
+        cur = ns((((h % ns.length) + ns.length) % ns.length).toInt)
+        cur
+      }
+      (start, hops(0), hops(1), hops(2), hops(3))
+    }.toSet
+    val got = Graph.graphWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // hop validity: every consecutive pair is an edge of the graph
+    for ((s0, s1, s2, s3, s4) <- got;
+         (a, b) <- Seq((s0, s1), (s1, s2), (s2, s3), (s3, s4)))
+      assert(sym((a, b)), s"walk hop ($a,$b) is not an edge")
+    // walks diverge (the hash actually selects, not a constant pick)
+    assert(got.map(_._5).size > 1)
+  }
+
   test("tsBollinger: trailing-window moments + IEEE band release replay") {
     val daily = graft.sources.Tables.events(spark, dir)
       .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
