@@ -177,6 +177,7 @@ object SparkEntry {
     // Text analysis (north star)
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
+    "text_langid_eval" -> (TextAnalysis.textLangidEval(_, _)),
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_edit_distance" -> (TextAnalysis.textEditDistance(_, _)),
@@ -286,6 +287,7 @@ object SparkEntry {
     "sim_ivf" -> (Similarity.simIvf(_, _)),
     "sim_recall" -> (Similarity.simRecall(_, _)),
     "embed_outlier" -> (Similarity.embedOutlier(_, _)),
+    "embed_norm_audit" -> (Similarity.embedNormAudit(_, _)),
     "embed_pca" -> (Similarity.embedPca(_, _)),
     "embed_class_sep" -> (Similarity.embedClassSep(_, _)),
     "sim_pq" -> (Similarity.simPq(_, _)),
@@ -515,6 +517,7 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.EventStreams.streamDedupSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
+    "text_langid_eval" -> TextAnalysis.textLangidEvalSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_edit_distance" -> TextAnalysis.textEditDistanceSql,
@@ -744,6 +747,7 @@ object SparkEntry {
     "sim_filtered" -> Similarity.simFilteredSql,
     // integer fixed-point centroid + distances: bit-exact replay
     "embed_outlier" -> Similarity.embedOutlierSql,
+    "embed_norm_audit" -> Similarity.embedNormAuditSql,
     // integer Gram matrix + unrolled ordered-fold power iteration
     "embed_pca" -> Similarity.embedPcaSql,
     // fixed-point centroids/distances + (dist, label)-pinned argmin:

@@ -2717,4 +2717,55 @@ object Similarity {
        |FROM centers CROSS JOIN dupchk
        |ORDER BY rank""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Embedding norm audit: per-label L2-norm distribution QA
+  // ----------------------------------------------------------------
+
+  /** Embedding-space QA: the distribution of squared L2 norms per
+    * label in the shared 2^20 floor-quantized fixed point — the first
+    * audit an embedding pipeline runs (un-normalized vectors, dead
+    * classes, scale drift between labels all show up here before any
+    * ANN index is built). Per-vector norm2_fp folds inside one
+    * codegen `aggregate` (no explode, no shuffle before the <=
+    * label-cardinality hash agg); per-label sums lift to
+    * DECIMAL(38,0) (norm2 <= dim*2^40 per vector brushes LONG at
+    * warehouse row counts), means are exact truncating divides.
+    */
+  def embedNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n2 = emb(spark, dir)
+      .select(col("label"),
+        expr(
+          s"""aggregate(embedding, CAST(0 AS BIGINT),
+             |  (acc, v) -> acc + CAST(floor(CAST(v AS DOUBLE) * $OutScale)
+             |    AS BIGINT) * CAST(floor(CAST(v AS DOUBLE) * $OutScale)
+             |    AS BIGINT))""".stripMargin).as("norm2_fp"))
+    n2.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("norm2_fp")).as("min_norm2"),
+        max(col("norm2_fp")).as("max_norm2"),
+        sum(col("norm2_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sum_norm2"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("min_norm2"), col("max_norm2"),
+        expr("sum_norm2 div n").as("mean_norm2"))
+      .orderBy("label")
+  }
+
+  val embedNormAuditSql: String =
+    s"""WITH n2 AS (
+       |  SELECT label,
+       |    list_sum(list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * $OutScale.0) AS BIGINT)
+       |        * CAST(floor(CAST(v AS DOUBLE) * $OutScale.0) AS BIGINT)))
+       |      AS norm2_fp
+       |  FROM embeddings)
+       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+       |  CAST(min(norm2_fp) AS BIGINT) AS min_norm2,
+       |  CAST(max(norm2_fp) AS BIGINT) AS max_norm2,
+       |  CAST(sum(CAST(norm2_fp AS HUGEINT)) // count(*) AS BIGINT)
+       |    AS mean_norm2
+       |FROM n2 GROUP BY label
+       |ORDER BY label""".stripMargin
 }

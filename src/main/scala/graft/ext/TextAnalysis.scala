@@ -2793,4 +2793,50 @@ object TextAnalysis {
        |  CAST(max(occ_score) AS BIGINT) AS score_ppm
        |FROM occ GROUP BY phrase
        |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Language-ID evaluation: confusion matrix of the classifier
+  // ----------------------------------------------------------------
+
+  /** Evaluation harness for [[textLangid]] — the confusion matrix of
+    * the marker-word classifier against the corpus's ground-truth
+    * `lang` labels, with per-cell recall shares in integer ppm. This
+    * is the other half a real pipeline ships: the classifier's
+    * predictions are only actionable beside its measured error
+    * structure (which languages bleed into which). On THIS corpus the
+    * matrix is maximally damning — the synthetic text contains no
+    * marker words, every score ties at zero, and the census shows all
+    * five classes collapsing onto the tie-default `en` (100% en
+    * recall, 0% everywhere else) — which is exactly the degeneracy an
+    * eval harness exists to surface; the classifier's actual
+    * discrimination on marker-bearing text is pinned by its crafted
+    * ScalaTest fixtures. Reuses the exact scoring chain of the
+    * registered classifier; the census is one (lang x pred) hash agg
+    * (<= 25 cells) and the per-class totals come from a window over
+    * that bounded cell relation — the corpus is scanned once.
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = textLangid(spark, dir)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("lang")
+    cells
+      .withColumn("lang_total", sum(col("n")).over(wl))
+      .select(col("lang"), col("pred"), col("n"),
+        (col("lang") === col("pred")).as("correct"),
+        expr("n * 1000000 div lang_total").as("recall_ppm"))
+      .orderBy("lang", "pred")
+  }
+
+  val textLangidEvalSql: String =
+    s"""WITH preds AS (${textLangidSql.replace("\n", "\n  ")}),
+       |cells AS (
+       |  SELECT lang, pred, count(*) AS n FROM preds GROUP BY 1, 2)
+       |SELECT lang, pred, CAST(n AS BIGINT) AS n,
+       |  lang = pred AS correct,
+       |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS recall_ppm
+       |FROM cells
+       |ORDER BY lang, pred""".stripMargin
 }

@@ -244,6 +244,44 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("textLangidEval: census replays from the classifier's own rows; both arms live") {
+    val preds = TextAnalysis.textLangid(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cells = preds.groupBy(identity).map { case ((l, p), rs) =>
+      (l, p, rs.length.toLong)
+    }
+    val perLang = preds.groupBy(_._1).map { case (l, rs) => l -> rs.length.toLong }
+    val expect = cells.map { case (l, p, n) =>
+      (l, p, n, l == p, n * 1000000L / perLang(l))
+    }.toSet
+    val got = TextAnalysis.textLangidEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // both correctness arms occur (en is right, the collapsed rest wrong)
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  test("embedNormAudit: fixed-point norm distribution replays in BigInt") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("CAST(label AS BIGINT)", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val scale = 1048576L
+    val n2 = rows.map { case (l, v) =>
+      l -> v.map(x => { val q = math.floor(x.toDouble * scale).toLong; BigInt(q) * q }).sum
+    }
+    val expect = n2.groupBy(_._1).map { case (l, rs) =>
+      val vs = rs.map(_._2)
+      (l, vs.length.toLong, vs.min.toLong, vs.max.toLong,
+        (vs.sum / vs.length).toLong)
+    }.toSet
+    val got = Similarity.embedNormAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.forall(r => r._3 <= r._5 && r._5 <= r._4))
+  }
+
   test("mmVideoMeta: box-metadata walk equals the attribute closed form, no pixel decode") {
     val rows = Multimodal.mmVideoMeta(spark, dir).collect()
     assert(rows.nonEmpty)
