@@ -771,6 +771,65 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-15 second-session operators: no products, broadcast where designed") {
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      ("q2_min_cost_supplier",
+        graft.ext.TpchMore.q2MinCostSupplier(spark, dir), true),
+      ("q4_order_priority",
+        graft.ext.TpchMore.q4OrderPriority(spark, dir), true),
+      ("q7_volume_shipping",
+        graft.ext.TpchMore.q7VolumeShipping(spark, dir), true),
+      ("q8_market_share", graft.ext.TpchMore.q8MarketShare(spark, dir), true),
+      ("q9_product_profit",
+        graft.ext.TpchMore.q9ProductProfit(spark, dir), true),
+      ("q10_returned_items",
+        graft.ext.TpchMore.q10ReturnedItems(spark, dir), true),
+      ("q11_important_stock",
+        graft.ext.TpchMore.q11ImportantStock(spark, dir), true),
+      ("q12_ship_priority",
+        graft.ext.TpchMore.q12ShipPriority(spark, dir), false),
+      ("q13_customer_dist",
+        graft.ext.TpchMore.q13CustomerDist(spark, dir), false),
+      ("q14_promo_share", graft.ext.TpchMore.q14PromoShare(spark, dir), true),
+      ("q15_top_supplier",
+        graft.ext.TpchMore.q15TopSupplier(spark, dir), true),
+      ("q16_parts_suppliers",
+        graft.ext.TpchMore.q16PartsSuppliers(spark, dir), true),
+      ("q17_small_quantity",
+        graft.ext.TpchMore.q17SmallQuantity(spark, dir), true),
+      ("q19_discounted", graft.ext.TpchMore.q19Discounted(spark, dir), true),
+      ("q20_dominant_suppliers",
+        graft.ext.TpchMore.q20DominantSuppliers(spark, dir), true),
+      ("graph_hits", graft.ext.Graph.graphHits(spark, dir), true),
+      ("graph_walks", graft.ext.Graph.graphWalks(spark, dir), false),
+      ("ts_bollinger", graft.ext.TimeSeries.tsBollinger(spark, dir), false),
+      ("interval_allen", graft.ext.TimeSeries.intervalAllen(spark, dir), false),
+      ("dq_freshness", graft.ext.Relational.dqFreshness(spark, dir), true),
+      ("event_cohort_ltv",
+        graft.ext.Relational.eventCohortLtv(spark, dir), true),
+      ("privacy_dp_quantile",
+        graft.ext.Privacy.privacyDpQuantile(spark, dir), true),
+      ("text_langid_eval",
+        graft.ext.TextAnalysis.textLangidEval(spark, dir), false),
+      ("embed_norm_audit",
+        graft.ext.Similarity.embedNormAudit(spark, dir), false))
+    for ((name, df, wantsBroadcast) <- cases) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // sanctioned nested-loop shapes — every one a 1-ROW broadcast
+      // aggregate build side: q15's max-revenue scalar, q11's and
+      // dq_freshness's corpus totals, graph_hits' per-round L1
+      // normalizers, privacy_dp_quantile's total/max/weight scalars
+      if (!Set("q15_top_supplier", "q11_important_stock", "dq_freshness",
+          "graph_hits", "privacy_dp_quantile").contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      if (wantsBroadcast)
+        assert(plan.contains("BroadcastExchange") ||
+          plan.contains("BroadcastHashJoin"),
+          s"$name: designed broadcast side fell back to a shuffle:\n$plan")
+    }
+  }
+
   test("rank-walk domain audit (round 15, VERDICT r14 ask #2): every " +
     "cumulative-walk window runs over a value-bounded domain, never entity grain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -779,7 +838,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     // tasks at 100× unless its INPUT is value-bounded. Per-entity
     // windows (user_id / doc_id partitions) are the sessionize
     // exchange and scale with the key; they are exempt here.
-    val walkKeys = Set("transition", "event_type", "l_returnflag")
+    val walkKeys = Set("transition", "event_type", "l_returnflag", "cohort_w")
     // columns whose presence in a walk input proves entity/fact grain
     val entityGrain = Set("user_id", "event_id", "doc_id", "vec_id",
       "delta_us", "ts_us", "ts_ns", "l_orderkey", "o_orderkey",
@@ -799,7 +858,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       ("ts_winsorize", graft.ext.TimeSeries.tsWinsorize(spark, dir), "day_c"),
       ("event_gini", graft.ext.Relational.eventGini(spark, dir), "x"),
       ("event_funnel_time",
-        graft.ext.Relational.eventFunnelTime(spark, dir), "bucket"))
+        graft.ext.Relational.eventFunnelTime(spark, dir), "bucket"),
+      // round-15 second session: Bollinger's trailing frame rides the
+      // calendar-day series; cohort LTV's cumsum rides the age-week
+      // cells (both value-bounded domains)
+      ("ts_bollinger", graft.ext.TimeSeries.tsBollinger(spark, dir), "day_i"),
+      ("event_cohort_ltv",
+        graft.ext.Relational.eventCohortLtv(spark, dir), "age_w"))
     for ((name, df, witness) <- cases) {
       val windows = df.queryExecution.optimizedPlan
         .collect { case w: LWindow => w }
