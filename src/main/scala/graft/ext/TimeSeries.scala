@@ -744,6 +744,105 @@ object TimeSeries {
       |ORDER BY event_type""".stripMargin
 
   // ----------------------------------------------------------------
+  // Holt-Winters: triple exponential smoothing with weekly season
+  // ----------------------------------------------------------------
+
+  /** Holt-Winters additive triple exponential smoothing (Winters
+    * 1960, public recurrence) per event-type day series — the
+    * seasonal extension of [[tsHolt]]: beside level `l` and trend
+    * `b`, a 7-slot day-of-week seasonal state `s` (indexed by
+    * `day_idx mod 7`, so calendar gaps can't misalign the season the
+    * way a positional m-lag would). α = β = γ = 1/2 keeps every
+    * update a bare integer average — `div 2` truncating toward zero
+    * identically in both engines, the [[tsHolt]] discipline — with
+    * the day-0 point seeding the level and zero-seeding trend and
+    * season (documented cold-start: the first season cycle absorbs
+    * the seasonal signal). Same plan shape as tsHolt: one
+    * map-side-combinable day agg, then the per-series fold runs
+    * inside ONE codegen `aggregate` over the sorted calendar-scale
+    * point array — no fact window, no driver loop; the oracle steps
+    * the identical recurrence rn → rn+1 as a recursive CTE carrying
+    * the seven seasonal columns.
+    */
+  def tsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_idx"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day_idx"), col("cents"))))
+        .as("pts"))
+      .select(col("event_type"),
+        size(col("pts")).cast("long").as("n_days"),
+        element_at(col("pts"), -1).getField("day_idx").as("last_day_idx"),
+        expr(
+          """aggregate(
+            |  slice(pts, 2, size(pts) - 1),
+            |  named_struct('l', pts[0].cents, 'b', CAST(0 AS BIGINT),
+            |    's', array_repeat(CAST(0 AS BIGINT), 7)),
+            |  (acc, p) -> named_struct(
+            |    'l', (p.cents - element_at(acc.s,
+            |        CAST(pmod(p.day_idx, 7) AS INT) + 1) + acc.l + acc.b)
+            |      div 2,
+            |    'b', (((p.cents - element_at(acc.s,
+            |        CAST(pmod(p.day_idx, 7) AS INT) + 1) + acc.l + acc.b)
+            |      div 2) - acc.l + acc.b) div 2,
+            |    's', transform(acc.s, (v, i) ->
+            |      IF(i = CAST(pmod(p.day_idx, 7) AS INT),
+            |        (p.cents - ((p.cents - v + acc.l + acc.b) div 2) + v)
+            |          div 2,
+            |        v))))""".stripMargin).as("st"))
+      .select((Seq(col("event_type"), col("n_days"), col("last_day_idx"),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents")) ++
+        (0 to 6).map(i =>
+          element_at(col("st.s"), i + 1).as(s"s$i")) :+
+        expr("st.l + st.b + element_at(st.s, " +
+          "CAST(pmod(last_day_idx + 1, 7) AS INT) + 1)")
+          .as("forecast1_cents")): _*)
+      .orderBy("event_type")
+  }
+
+  val tsHoltWintersSql: String = {
+    val sCols = (0 to 6).map(i => s"s$i")
+    // shared sub-expressions spelled inline (recursive CTEs cannot
+    // bind laterals): s_dow picks the active slot, lnew the level
+    val sDow = (0 to 6).map(i => s"WHEN ${i} THEN h.s$i")
+      .mkString("CASE r.day_idx % 7 ", " ", " END")
+    val lnew = s"(r.cents - ($sDow) + h.l + h.b) // 2"
+    val sUpd = (0 to 6).map(i =>
+      s"CASE WHEN r.day_idx % 7 = $i THEN (r.cents - ($lnew) + h.s$i) // 2 " +
+        s"ELSE h.s$i END").mkString(",\n    ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, day_idx, cents,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rn
+       |  FROM daily),
+       |h AS (
+       |  SELECT event_type, day_idx, rn, cents AS l, CAST(0 AS BIGINT) AS b,
+       |    ${sCols.map(c => s"CAST(0 AS BIGINT) AS $c").mkString(", ")}
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.day_idx, r.rn,
+       |    $lnew,
+       |    (($lnew) - h.l + h.b) // 2,
+       |    $sUpd
+       |  FROM h JOIN r ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+       |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+       |  day_idx AS last_day_idx, l AS level_cents, b AS trend_cents,
+       |  ${sCols.mkString(", ")},
+       |  l + b + (CASE (day_idx + 1) % 7
+       |    ${(0 to 6).map(i => s"WHEN $i THEN s$i").mkString(" ")} END)
+       |    AS forecast1_cents
+       |FROM h
+       |QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // OHLC bar resample: the candlestick primitive
   // ----------------------------------------------------------------
 

@@ -116,6 +116,36 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._9 == 0L), "every day breaches (degenerate bands)")
   }
 
+  test("tsHoltWinters: triple-smoothing integer recurrence replays; season is live") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def div2(x: Long): Long = x / 2 // both engines truncate toward zero
+    val expect = daily.groupBy(_._1).map { case (t, rs) =>
+      val srt = rs.sortBy(_._2)
+      var l = srt.head._3; var b = 0L
+      val s = Array.fill(7)(0L)
+      for ((_, d, x) <- srt.tail) {
+        val dow = (d % 7).toInt
+        val lN = div2(x - s(dow) + l + b)
+        val bN = div2(lN - l + b)
+        s(dow) = div2(x - lN + s(dow))
+        l = lN; b = bN
+      }
+      val last = srt.last._2
+      (t, srt.length.toLong, last, l, b, s.toSeq,
+        l + b + s(((last + 1) % 7).toInt))
+    }.toSet
+    val got = TimeSeries.tsHoltWinters(spark, dir).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        (5 to 11).map(r.getLong), r.getLong(12))
+    }.toSet
+    assert(got == expect)
+    // the seasonal state must be genuinely live (not all zeros)
+    assert(got.forall(_._6.exists(_ != 0L)), "seasonal slots never engaged")
+  }
+
   test("dqFreshness: staleness + hour coverage replay; coverage is partial") {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), col("ts_ns")).collect()
