@@ -121,6 +121,15 @@ object PdfCorpus {
     * (spec-verified by the alphabet round-trip test) — a SEVENTH
     * distinct JVM charset and the second Adobe-CNS1 byte structure
     * beside ETen-B5 under the md5 gate.
+    * Round 15 second session adds `CNS-EUC-H` as the tenth variant:
+    * Adobe-CNS1's CNS 11643 EUC-TW CMap (ISO 32000 Table 118;
+    * `PdfFonts.charsetFor` has carried the `CNS-EUC` → x-EUC-TW
+    * entry since r9 with no gate exercising it). EUC-TW is the one
+    * variant family whose FULL code space is 4-byte-capable (plane 2+
+    * rides an 0x8E-prefixed quad), but the 26 alphabet ideographs all
+    * live in plane 1 at 2-byte codes (spec-verified round-trip), so
+    * the identity contract holds while an EIGHTH distinct JVM charset
+    * — and the third Adobe-CNS1 byte structure — joins the md5 gate.
     */
   private[graft] val CjkVariants: Vector[(String, String)] = Vector(
     ("GBK-EUC-H", "GBK"),          // Adobe-GB1, Simplified Chinese
@@ -131,7 +140,8 @@ object PdfCorpus {
     ("KSCms-UHC-HW-V", "x-windows-949"), // Adobe-Korea1, UHC half-width, vertical
     ("GBK2K-V", "GB18030"),        // Adobe-GB1, GB18030, vertical (r13)
     ("EUC-H", "EUC-JP"),           // Adobe-Japan1, EUC-JP flavor (r14)
-    ("HKscs-B5-H", "Big5-HKSCS"))  // Adobe-CNS1, HKSCS (r15)
+    ("HKscs-B5-H", "Big5-HKSCS"),  // Adobe-CNS1, HKSCS (r15)
+    ("CNS-EUC-H", "x-EUC-TW"))     // Adobe-CNS1, EUC-TW (r15 s2)
 
   /** The derived DBCS text: lowercase ASCII letters become
     * ideographs, everything else (digits, space, punctuation,
@@ -226,10 +236,10 @@ object PdfCorpus {
     */
   def pdfCjkStats(spark: SparkSession, dir: String): DataFrame =
     statsOver(spark,
-      // tag bumped per variant-count change (v5 -> v6 in r15): the
+      // tag bumped per variant-count change (v6 -> v7 in r15 s2): the
       // doc_id % CjkVariants.length assignment reshuffles which CMap
       // each document gets, so the prior corpus must regenerate
-      ensureAssets(spark, dir, "pdf-cjk-assets-v6", synthesizeCjk),
+      ensureAssets(spark, dir, "pdf-cjk-assets-v7", synthesizeCjk),
       variantMod = CjkVariants.length)
 
   /** Shared scan→extract→chunk→aggregate tail of both gate queries. */

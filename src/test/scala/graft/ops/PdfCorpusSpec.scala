@@ -86,8 +86,8 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("nine-variant CJK synthesis round-trips DBCS text bit-exact") {
-    // one text per CMap variant (ids 0..8): mixed-case + digits keep
+  test("ten-variant CJK synthesis round-trips DBCS text bit-exact") {
+    // one text per CMap variant (ids 0..9): mixed-case + digits keep
     // the 1-byte ASCII row in play, lowercase becomes 2-byte DBCS
     val texts = Seq(
       "gbk simplified (Horizontal) 0123 " + "a" * 300,
@@ -98,10 +98,11 @@ class PdfCorpusSpec extends AnyFunSuite with SparkTestBase {
       "uhc half-width Vertical 789 " + "f" * 320, // KSCms-UHC-HW-V (r12)
       "gb18030 2k Vertical variant 13 " + "g" * 280, // GBK2K-V (r13)
       "euc-jp japan1 Horizontal 14 " + "h" * 260, // EUC-H (r14)
-      "hkscs big5 cns1 Horizontal 15 " + "i" * 240) // HKscs-B5-H (r15)
+      "hkscs big5 cns1 Horizontal 15 " + "i" * 240, // HKscs-B5-H (r15)
+      "euc-tw cns 11643 plane 1 row 16 " + "j" * 220) // CNS-EUC-H (r15 s2)
     val dir = miniCorpus(texts)
     val rows = PdfCorpus.pdfCjkStats(spark, dir).collect()
-    assert(rows.length == 10, "9 docs + SUM TOTAL")
+    assert(rows.length == 11, "10 docs + SUM TOTAL")
     val byPath = rows.map(r => r.getString(0) -> r).toMap
     for ((t, i) <- texts.zipWithIndex) {
       val derived = PdfCorpus.toCjk(t)
