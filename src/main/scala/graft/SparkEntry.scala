@@ -166,6 +166,7 @@ object SparkEntry {
     // the events table, watermarked aggs, memory sink (§2.10)
     "stream_tumbling" -> (graft.streaming.EventStreams.streamTumbling(_, _)),
     "stream_topk" -> (graft.streaming.EventStreams.streamTopk(_, _)),
+    "stream_kmv_distinct" -> (graft.streaming.EventStreams.streamKmvDistinct(_, _)),
     "stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize(_, _)),
     "stream_dedup" -> (graft.streaming.EventStreams.streamDedup(_, _)),
     "stream_enrich" -> (graft.streaming.EventStreams.streamEnrich(_, _)),
@@ -512,6 +513,7 @@ object SparkEntry {
     // converged streaming results == the batch twins' relations
     "stream_tumbling" -> Relational.eventTumblingSql,
     "stream_topk" -> graft.streaming.EventStreams.streamTopkSql,
+    "stream_kmv_distinct" -> graft.streaming.EventStreams.streamKmvDistinctSql,
     "stream_hopping" -> Relational.eventHoppingSql,
     "stream_sessionize" -> Relational.sessionizeSql,
     // unique ids ⟹ batching-independent appended rows == the batch projection

@@ -766,6 +766,83 @@ object EventStreams {
       }
       .toDF("user_id", "n_events", "sum_value", "n_types")
   }
+
+  /** Driver-gate streaming query (`stream_kmv_distinct`, the 11th
+    * gated streaming op, round 15): per-day DISTINCT-user estimates
+    * via the portable [[graft.functions.KmvSketch]] bottom-k
+    * Aggregator running AS STREAMING STATE — the operator class
+    * `count(DISTINCT ...)` cannot provide in Structured Streaming
+    * (distinct aggregates are unsupported there; the sketch's
+    * mergeable K-slot buffer is exactly the bounded keyed state the
+    * restriction exists to force). The registered `kmv_distinct`
+    * UDAF rides a watermarked tumbling-day aggregation in complete
+    * mode (convergence = the batch relation, the memory-sink
+    * convention); state per day-window is ≤ K = 256 longs however
+    * many events arrive. The oracle replays the full sketch — digit
+    * fold, splitmix64 finalizer via 32-bit-split HUGEINT multiplies,
+    * unsigned bottom-k, (K−1)·2⁶⁴ // kth — bit-for-bit per day, the
+    * [[graft.ext.Relational.aggKmvDistinct]] chain keyed by day.
+    */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.register(spark)
+    runToMemory(spark, stagedEventsDir(dir), "graft_stream_kmv",
+      ev => ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("kmv_distinct(CAST(user_id AS STRING))").as("kmv_users")),
+      "complete")
+      .select(unix_timestamp(col("w.start")).as("day_s"),
+        col("n_events"), col("kmv_users"))
+      .orderBy("day_s")
+  }
+
+  /** Batch-twin oracle: the aggKmvDistinct HUGEINT sketch replay
+    * keyed by epoch day.
+    */
+  val streamKmvDistinctSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+      |    AS day_s, CAST(user_id AS VARCHAR) AS s
+      |  FROM events),
+      |h0 AS (
+      |  SELECT day_s,
+      |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      [CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT)
+      |       for i in generate_series(1, length(s))]),
+      |      (a, b) -> (a*31 + b) % 18446744073709551616) AS x
+      |  FROM u),
+      |m1 AS (SELECT day_s,
+      |  ((x % 4294967296) * (18397679294719823053 % 4294967296)
+      |   + 4294967296 * ((x % 4294967296) * (18397679294719823053 // 4294967296)
+      |                 + (x // 4294967296) * (18397679294719823053 % 4294967296))
+      |  ) % 18446744073709551616 AS x FROM h0),
+      |a1 AS (SELECT day_s,
+      |  (x + (x // 8589934592)) % 18446744073709551616 AS x FROM m1),
+      |m2 AS (SELECT day_s,
+      |  ((x % 4294967296) * (14181476777654086739 % 4294967296)
+      |   + 4294967296 * ((x % 4294967296) * (14181476777654086739 // 4294967296)
+      |                 + (x // 4294967296) * (14181476777654086739 % 4294967296))
+      |  ) % 18446744073709551616 AS x FROM a1),
+      |h AS (SELECT day_s,
+      |  (x + (x // 8589934592)) % 18446744073709551616 AS hu FROM m2),
+      |hd AS (SELECT DISTINCT day_s, hu FROM h),
+      |r AS (SELECT day_s, hu,
+      |        row_number() OVER (PARTITION BY day_s ORDER BY hu) AS rn
+      |      FROM hd),
+      |k AS (SELECT day_s, count(*) AS seen,
+      |        max(hu) FILTER (WHERE rn <= 256) AS kth
+      |      FROM r GROUP BY day_s),
+      |n AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+      |        AS day_s, count(*) AS n_events
+      |      FROM events GROUP BY 1)
+      |SELECT k.day_s, CAST(n.n_events AS BIGINT) AS n_events,
+      |  CASE WHEN k.seen < 256 THEN CAST(k.seen AS BIGINT)
+      |       ELSE CAST((CAST(255 AS HUGEINT) * 18446744073709551616) // k.kth
+      |            AS BIGINT)
+      |  END AS kmv_users
+      |FROM k JOIN n ON n.day_s = k.day_s
+      |ORDER BY k.day_s""".stripMargin
 }
 
 /** Keyed state for [[EventStreams.userProfiles]]. */

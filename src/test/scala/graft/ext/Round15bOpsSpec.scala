@@ -312,6 +312,42 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && got.forall(r => r._3 <= r._5 && r._5 <= r._4))
   }
 
+  test("streamKmvDistinct: sketch state replays; estimator branch fires at sf0.1") {
+    def replay(d: String): Map[Long, (Long, Long)] = {
+      val ev = graft.sources.Tables.events(spark, d)
+        .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+        .collect().map(r => (r.getLong(0) * 86400L, r.getLong(1)))
+      ev.groupBy(_._1).map { case (day, rs) =>
+        // unsigned order via sign-flip; (K-1)*2^64 / kth floor — the
+        // eventStickinessKmv replay pattern, K = 256
+        val hs = rs.map(_._2).distinct
+          .map(u => graft.functions.KmvSketch.hash(u.toString))
+          .map(_ ^ Long.MinValue).sorted
+        val est =
+          if (hs.length < 256) hs.length.toLong
+          else {
+            val kthU = BigInt(hs(255)) + (BigInt(1) << 63)
+            ((BigInt(255) << 64) / kthU).toLong
+          }
+        day -> (rs.length.toLong, est)
+      }
+    }
+    val exp1 = replay(dir)
+    val got1 = graft.streaming.EventStreams.streamKmvDistinct(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got1 == exp1)
+    // the bottom-k ESTIMATOR branch needs > K daily actives — sf0.001's
+    // 150-user population never reaches K = 256, sf0.1's does; run the
+    // streaming query there so the estimator is exercised under state
+    val dBig = "/root/testdata/sf0.1"
+    val expB = replay(dBig)
+    val gotB = graft.streaming.EventStreams.streamKmvDistinct(spark, dBig)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotB == expB)
+    assert(expB.values.exists(_._2 > 256),
+      "estimator branch never fired at sf0.1 — K too large for the corpus")
+  }
+
   test("mmVideoMeta: box-metadata walk equals the attribute closed form, no pixel decode") {
     val rows = Multimodal.mmVideoMeta(spark, dir).collect()
     assert(rows.nonEmpty)
