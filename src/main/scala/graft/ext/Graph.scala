@@ -1043,6 +1043,30 @@ object Graph {
 
   private val WalkSteps = 4
 
+  /** Per-(session, corpus) indexed-adjacency memo for [[graphWalks]]
+    * — the [[prIndex]] serving pattern: the dst-ordered neighbor
+    * index and degrees are a deterministic derivative of the durable
+    * edge artifact, a few MB of longs, so hot calls must not re-sort
+    * and re-checkpoint them (measured 1.05 s → the join chain alone
+    * after memoization). Same 16-corpus wholesale clear.
+    */
+  private val walkCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def walkAdj(spark: SparkSession, dir: String): DataFrame =
+    walkCache.synchronized {
+      if (walkCache.size > 16) walkCache.clear()
+      walkCache.getOrElseUpdate(
+        (Dedup.sessionId(spark), Tables.fingerprint(spark, dir, "lineitem")), {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("src").orderBy("dst")
+          edges(spark, dir)
+            .withColumn("idx", row_number().over(w).cast("long") - 1)
+            .withColumn("deg", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("src")))
+            .localCheckpoint(true)
+        })
+    }
+
   /** Hash-seeded random walks from EVERY node of the shared
     * symmetric [[edges]] set — the corpus-generation step of
     * DeepWalk/node2vec (Perozzi et al. 2014; Grover & Leskovec 2016):
@@ -1064,14 +1088,7 @@ object Graph {
     * recurrence.
     */
   def graphWalks(spark: SparkSession, dir: String): DataFrame = {
-    val es = edges(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy("dst")
-    val adj = es
-      .withColumn("idx", row_number().over(w).cast("long") - 1)
-      .withColumn("deg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint(true)
+    val adj = walkAdj(spark, dir)
     var state = adj.select(col("src").as("start")).distinct()
       .withColumn("cur", col("start"))
     for (k <- 1 to WalkSteps) {
@@ -1143,12 +1160,29 @@ object Graph {
     * The oracle unrolls the identical recurrence CTE-per-round (the
     * pagerank pattern).
     */
+  /** Per-(session, corpus) canon/nodes memo for [[graphHits]] — the
+    * [[prIndex]] serving pattern (directed orientation + endpoint
+    * set are edge-artifact derivatives; hot calls must not re-filter
+    * and re-checkpoint them).
+    */
+  private val hitsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)]
+  private def hitsIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    hitsCache.synchronized {
+      if (hitsCache.size > 16) hitsCache.clear()
+      hitsCache.getOrElseUpdate(
+        (Dedup.sessionId(spark), Tables.fingerprint(spark, dir, "lineitem")), {
+          val canon = edges(spark, dir)
+            .filter(col("src") < col("dst")).localCheckpoint(true)
+          val nodes = canon.select(col("src").as("node"))
+            .union(canon.select(col("dst").as("node")))
+            .distinct().localCheckpoint(true)
+          (canon, nodes)
+        })
+    }
+
   def graphHits(spark: SparkSession, dir: String): DataFrame = {
-    val canon = edges(spark, dir)
-      .filter(col("src") < col("dst")).localCheckpoint(true)
-    val nodes = canon.select(col("src").as("node"))
-      .union(canon.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    val (canon, nodes) = hitsIndex(spark, dir)
     def normalize(df: DataFrame, c: String): DataFrame = {
       val tot = df.agg(sum(col(c)).as("tot"))
       df.crossJoin(broadcast(tot)) // 1-row aggregate
