@@ -243,6 +243,7 @@ object SparkEntry {
     "privacy_dp_mean" -> (Privacy.privacyDpMean(_, _)),
     "privacy_dp_topk" -> (Privacy.privacyDpTopk(_, _)),
     "privacy_dp_quantile" -> (Privacy.privacyDpQuantile(_, _)),
+    "privacy_generalize" -> (Privacy.privacyGeneralize(_, _)),
     "agg_corr" -> (Relational.aggCorr(_, _)),
     "window_ntile" -> (Relational.windowNtile(_, _)),
     "event_paths" -> (Relational.eventPaths(_, _)),
@@ -316,6 +317,7 @@ object SparkEntry {
     // assignment and the quality->dedup->canonicalize prep chain
     "split_assign" -> (PipelineOps.splitAssign(_, _)),
     "sample_stratified" -> (PipelineOps.sampleStratified(_, _)),
+    "sample_neyman" -> (PipelineOps.sampleNeyman(_, _)),
     "sample_token_budget" -> (PipelineOps.sampleTokenBudget(_, _)),
     "sample_weighted" -> (PipelineOps.sampleWeighted(_, _)),
     "sample_per_key" -> (PipelineOps.samplePerKey(_, _)),
@@ -657,6 +659,7 @@ object SparkEntry {
     "privacy_dp_mean" -> Privacy.privacyDpMeanSql,
     "privacy_dp_topk" -> Privacy.privacyDpTopkSql,
     "privacy_dp_quantile" -> Privacy.privacyDpQuantileSql,
+    "privacy_generalize" -> Privacy.privacyGeneralizeSql,
     // day-grain integer moments in DECIMAL(38)/HUGEINT; r^2 ppm + sign
     "agg_corr" -> Relational.aggCorrSql,
     // ANSI ntile(4), custkey tie pin, per-bucket cents rollup
@@ -780,6 +783,7 @@ object SparkEntry {
     "sim_matryoshka" -> Similarity.simMatryoshkaSql,
     "split_assign" -> PipelineOps.splitAssignSql,
     "sample_stratified" -> PipelineOps.sampleStratifiedSql,
+    "sample_neyman" -> PipelineOps.sampleNeymanSql,
     "sample_token_budget" -> PipelineOps.sampleTokenBudgetSql,
     "sample_weighted" -> PipelineOps.sampleWeightedSql,
     // portable-hash ranks drawn by the TopKPerKey bounded heap

@@ -1014,4 +1014,82 @@ object PipelineOps {
        |  first_doc, last_doc, CAST(sum_h AS BIGINT) AS sum_h
        |FROM ends ORDER BY epoch, shard""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // Neyman allocation: optimal stratified sample-size design
+  // ----------------------------------------------------------------
+
+  private val NeymanBudget = 1000L
+
+  /** Neyman-optimal stratified sampling allocation (Neyman 1934, the
+    * public optimal-allocation formula): given a [[NeymanBudget]]-doc
+    * budget, each source stratum gets n_h proportional to N_h*sigma_h
+    * — equivalently proportional to sqrt(N_h*SumSq_h - Sum_h^2),
+    * computed EXACTLY in DECIMAL(38,0)/HUGEINT before the single
+    * IEEE sqrt, then quantized to micro-units at 6 dp (identical
+    * doubles in, identical micro-ints out). The integer allocation is
+    * floor shares plus LARGEST-REMAINDER top-up (ties pinned on
+    * source name), so the released sizes always sum exactly to the
+    * budget — the property a downstream sampler actually needs. One
+    * corpus scan into a source-grain moment agg; every window runs
+    * over the <= |sources| relation.
+    */
+  def sampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    val m = docs(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("n_chars")).as("s2"))
+      .withColumn("num",
+        col("n_h") * col("s2") - col("s1").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)) * col("s1"))
+      .withColumn("w_micro",
+        expr("CAST(round(sqrt(CAST(num AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val tot = m.agg(sum(col("w_micro")).as("w_tot"),
+      count(lit(1)).as("n_strata"))
+    val withShare = m.crossJoin(broadcast(tot)) // 1-row aggregate
+      .withColumn("floor_n",
+        expr(s"$NeymanBudget * w_micro div w_tot"))
+      .withColumn("rem", expr(s"($NeymanBudget * w_micro) % w_tot"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    withShare
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .withColumn("short",
+        lit(NeymanBudget) - sum(col("floor_n")).over(wAll))
+      .select(col("source"), col("n_h"), col("w_micro"),
+        (col("floor_n") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
+  val sampleNeymanSql: String =
+    s"""WITH m AS (
+       |  SELECT source, count(*) AS n_h,
+       |    CAST(sum(n_chars) AS BIGINT) AS s1,
+       |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_h,
+       |    CAST(round(sqrt(CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1
+       |      AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+       |  FROM m),
+       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w),
+       |f AS (
+       |  SELECT source, n_h, w_micro,
+       |    $NeymanBudget * w_micro // w_tot AS floor_n,
+       |    ($NeymanBudget * w_micro) % w_tot AS rem
+       |  FROM w, t),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+       |    $NeymanBudget - sum(floor_n) OVER () AS short
+       |  FROM f)
+       |SELECT source, CAST(n_h AS BIGINT) AS n_h, w_micro,
+       |  CAST(floor_n + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r ORDER BY source""".stripMargin
 }

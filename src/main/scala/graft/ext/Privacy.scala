@@ -505,6 +505,83 @@ object Privacy {
   }
 
   // ----------------------------------------------------------------
+  // Minimal generalization: the k-anonymity repair ladder
+  // ----------------------------------------------------------------
+
+  /** Minimal-generalization audit (the repair step after
+    * [[privacyKanon]] finds below-k classes — Samarati/Sweeney's
+    * generalization lattice, restricted to the length dimension's
+    * 3-level ladder): each document takes the LEAST generalization
+    * level at which its equivalence class reaches k = [[K]] —
+    * level 0 = 256-char buckets (the kanon QI), level 1 = 1024-char
+    * buckets, level 2 = length suppressed entirely — and the census
+    * reports, per level, how many documents settle there and the
+    * class-size range they land in (level-2 rows with classes STILL
+    * below k are the irreducible residual a release would have to
+    * suppress). Three class-cardinality hash aggs broadcast back
+    * onto one corpus scan; no windows, no self-joins.
+    */
+  def privacyGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"n_chars div $LenBucket").as("b0"),
+        expr(s"n_chars div ${LenBucket * 4}").as("b1"))
+    // distinct column names on the class dims: join conditions on
+    // same-lineage names resolve trivially (the self-join ambiguity)
+    def cls(key: Column, name: String, df: DataFrame): DataFrame =
+      df.groupBy(col("lang").as(s"l_$name"), col("source").as(s"s_$name"),
+        key.as(name)).agg(count(lit(1)).as(s"c_$name"))
+    val g0 = cls(col("b0"), "k0", d)
+    val g1 = cls(col("b1"), "k1", d)
+    val g2 = d.groupBy(col("lang").as("l_k2"), col("source").as("s_k2"))
+      .agg(count(lit(1)).as("c_k2"))
+    d.join(broadcast(g0), col("b0") === col("k0") &&
+        col("lang") === col("l_k0") && col("source") === col("s_k0"))
+      .join(broadcast(g1), col("b1") === col("k1") &&
+        col("lang") === col("l_k1") && col("source") === col("s_k1"))
+      .join(broadcast(g2),
+        col("lang") === col("l_k2") && col("source") === col("s_k2"))
+      .select(
+        when(col("c_k0") >= K, 0L)
+          .when(col("c_k1") >= K, 1L).otherwise(2L).as("level"),
+        when(col("c_k0") >= K, col("c_k0"))
+          .when(col("c_k1") >= K, col("c_k1")).otherwise(col("c_k2"))
+          .as("chosen_class_size"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("chosen_class_size")).as("min_class"),
+        max(col("chosen_class_size")).as("max_class"),
+        sum(when(col("chosen_class_size") < K, 1L).otherwise(0L))
+          .as("n_residual_below_k"))
+      .orderBy("level")
+  }
+
+  val privacyGeneralizeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |    n_chars // $LenBucket AS b0,
+       |    n_chars // ${LenBucket * 4} AS b1
+       |  FROM documents),
+       |g0 AS (SELECT lang, source, b0, count(*) AS c0 FROM d GROUP BY 1,2,3),
+       |g1 AS (SELECT lang, source, b1, count(*) AS c1 FROM d GROUP BY 1,2,3),
+       |g2 AS (SELECT lang, source, count(*) AS c2 FROM d GROUP BY 1,2),
+       |lv AS (
+       |  SELECT CASE WHEN c0 >= $K THEN 0 WHEN c1 >= $K THEN 1
+       |         ELSE 2 END AS level,
+       |    CASE WHEN c0 >= $K THEN c0 WHEN c1 >= $K THEN c1
+       |         ELSE c2 END AS chosen
+       |  FROM d
+       |  JOIN g0 USING (lang, source, b0)
+       |  JOIN g1 USING (lang, source, b1)
+       |  JOIN g2 USING (lang, source))
+       |SELECT CAST(level AS BIGINT) AS level, count(*) AS n_docs,
+       |  CAST(min(chosen) AS BIGINT) AS min_class,
+       |  CAST(max(chosen) AS BIGINT) AS max_class,
+       |  CAST(sum(CASE WHEN chosen < $K THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_residual_below_k
+       |FROM lv GROUP BY level ORDER BY level""".stripMargin
+
+  // ----------------------------------------------------------------
   // DP quantile: base-2 exponential mechanism over a fixed grid
   // ----------------------------------------------------------------
 

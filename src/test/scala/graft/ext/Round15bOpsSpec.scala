@@ -312,6 +312,59 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && got.forall(r => r._3 <= r._5 && r._5 <= r._4))
   }
 
+  test("privacyGeneralize: minimal-level ladder replays; residual is honest") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val K = 5L
+    val g0 = d.groupBy(x => (x._1, x._2, x._3 / 256)).map { case (k, v) => k -> v.length.toLong }
+    val g1 = d.groupBy(x => (x._1, x._2, x._3 / 1024)).map { case (k, v) => k -> v.length.toLong }
+    val g2 = d.groupBy(x => (x._1, x._2)).map { case (k, v) => k -> v.length.toLong }
+    val levels = d.map { case (l, s, nc) =>
+      val c0 = g0((l, s, nc / 256)); val c1 = g1((l, s, nc / 1024)); val c2 = g2((l, s))
+      if (c0 >= K) (0L, c0) else if (c1 >= K) (1L, c1) else (2L, c2)
+    }
+    val expect = levels.groupBy(_._1).map { case (lv, rs) =>
+      (lv, rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max,
+        rs.count(_._2 < K).toLong)
+    }.toSet
+    val got = graft.ext.Privacy.privacyGeneralize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+    // the ladder genuinely repairs: level-1/2 docs exist, levels 0-1
+    // never carry residual, and the level-2 residual is only there
+    // when even full length suppression cannot reach k
+    assert(got.exists(_._1 > 0L), "no doc ever needed generalization")
+    for ((lv, _, _, _, res) <- got if lv < 2L) assert(res == 0L)
+  }
+
+  test("sampleNeyman: exact-moment weights + largest-remainder allocation replay") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val m = d.groupBy(_._1).map { case (s, rs) =>
+      val xs = rs.map(x => BigInt(x._2))
+      val num = BigInt(xs.length) * xs.map(x => x * x).sum - xs.sum * xs.sum
+      (s, rs.length.toLong,
+        math.round(math.sqrt(num.toDouble) * 1e6))
+    }.toSeq
+    val wTot = m.map(_._3).sum
+    val B = 1000L
+    val withFloor = m.map { case (s, n, w) =>
+      (s, n, w, B * w / wTot, (B * w) % wTot)
+    }
+    val short = B - withFloor.map(_._4).sum
+    val topped = withFloor.sortBy(t => (-t._5, t._1)).zipWithIndex.map {
+      case ((s, n, w, f, _), i) => (s, n, w, f + (if (i < short) 1L else 0L))
+    }.toSet
+    val got = PipelineOps.sampleNeyman(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == topped)
+    assert(got.toSeq.map(_._4).sum == B, "allocations must sum to the budget")
+    assert(got.map(_._4).size > 1, "allocation must discriminate strata")
+  }
+
   test("streamKmvDistinct: sketch state replays; estimator branch fires at sf0.1") {
     def replay(d: String): Map[Long, (Long, Long)] = {
       val ev = graft.sources.Tables.events(spark, d)
