@@ -220,6 +220,7 @@ object SparkEntry {
     "ts_changepoint" -> (TimeSeries.tsChangepoint(_, _)),
     "ts_holt" -> (TimeSeries.tsHolt(_, _)),
     "ts_holtwinters" -> (TimeSeries.tsHoltWinters(_, _)),
+    "ts_theilsen" -> (TimeSeries.tsTheilSen(_, _)),
     "ts_ohlc" -> (TimeSeries.tsOhlc(_, _)),
     "ts_seasonal" -> (TimeSeries.tsSeasonal(_, _)),
     "interval_sweep" -> (TimeSeries.intervalSweep(_, _)),
@@ -619,6 +620,7 @@ object SparkEntry {
     // recursive-CTE replay keeps each key's last row
     "ts_holt" -> TimeSeries.tsHoltSql,
     "ts_holtwinters" -> TimeSeries.tsHoltWintersSql,
+    "ts_theilsen" -> TimeSeries.tsTheilSenSql,
     // open/close pinned on (ts_ns, event_id) inside min/max(struct)
     "ts_ohlc" -> TimeSeries.tsOhlcSql,
     // one cross-multiplied BIGINT division; dow = (day_idx + 3) % 7

@@ -744,6 +744,65 @@ object TimeSeries {
       |ORDER BY event_type""".stripMargin
 
   // ----------------------------------------------------------------
+  // Theil-Sen: robust trend slope from pairwise medians
+  // ----------------------------------------------------------------
+
+  /** Theil-Sen robust trend estimator (Theil 1950 / Sen 1968, public
+    * formula) per event-type day series: the median of all pairwise
+    * slopes — the outlier-resistant complement of the least-squares
+    * `agg_regression`. Slopes stay INTEGER: each pair (i < j)
+    * contributes `(c_j − c_i)·1e6 div (d_j − d_i)` (truncating, both
+    * engines identical), and the median is the discrete type-1 pick
+    * at rank ⌈n/2⌉ over (slope, d_i, d_j) — unique-keyed, no float
+    * anywhere. The pair relation is day-grain² (≤ ~n_days²/2 per
+    * series — calendar-bounded, ~435 rows per series here, NEVER
+    * fact-grain); the fact table meets one map-side-combinable day
+    * agg and all windows ride the bounded pair relation.
+    */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("ts_ns div 86400000000000").as("day_i"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("day_c"))
+    val a = daily.toDF("event_type", "di", "ci")
+    val b = daily.toDF("event_type", "dj", "cj")
+    val pairs = a.join(b, "event_type").filter(col("di") < col("dj"))
+      .select(col("event_type"), col("di"), col("dj"),
+        expr("(cj - ci) * 1000000 div (dj - di)").as("slope_q6"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope_q6"), col("di"), col("dj"))
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_pairs",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        col("slope_q6").as("median_slope_q6"))
+      .orderBy("event_type")
+  }
+
+  val tsTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_i,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS day_c
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type, a.day_i AS di, b.day_i AS dj,
+      |    (b.day_c - a.day_c) * 1000000 // (b.day_i - a.day_i) AS slope_q6
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day_i < b.day_i),
+      |r AS (
+      |  SELECT event_type, slope_q6,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope_q6, di, dj) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM pairs)
+      |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  slope_q6 AS median_slope_q6
+      |FROM r WHERE rk = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
   // Holt-Winters: triple exponential smoothing with weekly season
   // ----------------------------------------------------------------
 

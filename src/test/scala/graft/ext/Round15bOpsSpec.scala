@@ -312,6 +312,37 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && got.forall(r => r._3 <= r._5 && r._5 <= r._4))
   }
 
+  test("tsTheilSen: integer pairwise-slope median replays; both slope signs occur") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, rs) =>
+      val srt = rs.sortBy(_._2)
+      val slopes = for {
+        i <- srt.indices; j <- (i + 1) until srt.length
+      } yield {
+        val q = BigInt(srt(j)._3 - srt(i)._3) * 1000000 / (srt(j)._2 - srt(i)._2)
+        (q.toLong, srt(i)._2, srt(j)._2)
+      }
+      val ord = slopes.sortBy(identity)
+      val med = ord(((ord.length + 1) / 2 - 1).toInt)
+      (t, ord.length.toLong, med._1)
+    }.toSet
+    val got = TimeSeries.tsTheilSen(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // per-pair slopes carry both signs somewhere (the median is a
+    // genuine robust pick, not a constant-sign artifact)
+    val anyPos = daily.groupBy(_._1).values.exists { rs =>
+      val s = rs.sortBy(_._2); s.zip(s.tail).exists(p => p._2._3 > p._1._3)
+    }
+    val anyNeg = daily.groupBy(_._1).values.exists { rs =>
+      val s = rs.sortBy(_._2); s.zip(s.tail).exists(p => p._2._3 < p._1._3)
+    }
+    assert(anyPos && anyNeg)
+  }
+
   test("privacyGeneralize: minimal-level ladder replays; residual is honest") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("lang", "source", "n_chars").collect()
