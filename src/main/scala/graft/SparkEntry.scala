@@ -341,6 +341,7 @@ object SparkEntry {
     "mm_audio" -> (Multimodal.mmAudio(_, _)),
     "mm_image" -> (Multimodal.mmImage(_, _)),
     "mm_image_meta" -> (Multimodal.mmImageMeta(_, _)),
+    "mm_image_phash" -> (Multimodal.mmImagePhash(_, _)),
     "mm_audio_meta" -> (Multimodal.mmAudioMeta(_, _)),
     "mm_video_meta" -> (Multimodal.mmVideoMeta(_, _)),
     "mm_image_jpeg" -> (Multimodal.mmImageJpeg(_, _)),
@@ -815,6 +816,7 @@ object SparkEntry {
     "mm_audio" -> Multimodal.mmAudioSql,
     "mm_image" -> Multimodal.mmImageSql,
     "mm_image_meta" -> Multimodal.mmImageMetaSql,
+    "mm_image_phash" -> Multimodal.mmImagePhashSql,
     "mm_audio_meta" -> Multimodal.mmAudioMetaSql,
     "mm_video_meta" -> Multimodal.mmVideoMetaSql,
     "mm_image_jpeg" -> Multimodal.mmImageJpegSql,

@@ -1042,6 +1042,107 @@ object Multimodal {
       |FROM v GROUP BY asset_id, w, h
       |ORDER BY asset_id""".stripMargin
 
+  /** Perceptual average-hash extraction (`mm_image_phash`, round 15 —
+    * the image near-dup FINGERPRINT tier): each image-slice asset's
+    * PNG is synthesized, FULLY pixel-decoded through [[PngCodec]],
+    * and reduced to the classic 8×8 aHash — pixels bucket into an
+    * 8×8 cell grid (`cx = x·8 div w`), a cell's bit is 1 iff its
+    * mean exceeds the global mean, compared INTEGER-exactly by
+    * cross-multiplying (`s_c·N > S·n_c`, no float mean), and the 64
+    * bits release as two 32-bit BIGINT halves (row-major, hi = rows
+    * 0–3). Cells empty under tiny widths carry bit 0, documented.
+    * This is the standard pHash-family fingerprint an image-dedup
+    * pipeline banks per asset; the closed-form oracle recomputes the
+    * raster AND the hash, so the gate proves decode + binning +
+    * thresholding bit-exact per asset. Rowwise kernel, no shuffle
+    * beyond the presentation sort.
+    */
+  def mmImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.sources.Tables.table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0) // assets()'s image slice
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+    src.mapPartitions { it =>
+      it.map { case (id, nChars) =>
+        val w = (1 + nChars % 32).toInt
+        val h = (1 + id % 24).toInt
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = (((id * 31 + 7L * x + 13L * y) % 256).toInt & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = PngCodec.encodeGray8(w, h, px, filterOfRow = r => r % 5)
+        val img = PngCodec.decodeGray8(bytes)
+          .getOrElse(sys.error(s"undecodable PNG for asset $id"))
+        val cellN = new Array[Long](64)
+        val cellS = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val x = i % w; val yy = i / w
+          val c = (yy * 8 / h) * 8 + (x * 8 / w)
+          val v = (img.pixels(i) & 0xff).toLong
+          cellN(c) += 1; cellS(c) += v; total += v
+          i += 1
+        }
+        val n = (w * h).toLong
+        var hi = 0L; var lo = 0L; var filled = 0L
+        var c = 0
+        while (c < 64) {
+          if (cellN(c) > 0) filled += 1
+          val bit = if (cellS(c) * n > total * cellN(c)) 1L else 0L
+          if (c < 32) hi |= bit << c else lo |= bit << (c - 32)
+          c += 1
+        }
+        (id, w.toLong, h.toLong, filled, hi, lo)
+      }
+    }.toDF("asset_id", "width", "height", "n_filled_cells",
+        "hash_hi", "hash_lo")
+      .orderBy("asset_id")
+  }
+
+  val mmImagePhashSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + n_chars % 32 AS w, 1 + doc_id % 24 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT asset_id, w, h,
+      |    unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM img),
+      |v AS (
+      |  SELECT asset_id, w, h,
+      |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS c,
+      |    (asset_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256 AS v
+      |  FROM px),
+      |cell AS (
+      |  SELECT asset_id, w, h, c,
+      |    count(*) AS n_c, CAST(sum(v) AS BIGINT) AS s_c
+      |  FROM v GROUP BY 1, 2, 3, 4),
+      |tot AS (
+      |  SELECT asset_id, CAST(sum(s_c) AS BIGINT) AS s,
+      |    CAST(sum(n_c) AS BIGINT) AS n
+      |  FROM cell GROUP BY 1),
+      |bits AS (
+      |  SELECT cell.asset_id, w, h, c, n_c,
+      |    CASE WHEN s_c * n > s * n_c THEN 1 ELSE 0 END AS bit
+      |  FROM cell JOIN tot ON tot.asset_id = cell.asset_id)
+      |SELECT asset_id, CAST(max(w) AS BIGINT) AS width,
+      |  CAST(max(h) AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_filled_cells,
+      |  CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c)
+      |           ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32))
+      |           ELSE 0 END) AS BIGINT) AS hash_lo
+      |FROM bits GROUP BY asset_id
+      |ORDER BY asset_id""".stripMargin
+
   val mmAudioSql: String =
     """SELECT doc_id AS asset_id,
       |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,

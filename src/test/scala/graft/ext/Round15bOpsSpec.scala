@@ -432,6 +432,36 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
       "estimator branch never fired at sf0.1 — K too large for the corpus")
   }
 
+  test("mmImagePhash: aHash over decoded pixels equals the closed-form replay") {
+    val rows = Multimodal.mmImagePhash(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nChars = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val w = (1 + nChars(id) % 32).toInt; val h = (1 + id % 24).toInt
+      val cellN = Array.fill(64)(0L); val cellS = Array.fill(64)(0L)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 31 + 7L * x + 13L * y) % 256
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        cellN(c) += 1; cellS(c) += v; tot += v
+      }
+      val n = (w * h).toLong
+      var hi = 0L; var lo = 0L
+      for (c <- 0 until 64; if cellS(c) * n > tot * cellN(c))
+        if (c < 32) hi |= 1L << c else lo |= 1L << (c - 32)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(3) == cellN.count(_ > 0).toLong, s"filled $id")
+      assert(r.getLong(4) == hi && r.getLong(5) == lo, s"hash $id")
+    }
+    // hashes discriminate (not a constant fingerprint)
+    assert(rows.map(r => (r.getLong(4), r.getLong(5))).distinct.length > 1)
+    // small widths leave empty cells — the documented bit-0 arm is real
+    assert(rows.exists(_.getLong(3) < 64L) && rows.exists(_.getLong(3) == 64L))
+  }
+
   test("mmVideoMeta: box-metadata walk equals the attribute closed form, no pixel decode") {
     val rows = Multimodal.mmVideoMeta(spark, dir).collect()
     assert(rows.nonEmpty)
