@@ -812,7 +812,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       ("text_langid_eval",
         graft.ext.TextAnalysis.textLangidEval(spark, dir), false),
       ("embed_norm_audit",
-        graft.ext.Similarity.embedNormAudit(spark, dir), false))
+        graft.ext.Similarity.embedNormAudit(spark, dir), false),
+      ("ts_holtwinters", graft.ext.TimeSeries.tsHoltWinters(spark, dir), false),
+      ("ts_theilsen", graft.ext.TimeSeries.tsTheilSen(spark, dir), false),
+      ("privacy_generalize",
+        graft.ext.Privacy.privacyGeneralize(spark, dir), true),
+      ("sample_neyman", graft.ext.PipelineOps.sampleNeyman(spark, dir), true))
     for ((name, df, wantsBroadcast) <- cases) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
@@ -821,7 +826,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       // dq_freshness's corpus totals, graph_hits' per-round L1
       // normalizers, privacy_dp_quantile's total/max/weight scalars
       if (!Set("q15_top_supplier", "q11_important_stock", "dq_freshness",
-          "graph_hits", "privacy_dp_quantile").contains(name))
+          "graph_hits", "privacy_dp_quantile", "sample_neyman").contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
       if (wantsBroadcast)
         assert(plan.contains("BroadcastExchange") ||
