@@ -107,6 +107,7 @@ object SparkEntry {
     "dq_profile" -> (Relational.dqProfile(_, _)),
     "dq_referential" -> (Relational.dqReferential(_, _)),
     "dq_freshness" -> (Relational.dqFreshness(_, _)),
+    "dq_uniqueness" -> (Relational.dqUniqueness(_, _)),
     "diag_skew" -> (Relational.diagSkew(_, _)),
     "agg_weighted_median" -> (Relational.aggWeightedMedian(_, _)),
     "window_growth" -> (Relational.windowGrowth(_, _)),
@@ -416,6 +417,7 @@ object SparkEntry {
     "dq_profile" -> Relational.dqProfileSql,
     "dq_referential" -> Relational.dqReferentialSql,
     "dq_freshness" -> Relational.dqFreshnessSql,
+    "dq_uniqueness" -> Relational.dqUniquenessSql,
     // integer ppm shares and ×mean ratios: no float percentages
     "diag_skew" -> Relational.diagSkewSql,
     // exact DECIMAL cumulative-coverage selection: no interpolation

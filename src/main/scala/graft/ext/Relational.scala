@@ -4050,6 +4050,70 @@ object Relational {
       |ORDER BY day_i""".stripMargin
 
   // ----------------------------------------------------------------
+  // Key-uniqueness audit: the PK contract across every table
+  // ----------------------------------------------------------------
+
+  /** Primary-key uniqueness audit across the whole star schema — the
+    * DQ contract [[dqReferential]] (FK edges) presupposes: for each
+    * table, row count vs distinct declared-key count and the
+    * duplicate rate in ppm (lineitem's key is the COMPOSITE
+    * (l_orderkey, l_linenumber), packed into one BIGINT — line
+    * numbers are single-digit here; a runtime guard would trip at
+    * ≥ 2²⁰). Each arm is one two-stage distinct aggregate,
+    * map-side-combinable; the 8-row result unions the per-table
+    * audits. Both verdict arms are live in this corpus: the seven
+    * dimension/fact ids are clean, while lineitem's NOMINAL composite
+    * key is genuinely violated by the generator (~23% duplicate pairs
+    * at sf0.01 — the same collision quirk that forced full window
+    * tiebreaks at sf1 in round 15). The audit DETECTS that instead of
+    * assuming the textbook schema — exactly what a PK contract check
+    * is for.
+    */
+  def dqUniqueness(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(key).as("n_keys"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_keys"),
+          expr("(n_rows - n_keys) * 1000000 div n_rows").as("dup_ppm"))
+    val li = t(spark, dir, "lineitem")
+    Seq(
+      audit("customer", t(spark, dir, "customer"), col("c_custkey")),
+      audit("documents", Tables.table(spark, dir, "documents"), col("doc_id")),
+      audit("embeddings", Tables.table(spark, dir, "embeddings"), col("vec_id")),
+      audit("events", Tables.events(spark, dir), col("event_id")),
+      audit("lineitem", li,
+        col("l_orderkey") * 1048576L + col("l_linenumber")),
+      audit("orders", t(spark, dir, "orders"), col("o_orderkey")),
+      audit("part", t(spark, dir, "part"), col("p_partkey")),
+      audit("supplier", t(spark, dir, "supplier"), col("s_suppkey")))
+      .reduce(_ unionAll _)
+      .orderBy("tbl")
+  }
+
+  val dqUniquenessSql: String =
+    """WITH u AS (
+      |  SELECT 'customer' AS tbl, count(*) AS n_rows,
+      |    count(DISTINCT c_custkey) AS n_keys FROM customer
+      |  UNION ALL SELECT 'documents', count(*),
+      |    count(DISTINCT doc_id) FROM documents
+      |  UNION ALL SELECT 'embeddings', count(*),
+      |    count(DISTINCT vec_id) FROM embeddings
+      |  UNION ALL SELECT 'events', count(*),
+      |    count(DISTINCT event_id) FROM events
+      |  UNION ALL SELECT 'lineitem', count(*),
+      |    count(DISTINCT l_orderkey * 1048576 + l_linenumber) FROM lineitem
+      |  UNION ALL SELECT 'orders', count(*),
+      |    count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'part', count(*),
+      |    count(DISTINCT p_partkey) FROM part
+      |  UNION ALL SELECT 'supplier', count(*),
+      |    count(DISTINCT s_suppkey) FROM supplier)
+      |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST((n_rows - n_keys) * 1000000 // n_rows AS BIGINT) AS dup_ppm
+      |FROM u ORDER BY tbl""".stripMargin
+
+  // ----------------------------------------------------------------
   // Data freshness audit: per-stream staleness + hour coverage
   // ----------------------------------------------------------------
 

@@ -146,6 +146,48 @@ class Round15bOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_._6.exists(_ != 0L)), "seasonal slots never engaged")
   }
 
+  test("dqUniqueness: per-table PK audit replays; composite key packing is injective") {
+    val expect = Seq(
+      ("customer", "customer", "c_custkey"),
+      ("documents", "documents", "doc_id"),
+      ("embeddings", "embeddings", "vec_id"),
+      ("orders", "orders", "o_orderkey"),
+      ("part", "part", "p_partkey"),
+      ("supplier", "supplier", "s_suppkey")).map { case (n, t2, k) =>
+      val rows = spark.read.parquet(s"$dir/$t2.parquet")
+        .selectExpr(s"CAST($k AS BIGINT)").collect().map(_.getLong(0))
+      (n, rows.length.toLong, rows.distinct.length.toLong)
+    } ++ {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr("l_orderkey", "CAST(l_linenumber AS BIGINT)").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // the packed BIGINT must be injective on this key domain
+      assert(li.forall(_._2 < 1048576L), "line number exceeds the pack shift")
+      Seq(("lineitem", li.length.toLong,
+        li.map(p => p._1 * 1048576L + p._2).distinct.length.toLong))
+    } ++ {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id")).collect().map(_.getLong(0))
+      Seq(("events", ev.length.toLong, ev.distinct.length.toLong))
+    }
+    val expSet = expect.map { case (n, r, k) =>
+      (n, r, k, (r - k) * 1000000L / r)
+    }.toSet
+    val got = Relational.dqUniqueness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expSet)
+    assert(got.size == 8)
+    // both verdict arms are LIVE: every dimension key is clean, and
+    // lineitem's nominal (orderkey, linenumber) key is genuinely
+    // violated by this generator (the same collision quirk that broke
+    // window tiebreaks at sf1 in round 15) — the audit DETECTS it
+    // rather than assuming the textbook schema
+    for ((n, _, _, ppm) <- got if n != "lineitem")
+      assert(ppm == 0L, s"$n unexpectedly dirty")
+    assert(got.find(_._1 == "lineitem").get._4 > 0L,
+      "lineitem's known key violation went undetected")
+  }
+
   test("dqFreshness: staleness + hour coverage replay; coverage is partial") {
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), col("ts_ns")).collect()
