@@ -1049,6 +1049,14 @@ object Graph {
     * edge artifact, a few MB of longs, so hot calls must not re-sort
     * and re-checkpoint them (measured 1.05 s → the join chain alone
     * after memoization). Same 16-corpus wholesale clear.
+    *
+    * Carries `dst_deg` — the DESTINATION node's degree, stamped by
+    * one edge-grain equi-join at build time (symmetric edges ⟹ every
+    * dst appears as a src) — so the walk can compute its next-hop
+    * index BEFORE the step join and hit the adjacency on the full
+    * (src, idx) key (VERDICT r15 finding #1: joining on src alone
+    * and filtering `idx = pick` after materializes deg(v) rows per
+    * walker per step — a skewed hot-key expansion at hub nodes).
     */
   private val walkCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -1059,10 +1067,14 @@ object Graph {
         (Dedup.sessionId(spark), Tables.fingerprint(spark, dir, "lineitem")), {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("src").orderBy("dst")
-          edges(spark, dir)
+          val adj = edges(spark, dir)
             .withColumn("idx", row_number().over(w).cast("long") - 1)
             .withColumn("deg", count(lit(1)).over(
               org.apache.spark.sql.expressions.Window.partitionBy("src")))
+          val degs = adj.groupBy(col("src").as("d_node"))
+            .agg(first(col("deg")).as("dst_deg"))
+          adj.join(degs, adj("dst") === degs("d_node"))
+            .drop("d_node")
             .localCheckpoint(true)
         })
     }
@@ -1083,22 +1095,31 @@ object Graph {
     * Scale shape: the neighbor index is a row_number per src over the
     * adjacency — degree-bounded partitions, and ScaleUp's disjoint
     * replicas keep degrees corpus-invariant; each step is ONE
-    * equi-join of the walk frontier (state: 6 longs per node)
-    * against the indexed adjacency. The oracle unrolls the identical
-    * recurrence.
+    * TWO-KEY equi-join `(cur, pick) = (src, idx)` of the walk
+    * frontier (state: start, cur, cur's degree) against the indexed
+    * adjacency, producing EXACTLY one row per walker — the next-hop
+    * index is computed from the frontier's carried degree BEFORE the
+    * join (`dst_deg` threads it forward), so a hub node costs one
+    * hash-lookup per visiting walker, not a deg(hub) fan-out
+    * filtered after the fact (VERDICT r15 finding #1). The oracle
+    * unrolls the identical recurrence.
     */
   def graphWalks(spark: SparkSession, dir: String): DataFrame = {
     val adj = walkAdj(spark, dir)
-    var state = adj.select(col("src").as("start")).distinct()
+    var state = adj.groupBy(col("src").as("start"))
+      .agg(first(col("deg")).as("cur_deg"))
       .withColumn("cur", col("start"))
     for (k <- 1 to WalkSteps) {
-      val pick = pmod(graft.ext.TextAnalysis.polyHashCol(
-        concat(col("start"), lit(s"|$k|"), col("cur"))), col("deg"))
-      state = state
-        .join(adj, state("cur") === adj("src"))
-        .filter(col("idx") === pick)
-        .drop("cur", "src", "idx", "deg")
+      val stepped = state
+        .withColumn("pick", pmod(graft.ext.TextAnalysis.polyHashCol(
+          concat(col("start"), lit(s"|$k|"), col("cur"))), col("cur_deg")))
+        .drop("cur_deg")
+      state = stepped
+        .join(adj, stepped("cur") === adj("src") &&
+          stepped("pick") === adj("idx"))
+        .drop("cur", "pick", "src", "idx", "deg")
         .withColumnRenamed("dst", s"s$k")
+        .withColumnRenamed("dst_deg", "cur_deg")
         .withColumn("cur", col(s"s$k"))
     }
     state.select(col("start") +: (1 to WalkSteps).map(k => col(s"s$k")): _*)

@@ -1033,6 +1033,14 @@ object PipelineOps {
     * budget — the property a downstream sampler actually needs. One
     * corpus scan into a source-grain moment agg; every window runs
     * over the <= |sources| relation.
+    *
+    * Degenerate-corpus guard (ADVICE r15 #4): if EVERY stratum has
+    * zero n_chars variance, all w_micro are 0 and the Neyman shares
+    * would divide by w_tot = 0 — Spark nulls, DuckDB errors, an
+    * engine-divergent edge. Both engines therefore branch identically
+    * to PROPORTIONAL allocation (weight = N_h, total = ΣN_h) exactly
+    * when w_tot = 0 — which is also the statistically right answer:
+    * with no variance signal, Neyman degenerates to proportional.
     */
   def sampleNeyman(spark: SparkSession, dir: String): DataFrame = {
     val m = docs(spark, dir)
@@ -1048,11 +1056,18 @@ object PipelineOps {
       .withColumn("w_micro",
         expr("CAST(round(sqrt(CAST(num AS DOUBLE)) * 1e6) AS BIGINT)"))
     val tot = m.agg(sum(col("w_micro")).as("w_tot"),
+      sum(col("n_h")).as("n_tot"),
       count(lit(1)).as("n_strata"))
     val withShare = m.crossJoin(broadcast(tot)) // 1-row aggregate
+      // w_tot = 0 (all-zero variance) → proportional-to-N_h fallback,
+      // same branch in the oracle, so neither engine divides by zero
+      .withColumn("eff_w",
+        expr("CASE WHEN w_tot = 0 THEN n_h ELSE w_micro END"))
+      .withColumn("eff_tot",
+        expr("CASE WHEN w_tot = 0 THEN n_tot ELSE w_tot END"))
       .withColumn("floor_n",
-        expr(s"$NeymanBudget * w_micro div w_tot"))
-      .withColumn("rem", expr(s"($NeymanBudget * w_micro) % w_tot"))
+        expr(s"$NeymanBudget * eff_w div eff_tot"))
+      .withColumn("rem", expr(s"($NeymanBudget * eff_w) % eff_tot"))
     val wRem = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("source").asc)
     val wAll = org.apache.spark.sql.expressions.Window
@@ -1078,11 +1093,14 @@ object PipelineOps {
        |    CAST(round(sqrt(CAST(n_h * s2 - CAST(s1 AS HUGEINT) * s1
        |      AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
        |  FROM m),
-       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w),
+       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot,
+       |        CAST(sum(n_h) AS BIGINT) AS n_tot FROM w),
        |f AS (
        |  SELECT source, n_h, w_micro,
-       |    $NeymanBudget * w_micro // w_tot AS floor_n,
-       |    ($NeymanBudget * w_micro) % w_tot AS rem
+       |    $NeymanBudget * (CASE WHEN w_tot = 0 THEN n_h ELSE w_micro END)
+       |      // (CASE WHEN w_tot = 0 THEN n_tot ELSE w_tot END) AS floor_n,
+       |    ($NeymanBudget * (CASE WHEN w_tot = 0 THEN n_h ELSE w_micro END))
+       |      % (CASE WHEN w_tot = 0 THEN n_tot ELSE w_tot END) AS rem
        |  FROM w, t),
        |r AS (
        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,

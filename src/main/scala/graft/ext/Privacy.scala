@@ -611,8 +611,8 @@ object Privacy {
     * draw (`polyHash` of a literal salt + n, the seeded-release
     * convention of the dp_* family — internals surfaced for the
     * gate, a production release rotates the seed and emits the
-    * bucket alone). Every window runs over the 256-row DOMAIN grid —
-    * value-bounded, never data-grain.
+    * bucket alone). Every window runs over the [[DpqBuckets]]-row
+    * DOMAIN grid — value-bounded, never data-grain.
     */
   def privacyDpQuantile(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.table(spark, dir, "orders")

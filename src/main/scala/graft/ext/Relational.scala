@@ -3239,9 +3239,15 @@ object Relational {
     * m₃/m₂^1.5 = (a₃/n³)/(a₂^1.5/n³) and m₄/m₂² = (a₄/n⁴)/(a₂²/n⁴).
     * The DAY-GRAIN input is
     * the scale rail (the `agg_corr` discipline): n is calendar-
-    * bounded (~2.4k days), y is cents div 10⁶, so every exact term
-    * stays ≤ ~10³² — inside DECIMAL(38,0)/HUGEINT at any corpus
-    * size. The one lossy step is the final cast of each exact term
+    * bounded (~2.4k days), y is cents div 10⁶. Headroom is bounded
+    * by the 3S₁⁴ term, which grows as (Σy)⁴: at the audited
+    * factor-100 scale Σy per priority stays ≲ 10⁵·n so every exact
+    * term is ≤ ~10³², but the DECIMAL(38,0)/HUGEINT ceiling is
+    * crossed near sf≈1000, where per-priority daily y reaches
+    * ~10⁶–10⁷ and S₁⁴ passes 10³⁸ (ADVICE r15 #2 corrected an
+    * earlier "any corpus size" claim) — beyond that the y
+    * quantization divisor must rise in BOTH engines in lockstep.
+    * The one lossy step is the final cast of each exact term
     * to DOUBLE; every release-side operation (mul/div/sqrt) is
     * IEEE-exactly-rounded, so both engines land bit-identical
     * doubles — `pow(x, 1.5)` is deliberately avoided (libm pow is
@@ -4057,9 +4063,12 @@ object Relational {
     * DQ contract [[dqReferential]] (FK edges) presupposes: for each
     * table, row count vs distinct declared-key count and the
     * duplicate rate in ppm (lineitem's key is the COMPOSITE
-    * (l_orderkey, l_linenumber), packed into one BIGINT — line
-    * numbers are single-digit here; a runtime guard would trip at
-    * ≥ 2²⁰). Each arm is one two-stage distinct aggregate,
+    * (l_orderkey, l_linenumber) — audited as a true multi-column
+    * DISTINCT, `countDistinct(k1, k2)` vs DuckDB's row-value
+    * `count(DISTINCT (k1, k2))`, so no packing arithmetic can alias
+    * at any corpus size — ADVICE r15 #1 retired the 2²⁰-packed
+    * variant whose overflow guard was documented but absent). Each
+    * arm is one two-stage distinct aggregate,
     * map-side-combinable; the 8-row result unions the per-table
     * audits. Both verdict arms are live in this corpus: the seven
     * dimension/fact ids are clean, while lineitem's NOMINAL composite
@@ -4070,9 +4079,9 @@ object Relational {
     * is for.
     */
   def dqUniqueness(spark: SparkSession, dir: String): DataFrame = {
-    def audit(name: String, df: DataFrame, key: Column): DataFrame =
+    def audit(name: String, df: DataFrame, key: Column*): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-          countDistinct(key).as("n_keys"))
+          countDistinct(key.head, key.tail: _*).as("n_keys"))
         .select(lit(name).as("tbl"), col("n_rows"), col("n_keys"),
           expr("(n_rows - n_keys) * 1000000 div n_rows").as("dup_ppm"))
     val li = t(spark, dir, "lineitem")
@@ -4081,8 +4090,7 @@ object Relational {
       audit("documents", Tables.table(spark, dir, "documents"), col("doc_id")),
       audit("embeddings", Tables.table(spark, dir, "embeddings"), col("vec_id")),
       audit("events", Tables.events(spark, dir), col("event_id")),
-      audit("lineitem", li,
-        col("l_orderkey") * 1048576L + col("l_linenumber")),
+      audit("lineitem", li, col("l_orderkey"), col("l_linenumber")),
       audit("orders", t(spark, dir, "orders"), col("o_orderkey")),
       audit("part", t(spark, dir, "part"), col("p_partkey")),
       audit("supplier", t(spark, dir, "supplier"), col("s_suppkey")))
@@ -4101,7 +4109,7 @@ object Relational {
       |  UNION ALL SELECT 'events', count(*),
       |    count(DISTINCT event_id) FROM events
       |  UNION ALL SELECT 'lineitem', count(*),
-      |    count(DISTINCT l_orderkey * 1048576 + l_linenumber) FROM lineitem
+      |    count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
       |  UNION ALL SELECT 'orders', count(*),
       |    count(DISTINCT o_orderkey) FROM orders
       |  UNION ALL SELECT 'part', count(*),
