@@ -365,7 +365,9 @@ object Bench {
       "pipeline_survivor", "text_fertility", "chunk_token_budget",
       // shingle-postings index servers + the edge-artifact peelers
       "dedup_ngram", "dedup_containment", "dedup_minhash",
-      "graph_kcore", "graph_ktruss")
+      "graph_kcore", "graph_ktruss",
+      // round 16: converged-state servers (walk adjacency, HITS scores)
+      "graph_walks", "graph_hits")
       .filter(fns.contains)
 
     def strArr(xs: Seq[String]): String =

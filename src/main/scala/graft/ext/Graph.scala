@@ -1202,29 +1202,51 @@ object Graph {
         })
     }
 
+  /** Per-(session, corpus) CONVERGED-scores memo — the serving-index
+    * pattern ([[walkAdj]], [[prIndex]]): the fixed-iteration HITS
+    * state is a deterministic per-node derivative of the edge
+    * artifact, 3 longs per node, so hot calls rank the checkpointed
+    * state instead of replaying 3 rounds of join/agg/normalize. Each
+    * round's hub/auth state is ALSO checkpointed inside the build
+    * (the Pregel discipline): without the per-round cut the 3
+    * iterations compile into one ~50-node lazy plan whose auth
+    * subtree is re-derived by both its consumers.
+    */
+  private val hitsScoreCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   def graphHits(spark: SparkSession, dir: String): DataFrame = {
-    val (canon, nodes) = hitsIndex(spark, dir)
-    def normalize(df: DataFrame, c: String): DataFrame = {
-      val tot = df.agg(sum(col(c)).as("tot"))
-      df.crossJoin(broadcast(tot)) // 1-row aggregate
-        .select(col("node"),
-          expr(s"CAST($c AS DECIMAL(38,0)) * $HitsScale div tot").as(c))
+    val scored = hitsScoreCache.synchronized {
+      if (hitsScoreCache.size > 16) hitsScoreCache.clear()
+      hitsScoreCache.getOrElseUpdate(
+        (Dedup.sessionId(spark), Tables.fingerprint(spark, dir, "lineitem")), {
+          val (canon, nodes) = hitsIndex(spark, dir)
+          def normalize(df: DataFrame, c: String): DataFrame = {
+            val tot = df.agg(sum(col(c)).as("tot"))
+            df.crossJoin(broadcast(tot)) // 1-row aggregate
+              .select(col("node"),
+                expr(s"CAST($c AS DECIMAL(38,0)) * $HitsScale div tot").as(c))
+          }
+          var hub = nodes.select(col("node"), lit(HitsScale).as("h"))
+          var auth = hub.select(col("node"), col("h").as("a"))
+          for (_ <- 1 to HitsIters) {
+            val aRaw = canon
+              .join(hub.select(col("node").as("src"), col("h")), "src")
+              .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+            auth = normalize(
+              nodes.join(aRaw, Seq("node"), "left")
+                .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+              .localCheckpoint(true)
+            val hRaw = canon
+              .join(auth.select(col("node").as("dst"), col("a")), "dst")
+              .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+            hub = normalize(
+              nodes.join(hRaw, Seq("node"), "left")
+                .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+              .localCheckpoint(true)
+          }
+          auth.join(hub, "node").localCheckpoint(true)
+        })
     }
-    var hub = nodes.select(col("node"), lit(HitsScale).as("h"))
-    var auth = hub.select(col("node"), col("h").as("a"))
-    for (_ <- 1 to HitsIters) {
-      val aRaw = canon.join(hub.select(col("node").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
-      auth = normalize(
-        nodes.join(aRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
-      val hRaw = canon.join(auth.select(col("node").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
-      hub = normalize(
-        nodes.join(hRaw, Seq("node"), "left")
-          .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
-    }
-    val scored = auth.join(hub, "node")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("a").desc, col("node").asc)
     scored.orderBy(col("a").desc, col("node").asc).limit(HitsTopK)
