@@ -180,6 +180,9 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
     "text_langid_eval" -> (TextAnalysis.textLangidEval(_, _)),
+    "text_simpson" -> (TextAnalysis.textSimpson(_, _)),
+    "text_hapax" -> (TextAnalysis.textHapax(_, _)),
+    "text_jsd" -> (TextAnalysis.textJsd(_, _)),
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_edit_distance" -> (TextAnalysis.textEditDistance(_, _)),
@@ -252,6 +255,9 @@ object SparkEntry {
     "event_stickiness" -> (Relational.eventStickiness(_, _)),
     "event_stickiness_kmv" -> (Relational.eventStickinessKmv(_, _)),
     "event_cohort_ltv" -> (Relational.eventCohortLtv(_, _)),
+    "event_churn" -> (Relational.eventChurn(_, _)),
+    "event_pareto" -> (Relational.eventPareto(_, _)),
+    "event_overlap" -> (Relational.eventOverlap(_, _)),
     "event_new_users" -> (Relational.eventNewUsers(_, _)),
     "ts_winsorize" -> (TimeSeries.tsWinsorize(_, _)),
     "ts_bollinger" -> (TimeSeries.tsBollinger(_, _)),
@@ -527,6 +533,9 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "text_langid" -> TextAnalysis.textLangidSql,
     "text_langid_eval" -> TextAnalysis.textLangidEvalSql,
+    "text_simpson" -> TextAnalysis.textSimpsonSql,
+    "text_hapax" -> TextAnalysis.textHapaxSql,
+    "text_jsd" -> TextAnalysis.textJsdSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "text_edit_distance" -> TextAnalysis.textEditDistanceSql,
@@ -675,6 +684,9 @@ object SparkEntry {
     "event_stickiness" -> Relational.eventStickinessSql,
     "event_stickiness_kmv" -> Relational.eventStickinessKmvSql,
     "event_cohort_ltv" -> Relational.eventCohortLtvSql,
+    "event_churn" -> Relational.eventChurnSql,
+    "event_pareto" -> Relational.eventParetoSql,
+    "event_overlap" -> Relational.eventOverlapSql,
     // first-seen split: new vs returning users per day, ppm share
     "event_new_users" -> Relational.eventNewUsersSql,
     // discrete type-1 p05/p95 picks; clamped + raw BIGINT means

@@ -4249,4 +4249,217 @@ object Relational {
       |    AS BIGINT) AS ltv_per_user_c
       |FROM cells JOIN sized USING (cohort_w)
       |ORDER BY cohort_w, age_w""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Week-over-week churn: the growth-accounting ledger
+  // ----------------------------------------------------------------
+
+  /** Week-over-week growth accounting (the public "growth
+    * accounting" decomposition every product-analytics stack runs):
+    * per activity week, active users split into NEW (first-ever
+    * week), RETAINED (also active the previous week) and
+    * RESURRECTED (seen before, but not last week), plus the forward
+    * churn rate — the share of this week's actives absent next week.
+    * Weeks with no successor in the corpus are excluded (their
+    * forward churn is right-censored, not zero — emitting a fake 0
+    * is the classic churn-dashboard bug).
+    *
+    * Scale shape: one fact scan into a distinct (user, week) set
+    * (map-side combinable), a user-grain min for first weeks, and
+    * three self-equi-joins of the user-week set on (user, week±1) —
+    * all key-partitioned hash joins; no window touches user grain.
+    */
+  def eventChurn(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 604800000000000").as("w"))
+      .distinct()
+    val firstW = uw.groupBy("user_id").agg(min(col("w")).as("fw"))
+    val prev = uw.select(col("user_id"), (col("w") + 1).as("w"),
+      lit(1L).as("had_prev"))
+    val next = uw.select(col("user_id"), (col("w") - 1).as("w"),
+      lit(1L).as("has_next"))
+    val flagged = uw
+      .join(firstW, "user_id")
+      .join(prev, Seq("user_id", "w"), "left")
+      .join(next, Seq("user_id", "w"), "left")
+    val maxW = uw.agg(max(col("w")).as("max_w"))
+    flagged.crossJoin(broadcast(maxW)) // 1-row aggregate
+      .filter(col("w") < col("max_w"))
+      .groupBy(col("w").as("week_i"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("fw") === col("w"), 1L).otherwise(0L)).as("n_new"),
+        sum(coalesce(col("had_prev"), lit(0L))).as("n_retained"),
+        sum(when(col("fw") < col("w") && col("had_prev").isNull, 1L)
+          .otherwise(0L)).as("n_resurrected"),
+        sum(when(col("has_next").isNull, 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("churn_ppm", expr("n_churned * 1000000 div n_active"))
+      .orderBy("week_i")
+  }
+
+  val eventChurnSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS w
+      |  FROM events),
+      |fw AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY 1),
+      |flagged AS (
+      |  SELECT uw.user_id, uw.w, fw.fw,
+      |    (p.user_id IS NOT NULL) AS had_prev,
+      |    (n.user_id IS NOT NULL) AS has_next
+      |  FROM uw
+      |  JOIN fw USING (user_id)
+      |  LEFT JOIN uw p ON p.user_id = uw.user_id AND p.w = uw.w - 1
+      |  LEFT JOIN uw n ON n.user_id = uw.user_id AND n.w = uw.w + 1)
+      |SELECT w AS week_i, CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN fw = w THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN had_prev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(sum(CASE WHEN fw < w AND NOT had_prev THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_resurrected,
+      |  CAST(sum(CASE WHEN NOT has_next THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_churned,
+      |  CAST(sum(CASE WHEN NOT has_next THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS churn_ppm
+      |FROM flagged
+      |WHERE w < (SELECT max(w) FROM uw)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Pareto concentration: how few users generate the traffic?
+  // ----------------------------------------------------------------
+
+  private val ParetoCuts = Seq(1L, 5L, 10L, 20L, 50L)
+
+  /** Activity-concentration (Pareto) curve — "what share of events
+    * do the top p% of users generate?" for p ∈ {1, 5, 10, 20, 50} —
+    * the whale-dependence number next to [[eventGini]]'s scalar.
+    * EXACT at every cutoff: the cumulative walk runs over the
+    * count-of-counts domain (x = events-per-user, c = users with
+    * that x — the [[eventGini]] input shape, value-bounded with
+    * witness x, never user grain), the top-p user count is the
+    * ceiling ⌈p·U/100⌉, and the crossing bucket is the unique row
+    * with cum_prev < k ≤ cum, whose partial block contributes
+    * (k − cum_prev)·x events exactly. Truncating-integer ppm
+    * release; products stay far inside BIGINT (≤ E·10⁶).
+    */
+  def eventPareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coc = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val walk = org.apache.spark.sql.expressions.Window.orderBy(col("x").desc)
+    val walked = coc
+      .withColumn("cum_u", sum(col("c")).over(walk))
+      .withColumn("cum_e", sum(col("x") * col("c")).over(walk))
+    val tot = coc.agg(sum(col("c")).as("tot_u"),
+      sum(col("x") * col("c")).as("tot_e"))
+    val cuts = ParetoCuts.toDF("pct")
+    walked.crossJoin(broadcast(tot)) // bounded: |distinct x| rows
+      .crossJoin(broadcast(cuts))
+      .withColumn("k", expr("(pct * tot_u + 99) div 100"))
+      .filter(col("cum_u") - col("c") < col("k") && col("k") <= col("cum_u"))
+      .select(col("pct"), col("k").as("top_users"),
+        (col("cum_e") - (col("cum_u") - col("k")) * col("x"))
+          .as("top_events"),
+        expr("(cum_e - (cum_u - k) * x) * 1000000 div tot_e")
+          .as("share_ppm"))
+      .orderBy("pct")
+  }
+
+  val eventParetoSql: String = {
+    val cuts = ParetoCuts.mkString(", ")
+    s"""WITH cnt AS (
+       |  SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+       |coc AS (SELECT x, count(*) AS c FROM cnt GROUP BY 1),
+       |walked AS (
+       |  SELECT x, c,
+       |    sum(c) OVER (ORDER BY x DESC) AS cum_u,
+       |    sum(x * c) OVER (ORDER BY x DESC) AS cum_e
+       |  FROM coc),
+       |tot AS (
+       |  SELECT sum(c) AS tot_u, sum(x * c) AS tot_e FROM coc),
+       |cuts AS (SELECT unnest(ARRAY[$cuts]) AS pct)
+       |SELECT CAST(pct AS BIGINT) AS pct,
+       |  CAST((pct * tot_u + 99) // 100 AS BIGINT) AS top_users,
+       |  CAST(cum_e - (cum_u - (pct * tot_u + 99) // 100) * x AS BIGINT)
+       |    AS top_events,
+       |  CAST((cum_e - (cum_u - (pct * tot_u + 99) // 100) * x) * 1000000
+       |    // tot_e AS BIGINT) AS share_ppm
+       |FROM walked, tot, cuts
+       |WHERE cum_u - c < (pct * tot_u + 99) // 100
+       |  AND (pct * tot_u + 99) // 100 <= cum_u
+       |ORDER BY pct""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Event-type audience overlap: the co-usage matrix
+  // ----------------------------------------------------------------
+
+  /** Pairwise event-type HEAVY-AUDIENCE overlap — which behaviors
+    * share their power users? The raw any-activity audience is
+    * degenerate on this generator (every user touches every type —
+    * Jaccard 1.0 everywhere, the q22 corpus lesson), so the audited
+    * set is each type's ABOVE-MEAN users: count(user, type) strictly
+    * above the type's mean, an exact integer cross-multiply
+    * (n·k > Σn — no float mean). For each unordered type pair:
+    * intersection size, Jaccard and overlap-coefficient
+    * (Szymkiewicz–Simpson) in exact ppm — the co-usage matrix
+    * segmentation and funnel design start from, with all 10 pairs
+    * live in-gate (Jaccard 0.22–0.41 at sf0.01). Scale shape: one
+    * (user, type) hash agg, a broadcast per-type mean join, a
+    * user-keyed self-equi-join fanning out to ≤ |types|² per user
+    * (types are a bounded domain), and a pair-grain hash agg.
+    */
+  def eventOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val means = cnt.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("k"))
+    val ut = cnt.join(broadcast(means), "event_type")
+      .filter(col("n") * col("k") > col("s"))
+      .select(col("user_id"), col("event_type"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val a = ut.toDF("user_id", "type_a")
+    val b = ut.toDF("user_id", "type_b")
+    a.join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.toDF("type_a", "na")), "type_a")
+      .join(broadcast(perType.toDF("type_b", "nb")), "type_b")
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("n_both"),
+        expr("n_both * 1000000 div (na + nb - n_both)").as("jaccard_ppm"),
+        expr("n_both * 1000000 div least(na, nb)").as("overlap_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventOverlapSql: String =
+    """WITH cnt AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, sum(n) AS s, count(*) AS k
+      |  FROM cnt GROUP BY 1),
+      |ut AS (
+      |  SELECT cnt.user_id, cnt.event_type
+      |  FROM cnt JOIN m USING (event_type) WHERE cnt.n * m.k > m.s),
+      |pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b,
+      |  CAST(pa.n AS BIGINT) AS na, CAST(pb.n AS BIGINT) AS nb,
+      |  CAST(n_both AS BIGINT) AS n_both,
+      |  CAST(n_both * 1000000 // (pa.n + pb.n - n_both) AS BIGINT)
+      |    AS jaccard_ppm,
+      |  CAST(n_both * 1000000 // least(pa.n, pb.n) AS BIGINT)
+      |    AS overlap_ppm
+      |FROM pairs
+      |JOIN pt pa ON pa.event_type = type_a
+      |JOIN pt pb ON pb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
 }

@@ -2839,4 +2839,189 @@ object TextAnalysis {
        |    AS recall_ppm
        |FROM cells
        |ORDER BY lang, pred""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Simpson diversity: the concentration complement of entropy
+  // ----------------------------------------------------------------
+
+  /** Simpson diversity index per source (Simpson 1949, public
+    * formula) — the concentration-side diversity metric a mixture
+    * designer reads next to [[textEntropy]]: the probability two
+    * tokens drawn WITHOUT replacement are the same type,
+    * D = Σcᵢ(cᵢ−1) / (N(N−1)), plus the Berger–Parker dominance
+    * index max(cᵢ)/N. Unlike the entropy release these are EXACT
+    * RATIONALS — both ship as truncating-integer ppm with the
+    * Σcᵢ² product lifted to DECIMAL(38,0)/HUGEINT (at warehouse N
+    * the N² term passes 2⁶³ — the agg_corr rail). One token
+    * explode into a (source, term) hash agg, then a source-grain
+    * rollup: vocabulary-scale state, map-side combinable.
+    * Single-token sources are excluded in both engines (N−1 = 0
+    * would divide by zero in Spark and error in DuckDB).
+    */
+  def textSimpson(spark: SparkSession, dir: String): DataFrame = {
+    val tc = docs(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * (col("c") - 1)).as("ss"),
+        max(col("c")).as("cmax"))
+      .filter(col("n_tokens") > 1)
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        expr("CAST(ss * 1000000 div (CAST(n_tokens AS DECIMAL(38,0)) " +
+          "* (n_tokens - 1)) AS BIGINT)").as("simpson_ppm"),
+        expr("cmax * 1000000 div n_tokens").as("dominance_ppm"))
+      .orderBy("source")
+  }
+
+  val textSimpsonSql: String =
+    """WITH terms AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+      |      AS term
+      |  FROM documents),
+      |tc AS (SELECT source, term, count(*) AS c FROM terms GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, count(*) AS n_terms, sum(c) AS n_tokens,
+      |    sum(CAST(c AS HUGEINT) * (c - 1)) AS ss, max(c) AS cmax
+      |  FROM tc GROUP BY 1)
+      |SELECT source, CAST(n_terms AS BIGINT) AS n_terms,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(ss * 1000000 // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+      |    AS BIGINT) AS simpson_ppm,
+      |  CAST(cmax * 1000000 // n_tokens AS BIGINT) AS dominance_ppm
+      |FROM m WHERE n_tokens > 1 ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Hapax legomena: the Good-Turing tail census
+  // ----------------------------------------------------------------
+
+  /** Hapax/dis-legomena census per source — the frequency-tail
+    * statistics behind Good-Turing smoothing (Good 1953, public):
+    * how much of each source's vocabulary occurs exactly once (f₁)
+    * or twice (f₂)? `hapax_vocab_ppm` (f₁ share of vocabulary)
+    * tracks productive/creative text vs template mass, and
+    * `unseen_mass_ppm` (f₁/N, the Good-Turing leave-one-out
+    * estimate of unseen-type probability mass) is the number an
+    * LM-coverage planner reads. All exact integer ppm. Same
+    * vocabulary-scale two-agg shape as [[textSimpson]].
+    */
+  def textHapax(spark: SparkSession, dir: String): DataFrame = {
+    val tc = docs(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        col("f1"), col("f2"),
+        expr("f1 * 1000000 div n_terms").as("hapax_vocab_ppm"),
+        expr("f1 * 1000000 div n_tokens").as("unseen_mass_ppm"))
+      .orderBy("source")
+  }
+
+  val textHapaxSql: String =
+    """WITH terms AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+      |      AS term
+      |  FROM documents),
+      |tc AS (SELECT source, term, count(*) AS c FROM terms GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+      |    AS BIGINT) AS hapax_vocab_ppm,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // sum(c)
+      |    AS BIGINT) AS unseen_mass_ppm
+      |FROM tc GROUP BY source ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------------------
+  // Jensen–Shannon divergence: the pairwise source-distance matrix
+  // ----------------------------------------------------------------
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions (Lin 1991, public) — the source-similarity matrix
+    * a mixture designer clusters before assigning sampling weights
+    * (near-duplicate sources shouldn't double-dip the budget). For
+    * P, Q the term distributions, JSD = ½Σ[p·ln(2p/(p+q)) +
+    * q·ln(2q/(p+q))]; terms present in only one distribution
+    * contribute their whole mass at ln 2, folded in ANALYTICALLY —
+    * ½·ln2·((1−Σ∩p) + (1−Σ∩q)) — so the pair join only touches the
+    * INTERSECTION vocabulary (an equi-join on term, never a full
+    * outer per pair). Float discipline is [[textEntropy]]'s: p, q
+    * are IEEE quotients of identical integers, the three per-pair
+    * sums are order-pinned folds sorted by term, ln 2 is the shared
+    * double literal, release rounds at 6 dp. Scale shape: vocab
+    * hash agg → a term-keyed self-equi-join fanning out only to
+    * |sources|² per term — sources are a bounded domain (the
+    * stratum list), the term dimension is the big one and it
+    * partitions the join.
+    */
+  def textJsd(spark: SparkSession, dir: String): DataFrame = {
+    val Ln2 = 0.6931471805599453 // IEEE double of ln 2, shared literal
+    val tc = docs(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' +'), x -> x != '')")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("source").agg(sum(col("c")).as("t"))
+    val p = tc.join(tot, "source")
+      .select(col("source"), col("term"),
+        (col("c").cast("double") / col("t")).as("p"))
+    val a = p.toDF("source_a", "term", "pa")
+    val b = p.toDF("source_b", "term", "pb")
+    a.join(b, "term")
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("contrib",
+        col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sort_array(collect_list(struct(col("term"), col("pa").as("x"))))
+          .as("ps"),
+        sort_array(collect_list(struct(col("term"), col("pb").as("x"))))
+          .as("qs"),
+        sort_array(collect_list(struct(col("term"), col("contrib").as("x"))))
+          .as("cs"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(
+          lit(0.5) * aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("x")) +
+          lit(0.5 * Ln2) * (lit(2.0) -
+            aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("x")) -
+            aggregate(col("qs"), lit(0.0), (acc, x) => acc + x.getField("x"))),
+          6).as("jsd"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val textJsdSql: String =
+    """WITH terms AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(text, ' +'), x -> x != ''))
+      |      AS term
+      |  FROM documents),
+      |tc AS (SELECT source, term, count(*) AS c FROM terms GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c) AS t FROM tc GROUP BY 1),
+      |p AS (
+      |  SELECT tc.source, tc.term, CAST(c AS DOUBLE) / t AS p
+      |  FROM tc JOIN tot USING (source)),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, a.term,
+      |    a.p AS pa, b.p AS pb,
+      |    a.p * ln(2 * a.p / (a.p + b.p)) +
+      |      b.p * ln(2 * b.p / (a.p + b.p)) AS contrib
+      |  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source)
+      |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared,
+      |  round(0.5 * list_sum(list(contrib ORDER BY term)) +
+      |    0.5 * 0.6931471805599453 *
+      |      (2.0 - list_sum(list(pa ORDER BY term))
+      |           - list_sum(list(pb ORDER BY term))), 6) AS jsd
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
