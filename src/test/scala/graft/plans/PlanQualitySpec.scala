@@ -800,7 +800,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       ("q19_discounted", graft.ext.TpchMore.q19Discounted(spark, dir), true),
       ("q20_dominant_suppliers",
         graft.ext.TpchMore.q20DominantSuppliers(spark, dir), true),
-      ("graph_hits", graft.ext.Graph.graphHits(spark, dir), true),
+      // graph_hits returns the SERVE plan since the converged-scores
+      // memo (round 16): the broadcast L1 normalizers run inside the
+      // memo build; the returned plan must be the checkpointed-state
+      // rank (TakeOrdered over ExistingRDD), pinned separately below.
+      ("graph_hits", graft.ext.Graph.graphHits(spark, dir), false),
       ("graph_walks", graft.ext.Graph.graphWalks(spark, dir), false),
       ("ts_bollinger", graft.ext.TimeSeries.tsBollinger(spark, dir), false),
       ("interval_allen", graft.ext.TimeSeries.intervalAllen(spark, dir), false),
@@ -832,6 +836,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
         assert(plan.contains("BroadcastExchange") ||
           plan.contains("BroadcastHashJoin"),
           s"$name: designed broadcast side fell back to a shuffle:\n$plan")
+      if (name == "graph_hits")
+        assert(plan.contains("TakeOrderedAndProject") &&
+          plan.contains("ExistingRDD"),
+          s"$name: serve plan is not the checkpointed-state rank:\n$plan")
     }
   }
 
