@@ -295,6 +295,39 @@ object Bench {
         .withColumn("cs", sround(
           graft.functions.NativeFunctions.cosineSim(col("qe"), col("embedding")), 6))
         .orderBy(col("cs").desc, col("vec_id").asc).limit(16).collect()
+      // kernel 3 (round 16): the stream-STREAM join machinery.
+      // StreamingSymmetricHashJoinExec, its state-store providers and
+      // the watermark interval-join planner JIT-compile on first use —
+      // measured ~11 s landing on whichever registry query plans the
+      // first stream-stream join (stream_join cold 13.8 s vs 2.8 s
+      // hot at sf0.1; the batch kernels above never touch these
+      // classes). Same discipline as kernels 1-2: 512 synthetic rows,
+      // fixed order, untimed, no corpus contact.
+      try {
+        val wtmp = java.nio.file.Files.createTempDirectory("graft_bench_warm")
+        (0 until 512).map(i => (i.toLong, (i % 32).toLong,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i))))
+          .toDF("event_id", "user_id", "ts")
+          .write.mode("overwrite").parquet(s"$wtmp/ev.parquet")
+        val sch = spark.read.parquet(s"$wtmp/ev.parquet").schema
+        def side(nm: String) = spark.readStream.schema(sch)
+          .parquet(s"$wtmp/ev.parquet")
+          .select(col("event_id").as(s"${nm}_id"), col("user_id").as(s"${nm}_u"),
+            col("ts").as(s"${nm}_ts"))
+          .withWatermark(s"${nm}_ts", "10 minutes")
+        val wq = side("a").join(side("b"),
+            col("a_u") === col("b_u") && col("b_ts") >= col("a_ts") &&
+              col("b_ts") <= col("a_ts") + org.apache.spark.sql.functions
+                .expr("INTERVAL 10 SECONDS"))
+          .writeStream.format("memory").queryName("graft_warm_ssjoin")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        wq.awaitTermination()
+        spark.sql("DROP TABLE IF EXISTS graft_warm_ssjoin")
+        org.apache.commons.io.FileUtils.deleteQuietly(wtmp.toFile): Unit
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] stream warm-up skipped: ${e.getMessage}")
+      }
       System.err.println(
         f"[bench] kernel warm-up prelude ${(System.nanoTime() - tw) / 1e9}%.2f s")
     }

@@ -171,12 +171,27 @@ object Dedup {
     val cdocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
-    val posts = rankedPosts(spark, dir).select("doc_id", "sz", "shingle")
+    // df > 1 prune (round 16, guide §2.3/§3.2): a df=1 shingle lives
+    // in exactly one document, so it can never co-occur and never
+    // contributes to |A∩B| — only the co-occurring postings enter the
+    // count-join. |A|/|B| stay exact via the carried `sz` column.
+    val posts = rankedPosts(spark, dir).filter(col("df") > 1)
+      .select("doc_id", "sz", "shingle")
       .join(cdocs, Seq("doc_id"), "left_semi")
     val pa = posts.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("shingle"))
     val pb = posts.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("shingle"))
-    candidates.join(pa, "doc_a")
-      .join(pb, Seq("doc_b", "shingle"))
+    // Count-join restructure (round 16, guide §1.2): the old shape
+    // attached each candidate pair to ALL of doc_a's postings before
+    // trimming on (doc_b, shingle) — a candidates × |A| expansion
+    // (measured 15.6M rows at sf0.1 on 300k candidates). Counting
+    // intersections directly from the candidate-doc postings
+    // self-join costs Σ_shingle df_cand² (2.8M rows here — the
+    // PPJoin counting phase over df>1 postings), then the candidate
+    // pair set applies as a SEMI-join after the agg — semantically
+    // load-bearing for the LSH/window callers, whose candidate sets
+    // are part of the declared result.
+    val qualified = pa.join(pb, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -184,6 +199,16 @@ object Dedup {
           (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // Candidate sets may be DIRECTED (dedup_incremental's old→new
+    // orientation is not id-ordered), so the threshold-qualified
+    // relation — final-result-sized by now — is symmetrized before
+    // the candidate join restores each caller's orientation
+    // (Jaccard is symmetric; splits are disjoint, so exactly one
+    // orientation matches per candidate pair).
+    qualified
+      .unionByName(qualified.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"), col("jaccard")))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -298,6 +323,11 @@ object Dedup {
     val prefix = rankedPosts(spark, dir)
       .filter(col("r") <=
         (col("sz") - ceil(col("sz") * JaccardThreshold) + 1).cast("int"))
+      // df > 1 prune (round 16): a df=1 shingle's postings group has
+      // size 1 and is dropped by the `size > 1` filter below anyway —
+      // pruning it BEFORE the shuffle removes the (dominant) unique-
+      // shingle mass from the exchange and the hash agg.
+      .filter(col("df") > 1)
     val candidates = prefix.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -337,25 +367,44 @@ object Dedup {
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val idx = rankedPosts(spark, dir)
-    val prefix = idx
+    // df > 1 prune (round 16, guide §2.3/§3.2): a df=1 shingle lives
+    // in exactly one document — it can never join a DIFFERENT doc on
+    // either side of the candidate join, and never contributes to the
+    // |A∩B| count (containment's |A| comes from the carried `sz`
+    // column, not from counting postings). Pruning both sides removes
+    // the dominant unique-shingle mass from the exchanges.
+    val shared = idx.filter(col("df") > 1)
+    val prefix = shared
       .filter(col("r") <=
         (col("sz") - ceil(col("sz") * ContainmentThreshold) + 1).cast("int"))
       .select(col("doc_id").as("doc_a"), col("shingle"))
-    val candidates = prefix
-      .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    // Candidate PAIRS are never materialized (round 16, guide §1.2):
+    // the prefix filter is LOSSLESS (pigeonhole: every pair with
+    // C(A,B) ≥ t shares a probe-prefix shingle), so the pair-level
+    // semi-join the old shape paid for could only remove pairs the
+    // threshold filter rejects anyway — and its verify attached each
+    // of 300k candidate pairs to ALL of doc_a's postings (candidates
+    // × |A| ≈ 15.6M rows at sf0.1) before trimming. The candidate
+    // join now only DECIDES which docs enter verify (cand0 stays
+    // pre-distinct — only doc ids are distinct'd), and |A∩B| is
+    // counted directly from the candidate-doc postings self-join
+    // (Σ_shingle df_cand² ≈ 2.8M rows here — the PPJoin counting
+    // phase over df>1 postings; AQE splits residual hot-shingle
+    // skew). Output identical: exact counts, same threshold, and the
+    // prefix's pigeonhole guarantees no qualifying pair is lost.
+    val cand0 = prefix
+      .join(shared.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // directed exact verify, O(|candidate docs|) like the Jaccard tier
-    val cdocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id")))
+    val cdocs = cand0.select(col("doc_a").as("doc_id"))
+      .union(cand0.select(col("doc_b").as("doc_id")))
       .distinct()
-    val cposts = idx.select("doc_id", "sz", "shingle")
+    val cposts = shared.select("doc_id", "sz", "shingle")
       .join(cdocs, Seq("doc_id"), "left_semi")
     val pa = cposts.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
       col("shingle"))
     val pb = cposts.select(col("doc_id").as("doc_b"), col("shingle"))
-    candidates.join(pa, "doc_a")
-      .join(pb, Seq("doc_b", "shingle"))
+    pa.join(pb, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sza"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment",
@@ -1694,9 +1743,31 @@ object Dedup {
                  |         s -> struct(s AS pos, concat_ws(' ', slice(ws, s, $SubGram)) AS gram))""".stripMargin))
         .as("g"))
       .select(col("doc_id"), col("g.pos").cast("long").as("pos"), col("g.gram"))
-    val a = grams.select(col("doc_id").as("doc_a"),
+    // Decide with small rows, move strings once (round 16, guide
+    // §2.3/§8): the pair join only ever matches a gram that occurs in
+    // ≥ 2 DISTINCT docs, but the old self-join shipped every gram
+    // string — and Spark's post-Generate size estimate made the whole
+    // 8-gram relation a broadcast build side, a shape that OOMs at
+    // real scale. Pass 1 aggregates (hash → min/max doc) over LONGS
+    // only; the surviving cross-doc hash set (shared boilerplate — a
+    // few % of grams on any natural corpus) broadcasts as a semi-join
+    // prune, and only the pruned instances are checkpointed and
+    // self-joined on the exact string. Hash collisions can only
+    // RETAIN extra single-doc grams (the exact string join still
+    // rejects them), never lose a pair.
+    val crossHash = grams
+      .select(xxhash64(col("gram")).as("gh"), col("doc_id"))
+      .groupBy("gh").agg(min(col("doc_id")).as("mnd"),
+        max(col("doc_id")).as("mxd"))
+      .filter(col("mnd") =!= col("mxd"))
+      .select("gh")
+    val pruned = grams
+      .join(broadcast(crossHash), xxhash64(col("gram")) === col("gh"),
+        "left_semi")
+      .localCheckpoint(true)
+    val a = pruned.select(col("doc_id").as("doc_a"),
       col("pos").as("pa"), col("gram"))
-    val b = grams.select(col("doc_id").as("doc_b"),
+    val b = pruned.select(col("doc_id").as("doc_b"),
       col("pos").as("pb"), col("gram"))
     val m = a.join(b, "gram")
       .filter(col("doc_a") < col("doc_b"))
@@ -1904,10 +1975,14 @@ object Dedup {
     val leads = keyed.select(
       col("doc_id") +: (1 until SnWindow)
         .map(i => lead(col("doc_id"), i).over(w).as(s"l$i")): _*)
-    val cands = (1 until SnWindow)
-      .map(i => leads.select(col("doc_id").as("x"), col(s"l$i").as("y"))
-        .filter(col(s"y").isNotNull))
-      .reduce(_ unionByName _)
+    // ONE window subtree (round 16, guide §2.4): the old per-lead
+    // union re-planned the regex-normalize + sort + window once per
+    // branch (w−1 full passes); exploding the lead array keeps a
+    // single pass and yields the identical candidate set.
+    val cands = leads
+      .select(col("doc_id").as("x"), explode(array(
+        (1 until SnWindow).map(i => col(s"l$i")): _*)).as("y"))
+      .filter(col("y").isNotNull)
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
       .distinct()
@@ -2222,9 +2297,15 @@ object Dedup {
              |    'dedup_lines: document exceeds 2^$SegOrdBits segments — widen SegOrdBits'),
              |  CAST(doc_id * $maxSegs + seg_no AS BIGINT))""".stripMargin)
           .as("ord"))
-    val firsts = keyed.groupBy("seg_key").agg(min(col("ord")).as("first_ord"))
-    keyed.join(firsts, Seq("seg_key"))
-      .withColumn("kept", col("ord") === col("first_ord"))
+    // min-over-partition window instead of agg + join-back (round 16,
+    // guide §2.4): the old shape computed `keyed` — two full doc
+    // scans + segment explodes + hashes — once for the firsts agg and
+    // once for the join probe. One window over the high-cardinality
+    // seg_key partitions computes the same first_ord with a single
+    // keyed pass and a single exchange.
+    val wMin = org.apache.spark.sql.expressions.Window.partitionBy("seg_key")
+    keyed
+      .withColumn("kept", col("ord") === min(col("ord")).over(wMin))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),

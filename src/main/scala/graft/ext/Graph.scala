@@ -488,13 +488,19 @@ object Graph {
     val e = edges(spark, dir)
     def degrees(kept: Option[DataFrame]): DataFrame = {
       val sub = kept.fold(e) { k =>
-        e.join(k.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-          .join(k.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        e.join(k.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(k.select(col("node").as("dst")), Seq("dst"), "left_semi")
       }
       sub.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
     }
+    // each round's survivor set CARRIES its in-round degree (round
+    // 16, guide §1.2): peeling only removes nodes, so at the
+    // detection round (count unchanged ⟹ subset + equal count ⟹
+    // equal set) the last peel's core_deg was computed against the
+    // final surviving set — the answer. The old shape re-ran one
+    // full degrees() pass after the loop just to recover it.
     var kept = degrees(None).filter(col("core_deg") >= CoreK)
-      .select("node").localCheckpoint()
+      .localCheckpoint()
     var prev = -1L
     var n = kept.count()
     var rounds = 1
@@ -506,15 +512,13 @@ object Graph {
     while (n != prev && rounds <= KcoreMaxRounds) {
       prev = n
       kept = degrees(Some(kept)).filter(col("core_deg") >= CoreK)
-        .select("node").localCheckpoint()
+        .localCheckpoint()
       n = kept.count()
       rounds += 1
     }
     require(n == prev,
       s"graph_kcore: no fixpoint within $KcoreMaxRounds rounds (n=$n)")
-    degrees(Some(kept)).filter(col("core_deg") >= CoreK)
-      .select(col("node"), col("core_deg"))
-      .orderBy("node")
+    kept.select(col("node"), col("core_deg")).orderBy("node")
   }
 
   /** The peel loop unrolled as [[KcoreMaxRounds]] chained CTEs —
@@ -596,24 +600,28 @@ object Graph {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("support"))
     }
+    // survivors CARRY their in-round support (round 16, guide §1.2):
+    // peeling only removes edges, so at the detection round (count
+    // unchanged ⟹ subset + equal count ⟹ equal set) the last peel's
+    // support was computed against the final surviving set — the
+    // answer. The old shape re-ran one full triangle-support join
+    // after the loop just to recover it. Loop joins project (a, b).
     var cur = support(e0).filter(col("support") >= TrussK - 2)
-      .select("a", "b").localCheckpoint()
+      .localCheckpoint()
     var prev = -1L
     var n = cur.count()
     var rounds = 1
     // <= MaxRounds+1 iterations for detection — see graphKcore's note
     while (n != prev && rounds <= TrussMaxRounds) {
       prev = n
-      cur = support(cur).filter(col("support") >= TrussK - 2)
-        .select("a", "b").localCheckpoint()
+      cur = support(cur.select("a", "b")).filter(col("support") >= TrussK - 2)
+        .localCheckpoint()
       n = cur.count()
       rounds += 1
     }
     require(n == prev,
       s"graph_ktruss: no fixpoint within $TrussMaxRounds rounds (n=$n)")
-    support(cur).filter(col("support") >= TrussK - 2)
-      .select(col("a"), col("b"), col("support"))
-      .orderBy("a", "b")
+    cur.select(col("a"), col("b"), col("support")).orderBy("a", "b")
   }
 
   /** Global clustering coefficient (transitivity) of the
@@ -891,7 +899,13 @@ object Graph {
     * oracle unrolls the identical rounds as MATERIALIZED CTEs.
     */
   def graphCommunity(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir) // both directions present
+    // Edges pre-partitioned ONCE on the round-join key (round 16,
+    // guide §2.4): every LP round joins the edge relation on `dst`,
+    // and `localCheckpoint` preserves the physical partitioning, so
+    // paying one repartition here deletes the edges-side Exchange
+    // from all [[LpRounds]] round joins (only the node-scale label
+    // map still shuffles per round).
+    val e = edges(spark, dir).repartition(col("dst")).localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to LpRounds) {

@@ -882,20 +882,34 @@ object PipelineOps {
     * DataFrame.
     */
   def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    // ONE tokenize pass (round 16, guide §1.2/§2.3): the lazy `toks`
+    // relation used to be consumed twice (bucket stats + per-doc
+    // scores) and the doc table scanned a third time for `lang` —
+    // three full tokenize/scan passes for one query. The (doc, lang,
+    // bucket) pre-aggregate is computed once, map-side combined, and
+    // checkpointed (≤ docs × DsirBuckets rows, 3 longs + lang each);
+    // both consumers read it from memory. `lang` is constant per doc
+    // so carrying max(lang) through the rollup replaces the third
+    // scan exactly (zero-token docs vanish from the pre-agg, matching
+    // the previous inner join's semantics).
+    val tokCnt = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(filter(split(col("text"), " +"), w => w =!= "")).as("word"))
       .select(col("doc_id"), col("lang"),
         (TextAnalysis.polyHashCol(col("word")) % DsirBuckets).as("bucket"))
-    val buckets = toks.groupBy("bucket")
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val buckets = tokCnt.groupBy("bucket")
       .agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("s_b"))
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("t_b"),
+        sum(when(col("lang") =!= "en", col("cnt")).otherwise(0L)).as("s_b"))
       .withColumn("w_ppm", expr(s"(t_b + 1) * $DsirPpm div (s_b + 1)"))
     val weights = buckets.select(col("bucket"), col("w_ppm"))
-    val scored = toks.join(broadcast(weights), Seq("bucket"))
+    val scored = tokCnt.join(broadcast(weights), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("score"))
+      .agg(max(col("lang")).as("lang"), sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("w_ppm")).as("score"))
       .withColumn("spt_ppm", expr("score div n_tokens"))
     // corpus-average per-token ratio, derived from the BUCKET table —
     // Σ_b cnt_b·w_b / Σ_b cnt_b equals Σ_docs score / Σ_docs tokens
@@ -906,8 +920,7 @@ object PipelineOps {
     val thr = buckets
       .agg(expr(s"sum((t_b + s_b) * w_ppm) div sum(t_b + s_b)")
         .as("mean_ppm"))
-    docs(spark, dir).select(col("doc_id"), col("lang"))
-      .join(scored, Seq("doc_id"))
+    scored
       .crossJoin(broadcast(thr))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
         col("spt_ppm"), (col("spt_ppm") >= col("mean_ppm")).as("selected"))

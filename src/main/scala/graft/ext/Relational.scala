@@ -2453,17 +2453,20 @@ object Relational {
     * (l_returnflag)`, i.e. 3 tasks however large the corpus, the one
     * serialization point the round-6 plan audit flagged. The
     * replacement is a partition-parallel two-phase bisection on
-    * cumulative mass, all joins bounded:
-    *   1. one fact pass for per-flag range + total mass (3-row agg);
-    *   2. a second fact pass binning RAW rows into [[WmBins]]
-    *      integer-cent equal-width bins (BIGINT floor division —
-    *      deterministic on both engines): shuffle state is flags × B
+    * cumulative mass, all joins bounded (round 16 cut it from three
+    * fact passes to TWO — see [[WmBinCents]]):
+    *   1. one fact pass binning RAW rows into fixed
+    *      [[WmBinCents]]-wide integer-cent bins (BIGINT floor
+    *      division — deterministic on both engines, and needing NO
+    *      data-derived range): shuffle state is flags × live-bins
     *      map-side-combined groups, NOT the price domain the old
-    *      by-price pre-agg shuffled;
-    *   3. bin-level cumulative mass via a bounded self-join over the
-    *      checkpointed ≤ flags×[[WmBins]] bin relation (≤ B² pairs
-    *      per flag, partition-parallel, no sort);
-    *   4. a third fact pass keeping only the selected bin (~1/B of
+    *      by-price pre-agg shuffled; per-flag total mass folds out
+    *      of this same aggregate (3 rows);
+    *   2. bin-level cumulative mass via a bounded self-join over the
+    *      checkpointed flags×bins relation (≤ B² pairs per flag,
+    *      partition-parallel, no sort — B bounded by the price
+    *      domain, not the corpus);
+    *   3. a second fact pass keeping only the selected bin (~1/B of
     *      rows), aggregated by price, then the exact walk as a
     *      bounded self-join over the ~domain/B in-bin price points.
     * Exact DECIMAL arithmetic end-to-end is unchanged (the round-5
@@ -2481,27 +2484,39 @@ object Relational {
     */
   private val WmBins = 1024L
 
+  /** Fixed bin width for [[aggWeightedMedian]]'s bisection, in
+    * CENTS (round 16, guide §1.2): binning by `pc div width` instead
+    * of `(pc − mn) · B div (mx − mn)` deletes the min/max pre-pass —
+    * the whole first fact scan — because the bin function no longer
+    * depends on a data-derived range, and per-flag total mass folds
+    * out of the bin aggregate itself. The bin COUNT is bounded by
+    * the price DOMAIN (l_extendedprice ≤ ~$110k ⟹ ≤ ~700 live bins
+    * at $163.84/bin), not by corpus size, so the bounded-self-join
+    * argument is unchanged at 100 TB. The median value is exact
+    * under ANY binning (bisect to the crossing bin, exact in-bin
+    * walk), so the output is bit-identical to the 1024-equal-width
+    * formulation and the oracle needs no lockstep change.
+    */
+  private val WmBinCents = 16384L
+
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_returnflag"), dec(col("l_extendedprice")).as("p"),
         dec(col("l_quantity")).as("q"))
       .withColumn("pc", (col("p") * 100).cast("long")) // exact cents
-    // 3-row checkpoint: three joins broadcast this relation, and each
-    // un-checkpointed broadcast would re-run the whole fact pass
-    val stats = li.groupBy("l_returnflag")
-      .agg(min(col("pc")).as("mn"), max(col("pc")).as("mx"),
-        sum(col("q")).as("tq")).localCheckpoint(true)
-    // bin RAW rows: unlike a by-price pre-agg, the shuffle state here
-    // is flags × B groups (map-side combined), not the price domain
-    val binned = li.join(broadcast(stats), "l_returnflag")
-      .select(col("l_returnflag"), col("p"), col("q"),
-        when(col("mx") === col("mn"), lit(0L))
-          .otherwise(least(lit(WmBins - 1L),
-            expr(s"(pc - mn) * $WmBins div (mx - mn)"))).as("bin"))
-    // tiny (≤ flags × B rows); checkpointed so the cumulative
-    // self-join reads memory, not two more fact scans
-    val binAgg = binned.groupBy(col("l_returnflag"), col("bin"))
+    // FIRST fact pass: bin RAW rows by fixed cent width — shuffle
+    // state is flags × live-bins groups (map-side combined), NOT the
+    // price domain; checkpointed so the cumulative self-join and the
+    // per-flag totals read memory, not more fact scans
+    val binAgg = li
+      .select(col("l_returnflag"), col("q"),
+        expr(s"pc div $WmBinCents").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
       .agg(sum(col("q")).as("bq")).localCheckpoint(true)
+    // per-flag total mass, derived from the bin aggregate (3 rows) —
+    // the old separate min/max/total fact pass is gone
+    val stats = binAgg.groupBy("l_returnflag")
+      .agg(sum(col("bq")).as("tq")).localCheckpoint(true)
     // bin-level cumulative: b.bin <= a.bin self-join, ≤ B² pairs/flag
     val cumB = binAgg
       .join(binAgg.toDF("l_returnflag", "bin2", "bq2"), "l_returnflag")
@@ -2516,10 +2531,10 @@ object Relational {
         Seq("l_returnflag", "bin_sel"))
       .select(col("l_returnflag"), col("bin_sel"),
         (col("cum") - col("obq")).as("prior")) // mass strictly below the bin
-    // third fact pass keeps only the selected bin (~1/B of rows),
-    // aggregated by price; checkpointed for the two walk branches
-    val inBin = binned.join(broadcast(sel), "l_returnflag")
-      .filter(col("bin") === col("bin_sel"))
+    // SECOND (final) fact pass keeps only the selected bin (~1/B of
+    // rows), aggregated by price; checkpointed for the walk branches
+    val inBin = li.join(broadcast(sel), "l_returnflag")
+      .filter(expr(s"pc div $WmBinCents") === col("bin_sel"))
       .groupBy(col("l_returnflag"), col("p"), col("prior"))
       .agg(sum(col("q")).as("pq")).localCheckpoint(true)
     // exact in-bin walk: p2 <= p self-join over ~domain/B rows/flag
