@@ -2178,11 +2178,20 @@ object Relational {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         datediff(col("l_shipdate"), col("o_orderdate")) > Q21LateDays)
-    val perOrder = li.groupBy(col("l_orderkey"))
+    // Two-stage distinct (round 16, guide §2.3): the twin
+    // countDistincts planned an Expand — every joined lineitem row
+    // multiplied per distinct child before the exchange. Grouping by
+    // (order, supplier) first is map-side combinable and feeds the
+    // per-order rollup with supplier-grain rows; n_supp/n_late/
+    // late_supp fold out exactly (group keys are distinct suppliers;
+    // any_late marks suppliers with ≥ 1 late line).
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("any_late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
     perOrder
       .groupBy(col("late_supp").as("s_suppkey"))
@@ -3564,16 +3573,23 @@ object Relational {
     * never a fact×fact join; the four 1-row edge summaries union.
     */
   def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    // ONE full-outer join per edge (round 16, guide §1.2): the old
+    // shape consumed each distinct key set three times — two
+    // anti-joins plus a count — re-running the fact-table distinct
+    // for every consumer. All four stats (child keys, parent keys,
+    // orphans, childless) fold out of a single pass over the
+    // full-outer join of the two distinct'd key sets.
     def edge(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
-      val cd = child.toDF("k").distinct()
-      val pd = parent.toDF("k").distinct()
-      val orphans = cd.join(pd, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val childless = pd.join(cd, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_childless"))
-      cd.agg(count(lit(1)).as("n_child_keys"))
-        .crossJoin(pd.agg(count(lit(1)).as("n_parent_keys")))
-        .crossJoin(orphans).crossJoin(childless) // 1-row aggregates
+      val cd = child.toDF("k").distinct().withColumn("c1", lit(1))
+      val pd = parent.toDF("k").distinct().withColumn("p1", lit(1))
+      cd.join(pd, Seq("k"), "full_outer")
+        .agg(
+          count(col("c1")).as("n_child_keys"),
+          count(col("p1")).as("n_parent_keys"),
+          coalesce(sum(when(col("p1").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"),
+          coalesce(sum(when(col("c1").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_childless"))
         .select(lit(name).as("edge"), col("n_child_keys"),
           col("n_parent_keys"), col("n_orphans"), col("n_childless"),
           expr("n_childless * 1000000L div n_parent_keys")
