@@ -334,9 +334,18 @@ object Graph {
     val seeds = es.select(col("src").as("node")).distinct()
       .orderBy("node").limit(BfsSeeds)
       .select(col("node"), lit(0L).as("dist"), col("node").as("root"))
+    // FRONTIER relaxation (round 16, guide §1.2): a node's lex-min
+    // (dist, root) entry is FINAL at round = dist (its round-d root
+    // is the min over all dist-(d−1) predecessors, final by
+    // induction), so re-relaxing settled nodes every hop — the old
+    // shape, Σ|state|·deg work per round — only regenerates
+    // duplicates the min-agg discards. Joining the edges against
+    // just the rows finalized last round produces the identical
+    // state sequence with Σ|frontier|·deg work.
     var state = seeds.localCheckpoint(true)
-    for (_ <- 1L to BfsMaxHops) {
-      val relaxed = state.join(es, state("node") === es("src"))
+    var frontier = state
+    for (k <- 1L to BfsMaxHops) {
+      val relaxed = frontier.join(es, frontier("node") === es("src"))
         .select(es("dst").as("node"),
           (col("dist") + 1L).as("dist"), col("root"))
       state = state.unionByName(relaxed)
@@ -344,6 +353,7 @@ object Graph {
         .agg(min(struct(col("dist"), col("root"))).as("s"))
         .select(col("node"), col("s.dist").as("dist"), col("s.root").as("root"))
         .localCheckpoint(true)
+      frontier = state.filter(col("dist") === k)
     }
     state.orderBy("node")
   }

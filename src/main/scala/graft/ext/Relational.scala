@@ -2116,9 +2116,14 @@ object Relational {
     * cents, dates as epoch seconds (the q3 rails).
     */
   def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    // LONG aggregation buffer (round 16, guide §2.3 narrower types):
+    // quantities sum in exact integer hundredths — Σ(100q) div 100 ==
+    // trunc(Σq) for the non-negative sums here — so the fact-scale
+    // hash agg runs on longs instead of the DECIMAL slow path.
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).cast("long").as("sum_qty"))
+      .agg(sum((dec(col("l_quantity")) * 100).cast("long")).as("sum_qc"))
+      .select(col("l_orderkey"), expr("sum_qc div 100").as("sum_qty"))
       .filter(col("sum_qty") > Q18Qty)
     val o = t(spark, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"),
@@ -3030,44 +3035,87 @@ object Relational {
     * no interpolation float enters; fences are
     * `q1 − (3·iqr) div 2` / `q3 + (3·iqr) div 2` on BIGINT cents.
     *
-    * Scale shape (the `agg_weighted_median` lesson, window-free at
-    * fact scale): the fact table meets ONE map-side-combinable hash
-    * agg to (flag, price) counts — PRICE-DOMAIN state, bounded by
-    * the cents domain, not the corpus; the cumulative walk and rank
-    * picks then run windows over domain-scale rows only, and the
-    * outlier tally is a second domain-scale pass against the
-    * broadcast fences. No fact-scale sort anywhere.
+    * Scale shape (round 16 — the fixed-bin bisection the
+    * `agg_weighted_median` rework proved out, see [[WmBinCents]]):
+    * the 594k-row (flag, price) relation used to flow through a
+    * cumulative window partitioned by the THREE return flags — a
+    * 3-task fact-domain sort at any scale. Now: one fact pass bins
+    * raw prices into fixed [[WmBinCents]]-wide cent bins (flags ×
+    * ~650 live-bin groups, map-side combined); the q1/q3 crossing
+    * bins come from a bounded bin-level cumulative self-join; one
+    * second fact pass aggregates by price INSIDE the two selected
+    * bins only, where a bounded in-bin self-join walks to the exact
+    * rank-⌈n/4⌉ / ⌈3n/4⌉ picks; the outlier tally is a third
+    * column-pruned fact pass against the broadcast 3-row fences. No
+    * window, no fact-scale sort, every join bounded by the price
+    * DOMAIN — and the quantile picks are bit-identical (bisection +
+    * exact in-bin walk is binning-independent), so the oracle is
+    * unchanged.
     */
   def dqIqr(spark: SparkSession, dir: String): DataFrame = {
-    val byPrice = t(spark, dir, "lineitem")
+    val li = t(spark, dir, "lineitem")
       .select(col("l_returnflag"),
         (dec(col("l_extendedprice")) * 100).cast("long").as("pc"))
-      .groupBy(col("l_returnflag"), col("pc"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // two consumers: rank walk + outlier tally
-    val walk = Window.partitionBy("l_returnflag").orderBy("pc")
-    val all = Window.partitionBy("l_returnflag")
-    val cum = byPrice
-      .withColumn("cum", sum(col("c")).over(walk))
-      .withColumn("n", sum(col("c")).over(all))
-    val fences = cum
-      .groupBy(col("l_returnflag"))
-      .agg(
-        max(col("n")).as("n"),
-        min(when(col("cum") >= expr("(n + 3) div 4"), col("pc"))).as("q1_c"),
-        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("pc"))).as("q3_c"))
+    val binAgg = li
+      .select(col("l_returnflag"), expr(s"pc div $WmBinCents").as("bin"),
+        col("pc"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val stats = binAgg.groupBy("l_returnflag")
+      .agg(sum(col("c")).as("n")).localCheckpoint(true) // 3 rows
+    val cumB = binAgg
+      .join(binAgg.toDF("l_returnflag", "bin2", "c2"), "l_returnflag")
+      .filter(col("bin2") <= col("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("c2")).as("cum"),
+        sum(when(col("bin2") === col("bin"), col("c2"))).as("obc"))
+    // two rank targets per flag: q1 at ⌈n/4⌉, q3 at ⌈3n/4⌉
+    val targets = stats.select(col("l_returnflag"),
+        explode(array(
+          struct(lit(1L).as("qq"), expr("(n + 3) div 4").as("t")),
+          struct(lit(3L).as("qq"), expr("(3 * n + 3) div 4").as("t"))))
+          .as("qt"))
+      .select(col("l_returnflag"), col("qt.qq").as("qq"), col("qt.t").as("t"))
+    val selBin = cumB.join(broadcast(targets), "l_returnflag")
+      .filter(col("cum") >= col("t"))
+      .groupBy(col("l_returnflag"), col("qq"), col("t"))
+      .agg(min(col("bin")).as("bin_sel"))
+    val sel = selBin
+      .join(cumB.toDF("l_returnflag", "bin_sel", "cum", "obc"),
+        Seq("l_returnflag", "bin_sel"))
+      .select(col("l_returnflag"), col("qq"), col("t"), col("bin_sel"),
+        (col("cum") - col("obc")).as("prior")) // ≤ 6 rows
+    val inBin = li.join(broadcast(sel), Seq("l_returnflag"))
+      .filter(expr(s"pc div $WmBinCents") === col("bin_sel"))
+      .groupBy(col("l_returnflag"), col("qq"), col("t"), col("prior"),
+        col("pc"))
+      .agg(count(lit(1)).as("cb")).localCheckpoint(true)
+    val walk = inBin
+      .join(inBin.select(col("l_returnflag"), col("qq"),
+        col("pc").as("pc2"), col("cb").as("cb2")), Seq("l_returnflag", "qq"))
+      .filter(col("pc2") <= col("pc"))
+      .groupBy(col("l_returnflag"), col("qq"), col("t"), col("prior"),
+        col("pc"))
+      .agg(sum(col("cb2")).as("cw"))
+    val quants = walk.filter(col("prior") + col("cw") >= col("t"))
+      .groupBy(col("l_returnflag"), col("qq")).agg(min(col("pc")).as("qc"))
+    val fences = quants.groupBy(col("l_returnflag"))
+      .agg(max(when(col("qq") === 1L, col("qc"))).as("q1_c"),
+        max(when(col("qq") === 3L, col("qc"))).as("q3_c"))
+      .join(broadcast(stats), "l_returnflag")
       .withColumn("iqr_c", col("q3_c") - col("q1_c"))
       .withColumn("lo_c", col("q1_c") - expr("(3 * iqr_c) div 2"))
       .withColumn("hi_c", col("q3_c") + expr("(3 * iqr_c) div 2"))
-    byPrice.join(broadcast(fences), "l_returnflag")
+      .localCheckpoint(true) // 3 rows
+    li.join(broadcast(fences), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
         max(col("n")).as("n"),
         max(col("q1_c")).as("q1_c"), max(col("q3_c")).as("q3_c"),
         max(col("iqr_c")).as("iqr_c"),
         max(col("lo_c")).as("lo_c"), max(col("hi_c")).as("hi_c"),
-        sum(when(col("pc") < col("lo_c"), col("c")).otherwise(0L)).as("n_out_lo"),
-        sum(when(col("pc") > col("hi_c"), col("c")).otherwise(0L)).as("n_out_hi"))
+        sum(when(col("pc") < col("lo_c"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("pc") > col("hi_c"), 1L).otherwise(0L)).as("n_out_hi"))
       .orderBy("l_returnflag")
   }
 

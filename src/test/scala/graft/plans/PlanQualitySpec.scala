@@ -866,7 +866,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     //   event_gini        events-per-user counts (x)
     //   event_funnel_time log2 delta buckets ≤63 (bucket; round-15 fix)
     val cases: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
-      ("dq_iqr", graft.ext.Relational.dqIqr(spark, dir), "pc"),
+      // dq_iqr moved to the window-free pin below (round 16): its
+      // quantiles now run the fixed-bin bisection, no walk window
       ("ts_mad", graft.ext.TimeSeries.tsMad(spark, dir), "day_idx"),
       ("ts_winsorize", graft.ext.TimeSeries.tsWinsorize(spark, dir), "day_c"),
       ("event_gini", graft.ext.Relational.eventGini(spark, dir), "x"),
@@ -897,12 +898,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
             "partition key at 100x (the event_funnel_time r14 miss)")
       }
     }
-    // agg_weighted_median is window-free BY DESIGN (the
-    // partition-parallel 1024-bin bisection) — pin that too
-    val wm = graft.ext.Relational.aggWeightedMedian(spark, dir)
-      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(wm.isEmpty,
-      "agg_weighted_median grew a window — the bisection design is window-free")
+    // agg_weighted_median and dq_iqr are window-free BY DESIGN (the
+    // partition-parallel fixed-bin bisection) — pin that too
+    for ((nm, q) <- Seq(
+        ("agg_weighted_median",
+          graft.ext.Relational.aggWeightedMedian(spark, dir)),
+        ("dq_iqr", graft.ext.Relational.dqIqr(spark, dir)))) {
+      val wm = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wm.isEmpty,
+        s"$nm grew a window — the bisection design is window-free")
+    }
   }
 
   test("graph_walks step joins hit the full (src, idx) key — no post-join " +
