@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (round 17): sbt's default LoggedOutput strategy
+// prefixes every forked-process stdout line with "[info] ", so the
+// bench's one-line JSON has NEVER appeared on stdout as a raw line —
+// PERF_r15/r16 both show parsed:null with the line visible but
+// prefix-wrapped in the captured tail. StdoutOutput inherits the parent
+// process's stdout/stderr, so the JSON println reaches stdout verbatim
+// (and Spark's log4j WARNs stay on stderr instead of being re-logged to
+// stdout as "[error] ..." lines that can trail the JSON).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

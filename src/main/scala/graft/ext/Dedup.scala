@@ -166,8 +166,28 @@ object Dedup {
     * shingling kernel on the verify path) — so verify stays
     * O(|candidate docs|), not O(corpus), per the 100 TB posture.
     */
+  /** Corpus-df bound for the verify tier's counting self-join (round
+    * 17, ADVICE r16 medium): the r16 PPJoin count costs Σ_shingle
+    * df_cand² — one corpus-common shingle (df ≈ N/2) among the
+    * candidate docs makes it quadratic in N, a cliff the old
+    * candidate-anchored shape could not hit. Shingles at or below
+    * this corpus df stay on the self-join path (per-shingle cost ≤
+    * df², so the light arm is ≤ HeavyDf·Σdf); rarer-than-never
+    * shingles above it are counted by anchoring on the CANDIDATE
+    * pairs instead (cost |candidates| × heavy-shingles-per-doc). The
+    * split is exact — see [[verifyJaccardPairsAt]]. 64 is far above
+    * every gate corpus's df (plans unchanged where it cannot bind)
+    * and far below the N/2 cliff at warehouse N.
+    */
+  private[ext] val VerifyHeavyDf = 64L
+
   private def verifyJaccardPairs(
-      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, candidates: DataFrame): DataFrame =
+    verifyJaccardPairsAt(spark, dir, candidates, VerifyHeavyDf)
+
+  private[ext] def verifyJaccardPairsAt(
+      spark: SparkSession, dir: String, candidates: DataFrame,
+      heavyDf: Long): DataFrame = {
     val cdocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -175,25 +195,64 @@ object Dedup {
     // in exactly one document, so it can never co-occur and never
     // contributes to |A∩B| — only the co-occurring postings enter the
     // count-join. |A|/|B| stay exact via the carried `sz` column.
-    val posts = rankedPosts(spark, dir).filter(col("df") > 1)
-      .select("doc_id", "sz", "shingle")
+    val posts = rankedPosts(spark, dir)
+      .filter(col("df") > 1)
+      .select("doc_id", "sz", "shingle", "df")
       .join(cdocs, Seq("doc_id"), "left_semi")
-    val pa = posts.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("shingle"))
-    val pb = posts.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("shingle"))
-    // Count-join restructure (round 16, guide §1.2): the old shape
-    // attached each candidate pair to ALL of doc_a's postings before
-    // trimming on (doc_b, shingle) — a candidates × |A| expansion
-    // (measured 15.6M rows at sf0.1 on 300k candidates). Counting
-    // intersections directly from the candidate-doc postings
-    // self-join costs Σ_shingle df_cand² (2.8M rows here — the
-    // PPJoin counting phase over df>1 postings), then the candidate
-    // pair set applies as a SEMI-join after the agg — semantically
-    // load-bearing for the LSH/window callers, whose candidate sets
-    // are part of the declared result.
-    val qualified = pa.join(pb, Seq("shingle"))
+      .localCheckpoint(true) // five consumers below
+    // Hybrid intersection count (round 17, ADVICE r16): |A∩B| =
+    // |A∩B over light shingles| + |A∩B over heavy shingles|, counted
+    // on two differently-bounded paths. LIGHT (df ≤ heavyDf): the r16
+    // PPJoin self-join, per-shingle cost capped at heavyDf². HEAVY
+    // (df > heavyDf): anchor doc_a's heavy postings on the canonical
+    // candidate pairs and semi-join the (doc_b, shingle) side — the
+    // pre-r16 candidate-anchored shape, restricted to the few heavy
+    // shingles per doc. EXACTNESS: candidate pairs get both arms in
+    // full (the full-outer sum is the exact |A∩B| split by df);
+    // non-candidate pairs can only be UNDER-counted (heavy arm
+    // missing), and they are discarded by the final candidate
+    // semi-join regardless of the threshold verdict — so the emitted
+    // relation is bit-identical at any heavyDf (DedupSpec pins both
+    // extremes against each other).
+    val light = posts.filter(col("df") <= heavyDf)
+    val heavy = posts.filter(col("df") > heavyDf)
+    val interL = light.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(light.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
-      .agg(count(lit(1)).as("inter"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("cl"))
+    // The heavy arm only enters the plan when heavy shingles EXIST
+    // (a driver boolean over the checkpointed posts — near-free): on
+    // every gate corpus the df ceiling keeps the plan exactly the
+    // light self-join, with no candidate-pair canonicalize/distinct
+    // shuffle spent on an empty arm.
+    val inter =
+      if (heavy.isEmpty)
+        interL.withColumnRenamed("cl", "inter")
+      else {
+        val canon = candidates.select(
+            least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+          .distinct()
+        val interH = canon
+          .join(heavy.select(col("doc_id").as("doc_a"), col("shingle")),
+            "doc_a")
+          .join(heavy.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"), "left_semi")
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("ch"))
+        interL.join(interH, Seq("doc_a", "doc_b"), "full_outer")
+          .withColumn("inter",
+            coalesce(col("cl"), lit(0L)) + coalesce(col("ch"), lit(0L)))
+      }
+    // every doc with a df>1 posting carries its full |A| on each row
+    val sizes = posts.groupBy(col("doc_id")).agg(max(col("sz")).as("sz"))
+    val qualified = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+        "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"))
@@ -398,15 +457,50 @@ object Dedup {
     val cdocs = cand0.select(col("doc_a").as("doc_id"))
       .union(cand0.select(col("doc_b").as("doc_id")))
       .distinct()
-    val cposts = shared.select("doc_id", "sz", "shingle")
+    val cposts = shared.select("doc_id", "sz", "shingle", "df")
       .join(cdocs, Seq("doc_id"), "left_semi")
-    val pa = cposts.select(col("doc_id").as("doc_a"), col("sz").as("sza"),
-      col("shingle"))
-    val pb = cposts.select(col("doc_id").as("doc_b"), col("shingle"))
-    pa.join(pb, Seq("shingle"))
+      .localCheckpoint(true) // five consumers below
+    // Hybrid |A∩B| count (round 17, ADVICE r16 — the
+    // [[verifyJaccardPairsAt]] df bound, directed form): shingles with
+    // corpus df ≤ [[VerifyHeavyDf]] count on the self-join (per-
+    // shingle cost ≤ df²); heavier shingles anchor on the DISTINCT
+    // prefix-candidate pairs — bounded by |pairs| × heavy-per-doc,
+    // never df_cand². Exact by the same argument: a pair with true
+    // C(A,B) ≥ t shares a prefix shingle (pigeonhole), so it is in
+    // `pairs` and both arms count in full; any other pair can only be
+    // UNDER-counted, and under-counting cannot push it over the
+    // threshold it truly fails.
+    val light = cposts.filter(col("df") <= VerifyHeavyDf)
+    val heavy = cposts.filter(col("df") > VerifyHeavyDf)
+    val interL = light.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(light.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sza"))
-      .agg(count(lit(1)).as("inter"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("cl"))
+    // heavy arm only when heavy shingles exist (driver boolean over
+    // the checkpointed cposts) — gate corpora keep the pure light
+    // shape; candidate pairs stay unmaterialized there (the r16
+    // invariant)
+    val inter =
+      if (heavy.isEmpty)
+        interL.withColumnRenamed("cl", "inter")
+      else {
+        val pairs = cand0.select("doc_a", "doc_b").distinct()
+        val interH = pairs
+          .join(heavy.select(col("doc_id").as("doc_a"), col("shingle")),
+            "doc_a")
+          .join(heavy.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"), "left_semi")
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("ch"))
+        interL.join(interH, Seq("doc_a", "doc_b"), "full_outer")
+          .withColumn("inter",
+            coalesce(col("cl"), lit(0L)) + coalesce(col("ch"), lit(0L)))
+      }
+    val sizes = cposts.groupBy(col("doc_id")).agg(max(col("sz")).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+        "doc_a")
       .withColumn("containment",
         col("inter").cast("double") / col("sza").cast("double"))
       .filter(col("containment") >= ContainmentThreshold)
@@ -1761,9 +1855,18 @@ object Dedup {
         max(col("doc_id")).as("mxd"))
       .filter(col("mnd") =!= col("mxd"))
       .select("gh")
+      .localCheckpoint(true)
+    // Guarded broadcast (round 17, ADVICE r16: crossHash is
+    // data-dependent — on a boilerplate-heavy corpus the cross-doc
+    // hash set can outgrow the broadcast/driver limits and fail a job
+    // the old slow shape completed). The checkpoint makes its true
+    // cardinality a free driver scalar: hint the broadcast only under
+    // ~4M longs (~32 MB framed); above that, let the planner/AQE pick
+    // a shuffle semi-join — correctness is unaffected either way.
+    val chBroadcastable = crossHash.count() <= 4000000L
+    val pruneSide = if (chBroadcastable) broadcast(crossHash) else crossHash
     val pruned = grams
-      .join(broadcast(crossHash), xxhash64(col("gram")) === col("gh"),
-        "left_semi")
+      .join(pruneSide, xxhash64(col("gram")) === col("gh"), "left_semi")
       .localCheckpoint(true)
     val a = pruned.select(col("doc_id").as("doc_a"),
       col("pos").as("pa"), col("gram"))

@@ -1199,17 +1199,32 @@ object TextAnalysis {
     * before ranking with (w1, w2) tie-breaks — the BM25 discipline.
     */
   def textPmi(spark: SparkSession, dir: String): DataFrame = {
-    val ws = docs(spark, dir)
+    // ONE fact pass for both model relations (round 17, guide §1.2):
+    // unigram and bigram counts used to be two separate
+    // scan+split+explode+agg chains over the corpus; emitting per doc
+    // the tokens as (w, NULL) structs and the bigrams as (w1, w2)
+    // structs in one exploded array folds both into a SINGLE
+    // map-side-combinable hash agg, checkpointed at vocabulary scale
+    // so its four consumers (uni twice, c12, totals) read the memo
+    // instead of re-tokenizing. Counts are bit-identical: the exploded
+    // multiset is exactly tokens ⊎ bigrams.
+    val counts = docs(spark, dir)
       .select(expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
-    val bg = ws.select(explode(expr(
-      """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
-        |         slice(ws, 2, greatest(size(ws) - 1, 0)),
-        |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
-      .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val uni = ws.select(explode(col("ws")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(explode(expr(
+        """concat(
+          |  transform(ws, w -> named_struct('w1', w,
+          |                                  'w2', CAST(NULL AS STRING))),
+          |  zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |           slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |           (a, b) -> named_struct('w1', a, 'w2', b)))""".stripMargin))
+        .as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = counts.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("c"))
+    val c12 = counts.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("c12"))
     val totals = uni.agg(sum(col("c")).as("n_tok"))
       .crossJoin(c12.agg(sum(col("c12")).as("m_bg")))
     val w2r = org.apache.spark.sql.expressions.Window
@@ -2367,8 +2382,17 @@ object TextAnalysis {
     * position key.
     */
   def sketchBloom(spark: SparkSession, dir: String): DataFrame = {
+    // Checkpoint the two shared relations (round 17, guide §1.2/§5):
+    // the fingerprint set feeds SIX consumers (n, bits, both audits'
+    // key sets, the final census) and the bit relation THREE (two
+    // audit joins + the fill count) — without truncation each consumer
+    // re-ran the whole corpus scan + polyHash, and each bits consumer
+    // re-ran the k-position explode + distinct SHUFFLE (measured: the
+    // plan held 3 identical distinct subtrees). Both relations are
+    // small by construction: |fp| = n docs, |bits| ≤ m = n·bits/key.
     val fp = docs(spark, dir)
       .select(polyHashCol(col("text").substr(lit(1), lit(256))).as("fp"))
+      .localCheckpoint(true)
     val n = fp.agg(count(lit(1)).as("n"))
     val withM = fp.crossJoin(broadcast(n))
       .withColumn("m", col("n") * BloomBitsPerKey)
@@ -2377,6 +2401,7 @@ object TextAnalysis {
         pmod(pmod(key * (2 * j + 3) + j * j, lit(P)), col("m"))): _*)
     val bits = withM.select(explode(positions(col("fp"))).as("pos"))
       .distinct()
+      .localCheckpoint(true)
     // a key is positive iff ALL k of its position rows find a set bit
     // (LEFT join — a key with zero hits must still count in the
     // denominator)
@@ -2670,7 +2695,15 @@ object TextAnalysis {
         expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
           " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // Checkpoint the bigram model (round 17, guide §1.2): bgCnt feeds
+    // both the prefix rollup and the scoring join — untruncated, each
+    // consumer re-ran the corpus tokenize+explode+agg, so the fact
+    // table was tokenized three times per run (bi itself, bgCnt for
+    // the join, bgCnt again under pfCnt). Model state is
+    // vocabulary-pair scale, the standard materialization point of an
+    // n-gram LM build.
     val bgCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+      .localCheckpoint(true)
     val pfCnt = bgCnt.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
     bi
       .join(bgCnt, Seq("w1", "w2"))

@@ -56,6 +56,28 @@ class BenchArtifactSpec extends AnyFunSuite {
       stampSec = 0L) == Seq("/tmp/x.json"))
   }
 
+  // Round 17, VERDICT r16 ask #7: the requeue rule must be SYMMETRIC —
+  // the r16 one-sided form (only slow samples resampled, min-of-reps
+  // kept) biased published heads downward. Pin that it fires in BOTH
+  // directions around the calib-scaled expected value, and not inside
+  // the band.
+  test("outlier requeue rule fires both directions, calib-scaled") {
+    // healthy box (ratio 1): band is [prior/1.5, prior*1.5]
+    assert(Bench.isOutlier(t = 3.1, prior = 2.0, calibRatio = 1.0))   // slow
+    assert(Bench.isOutlier(t = 1.2, prior = 2.0, calibRatio = 1.0))   // fast
+    assert(!Bench.isOutlier(t = 2.5, prior = 2.0, calibRatio = 1.0))  // in band
+    assert(!Bench.isOutlier(t = 1.5, prior = 2.0, calibRatio = 1.0))  // in band
+    // degraded box (ratio 2): the slow bar scales to 2x prior x 1.5,
+    // the fast bar stays at prior/1.5 (bursty interference — a sample
+    // at the healthy level is the true cost, not an anomaly)
+    assert(!Bench.isOutlier(t = 3.1, prior = 2.0, calibRatio = 2.0))
+    assert(Bench.isOutlier(t = 6.2, prior = 2.0, calibRatio = 2.0))
+    assert(!Bench.isOutlier(t = 2.0, prior = 2.0, calibRatio = 2.0))
+    assert(Bench.isOutlier(t = 1.2, prior = 2.0, calibRatio = 2.0))
+    // no prior: never an outlier (advisory rule only)
+    assert(!Bench.isOutlier(t = 99.0, prior = -1.0, calibRatio = 1.0))
+  }
+
   // Round 13, VERDICT r12 #3: the merged prior must carry HONEST
   // provenance — best-of calib_s, degraded only when every source was
   // degraded, and a merged_from list. The rule lives in

@@ -34,6 +34,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ngram == minhash)
   }
 
+  test("verify tier is heavyDf-invariant: all-light and all-heavy splits agree") {
+    // Round 17 (ADVICE r16): the hybrid intersection count routes
+    // shingles above the corpus-df bound through a candidate-anchored
+    // arm instead of the quadratic self-join. The split must be
+    // invisible in the output at ANY bound — pin the two extremes
+    // (heavyDf = MaxValue: pure self-join, the r16 shape; heavyDf = 1:
+    // every df>1 shingle on the candidate-anchored arm) against each
+    // other through a real caller's candidate set.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = docs.select(col("doc_id"))
+    val candidates = ids.toDF("doc_a")
+      .crossJoin(ids.toDF("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    def run(heavyDf: Long): Set[(Long, Long, Double)] =
+      Dedup.verifyJaccardPairsAt(spark, dir, candidates, heavyDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allLight = run(Long.MaxValue)
+    val allHeavy = run(1L)
+    assert(allLight.nonEmpty, "gate corpus must exercise the verify tier")
+    assert(allLight == allHeavy)
+    // and the production bound agrees with both
+    assert(run(Dedup.VerifyHeavyDf) == allLight)
+  }
+
   test("embedding grid stays correct and balanced under skewed ids") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -756,14 +756,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       // sanctioned nested-loop shapes: the 1-ROW broadcast aggregates
-      // (q22's positive-balance scalar + max-date cutoff,
-      // dq_referential's four 1-row edge summaries, graph_motifs'
+      // (q22's positive-balance scalar + max-date cutoff, graph_motifs'
       // three 1-row census aggregates) and sim_bq_rerank's
       // probe-broadcast self-exclusion predicate (the sim_hamming
-      // family shape)
-      if (!Set("q22_global_sales", "dq_referential", "graph_motifs",
+      // family shape). dq_referential LEFT this list in round 17
+      // (VERDICT r16 ask #8): its 1-row crossJoins died with the r16
+      // one-full-outer-pass rewrite, and the tightened pin below locks
+      // the new shape in.
+      if (!Set("q22_global_sales", "graph_motifs",
           "sim_bq_rerank").contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      // dq_referential's per-edge stats must stay ONE full-outer pass
+      // over the two distinct'd key sets — fail on reintroduction of
+      // the 3-pass anti-join/count shape (its 3 extra distincts showed
+      // as extra fact aggregations)
+      if (name == "dq_referential") {
+        assert(plan.contains("FullOuter"), s"$name:\n$plan")
+        assert(!plan.contains("LeftAnti"), s"$name:\n$plan")
+      }
       if (wantsBroadcast)
         assert(plan.contains("BroadcastExchange") ||
           plan.contains("BroadcastHashJoin"),
